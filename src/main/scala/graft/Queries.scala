@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.bronze.Bronze
+import graft.silver.Silver
+import graft.gold.Gold
+import graft.model.{Fin, Finalize}
+import graft.oracle.OracleSql
+
+/** Registry of driver-checked queries: each entry pairs a Spark DataFrame
+  * builder with its DuckDB oracle SQL and a single column spec
+  * ([[graft.model.Finalize]]) applied to both, so names, types, and row
+  * order line up for the driver's hash compare.
+  */
+object Queries {
+  import Fin.{P, Money, I, L}
+
+  final case class Spec(
+    name: String,
+    cols: Seq[(String, Fin)],
+    keys: Seq[String],
+    build: (SparkSession, String) => DataFrame,
+    oracleInner: String)
+
+  private val auditT = Seq("_loaded_at" -> P)
+
+  val specs: Seq[Spec] = Seq(
+    Spec("bronze_customers",
+      Seq("customer_id" -> P, "first_name" -> P, "last_name" -> P,
+        "email" -> P, "created_at" -> P) ++ auditT :+ ("_source_model" -> P),
+      Seq("customer_id"), Bronze.customers, OracleSql.bronzeCustomers),
+
+    Spec("bronze_orders",
+      Seq("order_id" -> P, "customer_id" -> P, "order_date" -> P,
+        "order_status" -> P, "order_amount" -> P) ++ auditT :+ ("_source_model" -> P),
+      Seq("order_id"), Bronze.orders, OracleSql.bronzeOrders),
+
+    Spec("bronze_payments",
+      Seq("payment_id" -> P, "order_id" -> P, "payment_method" -> P,
+        "payment_amount" -> P, "payment_date" -> P) ++ auditT :+ ("_source_model" -> P),
+      Seq("payment_id"), Bronze.payments, OracleSql.bronzePayments),
+
+    Spec("silver_customers",
+      Seq("customer_key" -> P, "customer_id" -> P, "first_name" -> P,
+        "last_name" -> P, "full_name" -> P, "email" -> P, "created_at" -> P,
+        "_loaded_at" -> P, "_updated_at" -> P, "_has_data_quality_issues" -> I),
+      Seq("customer_id"), Silver.customers, OracleSql.silverCustomers),
+
+    Spec("silver_orders",
+      Seq("order_key" -> P, "customer_key" -> P, "order_id" -> P,
+        "customer_id" -> P, "order_date" -> P, "order_status" -> P,
+        "is_completed" -> P, "is_cancelled" -> P, "is_pending" -> P,
+        "order_amount" -> P, "order_year" -> I, "order_month" -> I,
+        "order_day" -> I, "order_quarter" -> I, "order_day_name" -> P,
+        "order_year_month" -> P, "order_year_quarter" -> P,
+        "_loaded_at" -> P, "_updated_at" -> P, "_has_data_quality_issues" -> I),
+      Seq("order_id"), Silver.orders, OracleSql.silverOrders),
+
+    Spec("silver_payments",
+      Seq("payment_key" -> P, "order_key" -> P, "payment_id" -> P,
+        "order_id" -> P, "payment_method" -> P, "payment_amount" -> P,
+        "payment_date" -> P, "is_successful_payment" -> P,
+        "is_failed_payment" -> P, "payment_size_category" -> P,
+        "_loaded_at" -> P, "_updated_at" -> P, "_has_data_quality_issues" -> I),
+      Seq("payment_id"), Silver.payments, OracleSql.silverPayments),
+
+    Spec("gold_customer_summary",
+      Seq("customer_key" -> P, "customer_id" -> P, "full_name" -> P,
+        "first_name" -> P, "last_name" -> P, "email" -> P,
+        "customer_since" -> P,
+        "total_orders" -> L, "completed_orders" -> L,
+        "cancelled_orders" -> L, "pending_orders" -> L,
+        "lifetime_value" -> Money, "avg_order_value" -> Money,
+        "max_order_value" -> P, "min_order_value" -> P,
+        "total_payments" -> L, "unique_payment_methods" -> L,
+        "total_paid_amount" -> Money, "preferred_payment_method" -> P,
+        "first_order_date" -> P, "last_order_date" -> P,
+        "customer_lifetime_days" -> I, "active_months" -> L,
+        "days_since_last_order" -> I, "customer_segment" -> P,
+        "customer_status" -> P, "recency_score" -> I,
+        "frequency_score" -> I, "monetary_score" -> I, "_updated_at" -> P),
+      Seq("customer_id"), Gold.customerSummary, OracleSql.customerSummary),
+
+    Spec("gold_order_metrics",
+      Seq("order_date" -> P, "order_year" -> I, "order_month" -> I,
+        "order_day" -> I, "order_quarter" -> I, "order_year_month" -> P,
+        "order_year_quarter" -> P, "order_day_name" -> P,
+        "total_orders" -> L, "completed_orders" -> L, "cancelled_orders" -> L,
+        "pending_orders" -> L, "unique_customers" -> L,
+        "total_revenue" -> Money, "avg_order_value" -> Money,
+        "max_order_value" -> P, "min_order_value" -> P,
+        "potential_revenue" -> Money, "lost_revenue" -> Money,
+        "completion_rate" -> Money, "cancellation_rate" -> Money,
+        "orders_per_customer" -> Money,
+        "cumulative_revenue" -> Money, "cumulative_orders" -> L,
+        "revenue_7day_ma" -> Money, "orders_7day_ma" -> Money,
+        "prior_day_revenue" -> Money, "week_ago_revenue" -> Money,
+        "revenue_growth_vs_prior_day_pct" -> Money,
+        "revenue_growth_vs_week_ago_pct" -> Money, "_updated_at" -> P),
+      Seq("order_date"), Gold.orderMetrics, OracleSql.orderMetrics),
+
+    Spec("gold_revenue_analysis",
+      Seq("order_year_month" -> P, "order_year" -> I, "order_month" -> I,
+        "order_quarter" -> I, "order_year_quarter" -> P,
+        "total_orders" -> L, "unique_customers" -> L,
+        "total_revenue" -> Money, "avg_order_value" -> Money,
+        "max_order_value" -> P, "min_order_value" -> P,
+        "orders_per_customer" -> Money,
+        "prev_month_revenue" -> Money, "year_ago_revenue" -> Money,
+        "prev_month_orders" -> L,
+        "revenue_growth_mom_pct" -> Money, "orders_growth_mom_pct" -> Money,
+        "revenue_growth_yoy_pct" -> Money,
+        "ytd_revenue" -> Money, "ytd_orders" -> L,
+        "credit_card_revenue" -> Money, "bank_transfer_revenue" -> Money,
+        "paypal_revenue" -> Money, "cash_revenue" -> Money,
+        "other_revenue" -> Money, "_updated_at" -> P),
+      Seq("order_year_month"), Gold.revenueAnalysis, OracleSql.revenueAnalysis))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    specs.map { s =>
+      s.name -> ((spark: SparkSession, dir: String) =>
+        Finalize.spark(s.build(spark, dir), s.cols, s.keys))
+    }.toMap
+
+  def oracleSql: Map[String, String] =
+    specs.map(s => s.name -> Finalize.sql(s.oracleInner, s.cols, s.keys)).toMap
+}
