@@ -114,7 +114,12 @@ object Queries {
         "credit_card_revenue" -> Money, "bank_transfer_revenue" -> Money,
         "paypal_revenue" -> Money, "cash_revenue" -> Money,
         "other_revenue" -> Money, "_updated_at" -> P),
-      Seq("order_year_month"), Gold.revenueAnalysis, OracleSql.revenueAnalysis))
+      Seq("order_year_month"), Gold.revenueAnalysis, OracleSql.revenueAnalysis),
+
+    Spec("dq_summary",
+      Seq("check_name" -> P, "violations" -> L),
+      Seq("check_name"),
+      graft.quality.DataQuality.summary, graft.quality.DataQuality.oracle))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     specs.map { s =>

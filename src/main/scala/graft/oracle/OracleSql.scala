@@ -175,8 +175,7 @@ object OracleSql {
 
   // ---- gold (mirrors graft.gold.Gold)
 
-  def customerSummary: String = s"""$prelude,
-  customer_orders AS (
+  val customerSummaryCtes: String = s"""customer_orders AS (
     SELECT customer_key,
       count(DISTINCT order_key) AS total_orders,
       count(DISTINCT CASE WHEN is_completed THEN order_key END) AS completed_orders,
@@ -212,8 +211,9 @@ object OracleSql {
     FROM cp_counts GROUP BY 1),
   customer_payments AS (
     SELECT a.*, f.preferred_payment_method
-    FROM cp_agg a JOIN cp_pref f USING (customer_key))
-  SELECT
+    FROM cp_agg a JOIN cp_pref f USING (customer_key))"""
+
+  val customerSummarySelect: String = s"""SELECT
     c.customer_key, c.customer_id, c.full_name, c.first_name, c.last_name, c.email,
     c.created_at AS customer_since,
     coalesce(co.total_orders, 0) AS total_orders,
@@ -255,8 +255,10 @@ object OracleSql {
   LEFT JOIN customer_orders co ON c.customer_key = co.customer_key
   LEFT JOIN customer_payments cp ON c.customer_key = cp.customer_key"""
 
-  def orderMetrics: String = s"""$prelude,
-  daily0 AS (
+  def customerSummary: String =
+    s"$prelude,\n$customerSummaryCtes\n$customerSummarySelect"
+
+  val orderMetricsCtes: String = s"""daily0 AS (
     SELECT order_date, order_year, order_month, order_day, order_quarter,
       order_year_month, order_year_quarter, order_day_name,
       count(DISTINCT order_key) AS total_orders,
@@ -278,8 +280,9 @@ object OracleSql {
       round(completed_orders * 100.0 / nullif(total_orders, 0), 2) AS completion_rate,
       round(cancelled_orders * 100.0 / nullif(total_orders, 0), 2) AS cancellation_rate,
       round(total_orders * 1.0 / nullif(unique_customers, 0), 2) AS orders_per_customer
-    FROM daily0)
-  SELECT *,
+    FROM daily0)"""
+
+  val orderMetricsSelect: String = s"""SELECT *,
     sum(CAST(round(total_revenue * 100) AS BIGINT)) OVER (ORDER BY order_date
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS cumulative_revenue,
     sum(total_orders) OVER (ORDER BY order_date
@@ -301,8 +304,10 @@ object OracleSql {
     $now AS _updated_at
   FROM daily"""
 
-  def revenueAnalysis: String = s"""$prelude,
-  orders_c AS (SELECT * FROM silver_orders WHERE is_completed),
+  def orderMetrics: String =
+    s"$prelude,\n$orderMetricsCtes\n$orderMetricsSelect"
+
+  val revenueAnalysisCtes: String = s"""orders_c AS (SELECT * FROM silver_orders WHERE is_completed),
   payments_s AS (SELECT * FROM silver_payments WHERE is_successful_payment),
   monthly0 AS (
     SELECT order_year, order_month, order_year_month, order_quarter, order_year_quarter,
@@ -345,9 +350,13 @@ object OracleSql {
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS ytd_revenue,
       sum(mo.total_orders) OVER (PARTITION BY mo.order_year ORDER BY mo.order_month
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ytd_orders
-    FROM monthly_orders mo)
-  SELECT e.*, pp.credit_card_revenue, pp.bank_transfer_revenue, pp.paypal_revenue,
+    FROM monthly_orders mo)"""
+
+  val revenueAnalysisSelect: String = s"""SELECT e.*, pp.credit_card_revenue, pp.bank_transfer_revenue, pp.paypal_revenue,
     pp.cash_revenue, pp.other_revenue, $now AS _updated_at
   FROM enriched e
   LEFT JOIN payment_pivot pp ON e.order_year_month = pp.order_year_month"""
+
+  def revenueAnalysis: String =
+    s"$prelude,\n$revenueAnalysisCtes\n$revenueAnalysisSelect"
 }

@@ -1,0 +1,71 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** dbt-style generic data-quality tests (SURVEY.md §2.12) as reusable
+  * DataFrame operators. Each check returns the *violating* rows (dbt's pass
+  * criterion: the compiled SELECT is empty), plus count-form helpers used by
+  * the aggregated [[DataQuality.summary]] query.
+  *
+  * Scale: the count forms are single-pass conditional aggregates (one hash
+  * agg over the table, no per-check rescans); `relationships` is a left-anti
+  * equi-join that AQE turns into a broadcast when the parent side is small.
+  */
+object Checks {
+
+  /** Rows whose `col` value occurs more than once (dbt `unique`; nulls are
+    * ignored, matching dbt). */
+  def unique(df: DataFrame, colName: String): DataFrame = {
+    val dups = df.filter(col(colName).isNotNull)
+      .groupBy(colName).count().filter(col("count") > 1)
+      .select(col(colName))
+    df.join(dups, Seq(colName), "left_semi")
+  }
+
+  /** Rows with a null `col` (dbt `not_null`). */
+  def notNull(df: DataFrame, colName: String): DataFrame =
+    df.filter(col(colName).isNull)
+
+  /** Child rows whose FK has no match in the parent (dbt `relationships`).
+    * dbt ignores null FKs. */
+  def relationships(child: DataFrame, fk: String,
+      parent: DataFrame, pk: String): DataFrame =
+    child.filter(col(fk).isNotNull)
+      .join(parent.select(col(pk).as(fk)).distinct(), Seq(fk), "left_anti")
+
+  /** Rows whose `col` is outside the accepted domain (dbt `accepted_values`;
+    * nulls pass, matching dbt). */
+  def acceptedValues(df: DataFrame, colName: String, allowed: Seq[String]): DataFrame =
+    df.filter(col(colName).isNotNull && !col(colName).isin(allowed: _*))
+
+  /** dbt `source freshness`: max(loadedAt) older than `errorAfterHours` →
+    * "error", older than `warnAfterHours` → "warn", else "pass". The
+    * reference declares 24h/48h thresholds but omits `loaded_at_field`
+    * (`models/bronze/bronze.yml:10-13`) — this is the completed form. */
+  def freshness(df: DataFrame, loadedAtCol: String, now: Column,
+      warnAfterHours: Int = 24, errorAfterHours: Int = 48): String = {
+    val maxLoaded = df.agg(max(col(loadedAtCol)).cast("timestamp_ntz")).head().getAs[java.time.LocalDateTime](0)
+    if (maxLoaded == null) "error"
+    else {
+      val nowTs = java.time.LocalDateTime.parse(
+        graft.model.Clock.nowLit.replace(" ", "T"))
+      val age = java.time.Duration.between(maxLoaded, nowTs).toHours
+      if (age >= errorAfterHours) "error" else if (age >= warnAfterHours) "warn" else "pass"
+    }
+  }
+
+  // ---- single-pass count forms (for the aggregated summary query) ----
+
+  /** Surplus-row count for `unique`: count(col) - count(distinct col).
+    * Zero iff the dbt test passes. */
+  def uniqueViolations(c: String): Column =
+    (count(col(c)) - countDistinct(col(c))).as(s"$c.unique")
+
+  def notNullViolations(c: String): Column =
+    sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"$c.not_null")
+
+  def acceptedValuesViolations(c: String, allowed: Seq[String]): Column =
+    sum(when(col(c).isNotNull && !col(c).isin(allowed: _*), 1L).otherwise(0L))
+      .as(s"$c.accepted_values")
+}

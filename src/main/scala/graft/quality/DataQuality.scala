@@ -1,0 +1,152 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.adapter.RawSources
+import graft.bronze.Bronze
+import graft.silver.Silver
+import graft.gold.Gold
+import graft.oracle.OracleSql
+
+/** The reference's full declared test inventory (SURVEY.md §2.12: every
+  * `unique` / `not_null` / `relationships` / `accepted_values` in
+  * bronze.yml/silver.yml/gold.yml, plus the two reconstructed singular
+  * tests) evaluated in one driver-checkable query: one row per check,
+  * `(check_name, violations)`.
+  *
+  * Both the Spark build and the DuckDB oracle SQL are generated from the
+  * single [[inventory]] spec below, so the check list cannot drift.
+  *
+  * Faithful quirk retained: `silver_payments.payment_method.accepted_values`
+  * omits 'digital_wallet' even though the method normalizer produces it
+  * (`/root/reference/models/silver/silver.yml:78-79` vs
+  * `silver_payments.sql:48`), so that check reports real violations.
+  */
+object DataQuality {
+
+  final case class TableChecks(
+    table: String,
+    uniques: Seq[String],
+    notNulls: Seq[String],
+    accepted: Map[String, Seq[String]])
+
+  /** bronze.yml:16-96, silver.yml, gold.yml — line-for-line. */
+  val inventory: Seq[TableChecks] = Seq(
+    TableChecks("raw_customers", Seq("id", "email"),
+      Seq("id", "first_name", "last_name"), Map.empty),
+    TableChecks("raw_orders", Seq("id"), Seq("id", "user_id", "amount"), Map.empty),
+    TableChecks("raw_payments", Seq("id"), Seq("id", "order_id", "amount"), Map.empty),
+    TableChecks("bronze_customers", Seq("customer_id"), Seq("customer_id"), Map.empty),
+    TableChecks("bronze_orders", Seq("order_id"), Seq("order_id"), Map.empty),
+    TableChecks("bronze_payments", Seq("payment_id"), Seq("payment_id"), Map.empty),
+    TableChecks("silver_customers", Seq("customer_key", "customer_id", "email"),
+      Seq("customer_key", "customer_id", "email", "full_name", "first_name", "last_name"),
+      Map.empty),
+    TableChecks("silver_orders", Seq("order_key"),
+      Seq("order_key", "customer_key", "order_amount"),
+      Map("order_status" -> Seq("completed", "pending", "cancelled", "unknown"))),
+    TableChecks("silver_payments", Seq("payment_key"),
+      Seq("payment_key", "order_key"),
+      Map("payment_method" -> Seq("credit_card", "bank_transfer", "paypal", "cash", "other"))),
+    TableChecks("gold_customer_summary", Seq("customer_key"), Seq("customer_key"), Map.empty),
+    TableChecks("gold_order_metrics", Seq.empty, Seq("order_date"), Map.empty),
+    TableChecks("gold_revenue_analysis", Seq("order_year_month"), Seq("order_year_month"), Map.empty))
+
+  /** (check_name, child table, fk, parent table, pk) — bronze.yml:48-50,
+    * silver.yml:45-47,72-74. */
+  val relationshipChecks: Seq[(String, String, String, String, String)] = Seq(
+    ("raw_orders.user_id.relationships", "raw_orders", "user_id", "raw_customers", "id"),
+    ("silver_orders.customer_key.relationships", "silver_orders", "customer_key",
+      "silver_customers", "customer_key"),
+    ("silver_payments.order_key.relationships", "silver_payments", "order_key",
+      "silver_orders", "order_key"))
+
+  /** One row per declared test. Single-pass conditional aggregation per
+    * table; the silver layer is persisted so the twelve table scans share
+    * one computation of the cleaning chain (Spark's CacheManager also
+    * substitutes the cached silver plans inside the gold subtrees). */
+  def summary(spark: SparkSession, dir: String): DataFrame = {
+    import Checks._
+    val dfs: Map[String, DataFrame] = {
+      val sc = Silver.customers(spark, dir).persist()
+      val so = Silver.orders(spark, dir).persist()
+      val sp = Silver.payments(spark, dir).persist()
+      Map(
+        "raw_customers" -> RawSources.rawCustomers(spark, dir),
+        "raw_orders" -> RawSources.rawOrders(spark, dir),
+        "raw_payments" -> RawSources.rawPayments(spark, dir),
+        "bronze_customers" -> Bronze.customers(spark, dir),
+        "bronze_orders" -> Bronze.orders(spark, dir),
+        "bronze_payments" -> Bronze.payments(spark, dir),
+        "silver_customers" -> sc,
+        "silver_orders" -> so,
+        "silver_payments" -> sp,
+        "gold_customer_summary" -> Gold.customerSummary(spark, dir),
+        "gold_order_metrics" -> Gold.orderMetrics(spark, dir),
+        "gold_revenue_analysis" -> Gold.revenueAnalysis(spark, dir))
+    }
+
+    def tableRows(tc: TableChecks): DataFrame = {
+      val checks: Seq[Column] =
+        tc.uniques.map(uniqueViolations) ++
+        tc.notNulls.map(notNullViolations) ++
+        tc.accepted.map { case (c, vals) => acceptedValuesViolations(c, vals) }.toSeq
+      val agged = dfs(tc.table).agg(checks.head, checks.tail: _*)
+      val entries = agged.schema.fieldNames.toSeq.flatMap(n =>
+        Seq(lit(s"${tc.table}.$n"), col(s"`$n`").cast("long")))
+      agged.select(explode(map(entries: _*)).as(Seq("check_name", "violations")))
+    }
+
+    def relRows(name: String, child: String, fk: String, parent: String, pk: String) =
+      relationships(dfs(child), fk, dfs(parent), pk)
+        .agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("check_name"), col("violations"))
+
+    def countRows(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("check_name"), col("violations"))
+
+    val parts =
+      inventory.map(tableRows) ++
+      relationshipChecks.map { case (n, c, fk, p, pk) => relRows(n, c, fk, p, pk) } ++
+      Seq(
+        // Reconstructions of the two empty singular tests
+        // (/root/reference/tests/, SURVEY.md §2.12).
+        countRows("tests.assert_customer_email_format",
+          dfs("silver_customers").filter(!col("email").like("%@%.%"))),
+        countRows("tests.assert_positive_revenue",
+          dfs("gold_customer_summary").filter(col("lifetime_value") < 0)))
+    parts.reduce(_ unionByName _)
+  }
+
+  /** DuckDB mirror, generated from the same [[inventory]]. */
+  def oracle: String = {
+    val perTable = inventory.flatMap { tc =>
+      tc.uniques.map(c =>
+        s"SELECT '${tc.table}.$c.unique' AS check_name, count($c) - count(DISTINCT $c) AS violations FROM ${tc.table}") ++
+      tc.notNulls.map(c =>
+        s"SELECT '${tc.table}.$c.not_null', sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) FROM ${tc.table}") ++
+      tc.accepted.map { case (c, vals) =>
+        val list = vals.map(v => s"'$v'").mkString(", ")
+        s"SELECT '${tc.table}.$c.accepted_values', sum(CASE WHEN $c IS NOT NULL AND $c NOT IN ($list) THEN 1 ELSE 0 END) FROM ${tc.table}"
+      }
+    }
+    val rels = relationshipChecks.map { case (name, child, fk, parent, pk) =>
+      s"""SELECT '$name', count(*) FROM $child c
+          WHERE c.$fk IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)"""
+    }
+    val singular = Seq(
+      "SELECT 'tests.assert_customer_email_format', count(*) FROM silver_customers WHERE NOT (email LIKE '%@%.%')",
+      "SELECT 'tests.assert_positive_revenue', count(*) FROM gold_customer_summary WHERE lifetime_value < 0")
+    val unions = (perTable ++ rels ++ singular).mkString("\n  UNION ALL ")
+    s"""${OracleSql.prelude},
+  ${OracleSql.customerSummaryCtes},
+  gold_customer_summary AS (${OracleSql.customerSummarySelect}),
+  ${OracleSql.orderMetricsCtes},
+  gold_order_metrics AS (${OracleSql.orderMetricsSelect}),
+  ${OracleSql.revenueAnalysisCtes},
+  gold_revenue_analysis AS (${OracleSql.revenueAnalysisSelect})
+  $unions"""
+  }
+}
