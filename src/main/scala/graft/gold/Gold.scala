@@ -47,10 +47,12 @@ object Gold {
     * max-by-(count, value) — the mode, with ties broken toward the
     * lexicographically larger method — mirrored exactly in the oracle SQL.
     */
-  def customerSummary(spark: SparkSession, dir: String): DataFrame = {
-    val customers = Silver.customers(spark, dir)
-    val orders = Silver.orders(spark, dir)
-    val payments = Silver.payments(spark, dir)
+  def customerSummary(spark: SparkSession, dir: String): DataFrame =
+    customerSummaryFrom(Silver.customers(spark, dir),
+      Silver.orders(spark, dir), Silver.payments(spark, dir))
+
+  def customerSummaryFrom(customers: DataFrame, orders: DataFrame,
+      payments: DataFrame): DataFrame = {
 
     val customerOrders = orders.groupBy("customer_key").agg(
       countDistinct(col("order_key")).as("total_orders"),
@@ -130,8 +132,10 @@ object Gold {
   }
 
   /** `models/gold/gold_order_metrics.sql` (A3 + windows W1–W8 + O1). */
-  def orderMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val orders = Silver.orders(spark, dir)
+  def orderMetrics(spark: SparkSession, dir: String): DataFrame =
+    orderMetricsFrom(Silver.orders(spark, dir))
+
+  def orderMetricsFrom(orders: DataFrame): DataFrame = {
     val groupCols = Seq("order_date", "order_year", "order_month", "order_day",
       "order_quarter", "order_year_month", "order_year_quarter", "order_day_name")
     val daily = orders
@@ -178,9 +182,12 @@ object Gold {
 
   /** `models/gold/gold_revenue_analysis.sql` (F3/F4, A4–A6 manual pivot,
     * J5/J6, windows W9–W13, O2). */
-  def revenueAnalysis(spark: SparkSession, dir: String): DataFrame = {
-    val orders = Silver.orders(spark, dir).filter(col("is_completed"))
-    val payments = Silver.payments(spark, dir).filter(col("is_successful_payment"))
+  def revenueAnalysis(spark: SparkSession, dir: String): DataFrame =
+    revenueAnalysisFrom(Silver.orders(spark, dir), Silver.payments(spark, dir))
+
+  def revenueAnalysisFrom(silverOrders: DataFrame, silverPayments: DataFrame): DataFrame = {
+    val orders = silverOrders.filter(col("is_completed"))
+    val payments = silverPayments.filter(col("is_successful_payment"))
 
     val monthlyOrders = orders
       .groupBy("order_year", "order_month", "order_year_month",

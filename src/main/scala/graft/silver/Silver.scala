@@ -33,8 +33,11 @@ object Silver {
     lower(raw).isin(vals: _*)
 
   /** `models/silver/silver_customers.sql:20-66`. */
-  def customers(spark: SparkSession, dir: String): DataFrame = {
-    val b = Bronze.customers(spark, dir)
+  def customers(spark: SparkSession, dir: String): DataFrame =
+    customersFrom(Bronze.customers(spark, dir))
+
+  def customersFrom(bronzeCustomers: DataFrame): DataFrame = {
+    val b = bronzeCustomers
     b.filter(
         col("email").isNotNull && col("first_name").isNotNull &&
         col("last_name").isNotNull && col("email").like("%@%.%"))
@@ -59,9 +62,12 @@ object Silver {
   }
 
   /** `models/silver/silver_orders.sql:20-103` (J1 + C6 + C10–C13 + F2). */
-  def orders(spark: SparkSession, dir: String): DataFrame = {
-    val o = Bronze.orders(spark, dir).as("o")
-    val c = customers(spark, dir)
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    ordersFrom(Bronze.orders(spark, dir), customers(spark, dir))
+
+  def ordersFrom(bronzeOrders: DataFrame, silverCustomers: DataFrame): DataFrame = {
+    val o = bronzeOrders.as("o")
+    val c = silverCustomers
       .select("customer_key", "customer_id").as("c")
     o.join(c, col("o.customer_id") === col("c.customer_id"), "inner")
       .filter(col("o.order_amount") > 0 && col("o.order_date").isNotNull)
@@ -104,9 +110,12 @@ object Silver {
   /** `models/silver/silver_payments.sql:20-93` (J2 + method map + buckets).
     * Note: no WHERE beyond the inner join — bad amounts/dates are kept and
     * only flagged (SURVEY.md §2.3). */
-  def payments(spark: SparkSession, dir: String): DataFrame = {
-    val p = Bronze.payments(spark, dir).as("p")
-    val o = orders(spark, dir).select("order_key", "order_id").as("so")
+  def payments(spark: SparkSession, dir: String): DataFrame =
+    paymentsFrom(Bronze.payments(spark, dir), orders(spark, dir))
+
+  def paymentsFrom(bronzePayments: DataFrame, silverOrders: DataFrame): DataFrame = {
+    val p = bronzePayments.as("p")
+    val o = silverOrders.select("order_key", "order_id").as("so")
     val methodCol = MethodSynonyms.foldLeft(null: Column) {
       case (acc, (canon, syns)) =>
         val cond = inGroup(col("p.payment_method"), syns)
