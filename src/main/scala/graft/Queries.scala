@@ -119,7 +119,61 @@ object Queries {
     Spec("dq_summary",
       Seq("check_name" -> P, "violations" -> L),
       Seq("check_name"),
-      graft.quality.DataQuality.summary, graft.quality.DataQuality.oracle))
+      graft.quality.DataQuality.summary, graft.quality.DataQuality.oracle),
+
+    // ---- training-data pipeline ops (documents / embeddings / events) ----
+
+    Spec("text_stats",
+      Seq("doc_id" -> P, "lang" -> P, "source" -> P, "char_count" -> L,
+        "word_count" -> L, "stopword_count" -> L, "avg_word_len" -> P,
+        "stopword_ratio" -> P, "token_est" -> L, "quality_score" -> P,
+        "fingerprint" -> P),
+      Seq("doc_id"), ops.TextOps.textStats, ops.TextOps.textStatsOracle),
+
+    Spec("lang_id",
+      Seq("doc_id" -> P, "labeled_lang" -> P, "predicted_lang" -> P,
+        "best_score" -> L),
+      Seq("doc_id"), ops.TextOps.langId, ops.TextOps.langIdOracle),
+
+    Spec("dedup_exact",
+      Seq("text_hash" -> P, "keeper_doc_id" -> P, "dup_count" -> L),
+      Seq("text_hash"), ops.Dedup.exact, ops.Dedup.exactOracle),
+
+    Spec("dedup_ngram_jaccard",
+      Seq("doc_a" -> P, "doc_b" -> P, "n_common" -> L, "jaccard" -> P),
+      Seq("doc_a", "doc_b"),
+      (s, d) => ops.Dedup.ngramJaccard(s, d), ops.Dedup.ngramJaccardOracle()),
+
+    Spec("dedup_minhash_lsh",
+      Seq("doc_a" -> P, "doc_b" -> P, "shared_bands" -> L),
+      Seq("doc_a", "doc_b"), ops.Dedup.minhashLsh, ops.Dedup.minhashLshOracle),
+
+    Spec("ann_topk",
+      Seq("query_id" -> P, "neighbor_id" -> P, "rank" -> I, "cosine" -> P),
+      Seq("query_id", "rank"),
+      (s, d) => ops.Similarity.annTopK(s, d), ops.Similarity.annTopKOracle()),
+
+    Spec("emb_near_dup",
+      Seq("doc_a" -> P, "doc_b" -> P, "cosine" -> P),
+      Seq("doc_a", "doc_b"),
+      (s, d) => ops.Similarity.cosineNearDup(s, d), ops.Similarity.cosineNearDupOracle()),
+
+    Spec("events_sessions",
+      Seq("user_id" -> P, "session_seq" -> L, "n_events" -> L,
+        "start_ts" -> P, "end_ts" -> P, "duration_secs" -> P,
+        "total_value" -> P, "n_purchases" -> L, "n_errors" -> L,
+        "n_event_types" -> L),
+      Seq("user_id", "session_seq"), ops.Events.sessionize, ops.Events.sessionizeOracle),
+
+    Spec("events_json",
+      Seq("event_type" -> P, "n_events" -> L, "n_users" -> L, "k_sum" -> L,
+        "k_min" -> L, "k_max" -> L, "value_sum" -> P),
+      Seq("event_type"), ops.Events.jsonStats, ops.Events.jsonStatsOracle),
+
+    Spec("multimodal_features",
+      Seq("doc_id" -> P, "media_type" -> P, "n_bytes" -> I, "first_byte" -> I,
+        "checksum" -> L, "stub_width" -> I, "stub_height" -> I),
+      Seq("doc_id"), ops.Multimodal.features, ops.Multimodal.featuresOracle))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     specs.map { s =>

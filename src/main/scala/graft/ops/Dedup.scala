@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines over `documents`:
+  * exact (hash-groupBy), n-gram Jaccard near-dup (shingle inverted-index
+  * join), and MinHash+LSH (band-bucket join).
+  *
+  * Scale design:
+  *  - Exact dedup is one hash aggregation on md5(text) — the canonical
+  *    shuffle-once pattern; at 100 TB the 32-hex key (not the text) is what
+  *    shuffles.
+  *  - Jaccard avoids the O(n²) cross join entirely: explode 3-gram word
+  *    shingles, self-join on the shingle (inverted index), count
+  *    intersections per pair, then |A∩B| / (|A|+|B|-|A∩B|). At scale the
+  *    standard refinement is dropping stop-shingles above a document
+  *    frequency cutoff so no single shingle fans out quadratically.
+  *  - MinHash signatures use lexicographic-min md5 per seed (a valid
+  *    random permutation family), banded so only same-bucket pairs are
+  *    compared: candidate generation is a groupBy on (band, bandKey) —
+  *    linear shuffle, no pairwise work outside buckets. md5 everywhere
+  *    keeps the DuckDB oracle bit-identical.
+  */
+object Dedup {
+
+  /** 3-gram word shingles as a SQL-expressible array column. */
+  private val shingleExpr =
+    """case when size(words) < 3 then array()
+       else transform(sequence(1, size(words) - 2),
+         i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1),
+                        element_at(words, i + 2))) end"""
+
+  private val shingleSqlDuck =
+    """CASE WHEN len(words) < 3 THEN []
+       ELSE list_transform(range(1, len(words) - 1),
+         i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]) END"""
+
+  private def withShingles(spark: SparkSession, dir: String): DataFrame =
+    TextOps.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("sh", explode(expr(shingleExpr)))
+      .select("doc_id", "sh").distinct()
+
+  private def shingleCte =
+    s"""sh0 AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest($shingleSqlDuck) AS sh FROM sh0)"""
+
+  /** Exact dedup: one row per distinct text with the kept doc (min id) and
+    * the duplicate count. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    TextOps.documents(spark, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("dup_count"))
+
+  def exactOracle: String =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,
+         count(*) AS dup_count
+       FROM documents GROUP BY 1"""
+
+  /** Near-dup pairs by 3-gram Jaccard ≥ 0.2 via the inverted-index join. */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
+    val sh = withShingles(spark, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val inter = sh.as("a").join(sh.as("b"), Seq("sh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_common") * 1.0 / (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+  }
+
+  def ngramJaccardOracle(threshold: Double = 0.2): String =
+    s"""WITH $shingleCte,
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b, i.n_common,
+      i.n_common * 1.0 / (sa.n_shingles + sb.n_shingles - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.n_common * 1.0 / (sa.n_shingles + sb.n_shingles - i.n_common) >= $threshold"""
+
+  val NumSeeds = 9
+  val BandSize = 3 // 3 bands of 3 rows
+
+  /** MinHash+LSH candidate pairs: docs sharing ≥1 of 3 signature bands,
+    * with the number of shared bands. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(spark, dir)
+    val sig = sh
+      .withColumn("seed", explode(expr(s"sequence(0, ${NumSeeds - 1})")))
+      .groupBy("doc_id", "seed")
+      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh")))).as("mh"))
+    val bands = sig
+      .withColumn("band", expr(s"seed div $BandSize"))
+      .groupBy("doc_id", "band")
+      .agg(md5(concat_ws(",",
+        array_sort(collect_list(concat(col("seed").cast("string"), lit(":"), col("mh")))))).as("band_key"))
+    bands.as("a").join(bands.as("b"), Seq("band", "band_key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_bands"))
+  }
+
+  def minhashLshOracle: String =
+    s"""WITH $shingleCte,
+    seeded AS (
+      SELECT doc_id, unnest(range(0, $NumSeeds)) AS seed, sh
+      FROM sh),
+    sig AS (
+      SELECT doc_id, seed,
+        min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
+      FROM seeded GROUP BY 1, 2),
+    bands AS (
+      SELECT doc_id, seed // $BandSize AS band,
+        md5(array_to_string(list_sort(list(CAST(seed AS VARCHAR) || ':' || mh)), ',')) AS band_key
+      FROM sig GROUP BY 1, 2)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_bands
+    FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      AND a.doc_id < b.doc_id
+    GROUP BY 1, 2"""
+}

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over the `events` table: gap-based
+  * sessionization and JSON property extraction.
+  *
+  * Sessionization here is the batch formulation (lag → new-session flag →
+  * running sum), the classic Spark pattern whose shuffle is exactly one
+  * hash partition by user_id; the same semantics stream via
+  * `flatMapGroupsWithState` (see graft.streaming). Timestamps are handled
+  * in microseconds end-to-end: the source parquet is nanosecond-precision
+  * and both Spark and DuckDB truncate to micros on read, identically.
+  */
+object Events {
+
+  val SessionGapMinutes = 30
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    // The events parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    // reader rejects; read nanos as long and truncate to micros exactly
+    // like DuckDB does on its read (floor division by 1000).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
+
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+
+  /** One row per (user, session): gap > 30 min starts a new session. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = SessionGapMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val prevUs = lag(us, 1).over(w)
+    events(spark, dir)
+      .withColumn("is_new",
+        when(prevUs.isNull || (us - prevUs) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(cum))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"),
+        max(col("ts")).as("end_ts"),
+        ((unix_micros(max(col("ts")).cast("timestamp"))
+          - unix_micros(min(col("ts")).cast("timestamp"))) / 1000000.0)
+          .as("duration_secs"),
+        (sum(cents(col("value"))) / 100.0).as("total_value"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),
+        countDistinct(col("event_type")).as("n_event_types"))
+  }
+
+  def sessionizeOracle: String = {
+    val gapUs = SessionGapMinutes * 60L * 1000000L
+    s"""WITH e AS (
+      SELECT *, epoch_us(ts) AS us,
+        lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events),
+    flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > $gapUs
+                     THEN 1 ELSE 0 END AS is_new
+      FROM e),
+    sessions AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged)
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      count(*) AS n_events,
+      min(ts) AS start_ts, max(ts) AS end_ts,
+      (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_secs,
+      sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value,
+      CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+      CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+      count(DISTINCT event_type) AS n_event_types
+    FROM sessions GROUP BY 1, 2"""
+  }
+
+  /** JSON property extraction + per-type rollup: `props` is a JSON string
+    * column ({"k": int}). */
+  def jsonStats(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"),
+        (sum(cents(col("value"))) / 100.0).as("value_sum"))
+
+  def jsonStatsOracle: String =
+    """SELECT event_type,
+         count(*) AS n_events,
+         count(DISTINCT user_id) AS n_users,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+         min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+         max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+         sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
+       FROM events GROUP BY 1"""
+}

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, dim 64).
+  *
+  * Baseline: brute-force cosine top-k for a deterministic query sample —
+  * the exact-answer reference any ANN variant is validated against.
+  *
+  * Float-parity design: products and sums are computed as an explicit
+  * left-to-right fold over float→double-cast components
+  * (`aggregate(zip_with(...))` in Spark ≡ `list_reduce(list_transform(...))`
+  * in DuckDB, both sequential with a zero/first-element start), so the
+  * cosine doubles are bit-identical across engines — verified empirically;
+  * DuckDB's fused `list_dot_product` uses a different summation order and
+  * is deliberately NOT used in the oracle.
+  *
+  * Scale: brute force is O(Q·N·d) with perfect data parallelism — right
+  * whenever Q is small (the broadcast side). The scale path for all-pairs
+  * is bucketed LSH (see [[Dedup.minhashLsh]] for the band-join pattern);
+  * an IVF variant (k-means coarse quantizer + per-centroid inverted lists)
+  * drops in by replacing the crossJoin with a centroid-key equi-join.
+  */
+object Similarity {
+
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("vec", expr("transform(embedding, x -> cast(x as double))"))
+
+  private val dotExpr =
+    "aggregate(zip_with(a_vec, b_vec, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+  private val normExpr =
+    "aggregate(vec, 0D, (acc, x) -> acc + x * x)"
+
+  private val dotSqlDuck =
+    """list_reduce(list_transform(range(1, len(a_vec) + 1),
+         i -> a_vec[i] * b_vec[i]), (x, y) -> x + y)"""
+  private val normSqlDuck =
+    """list_reduce(list_transform(range(1, len(vec) + 1),
+         i -> vec[i] * vec[i]), (x, y) -> x + y)"""
+
+  private def withNorm(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir).withColumn("nrm", expr(normExpr))
+      .select("vec_id", "vec", "nrm")
+
+  /** Exact cosine top-k for every query vector (vec_id % 250 == 0):
+    * (query_id, neighbor_id, rank, cosine). */
+  def annTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = withNorm(spark, dir)
+    val q = base.filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("a_vec"), col("nrm").as("na"))
+    val c = base
+      .select(col("vec_id").as("neighbor_id"), col("vec").as("b_vec"), col("nrm").as("nb"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  def annTopKOracle(k: Int = 5): String =
+    s"""WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    normed AS (
+      SELECT vec_id, vec, $normSqlDuck AS nrm FROM base),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        q.vec AS a_vec, c.vec AS b_vec, q.nrm AS na, c.nrm AS nb
+      FROM normed q JOIN normed c ON q.vec_id != c.vec_id
+      WHERE q.vec_id % 250 = 0),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        $dotSqlDuck / (sqrt(na) * sqrt(nb)) AS cosine
+      FROM pairs),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
+    FROM ranked WHERE rank <= $k"""
+
+  /** Embedding-cosine near-duplicate pairs over a deterministic 10% sample
+    * of left anchors (vec_id % 10 == 0), cosine ≥ threshold (0.35 sits at
+    * ~p99.7 of the synthetic corpus's pair distribution, so the check has
+    * real rows; production near-dup would use ~0.9 on true duplicates). */
+  def cosineNearDup(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+    val base = withNorm(spark, dir)
+    val a = base.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("doc_a"), col("vec").as("a_vec"), col("nrm").as("na"))
+    val b = base
+      .select(col("vec_id").as("doc_b"), col("vec").as("b_vec"), col("nrm").as("nb"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("cosine", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
+      .filter(col("cosine") >= threshold)
+      .select("doc_a", "doc_b", "cosine")
+  }
+
+  def cosineNearDupOracle(threshold: Double = 0.35): String =
+    s"""WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    normed AS (
+      SELECT vec_id, vec, $normSqlDuck AS nrm FROM base),
+    pairs AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+        a.vec AS a_vec, b.vec AS b_vec, a.nrm AS na, b.nrm AS nb
+      FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+      WHERE a.vec_id % 10 = 0),
+    scored AS (
+      SELECT doc_a, doc_b, $dotSqlDuck / (sqrt(na) * sqrt(nb)) AS cosine
+      FROM pairs)
+    SELECT doc_a, doc_b, cosine FROM scored WHERE cosine >= $threshold"""
+}

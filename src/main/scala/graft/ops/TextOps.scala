@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines over the
+  * `documents` table: token counting, quality scoring, language-ID
+  * heuristic, document fingerprinting.
+  *
+  * All expressions are narrow per-row transforms (no shuffle except the
+  * final presentation sort) — at 100 TB they run embarrassingly parallel
+  * directly over the parquet scan with full column pruning (only `text` +
+  * keys are read). Word splitting is single-space (the corpus is
+  * space-joined); `split` on a literal space keeps the expression inside
+  * whole-stage codegen, and every formula is mirrored 1:1 in the DuckDB
+  * oracle (higher-order `filter`/`transform` ≡ DuckDB `list_filter`/
+  * `list_transform`).
+  */
+object TextOps {
+
+  /** Small function-word inventories per language for the LID heuristic. */
+  val StopwordsEn = Seq("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private def inList(vals: Seq[String]) = vals.map(v => s"'$v'").mkString("(", ",", ")")
+
+  /** Per-document statistics: counts, ratios, a BPE-ish token estimate
+    * (chars/4), a composite quality score, and an md5 fingerprint. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("char_count", length(col("text")).cast("bigint"))
+      .withColumn("word_count", size(col("words")).cast("bigint"))
+      .withColumn("nonspace_count",
+        length(regexp_replace(col("text"), " ", "")).cast("bigint"))
+      .withColumn("stopword_count",
+        expr(s"size(filter(words, w -> w in ${inList(StopwordsEn)}))").cast("bigint"))
+      .withColumn("avg_word_len", col("nonspace_count") * 1.0 / col("word_count"))
+      .withColumn("stopword_ratio", col("stopword_count") * 1.0 / col("word_count"))
+      .withColumn("token_est", ceil(col("char_count") / lit(4.0)).cast("bigint"))
+      // Composite quality heuristic: long enough, not stopword-soup,
+      // words of plausible length. Deterministic integer-derived doubles.
+      .withColumn("quality_score",
+        (least(col("word_count") * 1.0 / 100.0, lit(1.0)) * 0.4
+          + least(col("stopword_ratio") * 4.0, lit(1.0)) * 0.3
+          + when(col("avg_word_len") >= 3 && col("avg_word_len") <= 8, 0.3).otherwise(0.0)))
+      .withColumn("fingerprint", md5(lower(col("text"))))
+      .select("doc_id", "lang", "source", "char_count", "word_count",
+        "stopword_count", "avg_word_len", "stopword_ratio", "token_est",
+        "quality_score", "fingerprint")
+
+  def textStatsOracle: String = {
+    val stop = inList(StopwordsEn)
+    s"""WITH d AS (
+      SELECT doc_id, lang, source, text, string_split(text, ' ') AS words,
+        CAST(length(text) AS BIGINT) AS char_count,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS word_count,
+        CAST(length(replace(text, ' ', '')) AS BIGINT) AS nonspace_count,
+        CAST(len(list_filter(string_split(text, ' '), w -> w IN $stop)) AS BIGINT) AS stopword_count
+      FROM documents)
+    SELECT doc_id, lang, source, char_count, word_count, stopword_count,
+      nonspace_count * 1.0 / word_count AS avg_word_len,
+      stopword_count * 1.0 / word_count AS stopword_ratio,
+      CAST(ceil(char_count / 4.0) AS BIGINT) AS token_est,
+      (least(word_count * 1.0 / 100.0, 1.0) * 0.4
+        + least((stopword_count * 1.0 / word_count) * 4.0, 1.0) * 0.3
+        + CASE WHEN nonspace_count * 1.0 / word_count >= 3
+                AND nonspace_count * 1.0 / word_count <= 8 THEN 0.3 ELSE 0.0 END)
+        AS quality_score,
+      md5(lower(text)) AS fingerprint
+    FROM d"""
+  }
+
+  /** Function-word-profile language ID: score = hits per language profile,
+    * argmax with deterministic (score, lang) tie-break. The profiles are a
+    * demo inventory — the corpus is synthetic — but the operator shape
+    * (N profile scores + argmax, one pass, no shuffle) is the real one. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = LangProfiles.foldLeft(
+      documents(spark, dir).withColumn("words", split(col("text"), " "))) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"score_$lang",
+          expr(s"size(filter(words, w -> w in ${inList(words)}))").cast("bigint"))
+    }
+    val best = LangProfiles.map { case (l, _) =>
+      struct(col(s"score_$l").as("score"), lit(l).as("lang"))
+    }
+    scored.select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      greatest(best: _*).getField("lang").as("predicted_lang"),
+      greatest(best: _*).getField("score").as("best_score"))
+  }
+
+  def langIdOracle: String = {
+    val scores = LangProfiles.map { case (l, ws) =>
+      s"CAST(len(list_filter(words, w -> w IN ${inList(ws)})) AS BIGINT) AS score_$l"
+    }.mkString(",\n        ")
+    val padded = LangProfiles.map { case (l, _) =>
+      s"lpad(CAST(score_$l AS VARCHAR), 10, '0') || '|' || '$l'"
+    }.mkString(", ")
+    s"""WITH d AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+        $scores
+      FROM d)
+    SELECT doc_id, lang AS labeled_lang,
+      split_part(greatest($padded), '|', 2) AS predicted_lang,
+      CAST(split_part(greatest($padded), '|', 1) AS BIGINT) AS best_score
+    FROM s"""
+  }
+}
