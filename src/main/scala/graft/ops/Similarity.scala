@@ -24,14 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def embeddings(spark: SparkSession, dir: String): DataFrame =
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     spark.read.parquet(s"$dir/embeddings.parquet")
       .withColumn("vec", expr("transform(embedding, x -> cast(x as double))"))
+  }
 
-  private val dotExpr =
-    "aggregate(zip_with(a_vec, b_vec, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-  private val normExpr =
-    "aggregate(vec, 0D, (acc, x) -> acc + x * x)"
+  // Codegen'd sequential-fold dot product (graft.functions.VecDot) — same
+  // IEEE summation order as the HOF form and the DuckDB list_reduce mirror.
+  private val dotExpr = "vec_dot(a_vec, b_vec)"
+  private val normExpr = "vec_dot(vec, vec)"
 
   private val dotSqlDuck =
     """list_reduce(list_transform(range(1, len(a_vec) + 1),
