@@ -9,6 +9,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 20 queries x many stages overflow the default 100-entry codegen
+      // cache; evictions made the widest plan (dq_summary) recompile every
+      // branch when its turn came (measured 3x slowdown vs isolation).
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up pass at the smallest SF: triggers JIT + whole-stage-codegen

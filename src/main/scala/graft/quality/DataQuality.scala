@@ -89,14 +89,26 @@ object DataQuality {
         "gold_revenue_analysis" -> graft.gold.Gold.revenueAnalysis(spark, dir))
     }
 
+    // Singular-test reconstructions folded into the same single-pass agg as
+    // the table's generic checks, so their (large) model subtree appears in
+    // the union plan exactly once (/root/reference/tests/, SURVEY.md §2.12).
+    val extraChecks: Map[String, Seq[(String, Column)]] = Map(
+      "silver_customers" -> Seq("tests.assert_customer_email_format" ->
+        sum(when(!col("email").like("%@%.%"), 1L).otherwise(0L))),
+      "gold_customer_summary" -> Seq("tests.assert_positive_revenue" ->
+        sum(when(col("lifetime_value") < 0, 1L).otherwise(0L))))
+
     def tableRows(tc: TableChecks): DataFrame = {
       val checks: Seq[Column] =
         tc.uniques.map(uniqueViolations) ++
         tc.notNulls.map(notNullViolations) ++
-        tc.accepted.map { case (c, vals) => acceptedValuesViolations(c, vals) }.toSeq
+        tc.accepted.map { case (c, vals) => acceptedValuesViolations(c, vals) }.toSeq ++
+        extraChecks.getOrElse(tc.table, Seq.empty).map { case (n, c) => c.as(n) }
       val agged = dfs(tc.table).agg(checks.head, checks.tail: _*)
-      val entries = agged.schema.fieldNames.toSeq.flatMap(n =>
-        Seq(lit(s"${tc.table}.$n"), col(s"`$n`").cast("long")))
+      val entries = agged.schema.fieldNames.toSeq.flatMap { n =>
+        val name = if (n.startsWith("tests.")) n else s"${tc.table}.$n"
+        Seq(lit(name), col(s"`$n`").cast("long"))
+      }
       agged.select(explode(map(entries: _*)).as(Seq("check_name", "violations")))
     }
 
@@ -105,20 +117,9 @@ object DataQuality {
         .agg(count(lit(1)).as("violations"))
         .select(lit(name).as("check_name"), col("violations"))
 
-    def countRows(name: String, df: DataFrame) =
-      df.agg(count(lit(1)).as("violations"))
-        .select(lit(name).as("check_name"), col("violations"))
-
     val parts =
       inventory.map(tableRows) ++
-      relationshipChecks.map { case (n, c, fk, p, pk) => relRows(n, c, fk, p, pk) } ++
-      Seq(
-        // Reconstructions of the two empty singular tests
-        // (/root/reference/tests/, SURVEY.md §2.12).
-        countRows("tests.assert_customer_email_format",
-          dfs("silver_customers").filter(!col("email").like("%@%.%"))),
-        countRows("tests.assert_positive_revenue",
-          dfs("gold_customer_summary").filter(col("lifetime_value") < 0)))
+      relationshipChecks.map { case (n, c, fk, p, pk) => relRows(n, c, fk, p, pk) }
     parts.reduce(_ unionByName _)
   }
 
