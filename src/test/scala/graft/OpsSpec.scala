@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Events, Multimodal, Similarity, TextOps}
+
+/** Unit-level behavior of the training-data operators (oracle parity is
+  * covered end-to-end by Verify + tools/compare.py; these pin semantics). */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup groups identical texts under one keeper") {
+    val out = Dedup.exact(spark, Sf0001)
+    assert(out.count() == 500) // corpus has no exact dups
+    assert(out.agg(sum("dup_count")).head().getLong(0) == 500)
+  }
+
+  test("minhash signatures collide for identical docs and bands are stable") {
+    // Same text => same shingle set => same minhash per seed => all bands
+    // shared. Verified indirectly: a doc always pairs with itself if we
+    // duplicate the corpus; here we check self-consistency via determinism.
+    val a = Dedup.minhashLsh(spark, Sf0001).collect().toSet
+    val b = Dedup.minhashLsh(spark, Sf0001).collect().toSet
+    assert(a == b)
+  }
+
+  test("jaccard pairs are symmetric-free (a < b) and within [0,1]") {
+    val rows = Dedup.ngramJaccard(spark, Sf0001, threshold = 0.0)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(rows.forall { case (a, b, j) => a < b && j >= 0.0 && j <= 1.0 })
+  }
+
+  test("ann_topk ranks self-excluded neighbors with k per query") {
+    val out = Similarity.annTopK(spark, Sf0001, k = 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    val byQ = out.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to 5))
+      assert(!rows.exists(_._2 == q))
+    }
+  }
+
+  test("vec_dot matches the interpreted HOF fold bit-for-bit") {
+    graft.functions.VectorFunctions.register(spark)
+    val df = Similarity.embeddings(spark, Sf0001).limit(50)
+      .select(col("vec").as("a_vec"), col("vec").as("b_vec"))
+    val cmp = df.select(
+      expr("vec_dot(a_vec, b_vec)").as("native"),
+      expr("aggregate(zip_with(a_vec, b_vec, (x, y) -> x * y), 0D, (acc, x) -> acc + x)").as("hof"))
+    assert(cmp.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("sessionization splits on >30min gaps only") {
+    val sessions = Events.sessionize(spark, Sf0001)
+    val nEvents = Events.events(spark, Sf0001).count()
+    assert(sessions.agg(sum("n_events")).head().getLong(0) == nEvents)
+    // durations are non-negative and sessions are internally gap-bounded
+    assert(sessions.filter(col("duration_secs") < 0).count() == 0)
+  }
+
+  test("multimodal stub decode is deterministic and byte-derived") {
+    val f = Multimodal.features(spark, Sf0001)
+    assert(f.filter(col("n_bytes") =!= 16).count() == 0)
+    assert(f.filter(col("stub_width") < 1 || col("stub_width") > 64).count() == 0)
+    assert(f.select("media_type").distinct().count() == 3)
+  }
+
+  test("language id picks the profile with most function-word hits") {
+    val hit = TextOps.langId(spark, Sf0001)
+      .filter(col("best_score") > 0)
+    assert(hit.count() > 0)
+    // deterministic across runs
+    assert(TextOps.langId(spark, Sf0001).collect().toSeq ==
+      TextOps.langId(spark, Sf0001).collect().toSeq)
+  }
+}
