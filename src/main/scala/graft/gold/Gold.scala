@@ -68,19 +68,24 @@ object Gold {
       min(when(col("is_completed"), col("order_amount"))).as("min_order_value"),
       countDistinct(col("order_year_month")).as("active_months"))
 
+    // Single two-level aggregation instead of (per-customer agg) ⋈ (mode
+    // agg): payment_key is unique per row and a row has exactly one
+    // method, so global distinct counts equal the sums of per-method
+    // distinct counts — one pass over the joined subtree instead of two.
     val successJoined = payments.filter(col("is_successful_payment"))
       .join(orders.select("order_key", "customer_key"), Seq("order_key"))
-    val cpAgg = successJoined.groupBy("customer_key").agg(
-      countDistinct(col("payment_key")).as("total_payments"),
-      countDistinct(col("payment_method")).as("unique_payment_methods"),
-      sumMoney(col("payment_amount")).as("total_paid"))
-    val cpPref = successJoined
+    val perMethod = successJoined
       .groupBy("customer_key", "payment_method")
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy("customer_key")
-      .agg(max(struct(col("cnt"), col("payment_method")))
+      .agg(
+        countDistinct(col("payment_key")).as("pm_payments"),
+        count(lit(1)).as("pm_rows"),
+        sumMoney(col("payment_amount")).as("pm_paid"))
+    val customerPayments = perMethod.groupBy("customer_key").agg(
+      sum(col("pm_payments")).as("total_payments"),
+      count(lit(1)).as("unique_payment_methods"),
+      (sum(cents(col("pm_paid"))) / 100.0).as("total_paid"),
+      max(struct(col("pm_rows"), col("payment_method")))
         .getField("payment_method").as("preferred_payment_method"))
-    val customerPayments = cpAgg.join(cpPref, Seq("customer_key"))
 
     val daysSince = datediff(Clock.today, col("last_order_date"))
     customers
