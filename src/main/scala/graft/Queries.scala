@@ -148,6 +148,16 @@ object Queries {
       Seq("doc_a" -> P, "doc_b" -> P, "shared_bands" -> L),
       Seq("doc_a", "doc_b"), ops.Dedup.minhashLsh, ops.Dedup.minhashLshOracle),
 
+    Spec("dedup_simhash",
+      Seq("doc_a" -> P, "doc_b" -> P, "hamming" -> I),
+      Seq("doc_a", "doc_b"),
+      (s, d) => ops.Dedup.simhash(s, d), ops.Dedup.simhashOracle()),
+
+    Spec("ann_lsh_topk",
+      Seq("query_id" -> P, "neighbor_id" -> P, "rank" -> I, "cosine" -> P),
+      Seq("query_id", "rank"),
+      (s, d) => ops.Similarity.annLshTopK(s, d), ops.Similarity.annLshTopKOracle()),
+
     Spec("ann_topk",
       Seq("query_id" -> P, "neighbor_id" -> P, "rank" -> I, "cosine" -> P),
       Seq("query_id", "rank"),

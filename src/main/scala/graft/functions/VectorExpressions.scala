@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StringType}
 
 /** Native Catalyst expression for the dense-vector dot product.
   *
@@ -73,7 +73,93 @@ case class VecDot(left: Expression, right: Expression)
 object VectorFunctions {
   /** Register `vec_dot` in the session's function registry so it is usable
     * from `expr(...)`/SQL. Idempotent. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "str_hamming", exprs => StrHamming(exprs(0), exprs(1)), "built-in")
+  }
+}
+
+/** 64-bit SimHash over a word array, as a single native expression.
+  *
+  * Bit semantics are EXACTLY the SQL-expressible formulation the DuckDB
+  * oracle uses (graft.ops.Dedup): for 1-based bit j, take hex digit
+  * ceil(j/4) of md5(word) and bit (j-1)%4 of its value; vote ±1; output
+  * char j is '1' iff the vote sum is positive. The pure-HOF Spark version
+  * of this (64 nested lambdas per word) was the bench bottleneck (~50 s at
+  * sf0.1); this eval loop is ~20×(words) cheaper per row.
+  */
+case class SimHash64(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<string>, got ${t.sql}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < words.numElements()) {
+      val w = words.getUTF8String(i)
+      if (w != null) {
+        val digest = md.digest(w.getBytes) // md resets itself after digest()
+        var j = 0
+        while (j < 64) {
+          val d = j / 4 // hex-digit index 0..15
+          val b = digest(d / 2) & 0xff
+          val nibble = if (d % 2 == 0) (b >>> 4) & 0xf else b & 0xf
+          val bit = (nibble >>> (j % 4)) & 1
+          votes(j) += 2 * bit - 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var j = 0
+    while (j < 64) {
+      sb.append(if (votes(j) > 0) '1' else '0')
+      j += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Hamming distance between two equal-length ASCII strings (bit strings). */
+case class StrHamming(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("str_hamming requires string inputs")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "str_hamming"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val ys = b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val n = math.min(xs.length, ys.length)
+    var d = math.abs(xs.length - ys.length)
+    var i = 0
+    while (i < n) { if (xs(i) != ys(i)) d += 1; i += 1 }
+    d
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): StrHamming =
+    copy(left = newLeft, right = newRight)
 }

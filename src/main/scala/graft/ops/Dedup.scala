@@ -92,6 +92,61 @@ object Dedup {
     JOIN sizes sb ON sb.doc_id = i.doc_b
     WHERE i.n_common * 1.0 / (sa.n_shingles + sb.n_shingles - i.n_common) >= $threshold"""
 
+  /** 64-bit SimHash from md5-derived word-hash bits: bit j of word w is
+    * bit (j-1)%4 of hex digit ceil(j/4) of md5(w); the simhash bit is the
+    * sign of the +/-1 vote sum over all words. Integer arithmetic
+    * throughout, so summation order cannot matter cross-engine. */
+  private val simhashSqlDuck =
+    """array_to_string(list_transform(range(1, 65), j ->
+         CASE WHEN list_sum(list_transform(words, w ->
+           2 * (((strpos('0123456789abcdef',
+                         substr(md5(w), CAST((j + 3) // 4 AS INTEGER), 1)) - 1)
+                 >> CAST((j - 1) % 4 AS INTEGER)) & 1) - 1)) > 0
+         THEN '1' ELSE '0' END), '')"""
+
+  /** SimHash near-dup candidates: 4 bands of 16 bits; pairs sharing a band
+    * compared by full Hamming distance <= maxHamming. */
+  def simhash(spark: SparkSession, dir: String, maxHamming: Int = 16): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val sigs = TextOps.documents(spark, dir)
+      .withColumn("sig", expr("simhash64(split(text, ' '))"))
+      .select("doc_id", "sig")
+    val bands = sigs.withColumn("band", explode(expr("sequence(0, 3)")))
+      .withColumn("band_bits", expr("substring(sig, 1 + band * 16, 16)"))
+    val hamming = expr("str_hamming(a_sig, b_sig)")
+    bands.as("a").join(bands.as("b"), Seq("band", "band_bits"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("a_sig"), col("b.sig").as("b_sig"))
+      .distinct()
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  def simhashOracle(maxHamming: Int = 16): String =
+    s"""WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    sigs AS (
+      SELECT doc_id, $simhashSqlDuck AS sig FROM d),
+    bands AS (
+      SELECT doc_id, sig, unnest(range(0, 4)) AS band FROM sigs),
+    banded AS (
+      SELECT doc_id, sig, band, substr(sig, CAST(1 + band * 16 AS INTEGER), 16) AS band_bits
+      FROM bands),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.sig AS a_sig, b.sig AS b_sig
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id),
+    scored AS (
+      SELECT doc_a, doc_b,
+        CAST(list_sum(list_transform(range(1, 65), i ->
+          CASE WHEN substr(a_sig, i, 1) = substr(b_sig, i, 1) THEN 0 ELSE 1 END))
+          AS INTEGER) AS hamming
+      FROM cand)
+    SELECT doc_a, doc_b, hamming FROM scored WHERE hamming <= $maxHamming"""
+
   val NumSeeds = 9
   val BandSize = 3 // 3 bands of 3 rows
 

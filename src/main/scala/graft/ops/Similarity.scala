@@ -85,6 +85,75 @@ object Similarity {
     SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
     FROM ranked WHERE rank <= $k"""
 
+  val LshPlanes = 6
+
+  /** md5-derived ±1 hyperplane sign for (plane j, component c): parity of
+    * the first hex digit of md5("j_c"). Integer-deterministic. */
+  private def lshBucketExpr(vecCol: String): String =
+    s"""concat_ws('', transform(sequence(0, ${LshPlanes - 1}), j ->
+         CASE WHEN aggregate(sequence(1, size($vecCol)),
+           cast(0.0 as double),
+           (acc, c) -> acc + (2 * ((instr('0123456789abcdef',
+             substring(md5(concat(cast(j as string), '_', cast(c as string))), 1, 1)) - 1) & 1) - 1)
+             * element_at($vecCol, c), acc -> acc) > 0
+         THEN '1' ELSE '0' END))"""
+
+  private def lshBucketSqlDuck(vecCol: String): String =
+    s"""array_to_string(list_transform(range(0, $LshPlanes), j ->
+         CASE WHEN list_reduce(list_transform(range(1, len($vecCol) + 1),
+           c -> (2 * ((strpos('0123456789abcdef',
+             substr(md5(CAST(j AS VARCHAR) || '_' || CAST(c AS VARCHAR)), 1, 1)) - 1) & 1) - 1)
+             * $vecCol[c]), (x, y) -> x + y) > 0
+         THEN '1' ELSE '0' END), '')"""
+
+  /** Bucketed-LSH approximate top-k: random-hyperplane sign buckets, exact
+    * cosine ranking *within* the query's bucket only. The scale path for
+    * ann: candidate generation is an equi-join on the bucket key (linear
+    * shuffle) instead of a cross join; recall tunes with plane count and
+    * multi-probe. May return fewer than k neighbors per query. */
+  def annLshTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = withNorm(spark, dir).withColumn("bucket", expr(lshBucketExpr("vec")))
+    val q = base.filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("a_vec"),
+        col("nrm").as("na"), col("bucket"))
+    val c = base
+      .select(col("vec_id").as("neighbor_id"), col("vec").as("b_vec"),
+        col("nrm").as("nb"), col("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  def annLshTopKOracle(k: Int = 5): String =
+    s"""WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    normed AS (
+      SELECT vec_id, vec, $normSqlDuck AS nrm,
+        ${lshBucketSqlDuck("vec")} AS bucket
+      FROM base),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        q.vec AS a_vec, c.vec AS b_vec, q.nrm AS na, c.nrm AS nb
+      FROM normed q JOIN normed c
+        ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+      WHERE q.vec_id % 250 = 0),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        $dotSqlDuck / (sqrt(na) * sqrt(nb)) AS cosine
+      FROM pairs),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
+    FROM ranked WHERE rank <= $k"""
+
   /** Embedding-cosine near-duplicate pairs over a deterministic 10% sample
     * of left anchors (vec_id % 10 == 0), cosine ≥ threshold (0.35 sits at
     * ~p99.7 of the synthetic corpus's pair distribution, so the check has
