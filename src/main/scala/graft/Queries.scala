@@ -175,6 +175,11 @@ object Queries {
         "n_event_types" -> L),
       Seq("user_id", "session_seq"), ops.Events.sessionize, ops.Events.sessionizeOracle),
 
+    Spec("events_windowed",
+      Seq("window_start" -> P, "event_type" -> P, "n_events" -> L,
+        "n_users" -> L, "total_value" -> P),
+      Seq("window_start", "event_type"), ops.Events.windowed, ops.Events.windowedOracle),
+
     Spec("events_json",
       Seq("event_type" -> P, "n_events" -> L, "n_users" -> L, "k_sum" -> L,
         "k_min" -> L, "k_max" -> L, "value_sum" -> P),

@@ -80,6 +80,27 @@ object Events {
     FROM sessions GROUP BY 1, 2"""
   }
 
+  /** Batch twin of StreamingOps.windowedCounts: 10-minute tumbling windows
+    * per event type via Spark's `window()` (epoch-aligned; the oracle
+    * reproduces the bucketing arithmetically as floor(epoch_us / width)). */
+  def windowed(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        (sum(cents(col("value"))) / 100.0).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("n_users"), col("total_value"))
+
+  def windowedOracle: String =
+    """SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS window_start,
+         event_type,
+         count(*) AS n_events,
+         count(DISTINCT user_id) AS n_users,
+         sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+       FROM events GROUP BY 1, 2"""
+
   /** JSON property extraction + per-type rollup: `props` is a JSON string
     * column ({"k": int}). */
   def jsonStats(spark: SparkSession, dir: String): DataFrame =

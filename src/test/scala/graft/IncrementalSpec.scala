@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Incremental
+import graft.sources.Seeds
+
+/** Incremental/append/SCD2 materializations and the CSV seed loader. */
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = expr(s"TIMESTAMP_NTZ '$s'")
+
+  test("append inserts only rows past the high-water mark") {
+    val target = Seq((1L, "2001-01-01 00:00:00"), (2L, "2001-01-02 00:00:00"))
+      .toDF("id", "loaded").withColumn("loaded", col("loaded").cast("timestamp_ntz"))
+    val incoming = Seq((2L, "2001-01-02 00:00:00"), (3L, "2001-01-03 00:00:00"))
+      .toDF("id", "loaded").withColumn("loaded", col("loaded").cast("timestamp_ntz"))
+    val out = Incremental.append(target, incoming, "loaded")
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("merge upserts by key") {
+    val target = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val incoming = Seq((2L, "B"), (3L, "c")).toDF("id", "v")
+    val out = Incremental.merge(target, incoming, "id")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
+  test("scd2 check-strategy tracks changes with valid_from/valid_to") {
+    val day1 = Seq((1L, "alice", "x"), (2L, "bob", "y")).toDF("id", "name", "attr")
+    val snap1 = Incremental.Scd2.init(day1, ts("2001-01-01 00:00:00"))
+    assert(snap1.filter(col("_is_current")).count() == 2)
+
+    // day 2: id=1 changes attr, id=3 appears, id=2 unchanged
+    val day2 = Seq((1L, "alice", "z"), (2L, "bob", "y"), (3L, "eve", "w"))
+      .toDF("id", "name", "attr")
+    val snap2 = Incremental.Scd2.advance(snap1, day2, "id",
+      Seq("name", "attr"), ts("2001-01-02 00:00:00"))
+
+    val cur = snap2.filter(col("_is_current"))
+      .select("id", "attr").as[(Long, String)].collect().sortBy(_._1)
+    assert(cur.toSeq == Seq((1L, "z"), (2L, "y"), (3L, "w")))
+    val closed = snap2.filter(!col("_is_current"))
+      .select("id", "attr", "_valid_to").collect()
+    assert(closed.length == 1 && closed(0).getLong(0) == 1L && closed(0).getString(1) == "x")
+    assert(closed(0).getAs[java.time.LocalDateTime](2) ==
+      java.time.LocalDateTime.parse("2001-01-02T00:00"))
+
+    // day 3: id=1 changes back to x — a THIRD version opens (history kept)
+    val day3 = Seq((1L, "alice", "x"), (2L, "bob", "y"), (3L, "eve", "w"))
+      .toDF("id", "name", "attr")
+    val snap3 = Incremental.Scd2.advance(snap2, day3, "id",
+      Seq("name", "attr"), ts("2001-01-03 00:00:00"))
+    assert(snap3.filter(col("id") === 1L).count() == 3)
+    assert(snap3.filter(col("id") === 1L && col("_is_current")).count() == 1)
+  }
+
+  test("csv seed loads with header and registers a ref()-able view") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_seed")
+    val f = dir.resolve("country_codes.csv")
+    java.nio.file.Files.writeString(f, "code,name\nDE,Germany\nFR,France\n")
+    val df = Seeds.seed(spark, f.toString)
+    assert(df.count() == 2)
+    assert(spark.sql("select name from country_codes where code = 'DE'")
+      .as[String].head() == "Germany")
+  }
+}
