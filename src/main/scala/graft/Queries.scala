@@ -121,6 +121,33 @@ object Queries {
       Seq("check_name"),
       graft.quality.DataQuality.summary, graft.quality.DataQuality.oracle),
 
+    // ---- general star-schema analytics (TPC-H-shaped) ----
+
+    Spec("tpch_q1_pricing",
+      Seq("l_returnflag" -> P, "l_linestatus" -> P, "sum_qty" -> P,
+        "sum_base_price" -> P, "sum_disc_price" -> P, "sum_charge" -> P,
+        "count_order" -> L),
+      Seq("l_returnflag", "l_linestatus"),
+      ops.Analytics.pricingSummary, ops.Analytics.pricingSummaryOracle),
+
+    Spec("tpch_q3_segment_revenue",
+      Seq("l_orderkey" -> P, "o_date" -> P, "o_orderpriority" -> P,
+        "revenue" -> P),
+      Seq("l_orderkey"),
+      ops.Analytics.segmentRevenue, ops.Analytics.segmentRevenueOracle),
+
+    Spec("tpch_q5_nation_revenue",
+      Seq("r_name" -> P, "n_name" -> P, "revenue" -> P, "n_orders" -> L,
+        "n_suppliers" -> L),
+      Seq("r_name", "n_name"),
+      ops.Analytics.nationRevenue, ops.Analytics.nationRevenueOracle),
+
+    Spec("tpch_q14_promo_share",
+      Seq("ship_month" -> P, "promo_revenue" -> P, "total_revenue" -> P,
+        "n_items" -> L, "promo_share" -> P),
+      Seq("ship_month"),
+      ops.Analytics.promoShare, ops.Analytics.promoShareOracle),
+
     // ---- training-data pipeline ops (documents / embeddings / events) ----
 
     Spec("text_stats",

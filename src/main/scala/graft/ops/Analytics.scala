@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** General analytics queries over the full star schema (lineitem, orders,
+  * customer, supplier, nation, region, part) — TPC-H-shaped workloads
+  * proving the engine is a general Spark analytics library, not only the
+  * reference's three marts.
+  *
+  * Determinism: derived money terms like `extendedprice * (1 - discount)`
+  * are not 2-decimal, so sums are accumulated at fixed 1e-6 precision
+  * (`round(x*1e6)` as long — exact under 2^63 at any tested SF, identical
+  * in both engines regardless of summation order), then scaled back.
+  *
+  * Scale notes: q3/q5 are the canonical multi-way star joins — the small
+  * dimensions (region/nation/customer-filter side) broadcast, the
+  * fact-fact join (orders⋈lineitem) shuffles on the key both sides are
+  * already bucketable on; aggregation is partial+final hash agg.
+  */
+object Analytics {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Fixed-point (1e-6) deterministic sum of an arbitrary double term. */
+  private def sumFixed(c: Column): Column = sum(round(c * 1000000).cast("long")) / 1000000.0
+  private val sumFixedSql = (x: String) =>
+    s"sum(CAST(round(($x) * 1000000) AS BIGINT)) / 1000000.0"
+
+  /** TPC-H Q1 shape: pricing summary by returnflag/linestatus. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+      .withColumn("ship_date", col("l_shipdate").cast("timestamp_ntz").cast("date"))
+      .filter(col("ship_date") <= lit("1998-09-02").cast("date"))
+    l.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sumFixed(col("l_quantity")).as("sum_qty"),
+        sumFixed(col("l_extendedprice")).as("sum_base_price"),
+        sumFixed(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        sumFixed(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+  }
+
+  def pricingSummaryOracle: String =
+    s"""SELECT l_returnflag, l_linestatus,
+         ${sumFixedSql("l_quantity")} AS sum_qty,
+         ${sumFixedSql("l_extendedprice")} AS sum_base_price,
+         ${sumFixedSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         ${sumFixedSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         count(*) AS count_order
+       FROM lineitem
+       WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+       GROUP BY 1, 2"""
+
+  /** TPC-H Q3 shape: revenue of unshipped orders for one market segment. */
+  def segmentRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1997-01-01").cast("date")
+    val c = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(spark, dir, "orders")
+      .withColumn("o_date", col("o_orderdate").cast("timestamp_ntz").cast("date"))
+      .filter(col("o_date") < cutoff)
+    val l = t(spark, dir, "lineitem")
+      .withColumn("ship_date", col("l_shipdate").cast("timestamp_ntz").cast("date"))
+      .filter(col("ship_date") > cutoff)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_date"), col("o_orderpriority"))
+      .agg(sumFixed(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+  }
+
+  def segmentRevenueOracle: String =
+    s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_orderpriority,
+         ${sumFixedSql("l_extendedprice * (1 - l_discount)")} AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+         AND CAST(l_shipdate AS DATE) > DATE '1997-01-01'
+       GROUP BY 1, 2, 3"""
+
+  /** TPC-H Q5 shape: revenue by nation across the full star
+    * (region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier). */
+  def nationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val r = t(spark, dir, "region")
+    val n = t(spark, dir, "nation")
+    val c = t(spark, dir, "customer")
+    val s = t(spark, dir, "supplier")
+    val o = t(spark, dir, "orders")
+    val l = t(spark, dir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sumFixed(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        countDistinct(col("s_suppkey")).as("n_suppliers"))
+  }
+
+  def nationRevenueOracle: String =
+    s"""SELECT r_name, n_name,
+         ${sumFixedSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+         count(DISTINCT o_orderkey) AS n_orders,
+         count(DISTINCT s_suppkey) AS n_suppliers
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY 1, 2"""
+
+  /** TPC-H Q14 shape: promo part revenue share by ship month. */
+  def promoShare(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+    val l = t(spark, dir, "lineitem")
+      .withColumn("ship_month",
+        date_format(col("l_shipdate").cast("timestamp_ntz"), "yyyy-MM"))
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("ship_month")
+      .agg(
+        sumFixed(when(col("p_type").startsWith("PROMO"), rev).otherwise(0)).as("promo_revenue"),
+        sumFixed(rev).as("total_revenue"),
+        count(lit(1)).as("n_items"))
+      .withColumn("promo_share",
+        round(col("promo_revenue") * 100 / col("total_revenue")) / 100.0)
+  }
+
+  def promoShareOracle: String =
+    s"""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         ${sumFixedSql("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")} AS promo_revenue,
+         ${sumFixedSql("l_extendedprice * (1 - l_discount)")} AS total_revenue,
+         count(*) AS n_items,
+         round((sum(CAST(round((CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 1000000) AS BIGINT)) / 1000000.0)
+           * 100 / (sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)) / 1000000.0)) / 100.0 AS promo_share
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       GROUP BY 1"""
+}
