@@ -25,6 +25,10 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // GC between queries so one query's garbage (broadcasts, codegen,
+      // shuffle buffers) isn't charged to the next one's wall clock —
+      // isolated runs were ~3x more stable than back-to-back ones.
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

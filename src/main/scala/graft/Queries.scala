@@ -185,6 +185,11 @@ object Queries {
       Seq("query_id", "rank"),
       (s, d) => ops.Similarity.annLshTopK(s, d), ops.Similarity.annLshTopKOracle()),
 
+    Spec("ann_ivf_topk",
+      Seq("query_id" -> P, "neighbor_id" -> P, "rank" -> I, "cosine" -> P),
+      Seq("query_id", "rank"),
+      (s, d) => ops.Similarity.annIvfTopK(s, d), ops.Similarity.annIvfTopKOracle()),
+
     Spec("ann_topk",
       Seq("query_id" -> P, "neighbor_id" -> P, "rank" -> I, "cosine" -> P),
       Seq("query_id", "rank"),

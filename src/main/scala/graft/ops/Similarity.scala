@@ -154,6 +154,85 @@ object Similarity {
     SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
     FROM ranked WHERE rank <= $k"""
 
+  /** IVF-style ANN: a deterministic training-free coarse quantizer
+    * (centroids = the fixed vector subset vec_id % 100 == 50), one
+    * assignment pass (argmin L2 over centroids, tie-broken by centroid
+    * id), then exact cosine ranking only within the query's inverted
+    * list. The real-IVF upgrade path swaps the centroid table for k-means
+    * output; the plan shape — centroid cross-score, argmin via struct
+    * min, equi-join on the centroid key — is identical, and at scale the
+    * per-centroid lists are exactly the partitions of one linear shuffle.
+    * L2 distance = ||v||² - 2·v·c + ||c||² — every term a deterministic
+    * sequential fold, so assignment is bit-stable across engines. */
+  def annIvfTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = withNorm(spark, dir)
+    val cents = base.filter(col("vec_id") % 100 === 50)
+      .select(col("vec_id").as("centroid_id"), col("vec").as("c_vec"),
+        col("nrm").as("c_nrm"))
+    val assigned = base
+      .select(col("vec_id"), col("vec").as("a_vec"), col("nrm"))
+      .crossJoin(cents.withColumnRenamed("c_vec", "b_vec"))
+      .withColumn("dist", col("nrm") - lit(2) * expr(dotExpr) + col("c_nrm"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("centroid_id"))).getField("centroid_id")
+        .as("centroid_id"))
+    val lists = assigned
+      .join(base.select(col("vec_id"), col("vec"), col("nrm")), Seq("vec_id"))
+    val q = lists.filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("a_vec"),
+        col("nrm").as("na"), col("centroid_id"))
+    val c = lists
+      .select(col("vec_id").as("neighbor_id"), col("vec").as("b_vec"),
+        col("nrm").as("nb"), col("centroid_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    q.join(c, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  def annIvfTopKOracle(k: Int = 5): String =
+    s"""WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    normed AS (
+      SELECT vec_id, vec, $normSqlDuck AS nrm FROM base),
+    cents AS (
+      SELECT vec_id AS centroid_id, vec AS c_vec, nrm AS c_nrm
+      FROM normed WHERE vec_id % 100 = 50),
+    scoredc AS (
+      SELECT n.vec_id, c.centroid_id,
+        n.nrm - 2 * list_reduce(list_transform(range(1, len(n.vec) + 1),
+          i -> n.vec[i] * c.c_vec[i]), (x, y) -> x + y) + c.c_nrm AS dist
+      FROM normed n CROSS JOIN cents c),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+          row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        FROM scoredc) WHERE rn = 1),
+    lists AS (
+      SELECT a.vec_id, a.centroid_id, n.vec, n.nrm
+      FROM assigned a JOIN normed n ON a.vec_id = n.vec_id),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        q.vec AS a_vec, c.vec AS b_vec, q.nrm AS na, c.nrm AS nb
+      FROM lists q JOIN lists c
+        ON q.centroid_id = c.centroid_id AND q.vec_id != c.vec_id
+      WHERE q.vec_id % 250 = 0),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        $dotSqlDuck / (sqrt(na) * sqrt(nb)) AS cosine
+      FROM pairs),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
+    FROM ranked WHERE rank <= $k"""
+
   /** Embedding-cosine near-duplicate pairs over a deterministic 10% sample
     * of left anchors (vec_id % 10 == 0), cosine ≥ threshold (0.35 sits at
     * ~p99.7 of the synthetic corpus's pair distribution, so the check has
