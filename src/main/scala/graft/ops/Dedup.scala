@@ -36,15 +36,29 @@ object Dedup {
        ELSE list_transform(range(1, len(words) - 1),
          i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]) END"""
 
-  private def withShingles(spark: SparkSession, dir: String): DataFrame =
+  /** Near-dup operators work on one representative (min doc_id) per
+    * distinct text: exact duplicates are dedup_exact's job, and running
+    * the inverted-index/band joins on raw duplicate-heavy corpora blows
+    * up quadratically (a 10x-replicated corpus measured 73 s vs 2 s for
+    * Jaccard — every twin shares every shingle/band with every other). */
+  private def distinctDocs(spark: SparkSession, dir: String): DataFrame =
     TextOps.documents(spark, dir)
+      .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+
+  private val distinctDocsCte =
+    """docs AS (
+      SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text)"""
+
+  private def withShingles(spark: SparkSession, dir: String): DataFrame =
+    distinctDocs(spark, dir)
       .withColumn("words", split(col("text"), " "))
       .withColumn("sh", explode(expr(shingleExpr)))
       .select("doc_id", "sh").distinct()
 
   private def shingleCte =
-    s"""sh0 AS (
-      SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    s"""$distinctDocsCte,
+    sh0 AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM docs),
     sh AS (
       SELECT DISTINCT doc_id, unnest($shingleSqlDuck) AS sh FROM sh0)"""
 
@@ -108,7 +122,7 @@ object Dedup {
     * compared by full Hamming distance <= maxHamming. */
   def simhash(spark: SparkSession, dir: String, maxHamming: Int = 16): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val sigs = TextOps.documents(spark, dir)
+    val sigs = distinctDocs(spark, dir)
       .withColumn("sig", expr("simhash64(split(text, ' '))"))
       .select("doc_id", "sig")
     val bands = sigs.withColumn("band", explode(expr("sequence(0, 3)")))
@@ -125,8 +139,9 @@ object Dedup {
   }
 
   def simhashOracle(maxHamming: Int = 16): String =
-    s"""WITH d AS (
-      SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    s"""WITH $distinctDocsCte,
+    d AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM docs),
     sigs AS (
       SELECT doc_id, $simhashSqlDuck AS sig FROM d),
     bands AS (
