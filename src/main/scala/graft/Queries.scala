@@ -217,6 +217,18 @@ object Queries {
         "k_min" -> L, "k_max" -> L, "value_sum" -> P),
       Seq("event_type"), ops.Events.jsonStats, ops.Events.jsonStatsOracle),
 
+    Spec("set_ops_audit",
+      Seq("segment" -> P, "customer_key" -> P),
+      Seq("segment", "customer_key"),
+      ops.SetOps.customerSetAudit,
+      ops.SetOps.customerSetAuditOracle(OracleSql.prelude)),
+
+    Spec("props_map_stats",
+      Seq("event_type" -> P, "prop_key" -> P, "n" -> L, "value_sum" -> L,
+        "value_min" -> L, "value_max" -> L),
+      Seq("event_type", "prop_key"),
+      ops.SetOps.propsMapStats, ops.SetOps.propsMapStatsOracle),
+
     Spec("multimodal_features",
       Seq("doc_id" -> P, "media_type" -> P, "n_bytes" -> I, "first_byte" -> I,
         "checksum" -> L, "stub_width" -> I, "stub_height" -> I),
