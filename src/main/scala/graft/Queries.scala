@@ -142,6 +142,13 @@ object Queries {
       Seq("r_name", "n_name"),
       ops.Analytics.nationRevenue, ops.Analytics.nationRevenueOracle),
 
+    Spec("revenue_cube",
+      Seq("order_year" -> I, "order_quarter" -> I, "gid" -> L,
+        "n_orders" -> L, "revenue" -> P),
+      Seq("gid", "order_year", "order_quarter"),
+      ops.Analytics.revenueCube,
+      ops.Analytics.revenueCubeOracle(OracleSql.prelude)),
+
     Spec("tpch_q14_promo_share",
       Seq("ship_month" -> P, "promo_revenue" -> P, "total_revenue" -> P,
         "n_items" -> L, "promo_share" -> P),

@@ -115,6 +115,34 @@ object Analytics {
        JOIN region ON n_regionkey = r_regionkey
        GROUP BY 1, 2"""
 
+  /** Multi-dimensional rollup via CUBE over the completed-order fact:
+    * grouping-sets coverage (the reference never uses them; Spark `cube`
+    * ≡ SQL GROUP BY CUBE, with `grouping_id()` disambiguating the
+    * all-rows/subtotal rows from genuine NULL keys). */
+  def revenueCube(spark: SparkSession, dir: String): DataFrame = {
+    // SQL formulation: the Dataset cube() output carries dataset-id
+    // metadata that trips Spark's ambiguous-self-join detector when the
+    // result is re-sorted by name downstream; GROUP BY CUBE through a view
+    // resolves with fresh attributes and is the same plan.
+    graft.silver.Silver.orders(spark, dir).filter(col("is_completed"))
+      .createOrReplaceTempView("graft_cube_input")
+    spark.sql("""
+      SELECT order_year, order_quarter, grouping_id() AS gid,
+        count(DISTINCT order_key) AS n_orders,
+        sum(CAST(round(order_amount * 1000000) AS BIGINT)) / CAST(1000000 AS DOUBLE) AS revenue
+      FROM graft_cube_input
+      GROUP BY CUBE(order_year, order_quarter)""")
+  }
+
+  def revenueCubeOracle(prelude: String): String =
+    s"""$prelude
+    SELECT order_year, order_quarter,
+      CAST(GROUPING(order_year, order_quarter) AS BIGINT) AS gid,
+      count(DISTINCT order_key) AS n_orders,
+      ${sumFixedSql("order_amount")} AS revenue
+    FROM silver_orders WHERE is_completed
+    GROUP BY CUBE(order_year, order_quarter)"""
+
   /** TPC-H Q14 shape: promo part revenue share by ship month. */
   def promoShare(spark: SparkSession, dir: String): DataFrame = {
     val p = t(spark, dir, "part")

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines over `documents`:
   * exact (hash-groupBy), n-gram Jaccard near-dup (shingle inverted-index
-  * join), and MinHash+LSH (band-bucket join).
+  * join), MinHash+LSH (band-bucket join), and SimHash (native signature
+  * expression + band join).
   *
   * Scale design:
   *  - Exact dedup is one hash aggregation on md5(text) — the canonical
