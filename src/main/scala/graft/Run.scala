@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Human-facing pipeline CLI — the `dbt run && dbt test && dbt source
+  * freshness` equivalent in one shot:
+  *
+  *   sbt "runMain graft.Run <sourceDir> <warehouseDir>"
+  *
+  * Materializes the nine-model DAG into the warehouse (bronze views,
+  * silver/gold parquet tables), prints per-model rowcounts, source
+  * freshness, and the full declared data-quality inventory.
+  */
+object Run {
+  def main(args: Array[String]): Unit = {
+    val sourceDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val warehouse = if (args.length > 1) args(1)
+      else java.nio.file.Files.createTempDirectory("graft_warehouse").toString
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    println(s"== graft run: $sourceDir -> $warehouse")
+    val t0 = System.nanoTime()
+    val models = pipeline.Registry.run(spark, sourceDir, warehouse)
+    pipeline.Registry.topoOrder.foreach { m =>
+      println(f"  ${m.name}%-24s ${m.materialization}%-6s ${models(m.name).count()}%8d rows")
+    }
+    println(f"== run completed in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    println("== source freshness")
+    pipeline.Registry.sourceFreshness(spark, sourceDir).foreach {
+      case (src, status) => println(f"  $src%-24s $status")
+    }
+
+    println("== data-quality checks (declared inventory)")
+    val dq = quality.DataQuality.summary(spark, sourceDir)
+      .orderBy("check_name").collect()
+    val failed = dq.filter(_.getLong(1) > 0)
+    dq.foreach(r => println(f"  ${r.getString(0)}%-55s ${r.getLong(1)}%6d"))
+    println(s"== ${dq.length - failed.length}/${dq.length} checks clean" +
+      (if (failed.nonEmpty) s"; ${failed.length} with violations" else ""))
+    spark.stop()
+  }
+}

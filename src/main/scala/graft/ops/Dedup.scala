@@ -50,18 +50,34 @@ object Dedup {
     """docs AS (
       SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text)"""
 
-  private def withShingles(spark: SparkSession, dir: String): DataFrame =
-    distinctDocs(spark, dir)
+  /** Stop-shingle document-frequency cutoff: a shingle appearing in more
+    * than this many distinct docs is dropped from the inverted index —
+    * it carries no near-dup signal and fans out quadratically in the
+    * self-join. No shingle reaches the cutoff at test SFs (results are
+    * unchanged there); at corpus scale this is what bounds the join. */
+  val MaxShingleDocFrequency = 1000
+
+  private def withShingles(spark: SparkSession, dir: String): DataFrame = {
+    val sh = distinctDocs(spark, dir)
       .withColumn("words", split(col("text"), " "))
       .withColumn("sh", explode(expr(shingleExpr)))
       .select("doc_id", "sh").distinct()
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDocFrequency)
+      .select("sh")
+    sh.join(hot, Seq("sh"), "left_anti")
+  }
 
   private def shingleCte =
     s"""$distinctDocsCte,
     sh0 AS (
       SELECT doc_id, string_split(text, ' ') AS words FROM docs),
+    sh_all AS (
+      SELECT DISTINCT doc_id, unnest($shingleSqlDuck) AS sh FROM sh0),
     sh AS (
-      SELECT DISTINCT doc_id, unnest($shingleSqlDuck) AS sh FROM sh0)"""
+      SELECT doc_id, sh FROM sh_all
+      WHERE sh NOT IN (
+        SELECT sh FROM sh_all GROUP BY sh HAVING count(*) > $MaxShingleDocFrequency))"""
 
   /** Exact dedup: one row per distinct text with the kept doc (min id) and
     * the duplicate count. */
