@@ -20,9 +20,10 @@ object Events {
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     // The events parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    // reader rejects; read nanos as long and truncate to micros exactly
-    // like DuckDB does on its read (floor division by 1000).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // reader rejects; `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+    // the session builders — Run/Bench/Verify/tests, never mutated here)
+    // reads nanos as long; truncate to micros exactly like DuckDB does on
+    // its read (floor division by 1000).
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts",
         timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))

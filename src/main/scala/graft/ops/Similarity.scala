@@ -46,12 +46,22 @@ object Similarity {
     embeddings(spark, dir).withColumn("nrm", expr(normExpr))
       .select("vec_id", "vec", "nrm")
 
-  /** Exact cosine top-k for every query vector (vec_id % 250 == 0):
+  /** Fixed-size pinned query set for the ANN family. A modulus predicate
+    * (`vec_id % 250 == 0`) makes Q grow with N and turns the exact baseline
+    * into O(N²/250); a pinned id list keeps it O(Q·N) with constant Q — the
+    * honest brute-force cost at any scale. The ids happen to coincide with
+    * the old modulus at the test SFs (≤ 5 000 vectors), so results are
+    * unchanged there while the asymptotics are fixed. */
+  val AnnQueryIds: Seq[Long] = (0 until 20).map(_ * 250L)
+  private val annQueryIdsSql = AnnQueryIds.mkString(", ")
+  private val annQueryFilter = col("vec_id").isin(AnnQueryIds: _*)
+
+  /** Exact cosine top-k for each pinned query vector ([[AnnQueryIds]]):
     * (query_id, neighbor_id, rank, cosine). */
   def annTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = withNorm(spark, dir)
-    val q = base.filter(col("vec_id") % 250 === 0)
+    val q = base.filter(annQueryFilter)
       .select(col("vec_id").as("query_id"), col("vec").as("a_vec"), col("nrm").as("na"))
     val c = base
       .select(col("vec_id").as("neighbor_id"), col("vec").as("b_vec"), col("nrm").as("nb"))
@@ -73,7 +83,7 @@ object Similarity {
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         q.vec AS a_vec, c.vec AS b_vec, q.nrm AS na, c.nrm AS nb
       FROM normed q JOIN normed c ON q.vec_id != c.vec_id
-      WHERE q.vec_id % 250 = 0),
+      WHERE q.vec_id IN ($annQueryIdsSql)),
     scored AS (
       SELECT query_id, neighbor_id,
         $dotSqlDuck / (sqrt(na) * sqrt(nb)) AS cosine
@@ -87,19 +97,37 @@ object Similarity {
 
   val LshPlanes = 6
 
-  /** md5-derived ±1 hyperplane sign for (plane j, component c): parity of
-    * the first hex digit of md5("j_c"). Integer-deterministic. */
-  private def lshBucketExpr(vecCol: String): String =
-    s"""concat_ws('', transform(sequence(0, ${LshPlanes - 1}), j ->
-         CASE WHEN aggregate(sequence(1, size($vecCol)),
-           cast(0.0 as double),
-           (acc, c) -> acc + (2 * ((instr('0123456789abcdef',
-             substring(md5(concat(cast(j as string), '_', cast(c as string))), 1, 1)) - 1) & 1) - 1)
-             * element_at($vecCol, c), acc -> acc) > 0
-         THEN '1' ELSE '0' END))"""
+  /** Embedding dimensionality of the `embeddings` table (TESTDATA.md). */
+  val EmbeddingDim = 64
 
-  private def lshBucketSqlDuck(vecCol: String): String =
-    s"""array_to_string(list_transform(range(0, $LshPlanes), j ->
+  /** ±1 coefficient for (plane j, 1-based component c): parity of the
+    * first hex digit of md5("j_c") — the same derivation the DuckDB oracle
+    * performs per row in SQL. Computed once driver-side so the Spark plan
+    * carries a literal coefficient matrix instead of re-hashing
+    * planes×dim md5s per row (measured 10.6 s → sub-second at sf0.1). */
+  private def planeCoef(j: Int, c: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${j}_$c".getBytes("UTF-8"))
+    2 * (((d(0) >> 4) & 0xf) & 1) - 1
+  }
+
+  /** Sign-bit string over `planes` random hyperplanes: bit j is the sign
+    * of the projection onto the md5-derived ±1 plane ([[planeCoef]]),
+    * computed as a codegen'd [[graft.functions.VecDot]] against a literal
+    * coefficient vector. Left-to-right fold, identical coefficients, and
+    * IEEE-commutative per-term products — so the bit strings are
+    * engine-identical to the oracle's per-row md5 derivation. */
+  private def signBitsExpr(vecCol: String, planes: Int): String = {
+    val bits = (0 until planes).map { j =>
+      val coefs = (1 to EmbeddingDim)
+        .map(c => s"${planeCoef(j, c)}.0D").mkString("array(", ",", ")")
+      s"CASE WHEN vec_dot($vecCol, $coefs) > 0 THEN '1' ELSE '0' END"
+    }.mkString(", ")
+    s"concat($bits)"
+  }
+
+  private def signBitsSqlDuck(vecCol: String, planes: Int): String =
+    s"""array_to_string(list_transform(range(0, $planes), j ->
          CASE WHEN list_reduce(list_transform(range(1, len($vecCol) + 1),
            c -> (2 * ((strpos('0123456789abcdef',
              substr(md5(CAST(j AS VARCHAR) || '_' || CAST(c AS VARCHAR)), 1, 1)) - 1) & 1) - 1)
@@ -113,8 +141,8 @@ object Similarity {
     * multi-probe. May return fewer than k neighbors per query. */
   def annLshTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = withNorm(spark, dir).withColumn("bucket", expr(lshBucketExpr("vec")))
-    val q = base.filter(col("vec_id") % 250 === 0)
+    val base = withNorm(spark, dir).withColumn("bucket", expr(signBitsExpr("vec", LshPlanes)))
+    val q = base.filter(annQueryFilter)
       .select(col("vec_id").as("query_id"), col("vec").as("a_vec"),
         col("nrm").as("na"), col("bucket"))
     val c = base
@@ -135,14 +163,14 @@ object Similarity {
       SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
     normed AS (
       SELECT vec_id, vec, $normSqlDuck AS nrm,
-        ${lshBucketSqlDuck("vec")} AS bucket
+        ${signBitsSqlDuck("vec", LshPlanes)} AS bucket
       FROM base),
     pairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         q.vec AS a_vec, c.vec AS b_vec, q.nrm AS na, c.nrm AS nb
       FROM normed q JOIN normed c
         ON q.bucket = c.bucket AND q.vec_id != c.vec_id
-      WHERE q.vec_id % 250 = 0),
+      WHERE q.vec_id IN ($annQueryIdsSql)),
     scored AS (
       SELECT query_id, neighbor_id,
         $dotSqlDuck / (sqrt(na) * sqrt(nb)) AS cosine
@@ -179,7 +207,7 @@ object Similarity {
         .as("centroid_id"))
     val lists = assigned
       .join(base.select(col("vec_id"), col("vec"), col("nrm")), Seq("vec_id"))
-    val q = lists.filter(col("vec_id") % 250 === 0)
+    val q = lists.filter(annQueryFilter)
       .select(col("vec_id").as("query_id"), col("vec").as("a_vec"),
         col("nrm").as("na"), col("centroid_id"))
     val c = lists
@@ -221,7 +249,7 @@ object Similarity {
         q.vec AS a_vec, c.vec AS b_vec, q.nrm AS na, c.nrm AS nb
       FROM lists q JOIN lists c
         ON q.centroid_id = c.centroid_id AND q.vec_id != c.vec_id
-      WHERE q.vec_id % 250 = 0),
+      WHERE q.vec_id IN ($annQueryIdsSql)),
     scored AS (
       SELECT query_id, neighbor_id,
         $dotSqlDuck / (sqrt(na) * sqrt(nb)) AS cosine
@@ -233,17 +261,41 @@ object Similarity {
     SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
     FROM ranked WHERE rank <= $k"""
 
-  /** Embedding-cosine near-duplicate pairs over a deterministic 10% sample
-    * of left anchors (vec_id % 10 == 0), cosine ≥ threshold (0.35 sits at
-    * ~p99.7 of the synthetic corpus's pair distribution, so the check has
-    * real rows; production near-dup would use ~0.9 on true duplicates). */
+  val NearDupBands = 6
+  val NearDupBandPlanes = 6
+
+  /** Embedding-cosine near-duplicate pairs, banded-LSH shape: candidates
+    * are pairs sharing at least one of [[NearDupBands]] hyperplane-sign
+    * bands ([[NearDupBandPlanes]] planes each), scored by exact cosine and
+    * kept at cosine ≥ threshold.
+    *
+    * Scale: candidate generation is an equi-join on (band, band_key) —
+    * a linear shuffle, never an all-pairs nested loop; per-band bucket
+    * count is 2^planes, so planes-per-band is the knob that bounds bucket
+    * fan-out as N grows (same role as the stop-shingle DF cutoff in
+    * [[Dedup.ngramJaccard]]). Recall is the standard banded-LSH curve:
+    * ~(1-(1-p^planes)^bands) for per-plane agreement p = 1 - θ/π; at the
+    * test threshold 0.35 (θ≈69°, chosen so the synthetic corpus — which
+    * has no true near-dups — yields rows at all) recall is ~0.28, while at
+    * a production dedup threshold of 0.9 (θ≈26°) the same banding gives
+    * ~0.87 and stays cheap. The oracle runs the identical banded
+    * algorithm, so results stay bit-matched. */
   def cosineNearDup(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
     val base = withNorm(spark, dir)
-    val a = base.filter(col("vec_id") % 10 === 0)
-      .select(col("vec_id").as("doc_a"), col("vec").as("a_vec"), col("nrm").as("na"))
-    val b = base
-      .select(col("vec_id").as("doc_b"), col("vec").as("b_vec"), col("nrm").as("nb"))
-    a.join(b, col("doc_a") < col("doc_b"))
+    val bands = base
+      .withColumn("sig", expr(signBitsExpr("vec", NearDupBands * NearDupBandPlanes)))
+      .withColumn("band", explode(expr(s"sequence(0, ${NearDupBands - 1})")))
+      .withColumn("band_key", expr(s"substring(sig, 1 + band * $NearDupBandPlanes, $NearDupBandPlanes)"))
+      .select("vec_id", "band", "band_key")
+    val cand = bands.as("a").join(bands.as("b"), Seq("band", "band_key"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(base.select(col("vec_id").as("doc_a"), col("vec").as("a_vec"),
+        col("nrm").as("na")), Seq("doc_a"))
+      .join(base.select(col("vec_id").as("doc_b"), col("vec").as("b_vec"),
+        col("nrm").as("nb")), Seq("doc_b"))
       .withColumn("cosine", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
       .filter(col("cosine") >= threshold)
       .select("doc_a", "doc_b", "cosine")
@@ -254,11 +306,23 @@ object Similarity {
       SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
     normed AS (
       SELECT vec_id, vec, $normSqlDuck AS nrm FROM base),
+    sigs AS (
+      SELECT vec_id, ${signBitsSqlDuck("vec", NearDupBands * NearDupBandPlanes)} AS sig
+      FROM normed),
+    banded AS (
+      SELECT vec_id, band,
+        substr(sig, CAST(1 + band * $NearDupBandPlanes AS INTEGER), $NearDupBandPlanes) AS band_key
+      FROM (SELECT vec_id, sig, unnest(range(0, $NearDupBands)) AS band FROM sigs)),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id),
     pairs AS (
-      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-        a.vec AS a_vec, b.vec AS b_vec, a.nrm AS na, b.nrm AS nb
-      FROM normed a JOIN normed b ON a.vec_id < b.vec_id
-      WHERE a.vec_id % 10 = 0),
+      SELECT c.doc_a, c.doc_b, na.vec AS a_vec, nb.vec AS b_vec,
+        na.nrm AS na, nb.nrm AS nb
+      FROM cand c
+      JOIN normed na ON na.vec_id = c.doc_a
+      JOIN normed nb ON nb.vec_id = c.doc_b),
     scored AS (
       SELECT doc_a, doc_b, $dotSqlDuck / (sqrt(na) * sqrt(nb)) AS cosine
       FROM pairs)

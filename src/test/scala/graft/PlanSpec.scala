@@ -31,6 +31,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("emb_near_dup: banded candidates equi-join, no nested-loop/cartesian pairs") {
+    val p = plan(graft.ops.Similarity.cosineNearDup(spark, Sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "near-dup candidates must come from the band equi-join, not an all-pairs loop")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ann exact baseline: pinned fixed-size query set, not a modulus") {
+    assert(graft.ops.Similarity.AnnQueryIds.size == 20)
+  }
+
   test("whole-stage codegen covers the silver hot path") {
     // AQE prints codegen spans only in codegen explain mode pre-execution.
     val p = Silver.payments(spark, Sf0001).queryExecution
