@@ -182,30 +182,71 @@ object Similarity {
     SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
     FROM ranked WHERE rank <= $k"""
 
-  /** IVF-style ANN: a deterministic training-free coarse quantizer
-    * (centroids = the fixed vector subset vec_id % 100 == 50), one
-    * assignment pass (argmin L2 over centroids, tie-broken by centroid
-    * id), then exact cosine ranking only within the query's inverted
-    * list. The real-IVF upgrade path swaps the centroid table for k-means
-    * output; the plan shape — centroid cross-score, argmin via struct
-    * min, equi-join on the centroid key — is identical, and at scale the
-    * per-centroid lists are exactly the partitions of one linear shuffle.
-    * L2 distance = ||v||² - 2·v·c + ||c||² — every term a deterministic
-    * sequential fold, so assignment is bit-stable across engines. */
-  def annIvfTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = withNorm(spark, dir)
-    val cents = base.filter(col("vec_id") % 100 === 50)
-      .select(col("vec_id").as("centroid_id"), col("vec").as("c_vec"),
-        col("nrm").as("c_nrm"))
-    val assigned = base
-      .select(col("vec_id"), col("vec").as("a_vec"), col("nrm"))
-      .crossJoin(cents.withColumnRenamed("c_vec", "b_vec"))
-      .withColumn("dist", col("nrm") - lit(2) * expr(dotExpr) + col("c_nrm"))
+  val IvfK = 16
+  val IvfIters = 2
+
+  /** Argmin-L2 centroid assignment: dist = ||v||² - 2·v·c + ||c||², every
+    * term a deterministic sequential fold, tie-broken by centroid id via
+    * struct-min — so assignment is bit-stable across engines. The centroid
+    * side broadcasts (k rows); assignment is one map-side pass over N. */
+  private def assignToCentroids(base: DataFrame, cents: DataFrame): DataFrame =
+    base.select(col("vec_id"), col("vec"), col("nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist",
+        col("nrm") - lit(2) * expr("vec_dot(vec, c_vec)") + col("c_nrm"))
       .groupBy("vec_id")
       .agg(min(struct(col("dist"), col("centroid_id"))).getField("centroid_id")
         .as("centroid_id"))
-    val lists = assigned
+
+  /** Deterministic Lloyd k-means coarse quantizer for IVF: init = the
+    * first [[IvfK]] vectors by id, [[IvfIters]] fixed iterations, so the
+    * DuckDB oracle replicates training exactly in SQL.
+    *
+    * Cross-engine float discipline: a cluster mean is a float sum whose
+    * order Spark does not guarantee, so components are quantized to a
+    * 1e-6 integer grid first — `sum(cast(round(comp*1e6) as bigint))` is
+    * order-independent, and `(sum/1e6)/n` then yields the identical IEEE
+    * double in both engines (sums stay < 2^53). Per-iteration cost is one
+    * broadcast assignment pass plus one (centroid, component) aggregation
+    * — both linear in N; the trained centroids (k×dim doubles) are
+    * collected to the driver exactly like MLlib's KMeansModel holds them. */
+  def ivfCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(spark, dir)
+    var cents = base.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("centroid_id"), col("vec").as("c_vec"),
+        col("nrm").as("c_nrm"))
+    for (_ <- 1 to IvfIters) {
+      val meanComp = (col("s").cast("double") / lit(1000000.0)) / col("n")
+      cents = assignToCentroids(base, cents)
+        .join(base, Seq("vec_id"))
+        .select(col("centroid_id"), posexplode(col("vec")))
+        .toDF("centroid_id", "pos", "comp")
+        .groupBy("centroid_id", "pos")
+        .agg(sum(round(col("comp") * lit(1000000.0)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .groupBy("centroid_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), meanComp.as("m")))),
+          x => x.getField("m")).as("c_vec"))
+        .withColumn("c_nrm", expr("vec_dot(c_vec, c_vec)"))
+    }
+    // k×dim doubles — driver-side like any k-means model; avoids
+    // re-deriving the whole training lineage on each downstream reference.
+    import spark.implicits._
+    val trained = cents.select("centroid_id", "c_vec", "c_nrm")
+      .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1)
+    spark.createDataset(trained).toDF("centroid_id", "c_vec", "c_nrm")
+  }
+
+  /** IVF ANN: k-means coarse quantizer ([[ivfCentroids]]), one assignment
+    * pass, then exact cosine ranking only within the query's inverted
+    * list (nprobe = 1). At scale the per-centroid lists are exactly the
+    * partitions of one linear shuffle on the centroid key. */
+  def annIvfTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = withNorm(spark, dir)
+    val cents = ivfCentroids(spark, dir)
+    val lists = assignToCentroids(base, cents)
       .join(base.select(col("vec_id"), col("vec"), col("nrm")), Seq("vec_id"))
     val q = lists.filter(annQueryFilter)
       .select(col("vec_id").as("query_id"), col("vec").as("a_vec"),
@@ -223,24 +264,49 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** DuckDB assignment CTE vs a given centroid CTE — the row_number
+    * formulation of the same (dist, centroid_id) argmin. */
+  private def assignCteDuck(name: String, centsCte: String): String =
+    s"""$name AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT n.vec_id, c.centroid_id,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            n.nrm - 2 * list_reduce(list_transform(range(1, len(n.vec) + 1),
+              i -> n.vec[i] * c.c_vec[i]), (x, y) -> x + y) + c.c_nrm,
+            c.centroid_id) AS rn
+        FROM normed n CROSS JOIN $centsCte c) WHERE rn = 1)"""
+
+  /** One Lloyd iteration in DuckDB SQL: assign vs cents(i-1), then the
+    * grid-quantized component means — mirrors [[ivfCentroids]] exactly. */
+  private def kmeansIterCteDuck(i: Int): String =
+    s"""${assignCteDuck(s"a$i", s"cents${i - 1}")},
+    sums$i AS (
+      SELECT a.centroid_id, t.i AS pos,
+        sum(CAST(round(n.vec[t.i] * 1000000.0) AS BIGINT)) AS s,
+        count(*) AS n
+      FROM a$i a JOIN normed n USING (vec_id)
+      CROSS JOIN range(1, $EmbeddingDim + 1) t(i)
+      GROUP BY 1, 2),
+    cvec$i AS (
+      SELECT centroid_id,
+        list((CAST(s AS DOUBLE) / 1000000.0) / n ORDER BY pos) AS c_vec
+      FROM sums$i GROUP BY 1),
+    cents$i AS (
+      SELECT centroid_id, c_vec,
+        list_reduce(list_transform(range(1, len(c_vec) + 1),
+          i -> c_vec[i] * c_vec[i]), (x, y) -> x + y) AS c_nrm
+      FROM cvec$i)"""
+
   def annIvfTopKOracle(k: Int = 5): String =
     s"""WITH base AS (
       SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
     normed AS (
       SELECT vec_id, vec, $normSqlDuck AS nrm FROM base),
-    cents AS (
+    cents0 AS (
       SELECT vec_id AS centroid_id, vec AS c_vec, nrm AS c_nrm
-      FROM normed WHERE vec_id % 100 = 50),
-    scoredc AS (
-      SELECT n.vec_id, c.centroid_id,
-        n.nrm - 2 * list_reduce(list_transform(range(1, len(n.vec) + 1),
-          i -> n.vec[i] * c.c_vec[i]), (x, y) -> x + y) + c.c_nrm AS dist
-      FROM normed n CROSS JOIN cents c),
-    assigned AS (
-      SELECT vec_id, centroid_id FROM (
-        SELECT vec_id, centroid_id,
-          row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
-        FROM scoredc) WHERE rn = 1),
+      FROM normed WHERE vec_id < $IvfK),
+    ${(1 to IvfIters).map(kmeansIterCteDuck).mkString(",\n    ")},
+    ${assignCteDuck("assigned", s"cents$IvfIters")},
     lists AS (
       SELECT a.vec_id, a.centroid_id, n.vec, n.nrm
       FROM assigned a JOIN normed n ON a.vec_id = n.vec_id),

@@ -70,6 +70,19 @@ class OpsSpec extends SparkSpec {
     val _ = exact // exact set computed to ensure both paths run
   }
 
+  test("ivf ann: trained k-means centroids, recall@5 vs exact baseline") {
+    val exact = Similarity.annTopK(spark, Sf0001, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.annIvfTopK(spark, Sf0001, k = 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    assert(ivf.forall { case (q, n, r) => q != n && r >= 1 && r <= 5 })
+    val recall = ivf.map(t => (t._1, t._2)).count(exact.contains).toDouble / exact.size
+    info(f"ivf recall@5 vs exact = $recall%.2f (${exact.size} exact pairs)")
+    // nprobe=1 over 16 trained centroids: the query's own list must still
+    // surface a meaningful share of the true top-k
+    assert(recall >= 0.2, f"ivf recall@5 $recall%.2f below floor")
+  }
+
   test("sessionization splits on >30min gaps only") {
     val sessions = Events.sessionize(spark, Sf0001)
     val nEvents = Events.events(spark, Sf0001).count()
