@@ -12,16 +12,27 @@ import graft.gold.Gold
   * `ref()` becomes a lookup of the already-materialized upstream DataFrame;
   * `materialized='view'` (bronze, `dbt_project.yml:19`) becomes a lazy temp
   * view; `materialized='table'` (silver/gold, `dbt_project.yml:24,30`)
-  * becomes an overwrite parquet write followed by a fresh read — the same
+  * becomes a [[TableSink]] overwrite followed by a fresh read — the same
   * physical barrier dbt's table materialization creates, which is what makes
   * the gold layer's precomputation an *architecture-level* optimization at
   * 100 TB (downstream readers scan the compact mart, not the raw data).
   *
-  * Like dbt's `threads`, independent models could materialize concurrently;
-  * kept sequential here because Spark already parallelizes within each
-  * write and the silver chain is strictly linear anyway (SURVEY.md §3.1).
+  * Like dbt's `threads`, independent models materialize concurrently:
+  * [[run]] schedules the DAG in dependency waves and submits each wave's
+  * models to a fixed-size pool (the gold fan-out runs 3-wide). Spark
+  * sessions support concurrent actions, so each model's write is its own
+  * job and the scheduler interleaves their stages.
   */
 object Registry {
+
+  /** The reference's `generate_database_name` macro
+    * (/root/reference/macros/generate_database_name.sql:1-9): a custom
+    * database name is uppercased, otherwise the target default applies.
+    * Catalog resolution in Spark is case-insensitive, so
+    * `spark.table("silver.silver_orders")` resolves against the
+    * uppercase-created database. */
+  def databaseName(custom: Option[String], targetDefault: String): String =
+    custom.map(_.toUpperCase(java.util.Locale.ROOT)).getOrElse(targetDefault)
 
   sealed trait Materialization
   case object View extends Materialization
@@ -75,24 +86,46 @@ object Registry {
   }
 
   /** Materialize the whole DAG from `sourceDir` testdata into
-    * `warehouseDir`. Returns each model's post-materialization DataFrame
-    * (for Table models: a reader over the written parquet). */
-  def run(spark: SparkSession, sourceDir: String, warehouseDir: String): Map[String, DataFrame] = {
-    topoOrder.foldLeft(Map.empty[String, DataFrame]) { (acc, m) =>
-      val df = m.build(spark, sourceDir, acc)
-      val materialized = m.materialization match {
-        case View =>
-          df.createOrReplaceTempView(m.name)
-          df
-        case Table =>
-          val path = s"$warehouseDir/${m.layer}/${m.name}"
-          df.write.mode("overwrite").parquet(path)
-          val back = spark.read.parquet(path)
-          back.createOrReplaceTempView(m.name)
-          back
+    * `warehouseDir` as path-routed parquet ([[ParquetSink]]). */
+  def run(spark: SparkSession, sourceDir: String, warehouseDir: String): Map[String, DataFrame] =
+    run(spark, sourceDir, new ParquetSink(warehouseDir))
+
+  /** Materialize the whole DAG through `sink`, dependency-wave parallel
+    * (dbt `threads`). Returns each model's post-materialization DataFrame
+    * (for Table models: a reader over the stored table). */
+  def run(spark: SparkSession, sourceDir: String, sink: TableSink,
+      threads: Int = 4): Map[String, DataFrame] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val ordered = topoOrder
+    // wave = longest dependency path length; every dep lands in an earlier
+    // wave, so models within a wave are independent of each other
+    val wave = scala.collection.mutable.Map.empty[String, Int]
+    ordered.foreach(m => wave(m.name) = (m.deps.map(wave) :+ -1).max + 1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, threads))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val acc = scala.collection.mutable.Map.empty[String, DataFrame]
+      ordered.groupBy(m => wave(m.name)).toSeq.sortBy(_._1).foreach { case (_, ms) =>
+        val upstream = acc.toMap
+        val batch = Future.sequence(ms.map(m => Future {
+          m.name -> materialize(spark, m, sourceDir, sink, upstream)
+        }))
+        Await.result(batch, Duration.Inf).foreach { case (n, df) => acc(n) = df }
       }
-      acc + (m.name -> materialized)
+      acc.toMap
+    } finally pool.shutdown()
+  }
+
+  private def materialize(spark: SparkSession, m: Model, sourceDir: String,
+      sink: TableSink, upstream: Map[String, DataFrame]): DataFrame = {
+    val df = m.build(spark, sourceDir, upstream)
+    val materialized = m.materialization match {
+      case View => df
+      case Table => sink.overwrite(spark, m.layer, m.name, df)
     }
+    materialized.createOrReplaceTempView(m.name)
+    materialized
   }
 
   /** `dbt source freshness` over the raw sources (SURVEY.md §3.3). */

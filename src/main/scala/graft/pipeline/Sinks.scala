@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Storage sink for table materializations — the pluggable boundary where
+  * dbt's `materialized='table'` / `incremental` land on a storage format.
+  *
+  * The engine's north star is DataFrame ops over a lakehouse table format
+  * (Delta/Iceberg); this build environment's offline classpath carries
+  * neither connector jar, so the ACID path is expressed as the
+  * [[CatalogSink]] with a pluggable `format` — on a cluster with the
+  * Delta/Iceberg runtime present, `CatalogSink("delta")` /
+  * `CatalogSink("iceberg")` get atomic overwrites and a real `MERGE INTO`
+  * with no engine changes; the parquet default degrades to a staged
+  * rewrite (documented, non-atomic).
+  */
+trait TableSink {
+
+  /** Overwrite `layer`.`name` with `df`; returns a reader over the stored
+    * table (the materialization barrier downstream models build on). */
+  def overwrite(spark: SparkSession, layer: String, name: String, df: DataFrame): DataFrame
+
+  /** Upsert `incoming` into `layer`.`name` by `key` (dbt incremental with
+    * `unique_key`); returns a reader over the merged table. */
+  def merge(spark: SparkSession, layer: String, name: String,
+    incoming: DataFrame, key: String): DataFrame
+
+  /** Read the current contents of `layer`.`name`. */
+  def read(spark: SparkSession, layer: String, name: String): DataFrame
+}
+
+/** Path-routed parquet sink: `warehouseDir/layer/name`. The original
+  * round-1 layout; merge is the read–stage–overwrite fallback (a full
+  * rewrite — at 100 TB use [[CatalogSink]] on a MERGE-capable format). */
+final class ParquetSink(warehouseDir: String) extends TableSink {
+
+  private def path(layer: String, name: String) = s"$warehouseDir/$layer/$name"
+
+  override def overwrite(spark: SparkSession, layer: String, name: String,
+      df: DataFrame): DataFrame = {
+    df.write.mode("overwrite").parquet(path(layer, name))
+    read(spark, layer, name)
+  }
+
+  override def merge(spark: SparkSession, layer: String, name: String,
+      incoming: DataFrame, key: String): DataFrame = {
+    // Parquet cannot atomically overwrite a table being read, so the merge
+    // result is staged, then swapped in via a second overwrite write.
+    val staging = path(layer, s"_staging_$name")
+    Incremental.merge(read(spark, layer, name), incoming, key)
+      .write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).write.mode("overwrite").parquet(path(layer, name))
+    read(spark, layer, name)
+  }
+
+  override def read(spark: SparkSession, layer: String, name: String): DataFrame =
+    spark.read.parquet(path(layer, name))
+}
+
+/** Catalog-backed sink: routes each layer to its SQL database (the
+  * reference's `generate_database_name` macro routes bronze/silver/gold
+  * models to the BRONZE/SILVER/GOLD databases —
+  * /root/reference/macros/generate_database_name.sql:1-9,
+  * /root/reference/dbt_project.yml:20-30), so
+  * `spark.table("silver.silver_orders")` resolves exactly as a reference
+  * user expects.
+  *
+  * `format` picks the table provider. With `delta`/`iceberg` on the
+  * classpath, [[merge]] issues a genuine `MERGE INTO` (ACID, no rewrite);
+  * for formats without MERGE support it stages the merged result into a
+  * temp table and swaps via overwrite — correct, but a full rewrite, which
+  * is precisely what the lakehouse formats exist to avoid at scale.
+  */
+final class CatalogSink(format: String = "parquet",
+    targetDatabase: String = "default") extends TableSink {
+
+  private val MergeCapableFormats = Set("delta", "iceberg")
+
+  private def database(layer: String): String =
+    Registry.databaseName(Some(layer), targetDatabase)
+
+  private def ident(layer: String, name: String): String =
+    s"${database(layer)}.$name"
+
+  override def overwrite(spark: SparkSession, layer: String, name: String,
+      df: DataFrame): DataFrame = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${database(layer)}")
+    df.write.mode("overwrite").format(format).saveAsTable(ident(layer, name))
+    read(spark, layer, name)
+  }
+
+  override def merge(spark: SparkSession, layer: String, name: String,
+      incoming: DataFrame, key: String): DataFrame = {
+    val target = ident(layer, name)
+    if (MergeCapableFormats.contains(format)) {
+      val src = s"_graft_merge_src_$name"
+      incoming.createOrReplaceTempView(src)
+      spark.sql(
+        s"""MERGE INTO $target t USING $src s ON t.$key = s.$key
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+      spark.catalog.dropTempView(src)
+    } else {
+      val staging = s"${database(layer)}._graft_staging_$name"
+      Incremental.merge(read(spark, layer, name), incoming, key)
+        .write.mode("overwrite").format(format).saveAsTable(staging)
+      spark.table(staging).write.mode("overwrite").format(format)
+        .saveAsTable(target)
+      spark.sql(s"DROP TABLE $staging")
+    }
+    read(spark, layer, name)
+  }
+
+  override def read(spark: SparkSession, layer: String, name: String): DataFrame =
+    spark.table(ident(layer, name))
+}

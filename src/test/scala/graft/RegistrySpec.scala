@@ -35,6 +35,46 @@ class RegistrySpec extends SparkSpec {
       out("silver_payments"), "order_key", out("silver_orders"), "order_key").isEmpty)
   }
 
+  test("generate_database_name: custom uppercased, else target default") {
+    assert(Registry.databaseName(Some("silver"), "analytics") == "SILVER")
+    assert(Registry.databaseName(None, "analytics") == "analytics")
+  }
+
+  test("catalog sink: layers land in bronze/silver/gold SQL databases") {
+    val out = Registry.run(spark, Sf0001, new graft.pipeline.CatalogSink())
+    assert(out.size == 9)
+    // the reference's generate_database_name routing, resolvable by SQL
+    assert(spark.table("silver.silver_orders").count() ==
+      out("silver_orders").count())
+    assert(spark.sql("select count(*) from gold.gold_revenue_analysis")
+      .head().getLong(0) > 0)
+    assert(spark.catalog.databaseExists("bronze") == false,
+      "bronze models are views, not tables")
+  }
+
+  test("catalog sink merge upserts by key (staged rewrite on parquet)") {
+    import spark.implicits._
+    val sink = new graft.pipeline.CatalogSink()
+    sink.overwrite(spark, "silver", "merge_probe",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val merged = sink.merge(spark, "silver", "merge_probe",
+      Seq((2L, "B"), (3L, "c")).toDF("id", "v"), "id")
+    assert(merged.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    assert(spark.table("silver.merge_probe").count() == 3)
+  }
+
+  test("parquet sink merge matches the pure-transform semantics") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_wh_m").toString
+    val sink = new graft.pipeline.ParquetSink(wh)
+    sink.overwrite(spark, "silver", "m1", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val merged = sink.merge(spark, "silver", "m1",
+      Seq((2L, "B"), (3L, "c")).toDF("id", "v"), "id")
+    assert(merged.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
   test("source freshness reports error for the stale pinned orders feed") {
     // raw_orders _loaded_at is pinned 5 days before Clock.now (120h > 48h).
     assert(Registry.sourceFreshness(spark, Sf0001)("raw_orders") == "error")
