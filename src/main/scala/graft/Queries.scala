@@ -121,6 +121,22 @@ object Queries {
       Seq("check_name"),
       graft.quality.DataQuality.summary, graft.quality.DataQuality.oracle),
 
+    // ---- incremental / snapshot materializations (batch replays) ----
+
+    Spec("incremental_merge",
+      Seq("order_id" -> P, "customer_id" -> P, "order_date" -> P,
+        "order_status" -> P, "order_amount" -> P) ++ auditT :+ ("_source_model" -> P),
+      Seq("order_id"),
+      pipeline.IncrementalQueries.incrementalMerge,
+      pipeline.IncrementalQueries.incrementalMergeOracle),
+
+    Spec("scd2_snapshot",
+      Seq("customer_id" -> P, "email" -> P, "_valid_from" -> P,
+        "_valid_to" -> P, "_is_current" -> P),
+      Seq("customer_id", "_valid_from"),
+      pipeline.IncrementalQueries.scd2Snapshot,
+      pipeline.IncrementalQueries.scd2SnapshotOracle),
+
     // ---- general star-schema analytics (TPC-H-shaped) ----
 
     Spec("tpch_q1_pricing",
