@@ -235,6 +235,13 @@ object Queries {
         "n_users" -> L, "total_value" -> P),
       Seq("window_start", "event_type"), ops.Events.windowed, ops.Events.windowedOracle),
 
+    Spec("streaming_windowed_parity",
+      Seq("window_start" -> P, "event_type" -> P, "n_events" -> L,
+        "total_value" -> P),
+      Seq("window_start", "event_type"),
+      streaming.StreamingOps.windowedParity,
+      streaming.StreamingOps.windowedParityOracle),
+
     Spec("events_json",
       Seq("event_type" -> P, "n_events" -> L, "n_users" -> L, "k_sum" -> L,
         "k_min" -> L, "k_max" -> L, "value_sum" -> P),

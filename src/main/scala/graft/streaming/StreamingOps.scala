@@ -32,8 +32,10 @@ object StreamingOps {
     user_id: Long, n_events: Long, last_ts_micros: Long, closed: Boolean)
 
   /** Read the events table as a file stream (one-file-per-trigger batches
-    * in tests; directory-watch in production). */
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    * in tests; directory-watch in production). `glob` narrows the listing
+    * when the directory holds other tables too. */
+  def readEventsStream(spark: SparkSession, dir: String,
+      glob: Option[String] = None): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
@@ -41,9 +43,10 @@ object StreamingOps {
       org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    spark.readStream.schema(schema)
+    val reader = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(s"$dir")
+    glob.foreach(g => reader.option("pathGlobFilter", g))
+    reader.parquet(s"$dir")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -58,11 +61,71 @@ object StreamingOps {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  final case class GapSessionState(
+    nEvents: Long, startMicros: Long, lastMicros: Long)
+  final case class SessionClose(
+    user_id: Long, n_events: Long, start_ts_micros: Long,
+    end_ts_micros: Long, closed_by_timeout: Boolean)
+
+  /** Streaming gap sessionization with event-time timeout — the streaming
+    * analogue of [[graft.ops.Events.sessionize]]: a session closes either
+    * when a later event for the same user arrives past the gap (emitted
+    * inline) or when the watermark passes last_event + gap with no new
+    * data (the `hasTimedOut` branch — so idle users' sessions close and
+    * their state is freed without waiting for their next event). State per
+    * user is O(1); the watermark bounds both state retention and timeout
+    * latency. */
+  def gapSessions(events: Dataset[Event],
+      gapMinutes: Int = 30): Dataset[SessionClose] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapSessionState, SessionClose](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[GapSessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionClose(userId, s.nEvents, s.startMicros,
+              s.lastMicros, closed_by_timeout = true))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Seq.newBuilder[SessionClose]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000L
+              cur = cur match {
+                case Some(s) if us - s.lastMicros > gapUs =>
+                  closed += SessionClose(userId, s.nEvents, s.startMicros,
+                    s.lastMicros, closed_by_timeout = false)
+                  Some(GapSessionState(1L, us, us))
+                case Some(s) =>
+                  Some(GapSessionState(s.nEvents + 1, s.startMicros,
+                    math.max(s.lastMicros, us)))
+                case None => Some(GapSessionState(1L, us, us))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // the timeout target may already be behind the watermark
+              // (late-arriving quiet user) — clamp forward so the state
+              // times out on the very next watermark advance
+              state.setTimeoutTimestamp(math.max(s.lastMicros / 1000L + gapMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Per-user running event counts via explicit state — demonstrates the
     * KeyValueGroupedDataset.mapGroupsWithState custom-state path. NoTimeout
-    * keeps bounded test streams drainable with processAllAvailable; a
-    * production session-closer would use ProcessingTimeTimeout and emit
-    * `closed = true` from the hasTimedOut branch. */
+    * keeps bounded test streams drainable with processAllAvailable; the
+    * session-closing production shape with event-time timeout is
+    * [[gapSessions]]. */
   def sessionCounts(events: Dataset[Event]): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     events
@@ -78,6 +141,32 @@ object StreamingOps {
           SessionUpdate(userId, next.nEvents, next.lastTsMicros, closed = false)
       }
   }
+
+  /** Driver-checked stream-vs-batch parity: a REAL streaming execution
+    * (file source → watermark → tumbling-window agg → memory sink) over
+    * the events table, emitting the same (window_start, event_type,
+    * n_events, total_value) rows the batch twin
+    * [[graft.ops.Events.windowed]] computes — verified against the same
+    * DuckDB oracle. Complete output mode because at drain time append
+    * would hold back every window newer than the final watermark;
+    * `countDistinct` is omitted (not streamable without a rewrite). */
+  def windowedParity(spark: SparkSession, dir: String): DataFrame = {
+    val agg = readEventsStream(spark, dir, glob = Some("events.parquet"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+    runToMemory(spark, agg, "graft_windowed_parity", OutputMode.Complete())
+  }
+
+  def windowedParityOracle: String =
+    """SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS window_start,
+         event_type,
+         count(*) AS n_events,
+         sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+       FROM events GROUP BY 1, 2"""
 
   /** Run a streaming query over `df` into an in-memory table and block
     * until the (file-bounded) stream drains. Returns the result table. */

@@ -42,6 +42,71 @@ class StreamingSpec extends SparkSpec {
     emitted.foreach { case (w, t, n) => assert(batchMap((w, t)) == n, s"window $w $t") }
   }
 
+  test("windowedParity (driver query) equals the batch windowed rollup") {
+    val streamed = StreamingOps.windowedParity(spark, Sf0001)
+      .select("window_start", "event_type", "n_events", "total_value")
+    val batch = graft.ops.Events.windowed(spark, Sf0001)
+      .select("window_start", "event_type", "n_events", "total_value")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("gapSessions closes idle sessions via event-time timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[StreamingOps.Event](spark)
+    val q = StreamingOps.gapSessions(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("gap_sessions")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckpt_gap").toString)
+      .start()
+    // batch 1: user 1 has a 2-event burst, then goes idle forever
+    input.addData(
+      StreamingOps.Event(1L, ts("2001-01-01 10:00:00"), 1L, "view", 1.0),
+      StreamingOps.Event(2L, ts("2001-01-01 10:05:00"), 1L, "view", 1.0))
+    q.processAllAvailable()
+    // batch 2: a different user far in the future pushes the watermark to
+    // 12:00, past user 1's 10:35 timeout target -> timeout branch fires
+    input.addData(StreamingOps.Event(3L, ts("2001-01-01 13:00:00"), 2L, "view", 1.0))
+    q.processAllAvailable()
+    // one more batch so the post-watermark-advance timeout sweep runs even
+    // if the no-data batch heuristic didn't schedule it
+    input.addData(StreamingOps.Event(4L, ts("2001-01-01 13:01:00"), 2L, "view", 1.0))
+    q.processAllAvailable()
+    val closes = spark.table("gap_sessions")
+      .as[StreamingOps.SessionClose].collect()
+    q.stop()
+    val u1 = closes.filter(_.user_id == 1L)
+    assert(u1.length == 1, s"expected one close for user 1, got ${u1.toSeq}")
+    assert(u1.head.n_events == 2 && u1.head.closed_by_timeout,
+      s"user 1 session should close by timeout: ${u1.head}")
+    assert(u1.head.start_ts_micros == ts("2001-01-01 10:00:00").getTime * 1000L)
+    assert(u1.head.end_ts_micros == ts("2001-01-01 10:05:00").getTime * 1000L)
+  }
+
+  test("gapSessions emits inline closes on intra-stream gaps") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[StreamingOps.Event](spark)
+    val q = StreamingOps.gapSessions(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("gap_sessions_inline")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckpt_gap2").toString)
+      .start()
+    input.addData(
+      StreamingOps.Event(1L, ts("2001-01-01 10:00:00"), 1L, "view", 1.0),
+      StreamingOps.Event(2L, ts("2001-01-01 11:00:00"), 1L, "view", 1.0))
+    q.processAllAvailable()
+    val closes = spark.table("gap_sessions_inline")
+      .as[StreamingOps.SessionClose].collect()
+    q.stop()
+    // the 10:00 session closed inline when the 11:00 event arrived
+    assert(closes.exists(c =>
+      c.user_id == 1L && c.n_events == 1 && !c.closed_by_timeout))
+  }
+
   test("mapGroupsWithState keeps running per-user counts") {
     val stream = StreamingOps.readEventsStream(spark, eventsDir)
       .selectExpr("event_id", "ts", "user_id", "event_type", "value")
