@@ -100,31 +100,14 @@ object Similarity {
   /** Embedding dimensionality of the `embeddings` table (TESTDATA.md). */
   val EmbeddingDim = 64
 
-  /** ±1 coefficient for (plane j, 1-based component c): parity of the
-    * first hex digit of md5("j_c") — the same derivation the DuckDB oracle
-    * performs per row in SQL. Computed once driver-side so the Spark plan
-    * carries a literal coefficient matrix instead of re-hashing
-    * planes×dim md5s per row (measured 10.6 s → sub-second at sf0.1). */
-  private def planeCoef(j: Int, c: Int): Int = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${j}_$c".getBytes("UTF-8"))
-    2 * (((d(0) >> 4) & 0xf) & 1) - 1
-  }
-
-  /** Sign-bit string over `planes` random hyperplanes: bit j is the sign
-    * of the projection onto the md5-derived ±1 plane ([[planeCoef]]),
-    * computed as a codegen'd [[graft.functions.VecDot]] against a literal
-    * coefficient vector. Left-to-right fold, identical coefficients, and
-    * IEEE-commutative per-term products — so the bit strings are
-    * engine-identical to the oracle's per-row md5 derivation. */
-  private def signBitsExpr(vecCol: String, planes: Int): String = {
-    val bits = (0 until planes).map { j =>
-      val coefs = (1 to EmbeddingDim)
-        .map(c => s"${planeCoef(j, c)}.0D").mkString("array(", ",", ")")
-      s"CASE WHEN vec_dot($vecCol, $coefs) > 0 THEN '1' ELSE '0' END"
-    }.mkString(", ")
-    s"concat($bits)"
-  }
+  /** Sign-bit string over `planes` md5-derived ±1 hyperplanes, via the
+    * native [[graft.functions.SignBits]] expression (one primitive loop
+    * per row; a per-plane vec_dot-against-literal formulation built a
+    * planes×dim-literal tree that fell out of JIT-able codegen and went
+    * ~75× slower at 66 planes). Fold order and coefficients are identical
+    * to the oracle's per-row md5 derivation ([[graft.functions.SignBits.coef]]). */
+  private def signBitsExpr(vecCol: String, planes: Int): String =
+    s"sign_bits($vecCol, $planes)"
 
   private def signBitsSqlDuck(vecCol: String, planes: Int): String =
     s"""array_to_string(list_transform(range(0, $planes), j ->
@@ -328,7 +311,23 @@ object Similarity {
     FROM ranked WHERE rank <= $k"""
 
   val NearDupBands = 6
+  /** Planes per band at the oracle-checked test SFs (where N ≤ 2 000;
+    * [[nearDupBandPlanes]] yields exactly this for every N ≤ 8 192, so the
+    * static oracle SQL stays bit-valid at sf0.001/sf0.01/sf0.1). */
   val NearDupBandPlanes = 6
+
+  /** Adaptive planes-per-band: with fixed planes the expected bucket size
+    * is N/2^p, so banded candidate generation is still O(bands·N²/2^p) —
+    * quadratic in N (measured 1.3 s → 32 s for a 10× replica). Growing p
+    * with log₂N keeps expected bucket occupancy — and therefore candidate
+    * pairs per row — constant: p = max(6, ⌊log₂(N/8)⌋), i.e. ~8 expected
+    * vectors per bucket. Recall concentrates on high-similarity pairs as p
+    * grows (true duplicates always collide), which is the production
+    * near-dup regime; the same knob role as [[Dedup.MaxShingleDocFrequency]]. */
+  def nearDupBandPlanes(n: Long): Int =
+    math.min(24, // bound plan size: ≤ 6×24 plane projections per row
+      math.max(NearDupBandPlanes,
+        (math.log(math.max(n, 1L).toDouble / 8.0) / math.log(2.0)).floor.toInt))
 
   /** Embedding-cosine near-duplicate pairs, banded-LSH shape: candidates
     * are pairs sharing at least one of [[NearDupBands]] hyperplane-sign
@@ -348,10 +347,13 @@ object Similarity {
     * algorithm, so results stay bit-matched. */
   def cosineNearDup(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
     val base = withNorm(spark, dir)
+    // scalar metadata lookup (rowcount) to size the banding — the near-dup
+    // analogue of the incremental high-water-mark read
+    val planes = nearDupBandPlanes(base.count())
     val bands = base
-      .withColumn("sig", expr(signBitsExpr("vec", NearDupBands * NearDupBandPlanes)))
+      .withColumn("sig", expr(signBitsExpr("vec", NearDupBands * planes)))
       .withColumn("band", explode(expr(s"sequence(0, ${NearDupBands - 1})")))
-      .withColumn("band_key", expr(s"substring(sig, 1 + band * $NearDupBandPlanes, $NearDupBandPlanes)"))
+      .withColumn("band_key", expr(s"substring(sig, 1 + band * $planes, $planes)"))
       .select("vec_id", "band", "band_key")
     val cand = bands.as("a").join(bands.as("b"), Seq("band", "band_key"))
       .filter(col("a.vec_id") < col("b.vec_id"))
