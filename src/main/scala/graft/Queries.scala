@@ -208,6 +208,12 @@ object Queries {
       Seq("query_id", "rank"),
       (s, d) => ops.Similarity.annLshTopK(s, d), ops.Similarity.annLshTopKOracle()),
 
+    Spec("ann_lsh_multiprobe",
+      Seq("query_id" -> P, "neighbor_id" -> P, "rank" -> I, "cosine" -> P),
+      Seq("query_id", "rank"),
+      (s, d) => ops.Similarity.annLshMultiProbeTopK(s, d),
+      ops.Similarity.annLshMultiProbeTopKOracle()),
+
     Spec("ann_ivf_topk",
       Seq("query_id" -> P, "neighbor_id" -> P, "rank" -> I, "cosine" -> P),
       Seq("query_id", "rank"),

@@ -165,6 +165,72 @@ object Similarity {
     SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
     FROM ranked WHERE rank <= $k"""
 
+  /** Multi-probe LSH ANN: each query searches its own hyperplane bucket
+    * plus every bucket at Hamming distance 1 ([[LshPlanes]] single-bit
+    * flips) — the standard recall lever that avoids building more hash
+    * tables: probe count multiplies only the tiny query side (Q×(planes+1)
+    * rows), while the candidate index and its linear shuffle stay
+    * unchanged. Probe buckets are disjoint, so no pair dedup is needed. */
+  def annLshMultiProbeTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = withNorm(spark, dir)
+      .withColumn("bucket", expr(signBitsExpr("vec", LshPlanes)))
+    val flip =
+      s"""CASE WHEN p = 0 THEN bucket
+          ELSE concat(substring(bucket, 1, p - 1),
+            CASE WHEN substring(bucket, p, 1) = '1' THEN '0' ELSE '1' END,
+            substring(bucket, p + 1, $LshPlanes - p)) END"""
+    val q = base.filter(annQueryFilter)
+      .select(col("vec_id").as("query_id"), col("vec").as("a_vec"),
+        col("nrm").as("na"), col("bucket"))
+      .withColumn("p", explode(expr(s"sequence(0, $LshPlanes)")))
+      .withColumn("probe_bucket", expr(flip))
+      .drop("bucket", "p")
+    val c = base.select(col("vec_id").as("neighbor_id"), col("vec").as("b_vec"),
+      col("nrm").as("nb"), col("bucket").as("probe_bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    q.join(c, Seq("probe_bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  def annLshMultiProbeTopKOracle(k: Int = 5): String =
+    s"""WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    normed AS (
+      SELECT vec_id, vec, $normSqlDuck AS nrm,
+        ${signBitsSqlDuck("vec", LshPlanes)} AS bucket
+      FROM base),
+    probes AS (
+      SELECT vec_id AS query_id, vec AS a_vec, nrm AS na,
+        CASE WHEN p = 0 THEN bucket
+        ELSE substr(bucket, 1, CAST(p - 1 AS INTEGER)) ||
+          (CASE WHEN substr(bucket, CAST(p AS INTEGER), 1) = '1'
+                THEN '0' ELSE '1' END) ||
+          substr(bucket, CAST(p + 1 AS INTEGER), CAST($LshPlanes - p AS INTEGER)) END
+          AS probe_bucket
+      FROM normed CROSS JOIN range(0, ${LshPlanes + 1}) t(p)
+      WHERE vec_id IN ($annQueryIdsSql)),
+    pairs AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+        q.a_vec, c.vec AS b_vec, q.na, c.nrm AS nb
+      FROM probes q JOIN normed c
+        ON c.bucket = q.probe_bucket AND q.query_id != c.vec_id),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        $dotSqlDuck / (sqrt(na) * sqrt(nb)) AS cosine
+      FROM pairs),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
+    FROM ranked WHERE rank <= $k"""
+
   val IvfK = 16
   val IvfIters = 2
 

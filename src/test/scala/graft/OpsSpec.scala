@@ -70,6 +70,19 @@ class OpsSpec extends SparkSpec {
     val _ = exact // exact set computed to ensure both paths run
   }
 
+  test("multi-probe lsh recall dominates single-probe recall") {
+    val exact = Similarity.annTopK(spark, Sf0001, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val single = Similarity.annLshTopK(spark, Sf0001, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .count(exact.contains)
+    val multi = Similarity.annLshMultiProbeTopK(spark, Sf0001, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .count(exact.contains)
+    info(s"recall hits vs exact: single-probe=$single multi-probe=$multi of ${exact.size}")
+    assert(multi >= single, "probing Hamming-1 buckets can only add candidates")
+  }
+
   test("ivf ann: trained k-means centroids, recall@5 vs exact baseline") {
     val exact = Similarity.annTopK(spark, Sf0001, k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
