@@ -121,6 +121,13 @@ object Queries {
       Seq("check_name"),
       graft.quality.DataQuality.summary, graft.quality.DataQuality.oracle),
 
+    Spec("source_freshness",
+      Seq("source" -> P, "max_loaded_at" -> P, "hours_stale" -> L,
+        "status" -> P),
+      Seq("source"),
+      (s, d) => graft.quality.Checks.freshnessSummary(s, d),
+      graft.quality.Checks.freshnessSummaryOracle(OracleSql.prelude)),
+
     // ---- incremental / snapshot materializations (batch replays) ----
 
     Spec("incremental_merge",

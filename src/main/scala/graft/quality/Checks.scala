@@ -55,6 +55,52 @@ object Checks {
     }
   }
 
+  /** Driver-checked distributed form of `dbt source freshness`: one row
+    * per feed with its high-water mark, staleness in hours against the
+    * pinned clock, and the warn/error verdict. bronze_orders preserves the
+    * upstream `_loaded_at` (5 days old → error); the other feeds are
+    * stamped at ingest (→ pass). One `max` aggregate per feed — no
+    * driver-side collect. */
+  def freshnessSummary(spark: SparkSession, dir: String,
+      warnAfterHours: Int = 24, errorAfterHours: Int = 48): DataFrame = {
+    val feeds = Seq(
+      "bronze_customers" -> graft.bronze.Bronze.customers(spark, dir),
+      "bronze_orders" -> graft.bronze.Bronze.orders(spark, dir),
+      "bronze_payments" -> graft.bronze.Bronze.payments(spark, dir))
+    feeds.map { case (name, df) =>
+      df.agg(max(col("_loaded_at")).cast("timestamp_ntz").as("max_loaded_at"))
+        .select(
+          lit(name).as("source"),
+          col("max_loaded_at"),
+          expr(s"timestampdiff(HOUR, max_loaded_at, TIMESTAMP_NTZ '${graft.model.Clock.nowLit}')")
+            .as("hours_stale"))
+        .withColumn("status",
+          when(col("hours_stale") >= errorAfterHours, "error")
+            .when(col("hours_stale") >= warnAfterHours, "warn")
+            .otherwise("pass"))
+    }.reduce(_ unionByName _)
+  }
+
+  def freshnessSummaryOracle(prelude: String,
+      warnAfterHours: Int = 24, errorAfterHours: Int = 48): String =
+    s"""$prelude,
+    f AS (
+      SELECT 'bronze_customers' AS source, max(_loaded_at) AS max_loaded_at
+      FROM bronze_customers
+      UNION ALL
+      SELECT 'bronze_orders', max(_loaded_at) FROM bronze_orders
+      UNION ALL
+      SELECT 'bronze_payments', max(_loaded_at) FROM bronze_payments)
+    SELECT source, max_loaded_at,
+      CAST(date_diff('hour', max_loaded_at,
+        TIMESTAMP '${graft.model.Clock.nowLit}') AS BIGINT) AS hours_stale,
+      CASE WHEN date_diff('hour', max_loaded_at,
+             TIMESTAMP '${graft.model.Clock.nowLit}') >= $errorAfterHours THEN 'error'
+           WHEN date_diff('hour', max_loaded_at,
+             TIMESTAMP '${graft.model.Clock.nowLit}') >= $warnAfterHours THEN 'warn'
+           ELSE 'pass' END AS status
+    FROM f"""
+
   // ---- single-pass count forms (for the aggregated summary query) ----
 
   /** Surplus-row count for `unique`: count(col) - count(distinct col).
