@@ -43,7 +43,8 @@ object Registry {
     layer: String,
     materialization: Materialization,
     deps: Seq[String],
-    build: (SparkSession, String, Map[String, DataFrame]) => DataFrame)
+    build: (SparkSession, String, Map[String, DataFrame]) => DataFrame,
+    layout: TableLayout = TableLayout.none)
 
   /** All nine models; listed in any order — [[topoOrder]] sorts by deps. */
   val models: Seq[Model] = Seq(
@@ -55,20 +56,29 @@ object Registry {
       (s, dir, _) => Bronze.payments(s, dir)),
     Model("silver_customers", "silver", Table, Seq("bronze_customers"),
       (_, _, up) => Silver.customersFrom(up("bronze_customers"))),
+    // silver fact tables co-bucketed on order_key: the gold
+    // payments⋈orders joins (J3/J5) then run shuffle-free under a
+    // bucketing-aware sink (the bucketing IS the shuffle, paid at write)
     Model("silver_orders", "silver", Table, Seq("bronze_orders", "silver_customers"),
-      (_, _, up) => Silver.ordersFrom(up("bronze_orders"), up("silver_customers"))),
+      (_, _, up) => Silver.ordersFrom(up("bronze_orders"), up("silver_customers")),
+      TableLayout(bucketBy = Some((8, Seq("order_key"))), sortBy = Seq("order_key"))),
     Model("silver_payments", "silver", Table, Seq("bronze_payments", "silver_orders"),
-      (_, _, up) => Silver.paymentsFrom(up("bronze_payments"), up("silver_orders"))),
+      (_, _, up) => Silver.paymentsFrom(up("bronze_payments"), up("silver_orders")),
+      TableLayout(bucketBy = Some((8, Seq("order_key"))), sortBy = Seq("order_key"))),
     Model("gold_customer_summary", "gold", Table,
       Seq("silver_customers", "silver_orders", "silver_payments"),
       (_, _, up) => Gold.customerSummaryFrom(
         up("silver_customers"), up("silver_orders"), up("silver_payments"))),
+    // date-partitioned marts: downstream year-scoped reads prune whole
+    // partition directories instead of scanning the table
     Model("gold_order_metrics", "gold", Table, Seq("silver_orders"),
-      (_, _, up) => Gold.orderMetricsFrom(up("silver_orders"))),
+      (_, _, up) => Gold.orderMetricsFrom(up("silver_orders")),
+      TableLayout(partitionBy = Seq("order_year"))),
     Model("gold_revenue_analysis", "gold", Table,
       Seq("silver_orders", "silver_payments"),
       (_, _, up) => Gold.revenueAnalysisFrom(
-        up("silver_orders"), up("silver_payments"))))
+        up("silver_orders"), up("silver_payments")),
+      TableLayout(partitionBy = Seq("order_year"))))
 
   /** Kahn topological order; deterministic (stable by declaration order). */
   def topoOrder: Seq[Model] = {
@@ -122,7 +132,7 @@ object Registry {
     val df = m.build(spark, sourceDir, upstream)
     val materialized = m.materialization match {
       case View => df
-      case Table => sink.overwrite(spark, m.layer, m.name, df)
+      case Table => sink.overwrite(spark, m.layer, m.name, df, m.layout)
     }
     materialized.createOrReplaceTempView(m.name)
     materialized

@@ -14,11 +14,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * with no engine changes; the parquet default degrades to a staged
   * rewrite (documented, non-atomic).
   */
+/** Physical layout for a materialized table — the two levers that matter
+  * at 100 TB: `partitionBy` date-ish columns so downstream readers prune
+  * whole directories, and `bucketBy` join keys so equi-joins between
+  * co-bucketed tables run with NO shuffle exchange (the bucketing is the
+  * shuffle, paid once at write). `sortBy` within buckets additionally
+  * removes the sort from sort-merge joins. */
+final case class TableLayout(
+  partitionBy: Seq[String] = Seq.empty,
+  bucketBy: Option[(Int, Seq[String])] = None,
+  sortBy: Seq[String] = Seq.empty)
+
+object TableLayout {
+  val none: TableLayout = TableLayout()
+}
+
 trait TableSink {
 
   /** Overwrite `layer`.`name` with `df`; returns a reader over the stored
     * table (the materialization barrier downstream models build on). */
-  def overwrite(spark: SparkSession, layer: String, name: String, df: DataFrame): DataFrame
+  def overwrite(spark: SparkSession, layer: String, name: String, df: DataFrame,
+    layout: TableLayout = TableLayout.none): DataFrame
 
   /** Upsert `incoming` into `layer`.`name` by `key` (dbt incremental with
     * `unique_key`); returns a reader over the merged table. */
@@ -37,8 +53,12 @@ final class ParquetSink(warehouseDir: String) extends TableSink {
   private def path(layer: String, name: String) = s"$warehouseDir/$layer/$name"
 
   override def overwrite(spark: SparkSession, layer: String, name: String,
-      df: DataFrame): DataFrame = {
-    df.write.mode("overwrite").parquet(path(layer, name))
+      df: DataFrame, layout: TableLayout = TableLayout.none): DataFrame = {
+    // path-routed parquet has no catalog, so bucket metadata cannot be
+    // recorded — partitioning applies, bucketing needs [[CatalogSink]]
+    val w = df.write.mode("overwrite")
+    val wp = if (layout.partitionBy.nonEmpty) w.partitionBy(layout.partitionBy: _*) else w
+    wp.parquet(path(layer, name))
     read(spark, layer, name)
   }
 
@@ -83,9 +103,15 @@ final class CatalogSink(format: String = "parquet",
     s"${database(layer)}.$name"
 
   override def overwrite(spark: SparkSession, layer: String, name: String,
-      df: DataFrame): DataFrame = {
+      df: DataFrame, layout: TableLayout = TableLayout.none): DataFrame = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS ${database(layer)}")
-    df.write.mode("overwrite").format(format).saveAsTable(ident(layer, name))
+    var w = df.write.mode("overwrite").format(format)
+    if (layout.partitionBy.nonEmpty) w = w.partitionBy(layout.partitionBy: _*)
+    layout.bucketBy.foreach { case (n, cols) =>
+      w = w.bucketBy(n, cols.head, cols.tail: _*)
+      if (layout.sortBy.nonEmpty) w = w.sortBy(layout.sortBy.head, layout.sortBy.tail: _*)
+    }
+    w.saveAsTable(ident(layer, name))
     read(spark, layer, name)
   }
 

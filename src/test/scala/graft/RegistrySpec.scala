@@ -64,6 +64,32 @@ class RegistrySpec extends SparkSpec {
     assert(spark.table("silver.merge_probe").count() == 3)
   }
 
+  test("co-bucketed silver tables join with no shuffle exchange") {
+    val sink = new graft.pipeline.CatalogSink()
+    val out = Registry.run(spark, Sf0001, sink)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a sort-merge join so the Exchange (or its absence) is visible
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("silver.silver_orders")
+        .join(spark.table("silver.silver_payments"), Seq("order_key"))
+        .select("order_key", "payment_key", "order_amount", "payment_amount")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed-by-order_key tables must join without a shuffle:\n$plan")
+      assert(joined.count() == out("silver_payments").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("gold marts are partitioned by order_year on disk") {
+    val wh = Files.createTempDirectory("graft_wh_p").toString
+    Registry.run(spark, Sf0001, wh)
+    val dirs = new java.io.File(s"$wh/gold/gold_order_metrics").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("order_year=")),
+      s"expected order_year= partition dirs, got ${dirs.toSeq}")
+  }
+
   test("parquet sink merge matches the pure-transform semantics") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft_wh_m").toString
