@@ -260,13 +260,23 @@ object Similarity {
     * — both linear in N; the trained centroids (k×dim doubles) are
     * collected to the driver exactly like MLlib's KMeansModel holds them. */
   def ivfCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // k×dim doubles live driver-side between iterations (like MLlib's
+    // KMeansModel): each Lloyd step is one distributed job whose plan
+    // reads the parquet once, instead of a lineage that re-derives every
+    // earlier iteration recursively.
+    def localized(cents: DataFrame): DataFrame = {
+      val rows = cents.select("centroid_id", "c_vec", "c_nrm")
+        .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1)
+      spark.createDataset(rows).toDF("centroid_id", "c_vec", "c_nrm")
+    }
     val base = withNorm(spark, dir)
-    var cents = base.filter(col("vec_id") < IvfK)
+    var cents = localized(base.filter(col("vec_id") < IvfK)
       .select(col("vec_id").as("centroid_id"), col("vec").as("c_vec"),
-        col("nrm").as("c_nrm"))
+        col("nrm").as("c_nrm")))
     for (_ <- 1 to IvfIters) {
       val meanComp = (col("s").cast("double") / lit(1000000.0)) / col("n")
-      cents = assignToCentroids(base, cents)
+      cents = localized(assignToCentroids(base, cents)
         .join(base, Seq("vec_id"))
         .select(col("centroid_id"), posexplode(col("vec")))
         .toDF("centroid_id", "pos", "comp")
@@ -277,14 +287,9 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), meanComp.as("m")))),
           x => x.getField("m")).as("c_vec"))
-        .withColumn("c_nrm", expr("vec_dot(c_vec, c_vec)"))
+        .withColumn("c_nrm", expr("vec_dot(c_vec, c_vec)")))
     }
-    // k×dim doubles — driver-side like any k-means model; avoids
-    // re-deriving the whole training lineage on each downstream reference.
-    import spark.implicits._
-    val trained = cents.select("centroid_id", "c_vec", "c_nrm")
-      .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1)
-    spark.createDataset(trained).toDF("centroid_id", "c_vec", "c_nrm")
+    cents
   }
 
   /** IVF ANN: k-means coarse quantizer ([[ivfCentroids]]), one assignment
