@@ -236,6 +236,12 @@ object Queries {
       Seq("doc_a", "doc_b"),
       (s, d) => ops.Similarity.cosineNearDup(s, d), ops.Similarity.cosineNearDupOracle()),
 
+    Spec("corpus_clean",
+      Seq("doc_id" -> P, "labeled_lang" -> P, "predicted_lang" -> P,
+        "dup_count" -> L, "token_est" -> L, "quality_score" -> P),
+      Seq("doc_id"),
+      (s, d) => ops.Corpus.corpusClean(s, d), ops.Corpus.corpusCleanOracle()),
+
     Spec("events_sessions",
       Seq("user_id" -> P, "session_seq" -> L, "n_events" -> L,
         "start_ts" -> P, "end_ts" -> P, "duration_secs" -> P,

@@ -70,6 +70,23 @@ class OpsSpec extends SparkSpec {
     val _ = exact // exact set computed to ensure both paths run
   }
 
+  test("sign_bits matches the SQL-expressible md5 formulation bit-for-bit") {
+    graft.functions.VectorFunctions.register(spark)
+    // the interpreted reference formulation the DuckDB oracle mirrors:
+    // per plane j, fold coef(j,c)·vec[c] left-to-right, emit sign bit
+    val planes = 9
+    val hof = (0 until planes).map { j =>
+      s"""CASE WHEN aggregate(sequence(1, size(vec)), cast(0.0 as double),
+           (acc, c) -> acc + (2 * ((instr('0123456789abcdef',
+             substring(md5(concat(cast($j as string), '_', cast(c as string))), 1, 1)) - 1) & 1) - 1)
+             * element_at(vec, c), acc -> acc) > 0
+         THEN '1' ELSE '0' END"""
+    }.mkString("concat(", ", ", ")")
+    val df = graft.ops.Similarity.embeddings(spark, Sf0001)
+      .select(expr(s"sign_bits(vec, $planes)").as("native"), expr(hof).as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
   test("multi-probe lsh recall dominates single-probe recall") {
     val exact = Similarity.annTopK(spark, Sf0001, k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
