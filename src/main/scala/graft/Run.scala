@@ -5,16 +5,21 @@ import org.apache.spark.sql.SparkSession
 /** Human-facing pipeline CLI — the `dbt run && dbt test && dbt source
   * freshness` equivalent in one shot:
   *
-  *   sbt "runMain graft.Run <sourceDir> <warehouseDir>"
+  *   sbt "runMain graft.Run <sourceDir> <warehouseDir>"            # parquet paths
+  *   sbt "runMain graft.Run <sourceDir> --catalog"                 # SQL databases
   *
   * Materializes the nine-model DAG into the warehouse (bronze views,
-  * silver/gold parquet tables), prints per-model rowcounts, source
-  * freshness, and the full declared data-quality inventory.
+  * silver/gold tables — path-routed parquet, or `--catalog` for the
+  * reference's BRONZE/SILVER/GOLD database routing), prints per-model
+  * rowcounts, source freshness, and the full declared data-quality
+  * inventory.
   */
 object Run {
   def main(args: Array[String]): Unit = {
-    val sourceDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val warehouse = if (args.length > 1) args(1)
+    val catalogMode = args.contains("--catalog")
+    val positional = args.filterNot(_.startsWith("--"))
+    val sourceDir = positional.headOption.getOrElse("/root/testdata/sf0.001")
+    val warehouse = if (positional.length > 1) positional(1)
       else java.nio.file.Files.createTempDirectory("graft_warehouse").toString
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -26,13 +31,20 @@ object Run {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    println(s"== graft run: $sourceDir -> $warehouse")
+    val sinkDesc = if (catalogMode) "catalog (bronze/silver/gold databases)" else warehouse
+    println(s"== graft run: $sourceDir -> $sinkDesc")
     val t0 = System.nanoTime()
-    val models = pipeline.Registry.run(spark, sourceDir, warehouse)
+    val sink: pipeline.TableSink =
+      if (catalogMode) new pipeline.CatalogSink()
+      else new pipeline.ParquetSink(warehouse)
+    val models = pipeline.Registry.run(spark, sourceDir, sink)
     pipeline.Registry.topoOrder.foreach { m =>
       println(f"  ${m.name}%-24s ${m.materialization}%-6s ${models(m.name).count()}%8d rows")
     }
     println(f"== run completed in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    if (catalogMode)
+      println(s"==   spark.table(\"silver.silver_orders\") -> " +
+        s"${spark.table("silver.silver_orders").count()} rows")
 
     println("== source freshness")
     pipeline.Registry.sourceFreshness(spark, sourceDir).foreach {
