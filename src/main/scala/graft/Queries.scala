@@ -254,6 +254,12 @@ object Queries {
         "n_users" -> L, "total_value" -> P),
       Seq("window_start", "event_type"), ops.Events.windowed, ops.Events.windowedOracle),
 
+    Spec("events_attribution",
+      Seq("purchase_id" -> P, "click_id" -> P, "user_id" -> P,
+        "purchase_ts" -> P, "click_ts" -> P, "value" -> P),
+      Seq("purchase_id", "click_id"),
+      ops.Events.attribution, ops.Events.attributionOracle),
+
     Spec("streaming_windowed_parity",
       Seq("window_start" -> P, "event_type" -> P, "n_events" -> L,
         "total_value" -> P),

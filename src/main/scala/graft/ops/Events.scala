@@ -102,6 +102,46 @@ object Events {
          sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
        FROM events GROUP BY 1, 2"""
 
+  val AttributionWindowMinutes = 30
+
+  /** Purchase→click attribution: each purchase joined to the same user's
+    * clicks in the preceding [[AttributionWindowMinutes]] — the batch twin
+    * of [[graft.streaming.StreamingOps.attributionStream]]'s stream-stream
+    * interval join. One equi-shuffle on user_id; the time predicate
+    * filters inside the join. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    purchases.join(clicks, Seq("user_id"))
+      .filter(col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts")
+          - expr(s"INTERVAL $AttributionWindowMinutes MINUTES"))
+      .select("purchase_id", "click_id", "user_id", "purchase_ts",
+        "click_ts", "value")
+  }
+
+  def attributionOracle: String =
+    s"""WITH e AS (
+      SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id,
+        event_type, value
+      FROM events),
+    clicks AS (
+      SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM e WHERE event_type = 'click'),
+    purchases AS (
+      SELECT user_id, ts AS purchase_ts, event_id AS purchase_id, value
+      FROM e WHERE event_type = 'purchase')
+    SELECT p.purchase_id, c.click_id, p.user_id, p.purchase_ts,
+      c.click_ts, p.value
+    FROM purchases p JOIN clicks c ON c.user_id = p.user_id
+      AND c.click_ts <= p.purchase_ts
+      AND c.click_ts >= p.purchase_ts - INTERVAL $AttributionWindowMinutes MINUTE"""
+
   /** JSON property extraction + per-type rollup: `props` is a JSON string
     * column ({"k": int}). */
   def jsonStats(spark: SparkSession, dir: String): DataFrame =

@@ -142,6 +142,30 @@ object StreamingOps {
       }
   }
 
+  /** Stream-stream interval join: purchases matched to the same user's
+    * clicks within the attribution window. Both sides carry watermarks,
+    * so Spark bounds the click-side state to watermark + window and the
+    * purchase side to the watermark — the state-eviction contract that
+    * makes stream-stream joins runnable indefinitely. Batch twin:
+    * [[graft.ops.Events.attribution]]. */
+  def attributionStream(events: DataFrame,
+      windowMinutes: Int = graft.ops.Events.AttributionWindowMinutes): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      col("click_user") === col("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select("purchase_id", "click_id", "user_id", "purchase_ts",
+        "click_ts", "value")
+  }
+
   /** Driver-checked stream-vs-batch parity: a REAL streaming execution
     * (file source → watermark → tumbling-window agg → memory sink) over
     * the events table, emitting the same (window_start, event_type,

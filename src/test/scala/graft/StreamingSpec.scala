@@ -51,6 +51,18 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream-stream interval join matches the batch attribution join") {
+    val stream = StreamingOps.readEventsStream(spark, eventsDir)
+    val streamed = StreamingOps.runToMemory(
+      spark, StreamingOps.attributionStream(stream), "attrib_stream")
+      .select("purchase_id", "click_id")
+    val batch = graft.ops.Events.attribution(spark, Sf0001)
+      .select("purchase_id", "click_id")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(batch.count() > 0, "attribution window must produce rows at sf0.001")
+  }
+
   test("gapSessions closes idle sessions via event-time timeout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
