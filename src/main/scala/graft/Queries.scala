@@ -137,6 +137,13 @@ object Queries {
       pipeline.IncrementalQueries.incrementalMerge,
       pipeline.IncrementalQueries.incrementalMergeOracle),
 
+    Spec("incremental_append",
+      Seq("order_id" -> P, "customer_id" -> P, "order_date" -> P,
+        "order_status" -> P, "order_amount" -> P) ++ auditT :+ ("_source_model" -> P),
+      Seq("order_id"),
+      pipeline.IncrementalQueries.incrementalAppend,
+      pipeline.IncrementalQueries.incrementalAppendOracle),
+
     Spec("scd2_snapshot",
       Seq("customer_id" -> P, "email" -> P, "_valid_from" -> P,
         "_valid_to" -> P, "_is_current" -> P),

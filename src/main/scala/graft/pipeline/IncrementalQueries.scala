@@ -53,6 +53,32 @@ object IncrementalQueries {
       UNION ALL SELECT * FROM incoming)
     SELECT * FROM merged"""
 
+  /** dbt `incremental` with no unique key (insert-only), replayed as a
+    * batch: target = orders before the cutoff; the incoming batch is the
+    * WHOLE feed (the common at-least-once redelivery shape) — the
+    * high-water-mark filter must keep exactly the rows strictly newer
+    * than max(order_date) in the target. */
+  def incrementalAppend(spark: SparkSession, dir: String): DataFrame = {
+    val bronze = Bronze.orders(spark, dir)
+    val cutoff = to_date(lit(CutoffDate))
+    // null order_dates excluded from the target so the high-water mark is
+    // well-defined; they also fail the > hwm filter on the incoming side,
+    // mirroring the oracle's NULL comparison semantics
+    val target = bronze.filter(col("order_date") < cutoff)
+    Incremental.append(target, bronze, "order_date")
+  }
+
+  def incrementalAppendOracle: String =
+    s"""${OracleSql.prelude},
+    target AS (
+      SELECT * FROM bronze_orders WHERE order_date < DATE '$CutoffDate'),
+    appended AS (
+      SELECT * FROM target
+      UNION ALL
+      SELECT * FROM bronze_orders
+      WHERE order_date > (SELECT max(order_date) FROM target))
+    SELECT * FROM appended"""
+
   val Scd2T0 = "2001-08-14 00:00:00"
   val Scd2T1 = "2001-08-15 00:00:00"
   /** Day-1 email mutation modulus and day-0 late-arrival modulus. */

@@ -52,6 +52,13 @@ class PlanSpec extends SparkSpec {
       "adaptivity must engage beyond oracle-checked scales")
   }
 
+  test("attribution interval join is an equi-join on user, not a cartesian") {
+    val p = plan(graft.ops.Events.attribution(spark, Sf0001))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "user_id must be the equi key; the time range is a join filter")
+  }
+
   test("whole-stage codegen covers the silver hot path") {
     // AQE prints codegen spans only in codegen explain mode pre-execution.
     val p = Silver.payments(spark, Sf0001).queryExecution
