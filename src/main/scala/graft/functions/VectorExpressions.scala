@@ -130,12 +130,16 @@ case class SignBits(vec: Expression, planes: Expression)
   @transient private lazy val nPlanes: Int =
     planes.eval(null).asInstanceOf[Int]
   // coefficient matrix built once per (deserialized) instance for the
-  // observed dimensionality; a benign rebuild races at worst
-  @transient private var coefCache: Array[Double] = _
-  @transient private var coefDim: Int = -1
+  // observed dimensionality; published as ONE volatile immutable pair so
+  // a concurrent reader can never observe a dim that matches with a
+  // partially-visible array (a plain var pair could) — worst case under
+  // contention is a redundant identical rebuild
+  @transient @volatile private var coefCache: (Int, Array[Double]) = _
 
   private def coefsFor(dim: Int): Array[Double] = {
-    if (coefDim != dim) {
+    val cached = coefCache
+    if (cached != null && cached._1 == dim) cached._2
+    else {
       val arr = new Array[Double](nPlanes * dim)
       var j = 0
       while (j < nPlanes) {
@@ -146,10 +150,9 @@ case class SignBits(vec: Expression, planes: Expression)
         }
         j += 1
       }
-      coefCache = arr
-      coefDim = dim
+      coefCache = (dim, arr)
+      arr
     }
-    coefCache
   }
 
   override def nullSafeEval(v: Any, p: Any): Any = {

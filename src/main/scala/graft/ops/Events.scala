@@ -20,10 +20,14 @@ object Events {
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     // The events parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    // reader rejects; `spark.sql.legacy.parquet.nanosAsLong=true` (set by
-    // the session builders — Run/Bench/Verify/tests, never mutated here)
-    // reads nanos as long; truncate to micros exactly like DuckDB does on
-    // its read (floor division by 1000).
+    // reader rejects; `spark.sql.legacy.parquet.nanosAsLong=true` reads
+    // nanos as long, truncated to micros exactly like DuckDB (div 1000).
+    // The library's own session builders (Run/Bench/Verify/tests) set the
+    // conf up front; for sessions built elsewhere it is enabled here ONLY
+    // if unset — an idempotent enable of an otherwise-unreadable type, not
+    // a behavior change for sessions that configured it deliberately.
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts",
         timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))

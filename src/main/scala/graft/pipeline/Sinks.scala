@@ -70,6 +70,11 @@ final class ParquetSink(warehouseDir: String) extends TableSink {
     Incremental.merge(read(spark, layer, name), incoming, key)
       .write.mode("overwrite").parquet(staging)
     spark.read.parquet(staging).write.mode("overwrite").parquet(path(layer, name))
+    // drop the staging copy: underscore-prefixed paths are invisible to
+    // recursive listings, but leaving one full table per merge on disk is
+    // unbounded growth
+    val p = new org.apache.hadoop.fs.Path(staging)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
     read(spark, layer, name)
   }
 
@@ -105,6 +110,7 @@ final class CatalogSink(format: String = "parquet",
   override def overwrite(spark: SparkSession, layer: String, name: String,
       df: DataFrame, layout: TableLayout = TableLayout.none): DataFrame = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS ${database(layer)}")
+    dropStaleManagedLocation(spark, layer, name)
     var w = df.write.mode("overwrite").format(format)
     if (layout.partitionBy.nonEmpty) w = w.partitionBy(layout.partitionBy: _*)
     layout.bucketBy.foreach { case (n, cols) =>
@@ -127,6 +133,7 @@ final class CatalogSink(format: String = "parquet",
            WHEN NOT MATCHED THEN INSERT *""")
       spark.catalog.dropTempView(src)
     } else {
+      dropStaleManagedLocation(spark, layer, s"_graft_staging_$name")
       val staging = s"${database(layer)}._graft_staging_$name"
       Incremental.merge(read(spark, layer, name), incoming, key)
         .write.mode("overwrite").format(format).saveAsTable(staging)
@@ -139,4 +146,24 @@ final class CatalogSink(format: String = "parquet",
 
   override def read(spark: SparkSession, layer: String, name: String): DataFrame =
     spark.table(ident(layer, name))
+
+  /** A managed table's files survive the JVM while the in-memory catalog
+    * does not, so a later process re-creating the table would hit
+    * LOCATION_ALREADY_EXISTS. If the catalog does NOT know the table but
+    * its default managed location exists on disk, it is an orphan from a
+    * previous run — remove it before writing. (A catalog-known table is
+    * left alone: saveAsTable(Overwrite) replaces it transactionally.) */
+  private def dropStaleManagedLocation(spark: SparkSession, layer: String,
+      name: String): Unit = {
+    val known = spark.catalog.databaseExists(database(layer)) &&
+      spark.catalog.tableExists(ident(layer, name))
+    if (!known) {
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(
+        s"$warehouse/${database(layer).toLowerCase(java.util.Locale.ROOT)}.db/" +
+          name.toLowerCase(java.util.Locale.ROOT))
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+  }
 }

@@ -61,6 +61,12 @@ object StreamingOps {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Epoch micros from a java.sql.Timestamp without dropping the
+    * sub-millisecond component (getTime is ms; the nanos field holds the
+    * full sub-second part). */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+
   final case class GapSessionState(
     nEvents: Long, startMicros: Long, lastMicros: Long)
   final case class SessionClose(
@@ -92,11 +98,11 @@ object StreamingOps {
             Iterator(SessionClose(userId, s.nEvents, s.startMicros,
               s.lastMicros, closed_by_timeout = true))
           } else {
-            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = batch.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
             val closed = Seq.newBuilder[SessionClose]
             var cur = state.getOption
             sorted.foreach { e =>
-              val us = e.ts.getTime * 1000L
+              val us = tsMicros(e.ts)
               cur = cur match {
                 case Some(s) if us - s.lastMicros > gapUs =>
                   closed += SessionClose(userId, s.nEvents, s.startMicros,
@@ -135,7 +141,7 @@ object StreamingOps {
         (userId: Long, batch: Iterator[Event], state: GroupState[UserSessionState]) =>
           val events = batch.toSeq
           val prev = state.getOption.getOrElse(UserSessionState(0L, Long.MinValue))
-          val lastMicros = events.map(e => e.ts.getTime * 1000L).foldLeft(prev.lastTsMicros)(math.max)
+          val lastMicros = events.map(e => tsMicros(e.ts)).foldLeft(prev.lastTsMicros)(math.max)
           val next = UserSessionState(prev.nEvents + events.size, lastMicros)
           state.update(next)
           SessionUpdate(userId, next.nEvents, next.lastTsMicros, closed = false)
