@@ -172,6 +172,19 @@ object Queries {
       Seq("r_name", "n_name"),
       ops.Analytics.nationRevenue, ops.Analytics.nationRevenueOracle),
 
+    Spec("tpch_q7_trade_flow",
+      Seq("supp_nation" -> P, "cust_nation" -> P, "l_year" -> I,
+        "revenue" -> P, "n_items" -> L),
+      Seq("supp_nation", "cust_nation", "l_year"),
+      (s, d) => ops.Analytics.nationTradeFlow(s, d),
+      ops.Analytics.nationTradeFlowOracle()),
+
+    Spec("tpch_q9_profit",
+      Seq("nation" -> P, "o_year" -> I, "profit" -> P, "n_items" -> L),
+      Seq("nation", "o_year"),
+      (s, d) => ops.Analytics.partTypeProfit(s, d),
+      ops.Analytics.partTypeProfitOracle()),
+
     Spec("revenue_cube",
       Seq("order_year" -> I, "order_quarter" -> I, "gid" -> L,
         "n_orders" -> L, "revenue" -> P),

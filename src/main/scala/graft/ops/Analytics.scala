@@ -143,6 +143,81 @@ object Analytics {
     FROM silver_orders WHERE is_completed
     GROUP BY CUBE(order_year, order_quarter)"""
 
+  /** TPC-H Q7 shape: bilateral trade flow — revenue shipped between two
+    * chosen nations (supplier side → customer side, both directions) by
+    * ship year. Two aliases of the same nation dimension broadcast to
+    * opposite sides of the fact join. */
+  def nationTradeFlow(spark: SparkSession, dir: String,
+      nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val n1 = t(spark, dir, "nation")
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val n2 = t(spark, dir, "nation")
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("s_nkey"))
+      .join(n2, col("c_nationkey") === col("c_nkey"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .withColumn("l_year",
+        year(col("l_shipdate").cast("timestamp_ntz").cast("date")))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sumFixed(rev).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  def nationTradeFlowOracle(nationA: String = "NATION_1",
+      nationB: String = "NATION_2"): String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(extract(year FROM l_shipdate) AS INTEGER) AS l_year,
+         ${sumFixedSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+         count(*) AS n_items
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       WHERE (n1.n_name = '$nationA' AND n2.n_name = '$nationB')
+          OR (n1.n_name = '$nationB' AND n2.n_name = '$nationA')
+       GROUP BY 1, 2, 3"""
+
+  /** TPC-H Q9 shape: profit by supplier nation and order year for one
+    * part type. The testdata has no partsupp table, so supply cost is
+    * proxied as 10% of retail price per unit — the operator shape
+    * (two-fact join + two dimensions + derived money expression) is the
+    * point. */
+  def partTypeProfit(spark: SparkSession, dir: String,
+      partType: String = "ECONOMY"): DataFrame = {
+    val profit = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+      col("p_retailprice") * lit(0.1) * col("l_quantity")
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "part").filter(col("p_type") === partType),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(t(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("o_year",
+        year(col("o_orderdate").cast("timestamp_ntz").cast("date")))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(sumFixed(profit).as("profit"), count(lit(1)).as("n_items"))
+  }
+
+  def partTypeProfitOracle(partType: String = "ECONOMY"): String =
+    s"""SELECT n_name AS nation,
+         CAST(extract(year FROM o_orderdate) AS INTEGER) AS o_year,
+         ${sumFixedSql("l_extendedprice * (1 - l_discount) - p_retailprice * 0.1 * l_quantity")} AS profit,
+         count(*) AS n_items
+       FROM lineitem
+       JOIN part ON l_partkey = p_partkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN orders ON l_orderkey = o_orderkey
+       WHERE p_type = '$partType'
+       GROUP BY 1, 2"""
+
   /** TPC-H Q14 shape: promo part revenue share by ship month. */
   def promoShare(spark: SparkSession, dir: String): DataFrame = {
     val p = t(spark, dir, "part")
