@@ -192,6 +192,12 @@ object Queries {
       ops.Analytics.revenueCube,
       ops.Analytics.revenueCubeOracle(OracleSql.prelude)),
 
+    Spec("tpch_q13_custdist",
+      Seq("c_count" -> L, "custdist" -> L),
+      Seq("c_count"),
+      ops.Analytics.customerOrderDistribution,
+      ops.Analytics.customerOrderDistributionOracle),
+
     Spec("tpch_q14_promo_share",
       Seq("ship_month" -> P, "promo_revenue" -> P, "total_revenue" -> P,
         "n_items" -> L, "promo_share" -> P),

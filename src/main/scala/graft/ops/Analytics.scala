@@ -218,6 +218,27 @@ object Analytics {
        WHERE p_type = '$partType'
        GROUP BY 1, 2"""
 
+  /** TPC-H Q13 shape: customer distribution by order count — LEFT OUTER
+    * join so never-ordered customers land in the zero bucket, then a
+    * second aggregation over the first (agg-of-agg). Both aggs are hash
+    * aggs; the outer join shuffles once on custkey. */
+  def customerOrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val perCustomer = t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCustomer.groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  def customerOrderDistributionOracle: String =
+    """SELECT c_count, count(*) AS custdist
+       FROM (
+         SELECT c_custkey, count(o_orderkey) AS c_count
+         FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey)
+       GROUP BY 1"""
+
   /** TPC-H Q14 shape: promo part revenue share by ship month. */
   def promoShare(spark: SparkSession, dir: String): DataFrame = {
     val p = t(spark, dir, "part")
