@@ -10,10 +10,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      // 20 queries x many stages overflow the default 100-entry codegen
-      // cache; evictions made the widest plan (dq_summary) recompile every
-      // branch when its turn came (measured 3x slowdown vs isolation).
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // Many queries x many stages overflow small codegen caches (the
+      // default 100 caused 3x dq_summary recompiles in round 1; 2000 got
+      // marginal at 42 queries x 2 passes in round 2) — size generously,
+      // entries are just compiled-class references.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up pass at the smallest SF: triggers JIT + whole-stage-codegen
