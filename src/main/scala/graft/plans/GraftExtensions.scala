@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{SimHash64, StrHamming, VecDot}
+import graft.functions.{SignBits, SimHash64, StrHamming, VecDot}
 
 /** SparkSessionExtensions entry point: makes the engine's native functions
   * available to ANY session created with
@@ -30,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("str_hamming"),
       new ExpressionInfo(classOf[StrHamming].getName, "str_hamming"),
       exprs => StrHamming(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("sign_bits"),
+      new ExpressionInfo(classOf[SignBits].getName, "sign_bits"),
+      exprs => SignBits(exprs(0), exprs(1))))
   }
 }

@@ -21,10 +21,12 @@ class ExtensionsSpec extends SparkSpec {
       val r = extended.sql(
         """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
                   str_hamming('1010', '1001') AS h,
-                  length(simhash64(array('alpha', 'beta'))) AS s""").head()
+                  length(simhash64(array('alpha', 'beta'))) AS s,
+                  length(sign_bits(array(1.0D, -2.0D), 6)) AS b""").head()
       assert(r.getDouble(0) == 11.0)
       assert(r.getInt(1) == 2)
       assert(r.getInt(2) == 64)
+      assert(r.getInt(3) == 6)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
