@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StringType}
 
@@ -113,7 +113,7 @@ object SignBits {
   * stay bit-identical cross-engine.
   */
 case class SignBits(vec: Expression, planes: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def left: Expression = vec
   override def right: Expression = planes
@@ -136,7 +136,8 @@ case class SignBits(vec: Expression, planes: Expression)
   // contention is a redundant identical rebuild
   @transient @volatile private var coefCache: (Int, Array[Double]) = _
 
-  private def coefsFor(dim: Int): Array[Double] = {
+  // public: the generated code calls it through an addReferenceObj handle
+  def coefsFor(dim: Int): Array[Double] = {
     val cached = coefCache
     if (cached != null && cached._1 == dim) cached._2
     else {
@@ -174,6 +175,38 @@ case class SignBits(vec: Expression, planes: Expression)
     org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
   }
 
+  /** Same primitive double-loop as [[nullSafeEval]], emitted inline so the
+    * signature computation — the per-row hot loop of the whole
+    * near-dup/ANN family — stays inside whole-stage codegen instead of
+    * paying a virtual eval call + row boxing per row (the expression was
+    * CodegenFallback through round 2). The coefficient matrix is fetched
+    * through a reference-object handle to this instance (cached per dim),
+    * exactly the VecDot pattern. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("signBitsExpr", this, classOf[SignBits].getName)
+    nullSafeCodeGen(ctx, ev, (v, _) => {
+      val dim = ctx.freshName("dim")
+      val cf = ctx.freshName("cf")
+      val bits = ctx.freshName("bits")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $dim = $v.numElements();
+        double[] $cf = $self.coefsFor($dim);
+        byte[] $bits = new byte[$nPlanes];
+        for (int $j = 0; $j < $nPlanes; $j++) {
+          double $acc = 0.0;
+          for (int $c = 0; $c < $dim; $c++) {
+            $acc += $cf[$j * $dim + $c] * $v.getDouble($c);
+          }
+          $bits[$j] = $acc > 0 ? (byte) '1' : (byte) '0';
+        }
+        ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromBytes($bits);
+      """
+    })
+  }
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SignBits =
     copy(vec = newLeft, planes = newRight)
@@ -189,7 +222,7 @@ case class SignBits(vec: Expression, planes: Expression)
   * sf0.1); this eval loop is ~20×(words) cheaper per row.
   */
 case class SimHash64(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -199,8 +232,19 @@ case class SimHash64(child: Expression)
   override def dataType: DataType = StringType
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    hashWords(input.asInstanceOf[ArrayData])
+
+  /** Per-word md5 dominates the cost, so full inline codegen buys little;
+    * but a direct typed call avoids CodegenFallback's per-row boxing of
+    * the array into an InternalRow + interpreted dispatch, and keeps the
+    * surrounding stage in whole-stage codegen. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simHashExpr", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, w => s"${ev.value} = $self.hashWords($w);")
+  }
+
+  def hashWords(words: ArrayData): org.apache.spark.unsafe.types.UTF8String = {
     val votes = new Array[Int](64)
     val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
@@ -235,7 +279,7 @@ case class SimHash64(child: Expression)
 
 /** Hamming distance between two equal-length ASCII strings (bit strings). */
 case class StrHamming(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == StringType && right.dataType == StringType)
@@ -253,6 +297,28 @@ case class StrHamming(left: Expression, right: Expression)
     while (i < n) { if (xs(i) != ys(i)) d += 1; i += 1 }
     d
   }
+
+  /** Simhash candidate filtering evaluates this once per band-collision
+    * pair — a pure byte loop, so inline it (the interpreted form cost a
+    * per-row virtual call + boxing inside an otherwise codegen'd stage). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val xs = ctx.freshName("xs")
+      val ys = ctx.freshName("ys")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      s"""
+        byte[] $xs = $a.getBytes();
+        byte[] $ys = $b.getBytes();
+        int $n = java.lang.Math.min($xs.length, $ys.length);
+        int $d = java.lang.Math.abs($xs.length - $ys.length);
+        for (int $i = 0; $i < $n; $i++) {
+          if ($xs[$i] != $ys[$i]) $d++;
+        }
+        ${ev.value} = $d;
+      """
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): StrHamming =

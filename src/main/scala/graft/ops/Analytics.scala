@@ -123,15 +123,20 @@ object Analytics {
     // SQL formulation: the Dataset cube() output carries dataset-id
     // metadata that trips Spark's ambiguous-self-join detector when the
     // result is re-sorted by name downstream; GROUP BY CUBE through a view
-    // resolves with fresh attributes and is the same plan.
+    // resolves with fresh attributes and is the same plan. The view name
+    // is per-call unique and dropped immediately after analysis (spark.sql
+    // analyzes eagerly), so concurrent callers in one session never
+    // collide and no session state outlives the call.
+    val view = s"graft_cube_input_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     graft.silver.Silver.orders(spark, dir).filter(col("is_completed"))
-      .createOrReplaceTempView("graft_cube_input")
-    spark.sql("""
+      .createOrReplaceTempView(view)
+    try spark.sql(s"""
       SELECT order_year, order_quarter, grouping_id() AS gid,
         count(DISTINCT order_key) AS n_orders,
         sum(CAST(round(order_amount * 1000000) AS BIGINT)) / CAST(1000000 AS DOUBLE) AS revenue
-      FROM graft_cube_input
+      FROM $view
       GROUP BY CUBE(order_year, order_quarter)""")
+    finally spark.catalog.dropTempView(view)
   }
 
   def revenueCubeOracle(prelude: String): String =

@@ -24,9 +24,11 @@ object Events {
     // nanos as long, truncated to micros exactly like DuckDB (div 1000).
     // The library's own session builders (Run/Bench/Verify/tests) set the
     // conf up front; for sessions built elsewhere it is enabled here ONLY
-    // if unset — an idempotent enable of an otherwise-unreadable type, not
-    // a behavior change for sessions that configured it deliberately.
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+    // if unset — an idempotent enable of an otherwise-unreadable type. A
+    // session that explicitly set it false is left alone (the read then
+    // fails with Spark's own unsupported-type error, which is what that
+    // configuration asks for).
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts",

@@ -110,7 +110,12 @@ object Similarity {
     s"sign_bits($vecCol, $planes)"
 
   private def signBitsSqlDuck(vecCol: String, planes: Int): String =
-    s"""array_to_string(list_transform(range(0, $planes), j ->
+    signBitsSqlDuckExpr(vecCol, planes.toString)
+
+  /** Signature SQL with the plane count as a SQL expression (a column or
+    * scalar subquery), for oracles whose banding adapts to cardinality. */
+  private def signBitsSqlDuckExpr(vecCol: String, planesSql: String): String =
+    s"""array_to_string(list_transform(range(0, $planesSql), j ->
          CASE WHEN list_reduce(list_transform(range(1, len($vecCol) + 1),
            c -> (2 * ((strpos('0123456789abcdef',
              substr(md5(CAST(j AS VARCHAR) || '_' || CAST(c AS VARCHAR)), 1, 1)) - 1) & 1) - 1)
@@ -396,11 +401,25 @@ object Similarity {
     * pairs per row — constant: p = max(6, ⌊log₂(N/32)⌋), i.e. ~32 expected
     * vectors per bucket. Recall concentrates on high-similarity pairs as p
     * grows (true duplicates always collide), which is the production
-    * near-dup regime; the same knob role as [[Dedup.MaxShingleDocFrequency]]. */
-  def nearDupBandPlanes(n: Long): Int =
+    * near-dup regime; the same knob role as [[Dedup.MaxShingleDocFrequency]].
+    *
+    * Computed in INTEGER arithmetic (bit length of N/32) rather than a
+    * float log: the DuckDB oracle now computes the same value in SQL
+    * (`length(bin(n // 32)) - 1`), and a float `log(x)/log(2)` can land on
+    * 6.999… at exact power-of-two boundaries, silently desynchronizing the
+    * two engines — the adaptive-parameter oracle trap. */
+  def nearDupBandPlanes(n: Long): Int = {
+    val x = math.max(n, 1L) / 32L
+    val lg = if (x < 1L) 0 else 63 - java.lang.Long.numberOfLeadingZeros(x)
     math.min(24, // bound plan size: ≤ 6×24 plane projections per row
-      math.max(NearDupBandPlanes,
-        (math.log(math.max(n, 1L).toDouble / 32.0) / math.log(2.0)).floor.toInt))
+      math.max(NearDupBandPlanes, lg))
+  }
+
+  /** [[nearDupBandPlanes]] as a DuckDB SQL expression over a BIGINT
+    * rowcount expression — kept textually tiny so the oracle stays
+    * readable; bit-for-bit the Scala formula above. */
+  private def nearDupBandPlanesSqlDuck(nExpr: String): String =
+    s"CAST(least(24, greatest($NearDupBandPlanes, length(bin(greatest($nExpr, 1) // 32)) - 1)) AS INTEGER)"
 
   /** Embedding-cosine near-duplicate pairs, banded-LSH shape: candidates
     * are pairs sharing at least one of [[NearDupBands]] hyperplane-sign
@@ -418,11 +437,19 @@ object Similarity {
     * a production dedup threshold of 0.9 (θ≈26°) the same banding gives
     * ~0.87 and stays cheap. The oracle runs the identical banded
     * algorithm, so results stay bit-matched. */
-  def cosineNearDup(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+  def cosineNearDup(spark: SparkSession, dir: String, threshold: Double = 0.35,
+      numVectors: Option[Long] = None): DataFrame = {
     val base = withNorm(spark, dir)
-    // scalar metadata lookup (rowcount) to size the banding — the near-dup
-    // analogue of the incremental high-water-mark read
-    val planes = nearDupBandPlanes(base.count())
+    // N to size the banding: an explicit parameter (callers that just
+    // materialized the table know it), else parquet footer statistics
+    // (driver-side metadata read — zero Spark jobs, see
+    // [[graft.sources.ParquetStats]]), else count() as documented last
+    // resort. At 100 TB a count() action is a full job over every split;
+    // footer stats are the catalog answer.
+    val planes = nearDupBandPlanes(
+      numVectors
+        .orElse(graft.sources.ParquetStats.rowCount(spark, s"$dir/embeddings.parquet"))
+        .getOrElse(base.count()))
     val bands = base
       .withColumn("sig", expr(signBitsExpr("vec", NearDupBands * planes)))
       .withColumn("band", explode(expr(s"sequence(0, ${NearDupBands - 1})")))
@@ -442,18 +469,27 @@ object Similarity {
       .select("doc_a", "doc_b", "cosine")
   }
 
+  /** Oracle for [[cosineNearDup]]. The banding is ADAPTIVE here too: a
+    * `params` CTE computes planes-per-band from the live table cardinality
+    * with the same integer formula as [[nearDupBandPlanes]], so engine and
+    * oracle agree at EVERY scale a compare can run at — not just the SFs
+    * where the adaptive value happens to equal the old static 6
+    * (the round-2 latent verification gap, ADVICE medium). */
   def cosineNearDupOracle(threshold: Double = 0.35): String =
-    s"""WITH base AS (
+    s"""WITH params AS (
+      SELECT ${nearDupBandPlanesSqlDuck("count(*)")} AS planes FROM embeddings),
+    base AS (
       SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
     normed AS (
       SELECT vec_id, vec, $normSqlDuck AS nrm FROM base),
     sigs AS (
-      SELECT vec_id, ${signBitsSqlDuck("vec", NearDupBands * NearDupBandPlanes)} AS sig
-      FROM normed),
+      SELECT vec_id, ${signBitsSqlDuckExpr("vec", s"$NearDupBands * p.planes")} AS sig,
+        p.planes
+      FROM normed, params p),
     banded AS (
       SELECT vec_id, band,
-        substr(sig, CAST(1 + band * $NearDupBandPlanes AS INTEGER), $NearDupBandPlanes) AS band_key
-      FROM (SELECT vec_id, sig, unnest(range(0, $NearDupBands)) AS band FROM sigs)),
+        substr(sig, CAST(1 + band * planes AS INTEGER), CAST(planes AS INTEGER)) AS band_key
+      FROM (SELECT vec_id, sig, planes, unnest(range(0, $NearDupBands)) AS band FROM sigs)),
     cand AS (
       SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
       FROM banded a JOIN banded b

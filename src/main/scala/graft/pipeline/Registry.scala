@@ -27,12 +27,13 @@ object Registry {
 
   /** The reference's `generate_database_name` macro
     * (/root/reference/macros/generate_database_name.sql:1-9): a custom
-    * database name is uppercased, otherwise the target default applies.
-    * Catalog resolution in Spark is case-insensitive, so
+    * database name is trimmed then uppercased (the macro pipes through
+    * `trim | upper`), otherwise the target default applies. Catalog
+    * resolution in Spark is case-insensitive, so
     * `spark.table("silver.silver_orders")` resolves against the
     * uppercase-created database. */
   def databaseName(custom: Option[String], targetDefault: String): String =
-    custom.map(_.toUpperCase(java.util.Locale.ROOT)).getOrElse(targetDefault)
+    custom.map(_.trim.toUpperCase(java.util.Locale.ROOT)).getOrElse(targetDefault)
 
   sealed trait Materialization
   case object View extends Materialization

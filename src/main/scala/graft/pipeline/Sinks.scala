@@ -55,7 +55,14 @@ final class ParquetSink(warehouseDir: String) extends TableSink {
   override def overwrite(spark: SparkSession, layer: String, name: String,
       df: DataFrame, layout: TableLayout = TableLayout.none): DataFrame = {
     // path-routed parquet has no catalog, so bucket metadata cannot be
-    // recorded — partitioning applies, bucketing needs [[CatalogSink]]
+    // recorded — partitioning applies, bucketing needs [[CatalogSink]].
+    // Surface the degradation: a caller that declared co-bucketing would
+    // otherwise silently get shuffled joins downstream.
+    if (layout.bucketBy.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ParquetSink cannot record bucket metadata for $layer.$name " +
+          s"(bucketBy=${layout.bucketBy.get}); downstream joins will shuffle. " +
+          "Use CatalogSink for bucketed layouts.")
     val w = df.write.mode("overwrite")
     val wp = if (layout.partitionBy.nonEmpty) w.partitionBy(layout.partitionBy: _*) else w
     wp.parquet(path(layer, name))

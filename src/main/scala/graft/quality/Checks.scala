@@ -68,16 +68,19 @@ object Checks {
       "bronze_orders" -> graft.bronze.Bronze.orders(spark, dir),
       "bronze_payments" -> graft.bronze.Bronze.payments(spark, dir))
     feeds.map { case (name, df) =>
-      // hours = floor of the epoch-microsecond difference — NOT
+      // hours = FLOOR of the epoch-microsecond difference — NOT
       // timestampdiff(HOUR) vs DuckDB date_diff('hour'), which count
       // complete hours vs hour-boundary crossings and diverge for
-      // non-hour-aligned stamps (the adaptive-parameter oracle trap)
+      // non-hour-aligned stamps (the adaptive-parameter oracle trap).
+      // Floor, not `div`: integer `div` truncates toward zero while the
+      // oracle's `//` floors, so a future-stamped feed (negative
+      // staleness) would read 0 here and -1 there.
       df.agg(max(col("_loaded_at")).cast("timestamp_ntz").as("max_loaded_at"))
         .select(
           lit(name).as("source"),
           col("max_loaded_at"),
-          expr(s"""(unix_micros(cast(TIMESTAMP_NTZ '${graft.model.Clock.nowLit}' as timestamp))
-                   - unix_micros(cast(max_loaded_at as timestamp))) div 3600000000""")
+          expr(s"""cast(floor((unix_micros(cast(TIMESTAMP_NTZ '${graft.model.Clock.nowLit}' as timestamp))
+                   - unix_micros(cast(max_loaded_at as timestamp))) / 3600000000.0) as bigint)""")
             .as("hours_stale"))
         .withColumn("status",
           when(col("hours_stale") >= errorAfterHours, "error")
@@ -97,12 +100,12 @@ object Checks {
       UNION ALL
       SELECT 'bronze_payments', max(_loaded_at) FROM bronze_payments)
     SELECT source, max_loaded_at,
-      CAST((epoch_us(TIMESTAMP '${graft.model.Clock.nowLit}')
-            - epoch_us(max_loaded_at)) // 3600000000 AS BIGINT) AS hours_stale,
-      CASE WHEN (epoch_us(TIMESTAMP '${graft.model.Clock.nowLit}')
-                 - epoch_us(max_loaded_at)) // 3600000000 >= $errorAfterHours THEN 'error'
-           WHEN (epoch_us(TIMESTAMP '${graft.model.Clock.nowLit}')
-                 - epoch_us(max_loaded_at)) // 3600000000 >= $warnAfterHours THEN 'warn'
+      CAST(floor((epoch_us(TIMESTAMP '${graft.model.Clock.nowLit}')
+            - epoch_us(max_loaded_at)) / 3600000000.0) AS BIGINT) AS hours_stale,
+      CASE WHEN floor((epoch_us(TIMESTAMP '${graft.model.Clock.nowLit}')
+                 - epoch_us(max_loaded_at)) / 3600000000.0) >= $errorAfterHours THEN 'error'
+           WHEN floor((epoch_us(TIMESTAMP '${graft.model.Clock.nowLit}')
+                 - epoch_us(max_loaded_at)) / 3600000000.0) >= $warnAfterHours THEN 'warn'
            ELSE 'pass' END AS status
     FROM f"""
 

@@ -202,15 +202,23 @@ object StreamingOps {
     * until the (file-bounded) stream drains. Returns the result table. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       outputMode: OutputMode = OutputMode.Append()): DataFrame = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory(s"graft_ckpt_$name").toString)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(name)
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_ckpt_$name")
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name)
+    } finally {
+      // the memory-sink table is the result; the checkpoint is only the
+      // stream's recovery log — deleting it avoids unbounded /tmp growth
+      // in a long-lived driver that runs many bounded parity drains
+      val p = new org.apache.hadoop.fs.Path(ckpt.toUri)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
   }
 }

@@ -42,14 +42,46 @@ class PlanSpec extends SparkSpec {
     assert(graft.ops.Similarity.AnnQueryIds.size == 20)
   }
 
-  test("near-dup banding matches the static oracle at every verified SF") {
+  test("near-dup banding formula: known values incl. power-of-two boundaries") {
     import graft.ops.Similarity.{nearDupBandPlanes, NearDupBandPlanes}
-    // embeddings rowcounts at sf0.001 / sf0.01 / sf0.1
-    Seq(200L, 500L, 2000L).foreach(n =>
+    // embeddings rowcounts at sf0.001/sf0.01 (500) and sf0.1 (2000) —
+    // all in the floor regime
+    Seq(500L, 2000L).foreach(n =>
       assert(nearDupBandPlanes(n) == NearDupBandPlanes,
-        s"oracle uses $NearDupBandPlanes planes; engine must agree at N=$n"))
+        s"N=$n is in the min-planes regime"))
     assert(nearDupBandPlanes(20000L) > NearDupBandPlanes,
-      "adaptivity must engage beyond oracle-checked scales")
+      "adaptivity must engage beyond the small-N regime")
+    // exact checks for the integer bit-length form, including the
+    // power-of-two boundaries where a float log2 could give 6.999…
+    assert(nearDupBandPlanes(4095L) == 6)
+    assert(nearDupBandPlanes(4096L) == 7) // 4096/32 = 128 → ⌊log₂⌋ = 7
+    assert(nearDupBandPlanes(8191L) == 7)
+    assert(nearDupBandPlanes(8192L) == 8)
+    assert(nearDupBandPlanes(Long.MaxValue) == 24, "plan-size cap")
+  }
+
+  test("emb_near_dup: N from footer stats — constructing the plan runs zero jobs") {
+    assert(graft.sources.ParquetStats.rowCount(spark, s"$Sf0001/embeddings.parquet")
+      .contains(500L))
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        j.stageInfos.foreach(s => stages.add(s.name))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      graft.ops.Similarity.cosineNearDup(spark, Sf0001)
+      // job-start events post synchronously at submission; a short drain
+      // guards against bus latency without making the test timing-critical
+      Thread.sleep(300)
+      import scala.jdk.CollectionConverters._
+      val actions = stages.asScala.filterNot(_.startsWith("parquet at"))
+      assert(actions.isEmpty,
+        s"sizing the banding must be a metadata lookup — plan construction may " +
+          s"only trigger Spark's own parquet schema-inference read, not " +
+          s"actions like count(); saw: ${actions.mkString(", ")}")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("attribution interval join is an equi-join on user, not a cartesian") {
