@@ -252,6 +252,12 @@ object Queries {
       Seq("query_id", "rank"),
       (s, d) => ops.Similarity.annIvfTopK(s, d), ops.Similarity.annIvfTopKOracle()),
 
+    Spec("ann_ivf_multiprobe",
+      Seq("query_id" -> P, "neighbor_id" -> P, "rank" -> I, "cosine" -> P),
+      Seq("query_id", "rank"),
+      (s, d) => ops.Similarity.annIvfMultiProbeTopK(s, d),
+      ops.Similarity.annIvfMultiProbeTopKOracle()),
+
     Spec("ann_topk",
       Seq("query_id" -> P, "neighbor_id" -> P, "rank" -> I, "cosine" -> P),
       Seq("query_id", "rank"),

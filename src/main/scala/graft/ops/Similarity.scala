@@ -323,6 +323,90 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  val IvfNProbe = 4
+
+  /** Multi-probe IVF ANN: each query searches its [[IvfNProbe]] nearest
+    * inverted lists instead of one — the same recall lever already proven
+    * for LSH ([[annLshMultiProbeTopK]]): the probe expansion multiplies
+    * only the tiny query side (Q×nprobe rows ranked against k broadcast
+    * centroids), while the candidate index — one linear shuffle on the
+    * centroid key — is untouched. Lists are disjoint (each vector lives in
+    * exactly one), so probing n distinct centroids can never produce a
+    * duplicate candidate pair and no dedup step is needed.
+    *
+    * Recall@5 at sf0.001 with nprobe=4: 0.70 vs 0.30 at nprobe=1
+    * (measured in SimilaritySpec) — the quantizer's nearest list holds
+    * only ~N/k vectors, so most of the exact top-5 lives in the next few
+    * lists; at production scale nprobe (and k ~ √N) are the recall/cost
+    * dial exactly as in FAISS-style IVF indexes. */
+  def annIvfMultiProbeTopK(spark: SparkSession, dir: String, k: Int = 5,
+      nprobe: Int = IvfNProbe): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = withNorm(spark, dir)
+    val cents = ivfCentroids(spark, dir)
+    val lists = assignToCentroids(base, cents)
+      .join(base.select(col("vec_id"), col("vec"), col("nrm")), Seq("vec_id"))
+    val pw = Window.partitionBy("vec_id")
+      .orderBy(col("dist"), col("centroid_id"))
+    val q = base.filter(annQueryFilter)
+      .crossJoin(broadcast(cents))
+      .withColumn("dist",
+        col("nrm") - lit(2) * expr("vec_dot(vec, c_vec)") + col("c_nrm"))
+      .withColumn("probe", row_number().over(pw))
+      .filter(col("probe") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("vec").as("a_vec"),
+        col("nrm").as("na"), col("centroid_id"))
+    val c = lists
+      .select(col("vec_id").as("neighbor_id"), col("vec").as("b_vec"),
+        col("nrm").as("nb"), col("centroid_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    q.join(c, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  def annIvfMultiProbeTopKOracle(k: Int = 5, nprobe: Int = IvfNProbe): String =
+    s"""WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    normed AS (
+      SELECT vec_id, vec, $normSqlDuck AS nrm FROM base),
+    cents0 AS (
+      SELECT vec_id AS centroid_id, vec AS c_vec, nrm AS c_nrm
+      FROM normed WHERE vec_id < $IvfK),
+    ${(1 to IvfIters).map(kmeansIterCteDuck).mkString(",\n    ")},
+    ${assignCteDuck("assigned", s"cents$IvfIters")},
+    lists AS (
+      SELECT a.vec_id, a.centroid_id, n.vec, n.nrm
+      FROM assigned a JOIN normed n ON a.vec_id = n.vec_id),
+    probes AS (
+      SELECT vec_id AS query_id, vec AS a_vec, nrm AS na, centroid_id FROM (
+        SELECT n.vec_id, n.vec, n.nrm, c.centroid_id,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            n.nrm - 2 * list_reduce(list_transform(range(1, len(n.vec) + 1),
+              i -> n.vec[i] * c.c_vec[i]), (x, y) -> x + y) + c.c_nrm,
+            c.centroid_id) AS probe
+        FROM normed n CROSS JOIN cents$IvfIters c
+        WHERE n.vec_id IN ($annQueryIdsSql)) WHERE probe <= $nprobe),
+    pairs AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+        q.a_vec, c.vec AS b_vec, q.na, c.nrm AS nb
+      FROM probes q JOIN lists c
+        ON q.centroid_id = c.centroid_id AND q.query_id != c.vec_id),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        $dotSqlDuck / (sqrt(na) * sqrt(nb)) AS cosine
+      FROM pairs),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
+    FROM ranked WHERE rank <= $k"""
+
   /** DuckDB assignment CTE vs a given centroid CTE — the row_number
     * formulation of the same (dist, centroid_id) argmin. */
   private def assignCteDuck(name: String, centsCte: String): String =

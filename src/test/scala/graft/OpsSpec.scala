@@ -113,6 +113,26 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.2, f"ivf recall@5 $recall%.2f below floor")
   }
 
+  test("ivf multi-probe recall dominates nprobe=1 recall") {
+    val exact = Similarity.annTopK(spark, Sf0001, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val single = Similarity.annIvfTopK(spark, Sf0001, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .count(exact.contains)
+    val multiRows = Similarity.annIvfMultiProbeTopK(spark, Sf0001, k = 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    assert(multiRows.forall { case (q, n, r) => q != n && r >= 1 && r <= 5 })
+    val multi = multiRows.map(t => (t._1, t._2)).count(exact.contains)
+    val singleR = single.toDouble / exact.size
+    val multiR = multi.toDouble / exact.size
+    info(f"ivf recall@5 vs exact: nprobe=1 $singleR%.2f  nprobe=${Similarity.IvfNProbe} $multiR%.2f (${exact.size} exact pairs)")
+    // probing more inverted lists can only widen the candidate set, and at
+    // nprobe=4 of 16 lists it must clear the production-shaped bar the
+    // nprobe=1 variant (0.30 here) could not
+    assert(multi >= single, "extra probes can only add candidates")
+    assert(multiR >= 0.5, f"ivf multi-probe recall@5 $multiR%.2f below 0.5")
+  }
+
   test("sessionization splits on >30min gaps only") {
     val sessions = Events.sessionize(spark, Sf0001)
     val nEvents = Events.events(spark, Sf0001).count()
