@@ -7,6 +7,8 @@ import org.apache.spark.sql.SparkSession
   *
   *   sbt "runMain graft.Run <sourceDir> <warehouseDir>"            # parquet paths
   *   sbt "runMain graft.Run <sourceDir> --catalog"                 # SQL databases
+  *   sbt "runMain graft.Run <sourceDir> <wh> --select=silver_orders+"  # dbt graph selector
+  *   sbt "runMain graft.Run <sourceDir> <wh> --full-refresh"       # rebuild incrementals
   *
   * Materializes the nine-model DAG into the warehouse (bronze views,
   * silver/gold tables — path-routed parquet, or `--catalog` for the
@@ -17,6 +19,9 @@ import org.apache.spark.sql.SparkSession
 object Run {
   def main(args: Array[String]): Unit = {
     val catalogMode = args.contains("--catalog")
+    val fullRefresh = args.contains("--full-refresh")
+    val select = args.collectFirst { case a if a.startsWith("--select=") =>
+      a.stripPrefix("--select=") }
     val positional = args.filterNot(_.startsWith("--"))
     val sourceDir = positional.headOption.getOrElse("/root/testdata/sf0.001")
     val warehouse = if (positional.length > 1) positional(1)
@@ -37,8 +42,10 @@ object Run {
     val sink: pipeline.TableSink =
       if (catalogMode) new pipeline.CatalogSink()
       else new pipeline.ParquetSink(warehouse)
-    val models = pipeline.Registry.run(spark, sourceDir, sink)
-    pipeline.Registry.topoOrder.foreach { m =>
+    select.foreach(s => println(s"==   --select $s"))
+    val models = pipeline.Registry.run(spark, sourceDir, sink,
+      select = select, fullRefresh = fullRefresh)
+    pipeline.Registry.topoOrder.filter(m => models.contains(m.name)).foreach { m =>
       println(f"  ${m.name}%-24s ${m.materialization}%-6s ${models(m.name).count()}%8d rows")
     }
     println(f"== run completed in ${(System.nanoTime() - t0) / 1e9}%.1f s")

@@ -39,13 +39,115 @@ object Registry {
   case object View extends Materialization
   case object Table extends Materialization
 
+  /** dbt `materialized='incremental'` (`dbt_project.yml:16-31` declares the
+    * materialization surface): the first run full-builds the table; every
+    * later run routes the build output through the sink — upsert by
+    * `uniqueKey` when declared (`TableSink.merge`, a real `MERGE INTO` on
+    * lakehouse formats), else insert-only above the target's
+    * `watermarkCol` high-water mark (`TableSink.append`, writes only the
+    * new files). `--full-refresh` rebuilds like dbt's flag. */
+  final case class Incremental(
+    uniqueKey: Option[String],
+    watermarkCol: String) extends Materialization
+
+  /** dbt snapshot, `check` strategy: SCD2 table keyed by `key`,
+    * change-tracked on `checkCols` ([[Incremental$.Scd2]]). First run
+    * initializes version 1 for every key; later runs close changed
+    * versions at the run's `asOf` instant and open new ones. */
+  final case class Snapshot(
+    key: String,
+    checkCols: Seq[String]) extends Materialization
+
   final case class Model(
     name: String,
     layer: String,
     materialization: Materialization,
     deps: Seq[String],
     build: (SparkSession, String, Map[String, DataFrame]) => DataFrame,
-    layout: TableLayout = TableLayout.none)
+    layout: TableLayout = TableLayout.none,
+    declaredSchema: Option[Seq[(String, String)]] = None)
+
+  /** Declared column contracts for the table-shaped models — the engine's
+    * mirror of the reference's schema YAML
+    * (`/root/reference/models/silver/silver.yml:3-81`,
+    * `models/gold/gold.yml`), extended to every produced column so ANY
+    * rename/retype fails [[assertDeclaredSchema]] at materialization time
+    * rather than drifting silently into the oracle compare. Bronze views
+    * are `select *` pass-throughs over raw feeds and carry no contract,
+    * exactly like the reference's bronze layer. */
+  private val audit: Seq[(String, String)] = Seq(
+    "_loaded_at" -> "timestamp_ntz", "_updated_at" -> "timestamp_ntz",
+    "_has_data_quality_issues" -> "int")
+
+  val declaredSchemas: Map[String, Seq[(String, String)]] = Map(
+    "silver_customers" -> (Seq(
+      "customer_key" -> "string", "customer_id" -> "bigint",
+      "first_name" -> "string", "last_name" -> "string",
+      "full_name" -> "string", "email" -> "string",
+      "created_at" -> "timestamp_ntz") ++ audit),
+    "silver_orders" -> (Seq(
+      "order_key" -> "string", "customer_key" -> "string",
+      "order_id" -> "bigint", "customer_id" -> "bigint",
+      "order_date" -> "date", "order_status" -> "string",
+      "is_completed" -> "boolean", "is_cancelled" -> "boolean",
+      "is_pending" -> "boolean", "order_amount" -> "double",
+      "order_year" -> "int", "order_month" -> "int", "order_day" -> "int",
+      "order_quarter" -> "int", "order_day_name" -> "string",
+      "order_year_month" -> "string", "order_year_quarter" -> "string") ++ audit),
+    "silver_payments" -> (Seq(
+      "payment_key" -> "string", "order_key" -> "string",
+      "payment_id" -> "bigint", "order_id" -> "bigint",
+      "payment_method" -> "string", "payment_amount" -> "double",
+      "payment_date" -> "timestamp_ntz", "is_successful_payment" -> "boolean",
+      "is_failed_payment" -> "boolean", "payment_size_category" -> "string") ++ audit),
+    "gold_customer_summary" -> Seq(
+      "customer_key" -> "string", "customer_id" -> "bigint",
+      "full_name" -> "string", "first_name" -> "string",
+      "last_name" -> "string", "email" -> "string",
+      "customer_since" -> "timestamp_ntz", "total_orders" -> "bigint",
+      "completed_orders" -> "bigint", "cancelled_orders" -> "bigint",
+      "pending_orders" -> "bigint", "lifetime_value" -> "double",
+      "avg_order_value" -> "double", "max_order_value" -> "double",
+      "min_order_value" -> "double", "total_payments" -> "bigint",
+      "unique_payment_methods" -> "bigint", "total_paid_amount" -> "double",
+      "preferred_payment_method" -> "string", "first_order_date" -> "date",
+      "last_order_date" -> "date", "customer_lifetime_days" -> "int",
+      "active_months" -> "bigint", "days_since_last_order" -> "int",
+      "customer_segment" -> "string", "customer_status" -> "string",
+      "recency_score" -> "int", "frequency_score" -> "int",
+      "monetary_score" -> "int", "_updated_at" -> "timestamp_ntz"),
+    "gold_order_metrics" -> Seq(
+      "order_date" -> "date", "order_year" -> "int", "order_month" -> "int",
+      "order_day" -> "int", "order_quarter" -> "int",
+      "order_year_month" -> "string", "order_year_quarter" -> "string",
+      "order_day_name" -> "string", "total_orders" -> "bigint",
+      "completed_orders" -> "bigint", "cancelled_orders" -> "bigint",
+      "pending_orders" -> "bigint", "unique_customers" -> "bigint",
+      "total_revenue" -> "double", "avg_order_value" -> "double",
+      "max_order_value" -> "double", "min_order_value" -> "double",
+      "potential_revenue" -> "double", "lost_revenue" -> "double",
+      "completion_rate" -> "double", "cancellation_rate" -> "double",
+      "orders_per_customer" -> "double", "cumulative_revenue" -> "double",
+      "cumulative_orders" -> "bigint", "revenue_7day_ma" -> "double",
+      "orders_7day_ma" -> "double", "prior_day_revenue" -> "double",
+      "week_ago_revenue" -> "double",
+      "revenue_growth_vs_prior_day_pct" -> "double",
+      "revenue_growth_vs_week_ago_pct" -> "double",
+      "_updated_at" -> "timestamp_ntz"),
+    "gold_revenue_analysis" -> Seq(
+      "order_year_month" -> "string", "order_year" -> "int",
+      "order_month" -> "int", "order_quarter" -> "int",
+      "order_year_quarter" -> "string", "total_orders" -> "bigint",
+      "unique_customers" -> "bigint", "total_revenue" -> "double",
+      "avg_order_value" -> "double", "max_order_value" -> "double",
+      "min_order_value" -> "double", "orders_per_customer" -> "double",
+      "prev_month_revenue" -> "double", "year_ago_revenue" -> "double",
+      "prev_month_orders" -> "bigint", "revenue_growth_mom_pct" -> "double",
+      "orders_growth_mom_pct" -> "double", "revenue_growth_yoy_pct" -> "double",
+      "ytd_revenue" -> "double", "ytd_orders" -> "bigint",
+      "credit_card_revenue" -> "double", "bank_transfer_revenue" -> "double",
+      "paypal_revenue" -> "double", "cash_revenue" -> "double",
+      "other_revenue" -> "double", "_updated_at" -> "timestamp_ntz"))
 
   /** All nine models; listed in any order — [[topoOrder]] sorts by deps. */
   val models: Seq[Model] = Seq(
@@ -56,34 +158,42 @@ object Registry {
     Model("bronze_payments", "bronze", View, Seq.empty,
       (s, dir, _) => Bronze.payments(s, dir)),
     Model("silver_customers", "silver", Table, Seq("bronze_customers"),
-      (_, _, up) => Silver.customersFrom(up("bronze_customers"))),
+      (_, _, up) => Silver.customersFrom(up("bronze_customers")),
+      declaredSchema = declaredSchemas.get("silver_customers")),
     // silver fact tables co-bucketed on order_key: the gold
     // payments⋈orders joins (J3/J5) then run shuffle-free under a
     // bucketing-aware sink (the bucketing IS the shuffle, paid at write)
     Model("silver_orders", "silver", Table, Seq("bronze_orders", "silver_customers"),
       (_, _, up) => Silver.ordersFrom(up("bronze_orders"), up("silver_customers")),
-      TableLayout(bucketBy = Some((8, Seq("order_key"))), sortBy = Seq("order_key"))),
+      TableLayout(bucketBy = Some((8, Seq("order_key"))), sortBy = Seq("order_key")),
+      declaredSchema = declaredSchemas.get("silver_orders")),
     Model("silver_payments", "silver", Table, Seq("bronze_payments", "silver_orders"),
       (_, _, up) => Silver.paymentsFrom(up("bronze_payments"), up("silver_orders")),
-      TableLayout(bucketBy = Some((8, Seq("order_key"))), sortBy = Seq("order_key"))),
+      TableLayout(bucketBy = Some((8, Seq("order_key"))), sortBy = Seq("order_key")),
+      declaredSchema = declaredSchemas.get("silver_payments")),
     Model("gold_customer_summary", "gold", Table,
       Seq("silver_customers", "silver_orders", "silver_payments"),
       (_, _, up) => Gold.customerSummaryFrom(
-        up("silver_customers"), up("silver_orders"), up("silver_payments"))),
+        up("silver_customers"), up("silver_orders"), up("silver_payments")),
+      declaredSchema = declaredSchemas.get("gold_customer_summary")),
     // date-partitioned marts: downstream year-scoped reads prune whole
     // partition directories instead of scanning the table
     Model("gold_order_metrics", "gold", Table, Seq("silver_orders"),
       (_, _, up) => Gold.orderMetricsFrom(up("silver_orders")),
-      TableLayout(partitionBy = Seq("order_year"))),
+      TableLayout(partitionBy = Seq("order_year")),
+      declaredSchema = declaredSchemas.get("gold_order_metrics")),
     Model("gold_revenue_analysis", "gold", Table,
       Seq("silver_orders", "silver_payments"),
       (_, _, up) => Gold.revenueAnalysisFrom(
         up("silver_orders"), up("silver_payments")),
-      TableLayout(partitionBy = Seq("order_year"))))
+      TableLayout(partitionBy = Seq("order_year")),
+      declaredSchema = declaredSchemas.get("gold_revenue_analysis")))
 
   /** Kahn topological order; deterministic (stable by declaration order). */
-  def topoOrder: Seq[Model] = {
-    val byName = models.map(m => m.name -> m).toMap
+  def topoOrder: Seq[Model] = topoOrderOf(models)
+
+  def topoOrderOf(all: Seq[Model]): Seq[Model] = {
+    val byName = all.map(m => m.name -> m).toMap
     val resolved = scala.collection.mutable.LinkedHashSet.empty[String]
     def visit(n: String, path: Set[String]): Unit = {
       require(!path.contains(n), s"cycle at $n")
@@ -92,8 +202,32 @@ object Registry {
         resolved += n
       }
     }
-    models.foreach(m => visit(m.name, Set.empty))
+    all.foreach(m => visit(m.name, Set.empty))
     resolved.toSeq.map(byName)
+  }
+
+  /** dbt node-selection graph operators (`dbt run --select`): `m` selects
+    * the model alone, `m+` adds its transitive descendants, `+m` its
+    * transitive ancestors, `+m+` both; multiple space- or comma-separated
+    * selectors union. */
+  def selectClosure(selector: String, all: Seq[Model] = models): Set[String] = {
+    val byName = all.map(m => m.name -> m).toMap
+    val children = all.flatMap(m => m.deps.map(_ -> m.name))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def walk(start: String, next: String => Seq[String]): Set[String] = {
+      val seen = scala.collection.mutable.Set(start)
+      val stack = scala.collection.mutable.Stack(start)
+      while (stack.nonEmpty)
+        next(stack.pop()).foreach(n => if (seen.add(n)) stack.push(n))
+      seen.toSet
+    }
+    selector.trim.split("[ ,]+").filter(_.nonEmpty).flatMap { tok =>
+      val name = tok.stripPrefix("+").stripSuffix("+")
+      require(byName.contains(name), s"unknown model in selector: $name")
+      (if (tok.startsWith("+")) walk(name, byName(_).deps) else Set(name)) ++
+        (if (tok.endsWith("+")) walk(name, children.getOrElse(_, Seq.empty))
+         else Set(name))
+    }.toSet
   }
 
   /** Materialize the whole DAG from `sourceDir` testdata into
@@ -101,14 +235,34 @@ object Registry {
   def run(spark: SparkSession, sourceDir: String, warehouseDir: String): Map[String, DataFrame] =
     run(spark, sourceDir, new ParquetSink(warehouseDir))
 
-  /** Materialize the whole DAG through `sink`, dependency-wave parallel
-    * (dbt `threads`). Returns each model's post-materialization DataFrame
-    * (for Table models: a reader over the stored table). */
+  /** Materialize the DAG through `sink`, dependency-wave parallel (dbt
+    * `threads`). Returns each touched model's post-materialization
+    * DataFrame (for Table models: a reader over the stored table).
+    *
+    * `select` narrows the run with dbt graph operators
+    * ([[selectClosure]]); unselected models that the selection depends on
+    * are *provided*, not rebuilt — views build lazily (they are free
+    * until an action), table-shaped models read back from the sink, which
+    * is how dbt resolves `ref()` against current warehouse state.
+    * `fullRefresh` forces incremental/snapshot models to rebuild from
+    * scratch (dbt `--full-refresh`); `asOf` is the run instant snapshots
+    * stamp versions with (pinned [[graft.model.Clock]] by default). */
   def run(spark: SparkSession, sourceDir: String, sink: TableSink,
-      threads: Int = 4): Map[String, DataFrame] = {
+      threads: Int = 4, all: Seq[Model] = models,
+      select: Option[String] = None, fullRefresh: Boolean = false,
+      asOf: org.apache.spark.sql.Column = graft.model.Clock.now): Map[String, DataFrame] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val ordered = topoOrder
+    val ordered = topoOrderOf(all)
+    val selected: Set[String] =
+      select.map(selectClosure(_, all)).getOrElse(ordered.map(_.name).toSet)
+    // the provided (read-only) frontier: transitive deps of the selection
+    val byName = all.map(m => m.name -> m).toMap
+    val needed = scala.collection.mutable.Set.empty[String]
+    def visitDeps(n: String): Unit =
+      byName(n).deps.foreach(d => if (needed.add(d)) visitDeps(d))
+    selected.foreach(visitDeps)
+    val touched = ordered.filter(m => selected(m.name) || needed(m.name))
     // wave = longest dependency path length; every dep lands in an earlier
     // wave, so models within a wave are independent of each other
     val wave = scala.collection.mutable.Map.empty[String, Int]
@@ -117,10 +271,12 @@ object Registry {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val acc = scala.collection.mutable.Map.empty[String, DataFrame]
-      ordered.groupBy(m => wave(m.name)).toSeq.sortBy(_._1).foreach { case (_, ms) =>
+      touched.groupBy(m => wave(m.name)).toSeq.sortBy(_._1).foreach { case (_, ms) =>
         val upstream = acc.toMap
         val batch = Future.sequence(ms.map(m => Future {
-          m.name -> materialize(spark, m, sourceDir, sink, upstream)
+          m.name -> (if (selected(m.name))
+            materialize(spark, m, sourceDir, sink, upstream, fullRefresh, asOf)
+          else provide(spark, m, sourceDir, sink, upstream))
         }))
         Await.result(batch, Duration.Inf).foreach { case (n, df) => acc(n) = df }
       }
@@ -129,15 +285,62 @@ object Registry {
   }
 
   private def materialize(spark: SparkSession, m: Model, sourceDir: String,
-      sink: TableSink, upstream: Map[String, DataFrame]): DataFrame = {
+      sink: TableSink, upstream: Map[String, DataFrame], fullRefresh: Boolean,
+      asOf: org.apache.spark.sql.Column): DataFrame = {
     val df = m.build(spark, sourceDir, upstream)
+    assertDeclaredSchema(m, df)
+    def firstRun = fullRefresh || !sink.exists(spark, m.layer, m.name)
     val materialized = m.materialization match {
       case View => df
       case Table => sink.overwrite(spark, m.layer, m.name, df, m.layout)
+      case inc: Incremental =>
+        if (firstRun) sink.overwrite(spark, m.layer, m.name, df, m.layout)
+        else inc.uniqueKey match {
+          case Some(k) => sink.merge(spark, m.layer, m.name, df, k)
+          case None => sink.append(spark, m.layer, m.name,
+            graft.pipeline.Incremental.freshRows(
+              sink.read(spark, m.layer, m.name), df, inc.watermarkCol))
+        }
+      case snap: Snapshot =>
+        // SCD2 advance rewrites via overwrite here; on a lakehouse format
+        // the same transform lands as a MERGE on (key, _valid_from)
+        val next =
+          if (firstRun) graft.pipeline.Incremental.Scd2.init(df, asOf)
+          else graft.pipeline.Incremental.Scd2.advance(
+            sink.read(spark, m.layer, m.name), df, snap.key, snap.checkCols, asOf)
+        sink.overwrite(spark, m.layer, m.name, next, m.layout)
     }
     materialized.createOrReplaceTempView(m.name)
     materialized
   }
+
+  /** dbt resolves `ref()` to an unselected model against current warehouse
+    * state; views have no stored state, so they rebuild lazily (free until
+    * an action pulls on them). */
+  private def provide(spark: SparkSession, m: Model, sourceDir: String,
+      sink: TableSink, upstream: Map[String, DataFrame]): DataFrame = {
+    val df = m.materialization match {
+      case View => m.build(spark, sourceDir, upstream)
+      case _ =>
+        require(sink.exists(spark, m.layer, m.name),
+          s"${m.name} is upstream of the selection but not materialized; " +
+            "include it in the selector or run it first")
+        sink.read(spark, m.layer, m.name)
+    }
+    df.createOrReplaceTempView(m.name)
+    df
+  }
+
+  /** Declared-schema gate: a model with a declared column contract must
+    * build exactly those (name, type) pairs in order — a refactor that
+    * renames or retypes a column fails here, before any oracle sees it.
+    * Nullability is excluded: it is inference detail, not contract. */
+  private[graft] def assertDeclaredSchema(m: Model, df: DataFrame): Unit =
+    m.declaredSchema.foreach { declared =>
+      val actual = df.schema.map(f => f.name -> f.dataType.simpleString)
+      require(actual == declared,
+        s"schema drift in ${m.name}:\n  declared: $declared\n  actual:   $actual")
+    }
 
   /** `dbt source freshness` over the raw sources (SURVEY.md §3.3). */
   def sourceFreshness(spark: SparkSession, sourceDir: String): Map[String, String] = Map(

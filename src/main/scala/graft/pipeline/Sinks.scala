@@ -41,8 +41,32 @@ trait TableSink {
   def merge(spark: SparkSession, layer: String, name: String,
     incoming: DataFrame, key: String): DataFrame
 
+  /** Insert `fresh` rows into `layer`.`name` without touching existing
+    * data (dbt incremental with no `unique_key`) — at scale this writes
+    * only the new files, never a rewrite. Returns a reader over the
+    * appended table. */
+  def append(spark: SparkSession, layer: String, name: String,
+    fresh: DataFrame): DataFrame
+
+  /** Whether `layer`.`name` is already materialized — the first-run test
+    * dbt's incremental/snapshot materializations branch on. */
+  def exists(spark: SparkSession, layer: String, name: String): Boolean
+
   /** Read the current contents of `layer`.`name`. */
   def read(spark: SparkSession, layer: String, name: String): DataFrame
+}
+
+/** The `MERGE INTO` statement [[CatalogSink]] issues on merge-capable
+  * formats — factored out so the generated SQL is unit-testable on this
+  * offline classpath (no Delta/Iceberg jar can execute it here; a typo
+  * must still be caught by MergeSqlSpec rather than ship silently). */
+object MergeSql {
+  /** dbt `incremental` + `unique_key` upsert: matched target rows are
+    * replaced column-for-column, unmatched source rows inserted. */
+  def upsertByKey(target: String, source: String, key: String): String =
+    s"""MERGE INTO $target t USING $source s ON t.$key = s.$key
+       |WHEN MATCHED THEN UPDATE SET *
+       |WHEN NOT MATCHED THEN INSERT *""".stripMargin
 }
 
 /** Path-routed parquet sink: `warehouseDir/layer/name`. The original
@@ -63,26 +87,37 @@ final class ParquetSink(warehouseDir: String) extends TableSink {
         s"ParquetSink cannot record bucket metadata for $layer.$name " +
           s"(bucketBy=${layout.bucketBy.get}); downstream joins will shuffle. " +
           "Use CatalogSink for bucketed layouts.")
+    // Stage, then swap via filesystem rename: `df` may lazily READ the
+    // table being replaced (incremental merge, SCD2 advance — dbt's
+    // `{{ this }}` self-reference), and parquet cannot overwrite a path
+    // its own plan is scanning. One data write + one metadata rename,
+    // never a second rewrite.
+    val target = new org.apache.hadoop.fs.Path(path(layer, name))
+    val staging = new org.apache.hadoop.fs.Path(path(layer, s"_staging_$name"))
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
     val w = df.write.mode("overwrite")
     val wp = if (layout.partitionBy.nonEmpty) w.partitionBy(layout.partitionBy: _*) else w
-    wp.parquet(path(layer, name))
+    wp.parquet(staging.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    require(fs.rename(staging, target), s"rename $staging -> $target failed")
     read(spark, layer, name)
   }
 
   override def merge(spark: SparkSession, layer: String, name: String,
-      incoming: DataFrame, key: String): DataFrame = {
-    // Parquet cannot atomically overwrite a table being read, so the merge
-    // result is staged, then swapped in via a second overwrite write.
-    val staging = path(layer, s"_staging_$name")
-    Incremental.merge(read(spark, layer, name), incoming, key)
-      .write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging).write.mode("overwrite").parquet(path(layer, name))
-    // drop the staging copy: underscore-prefixed paths are invisible to
-    // recursive listings, but leaving one full table per merge on disk is
-    // unbounded growth
-    val p = new org.apache.hadoop.fs.Path(staging)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      incoming: DataFrame, key: String): DataFrame =
+    // safe against the self-read because overwrite stages + renames
+    overwrite(spark, layer, name,
+      Incremental.merge(read(spark, layer, name), incoming, key))
+
+  override def append(spark: SparkSession, layer: String, name: String,
+      fresh: DataFrame): DataFrame = {
+    fresh.write.mode("append").parquet(path(layer, name))
     read(spark, layer, name)
+  }
+
+  override def exists(spark: SparkSession, layer: String, name: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path(layer, name))
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
   override def read(spark: SparkSession, layer: String, name: String): DataFrame =
@@ -103,10 +138,23 @@ final class ParquetSink(warehouseDir: String) extends TableSink {
   * temp table and swaps via overwrite — correct, but a full rewrite, which
   * is precisely what the lakehouse formats exist to avoid at scale.
   */
-final class CatalogSink(format: String = "parquet",
-    targetDatabase: String = "default") extends TableSink {
+class CatalogSink(format: String = "parquet",
+    targetDatabase: String = "default",
+    mergeCapableOverride: Option[Boolean] = None) extends TableSink {
 
   private val MergeCapableFormats = Set("delta", "iceberg")
+
+  /** Whether [[merge]] takes the `MERGE INTO` path. `mergeCapableOverride`
+    * exists for tests: the offline classpath has no merge-capable format
+    * jar, so a spec declares parquet merge-capable and intercepts
+    * [[executeMerge]] to drive the branch end-to-end. */
+  private def mergeCapable: Boolean =
+    mergeCapableOverride.getOrElse(MergeCapableFormats.contains(format))
+
+  /** Execution seam for the generated MERGE statement — overridden in
+    * tests to capture/emulate the SQL on formats that cannot run it. */
+  protected def executeMerge(spark: SparkSession, statement: String): Unit =
+    spark.sql(statement)
 
   private def database(layer: String): String =
     Registry.databaseName(Some(layer), targetDatabase)
@@ -131,13 +179,10 @@ final class CatalogSink(format: String = "parquet",
   override def merge(spark: SparkSession, layer: String, name: String,
       incoming: DataFrame, key: String): DataFrame = {
     val target = ident(layer, name)
-    if (MergeCapableFormats.contains(format)) {
+    if (mergeCapable) {
       val src = s"_graft_merge_src_$name"
       incoming.createOrReplaceTempView(src)
-      spark.sql(
-        s"""MERGE INTO $target t USING $src s ON t.$key = s.$key
-           WHEN MATCHED THEN UPDATE SET *
-           WHEN NOT MATCHED THEN INSERT *""")
+      executeMerge(spark, MergeSql.upsertByKey(target, src, key))
       spark.catalog.dropTempView(src)
     } else {
       dropStaleManagedLocation(spark, layer, s"_graft_staging_$name")
@@ -150,6 +195,16 @@ final class CatalogSink(format: String = "parquet",
     }
     read(spark, layer, name)
   }
+
+  override def append(spark: SparkSession, layer: String, name: String,
+      fresh: DataFrame): DataFrame = {
+    fresh.write.mode("append").format(format).saveAsTable(ident(layer, name))
+    read(spark, layer, name)
+  }
+
+  override def exists(spark: SparkSession, layer: String, name: String): Boolean =
+    spark.catalog.databaseExists(database(layer)) &&
+      spark.catalog.tableExists(ident(layer, name))
 
   override def read(spark: SparkSession, layer: String, name: String): DataFrame =
     spark.table(ident(layer, name))

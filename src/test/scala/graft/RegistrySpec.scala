@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.pipeline.Registry
+import graft.silver.Silver
 
 /** End-to-end dbt-run equivalent over sf0.001 testdata. */
 class RegistrySpec extends SparkSpec {
@@ -99,6 +100,217 @@ class RegistrySpec extends SparkSpec {
       Seq((2L, "B"), (3L, "c")).toDF("id", "v"), "id")
     assert(merged.as[(Long, String)].collect().sortBy(_._1).toSeq ==
       Seq((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
+  // ---- incremental / snapshot materializations & node selection ----
+
+  /** Records which sink operation each model routed through. */
+  private class SpySink(inner: graft.pipeline.TableSink) extends graft.pipeline.TableSink {
+    val calls = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    private def rec(op: String, name: String): Unit = synchronized { calls += (op -> name) }
+    def of(op: String): Seq[String] = synchronized { calls.filter(_._1 == op).map(_._2).toSeq }
+    def reset(): Unit = synchronized { calls.clear() }
+    override def overwrite(spark: org.apache.spark.sql.SparkSession, layer: String,
+        name: String, df: org.apache.spark.sql.DataFrame,
+        layout: graft.pipeline.TableLayout): org.apache.spark.sql.DataFrame = {
+      rec("overwrite", name); inner.overwrite(spark, layer, name, df, layout)
+    }
+    override def merge(spark: org.apache.spark.sql.SparkSession, layer: String,
+        name: String, incoming: org.apache.spark.sql.DataFrame,
+        key: String): org.apache.spark.sql.DataFrame = {
+      rec("merge", name); inner.merge(spark, layer, name, incoming, key)
+    }
+    override def append(spark: org.apache.spark.sql.SparkSession, layer: String,
+        name: String, fresh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      rec("append", name); inner.append(spark, layer, name, fresh)
+    }
+    override def exists(spark: org.apache.spark.sql.SparkSession, layer: String,
+        name: String): Boolean = inner.exists(spark, layer, name)
+    override def read(spark: org.apache.spark.sql.SparkSession, layer: String,
+        name: String): org.apache.spark.sql.DataFrame = inner.read(spark, layer, name)
+  }
+
+  /** Write a batch-1 copy of the sf0.001 sources with orders (and thus the
+    * order-derived payments feed) truncated at `cutoff` — the split-input
+    * half of the two-run incremental proof. */
+  private def splitSourceDir(cutoff: String): String = {
+    val dir = Files.createTempDirectory("graft_batch1").toString
+    spark.read.parquet(s"$Sf0001/customer.parquet")
+      .write.parquet(s"$dir/customer.parquet")
+    spark.read.parquet(s"$Sf0001/orders.parquet")
+      .filter(col("o_orderdate") < lit(cutoff))
+      .write.parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  private def incrementalVariant(mat: Registry.Materialization): Seq[Registry.Model] =
+    Registry.models.map {
+      case m if m.name == "silver_orders" => m.copy(materialization = mat)
+      case m => m
+    }
+
+  test("registry incremental (unique_key): second run merges, result equals full refresh") {
+    val batch1 = splitSourceDir("1999-01-01")
+    val spy = new SpySink(new graft.pipeline.ParquetSink(
+      Files.createTempDirectory("graft_wh_inc").toString))
+    val mdls = incrementalVariant(Registry.Incremental(Some("order_key"), "order_date"))
+    Registry.run(spark, batch1, spy, all = mdls)
+    assert(spy.of("overwrite").contains("silver_orders"), "first run full-builds")
+    assert(spy.of("merge").isEmpty)
+    spy.reset()
+    val out = Registry.run(spark, Sf0001, spy, all = mdls)
+    assert(spy.of("merge") == Seq("silver_orders"),
+      "second run must route silver_orders through sink.merge")
+    assert(!spy.of("overwrite").contains("silver_orders"),
+      "second run must not rewrite the incremental table")
+    val full = Registry.run(spark, Sf0001,
+      Files.createTempDirectory("graft_wh_full").toString)
+    assert(out("silver_orders").orderBy("order_id").collect().toSeq ==
+      full("silver_orders").orderBy("order_id").collect().toSeq,
+      "incremental(split) must equal full-refresh(all)")
+  }
+
+  test("registry incremental (no key): second run appends only above the high-water mark") {
+    val batch1 = splitSourceDir("1999-01-01")
+    val spy = new SpySink(new graft.pipeline.ParquetSink(
+      Files.createTempDirectory("graft_wh_app").toString))
+    val mdls = incrementalVariant(Registry.Incremental(None, "order_date"))
+    Registry.run(spark, batch1, spy, all = mdls)
+    val firstCount = spy.read(spark, "silver", "silver_orders").count()
+    spy.reset()
+    val out = Registry.run(spark, Sf0001, spy, all = mdls)
+    assert(spy.of("append") == Seq("silver_orders"))
+    assert(!spy.of("overwrite").contains("silver_orders"))
+    val full = Registry.run(spark, Sf0001,
+      Files.createTempDirectory("graft_wh_app_full").toString)
+    assert(out("silver_orders").count() > firstCount)
+    assert(out("silver_orders").orderBy("order_id").collect().toSeq ==
+      full("silver_orders").orderBy("order_id").collect().toSeq)
+  }
+
+  test("registry incremental --full-refresh rebuilds instead of merging") {
+    val spy = new SpySink(new graft.pipeline.ParquetSink(
+      Files.createTempDirectory("graft_wh_fr").toString))
+    val mdls = incrementalVariant(Registry.Incremental(Some("order_key"), "order_date"))
+    Registry.run(spark, Sf0001, spy, all = mdls)
+    spy.reset()
+    Registry.run(spark, Sf0001, spy, all = mdls, fullRefresh = true)
+    assert(spy.of("merge").isEmpty && spy.of("overwrite").contains("silver_orders"))
+  }
+
+  test("registry snapshot materialization: scd2 versions open and close across runs") {
+    import spark.implicits._
+    var src = Seq((1L, "a@x.com"), (2L, "b@x.com")).toDF("id", "email")
+    val mdl = Seq(Registry.Model("snap_probe", "silver",
+      Registry.Snapshot("id", Seq("email")), Seq.empty, (_, _, _) => src))
+    val sink = new graft.pipeline.ParquetSink(
+      Files.createTempDirectory("graft_wh_snap").toString)
+    Registry.run(spark, Sf0001, sink, all = mdl,
+      asOf = expr("TIMESTAMP_NTZ '2001-08-15 00:00:00'"))
+    src = Seq((1L, "a-changed@x.com"), (2L, "b@x.com"), (3L, "c@x.com")).toDF("id", "email")
+    Registry.run(spark, Sf0001, sink, all = mdl,
+      asOf = expr("TIMESTAMP_NTZ '2001-08-16 00:00:00'"))
+    val snap = sink.read(spark, "silver", "snap_probe")
+    assert(snap.count() == 4, "1 closed + 1 reopened + 1 unchanged + 1 new")
+    val closed = snap.filter(!col("_is_current")).as[(Long, String, java.time.LocalDateTime,
+      java.time.LocalDateTime, Boolean)].collect()
+    assert(closed.map(r => (r._1, r._2)).toSeq == Seq((1L, "a@x.com")))
+    assert(closed.head._4 == java.time.LocalDateTime.parse("2001-08-16T00:00"))
+    assert(snap.filter(col("_is_current") && col("id") === 1L)
+      .select("email").as[String].head() == "a-changed@x.com")
+  }
+
+  test("MergeSql statement + catalog MERGE INTO branch via fake mergeable format") {
+    import spark.implicits._
+    var captured = List.empty[String]
+    // the offline classpath has no Delta/Iceberg jar, so declare parquet
+    // merge-capable and intercept the execution seam: the regex match IS
+    // the assertion on the generated statement's shape, and the emulation
+    // completes the branch end-to-end (temp view up, SQL, temp view down)
+    val M = ("""MERGE INTO (\S+) t USING (\S+) s ON t\.(\S+) = s\.(\S+)\n""" +
+      """WHEN MATCHED THEN UPDATE SET \*\nWHEN NOT MATCHED THEN INSERT \*""").r
+    val sink = new graft.pipeline.CatalogSink("parquet",
+        mergeCapableOverride = Some(true)) {
+      override protected def executeMerge(s: org.apache.spark.sql.SparkSession,
+          statement: String): Unit = {
+        captured ::= statement
+        statement match {
+          case M(target, src, k1, k2) =>
+            assert(k1 == k2)
+            val merged = graft.pipeline.Incremental.merge(
+              s.table(target), s.table(src), k1)
+            val rows = merged.collect().toSeq
+            s.createDataFrame(
+              new java.util.ArrayList(scala.jdk.CollectionConverters
+                .SeqHasAsJava(rows).asJava), merged.schema)
+              .write.mode("overwrite").format("parquet").saveAsTable(target)
+          case other => fail(s"malformed MERGE statement:\n$other")
+        }
+      }
+    }
+    sink.overwrite(spark, "silver", "merge_sql_probe",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val merged = sink.merge(spark, "silver", "merge_sql_probe",
+      Seq((2L, "B"), (3L, "c")).toDF("id", "v"), "id")
+    assert(captured.size == 1)
+    assert(captured.head ==
+      graft.pipeline.MergeSql.upsertByKey(
+        "SILVER.merge_sql_probe", "_graft_merge_src_merge_sql_probe", "id"))
+    assert(merged.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    assert(spark.catalog.listTables("silver").collect()
+      .forall(_.name != "_graft_merge_src_merge_sql_probe"))
+  }
+
+  test("selectClosure implements dbt graph operators") {
+    assert(Registry.selectClosure("silver_orders") == Set("silver_orders"))
+    assert(Registry.selectClosure("+silver_orders") ==
+      Set("bronze_orders", "bronze_customers", "silver_customers", "silver_orders"))
+    assert(Registry.selectClosure("silver_orders+") ==
+      Set("silver_orders", "silver_payments", "gold_customer_summary",
+        "gold_order_metrics", "gold_revenue_analysis"))
+    assert(Registry.selectClosure("+silver_orders+") ==
+      Registry.selectClosure("+silver_orders") ++ Registry.selectClosure("silver_orders+"))
+    assert(Registry.selectClosure("bronze_orders, gold_order_metrics") ==
+      Set("bronze_orders", "gold_order_metrics"))
+    intercept[IllegalArgumentException](Registry.selectClosure("nope+"))
+  }
+
+  test("run --select materializes exactly the selected subtree; upstream provided read-only") {
+    val wh = Files.createTempDirectory("graft_wh_sel").toString
+    Registry.run(spark, Sf0001, wh) // seed warehouse state
+    val spy = new SpySink(new graft.pipeline.ParquetSink(wh))
+    val out = Registry.run(spark, Sf0001, spy, select = Some("gold_order_metrics"))
+    assert(spy.of("overwrite") == Seq("gold_order_metrics"),
+      "only the selected model may be written")
+    assert(out.contains("silver_orders"), "upstream dep is provided for ref()")
+    assert(out("gold_order_metrics").count() > 0)
+    spy.reset()
+    val out2 = Registry.run(spark, Sf0001, spy, select = Some("silver_orders+"))
+    assert(spy.of("overwrite").toSet ==
+      Set("silver_orders", "silver_payments", "gold_customer_summary",
+        "gold_order_metrics", "gold_revenue_analysis"))
+    assert(out2("gold_revenue_analysis").count() > 0)
+  }
+
+  test("select fails clearly when an unselected upstream table was never materialized") {
+    val spy = new SpySink(new graft.pipeline.ParquetSink(
+      Files.createTempDirectory("graft_wh_sel_miss").toString))
+    val ex = intercept[IllegalArgumentException](
+      Registry.run(spark, Sf0001, spy, select = Some("gold_order_metrics")))
+    assert(ex.getMessage.contains("not materialized"))
+  }
+
+  test("declared-schema gate passes the real DAG and rejects drift") {
+    // positive path is exercised by every Registry.run in this suite; the
+    // negative path must fail BEFORE anything is written
+    val m = Registry.models.find(_.name == "silver_customers").get
+    val df = Silver.customers(spark, Sf0001)
+    Registry.assertDeclaredSchema(m, df) // real contract holds
+    val drifted = m.copy(declaredSchema = Some(Seq("customer_key" -> "string")))
+    val ex = intercept[IllegalArgumentException](
+      Registry.assertDeclaredSchema(drifted, df))
+    assert(ex.getMessage.contains("schema drift in silver_customers"))
   }
 
   test("source freshness reports error for the stale pinned orders feed") {
