@@ -204,6 +204,95 @@ object Queries {
       Seq("ship_month"),
       ops.Analytics.promoShare, ops.Analytics.promoShareOracle),
 
+    // ---- TPC-H suite completion (Q2..Q22 shapes, ops.TpchSuite) ----
+
+    Spec("tpch_q2_min_cost_supplier",
+      Seq("p_partkey" -> P, "p_name" -> P, "s_name" -> P, "n_name" -> P,
+        "unit_cost" -> P),
+      Seq("p_partkey", "s_name"),
+      (s, d) => ops.TpchSuite.minCostSupplier(s, d),
+      ops.TpchSuite.minCostSupplierOracle()),
+
+    Spec("tpch_q4_priority",
+      Seq("o_orderpriority" -> P, "n_orders" -> L),
+      Seq("o_orderpriority"),
+      ops.TpchSuite.orderPriorityCheck, ops.TpchSuite.orderPriorityCheckOracle),
+
+    Spec("tpch_q6_forecast",
+      Seq("ship_year" -> I, "revenue" -> P, "n_items" -> L),
+      Seq("ship_year"),
+      ops.TpchSuite.forecastRevenue, ops.TpchSuite.forecastRevenueOracle),
+
+    Spec("tpch_q8_market_share",
+      Seq("o_year" -> I, "nation_revenue" -> P, "total_revenue" -> P,
+        "mkt_share" -> P),
+      Seq("o_year"),
+      (s, d) => ops.TpchSuite.marketShare(s, d), ops.TpchSuite.marketShareOracle()),
+
+    Spec("tpch_q10_returns",
+      Seq("c_custkey" -> P, "c_name" -> P, "c_acctbal" -> P, "n_name" -> P,
+        "revenue" -> P, "n_items" -> L),
+      Seq("c_custkey"),
+      ops.TpchSuite.returnedItems, ops.TpchSuite.returnedItemsOracle),
+
+    Spec("tpch_q11_important_parts",
+      Seq("p_partkey" -> P, "value" -> P),
+      Seq("p_partkey"),
+      (s, d) => ops.TpchSuite.importantParts(s, d),
+      ops.TpchSuite.importantPartsOracle()),
+
+    Spec("tpch_q12_ship_delay",
+      Seq("delay_bucket" -> P, "high_priority_count" -> L,
+        "low_priority_count" -> L),
+      Seq("delay_bucket"),
+      ops.TpchSuite.shipDelayClasses, ops.TpchSuite.shipDelayClassesOracle),
+
+    Spec("tpch_q15_top_supplier",
+      Seq("s_suppkey" -> P, "s_name" -> P, "total_revenue" -> P),
+      Seq("s_suppkey"),
+      ops.TpchSuite.topSupplier, ops.TpchSuite.topSupplierOracle),
+
+    Spec("tpch_q16_supplier_cnt",
+      Seq("p_brand" -> P, "p_type" -> P, "p_size" -> I, "supplier_cnt" -> L),
+      Seq("p_brand", "p_type", "p_size"),
+      (s, d) => ops.TpchSuite.supplierCounts(s, d),
+      ops.TpchSuite.supplierCountsOracle()),
+
+    Spec("tpch_q17_small_qty",
+      Seq("p_brand" -> P, "avg_yearly" -> P, "n_items" -> L),
+      Seq("p_brand"),
+      (s, d) => ops.TpchSuite.smallQtyRevenue(s, d),
+      ops.TpchSuite.smallQtyRevenueOracle()),
+
+    Spec("tpch_q18_large_orders",
+      Seq("c_name" -> P, "c_custkey" -> P, "o_orderkey" -> P, "o_date" -> P,
+        "o_totalprice" -> P, "sum_qty" -> P),
+      Seq("o_orderkey"),
+      (s, d) => ops.TpchSuite.largeOrders(s, d),
+      ops.TpchSuite.largeOrdersOracle()),
+
+    Spec("tpch_q19_disjunctive",
+      Seq("p_brand" -> P, "revenue" -> P, "n_items" -> L),
+      Seq("p_brand"),
+      ops.TpchSuite.disjunctiveRevenue, ops.TpchSuite.disjunctiveRevenueOracle),
+
+    Spec("tpch_q20_promo_suppliers",
+      Seq("s_suppkey" -> P, "s_name" -> P, "n_name" -> P),
+      Seq("s_suppkey"),
+      (s, d) => ops.TpchSuite.promotionSuppliers(s, d),
+      ops.TpchSuite.promotionSuppliersOracle()),
+
+    Spec("tpch_q21_blame_suppliers",
+      Seq("s_name" -> P, "numwait" -> L),
+      Seq("s_name"),
+      ops.TpchSuite.blameSuppliers, ops.TpchSuite.blameSuppliersOracle),
+
+    Spec("tpch_q22_idle_customers",
+      Seq("c_nationkey" -> I, "n_customers" -> L, "total_acctbal" -> P),
+      Seq("c_nationkey"),
+      (s, d) => ops.TpchSuite.idleCustomers(s, d),
+      ops.TpchSuite.idleCustomersOracle()),
+
     // ---- training-data pipeline ops (documents / embeddings / events) ----
 
     Spec("text_stats",

@@ -91,6 +91,26 @@ class PlanSpec extends SparkSpec {
       "user_id must be the equi key; the time range is a join filter")
   }
 
+  test("tpch correlated shapes compile to joins: semi/anti present, no cartesian") {
+    import graft.ops.TpchSuite
+    // Q21: EXISTS → semi, NOT EXISTS → anti, all on the order-key equi
+    val q21 = plan(TpchSuite.blameSuppliers(spark, Sf0001))
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"))
+    assert(!q21.contains("CartesianProduct"))
+    // Q22: anti join for NOT EXISTS; the scalar-avg threshold is a one-row
+    // broadcast, which is the only nested-loop allowed in the suite
+    val q22 = plan(TpchSuite.idleCustomers(spark, Sf0001))
+    assert(q22.contains("LeftAnti"))
+    assert(!q22.contains("CartesianProduct"))
+    // Q4: EXISTS with a non-equi conjunct still joins on the order key
+    val q4 = plan(TpchSuite.orderPriorityCheck(spark, Sf0001))
+    assert(q4.contains("LeftSemi"))
+    assert(!q4.contains("CartesianProduct") && !q4.contains("BroadcastNestedLoopJoin"))
+    // Q19: the disjunctive predicate must not displace the partkey equi key
+    val q19 = plan(TpchSuite.disjunctiveRevenue(spark, Sf0001))
+    assert(!q19.contains("CartesianProduct") && !q19.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("whole-stage codegen covers the silver hot path") {
     // AQE prints codegen spans only in codegen explain mode pre-execution.
     val p = Silver.payments(spark, Sf0001).queryExecution
