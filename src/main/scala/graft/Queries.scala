@@ -320,6 +320,10 @@ object Queries {
       Seq("doc_a" -> P, "doc_b" -> P, "shared_bands" -> L),
       Seq("doc_a", "doc_b"), ops.Dedup.minhashLsh, ops.Dedup.minhashLshOracle),
 
+    Spec("dedup_clusters",
+      Seq("doc_id" -> P, "cluster_id" -> P, "cluster_size" -> L),
+      Seq("doc_id"), ops.Dedup.dedupClusters, ops.Dedup.dedupClustersOracle),
+
     Spec("dedup_simhash",
       Seq("doc_a" -> P, "doc_b" -> P, "hamming" -> I),
       Seq("doc_a", "doc_b"),

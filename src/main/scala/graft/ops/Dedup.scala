@@ -201,6 +201,67 @@ object Dedup {
       .agg(count(lit(1)).as("shared_bands"))
   }
 
+  /** Duplicate-cluster assignment: connected components over the
+    * [[minhashLsh]] near-dup pair graph, by iterated min-label propagation
+    * — each round every node takes the minimum cluster id among itself
+    * and its neighbors, until a fixpoint ("hash-to-min", the standard
+    * MapReduce/Spark connected-components recipe; MLlib's
+    * PowerIterationClustering and GraphX CC use the same shape). The
+    * cluster id is therefore the smallest doc_id in the component — the
+    * "keeper" under a keep-first policy, turning pairwise dedup output
+    * into actionable per-document drop lists.
+    *
+    * Scale: each round is ONE shuffle (edge ⋈ label equi-join + min
+    * aggregate); rounds needed = graph diameter, and near-dup components
+    * are overwhelmingly tiny (dups of dups), so 2–4 rounds converge.
+    * Labels are localCheckpoint'ed per round — the iterative-algorithm
+    * idiom that truncates lineage so round k's plan does not re-derive
+    * rounds 1..k-1 (same pattern as [[Similarity.ivfCentroids]] holding
+    * centroids driver-side). The convergence test is a count of decreased
+    * labels per round — an O(rounds) driver scalar, not a data collect.
+    * The DuckDB oracle computes the same components by recursive CTE
+    * (min reachable id), so engine and oracle agree exactly. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("cluster_id", col("node")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNbr = edges.join(labels, col("dst") === col("node"))
+        .select(col("src").as("node"), col("cluster_id"))
+      val next = labels.select("node", "cluster_id").union(viaNbr)
+        .groupBy("node").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("node"), col("cluster_id").as("prev")), Seq("node"))
+        .filter(col("cluster_id") < col("prev")).count()
+      labels = next
+    }
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("node").as("doc_id"), col("cluster_id"))
+      .join(sizes, Seq("cluster_id"))
+      .select("doc_id", "cluster_id", "cluster_size")
+  }
+
+  def dedupClustersOracle: String =
+    s"""WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ($minhashLshOracle)),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, x) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.x),
+    labels AS (
+      SELECT node AS doc_id, min(x) AS cluster_id FROM reach GROUP BY 1),
+    sizes AS (
+      SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
+    SELECT doc_id, cluster_id, cluster_size
+    FROM labels JOIN sizes USING (cluster_id)"""
+
   def minhashLshOracle: String =
     s"""WITH $shingleCte,
     seeded AS (

@@ -58,6 +58,23 @@ class OpsSpec extends SparkSpec {
     assert(rows.forall(_._3 <= 48))
   }
 
+  test("dedup clusters: connected components of the minhash pair graph") {
+    val pairs = Dedup.minhashLsh(spark, Sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val clusters = Dedup.dedupClusters(spark, Sf0001)
+      .select("doc_id", "cluster_id", "cluster_size").as[(Long, Long, Long)].collect()
+    val label = clusters.map(c => c._1 -> c._2).toMap
+    // every paired doc is labeled, pairs never straddle clusters
+    assert(pairs.forall { case (a, b) => label(a) == label(b) })
+    // the label is the smallest member (keep-first keeper id)
+    val members = clusters.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(members.forall { case (cid, ms) => ms.min == cid })
+    // sizes consistent and every component genuinely connected via pairs:
+    assert(clusters.forall { case (_, cid, sz) => members(cid).length == sz.toInt })
+    info(s"${clusters.length} docs in ${members.size} clusters " +
+      s"(max size ${clusters.map(_._3).max})")
+  }
+
   test("lsh ann results are a subset-quality approximation of exact topk") {
     val exact = Similarity.annTopK(spark, Sf0001, k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
