@@ -30,9 +30,18 @@ object Events {
     // configuration asks for).
     if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // Adapt to the physical type: under nanosAsLong a TIMESTAMP(NANOS)
+    // column arrives as BIGINT nanoseconds (→ truncate to micros exactly
+    // like DuckDB); a micro/milli-precision file arrives as a real
+    // timestamp already (re-exported feeds — e.g. the 10x probe replica —
+    // are micros), which only needs the NTZ normalization.
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+      case _ => col("ts").cast("timestamp_ntz")
+    }
+    raw.withColumn("ts", ts)
   }
 
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")

@@ -36,18 +36,24 @@ object StreamingOps {
     * when the directory holds other tables too. */
   def readEventsStream(spark: SparkSession, dir: String,
       glob: Option[String] = None): DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    // File streams need a declared schema; infer it from the files
+    // actually present (a metadata-only batch read) so the stream adapts
+    // to the feed's physical timestamp type exactly like
+    // [[graft.ops.Events.events]]: TIMESTAMP(NANOS) arrives as BIGINT
+    // under nanosAsLong (→ truncate to micros), a re-exported
+    // micro-precision feed arrives as a real timestamp.
+    val batch = spark.read
+    glob.foreach(g => batch.option("pathGlobFilter", g))
+    val schema = batch.parquet(dir).schema
     val reader = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
     glob.foreach(g => reader.option("pathGlobFilter", g))
-    reader.parquet(s"$dir")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ts = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+    reader.parquet(s"$dir").withColumn("ts", ts)
   }
 
   /** 10-minute tumbling windows per event_type with a 1-hour watermark. */

@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Build a 10x scale-probe replica of an SF directory (default sf0.1).
+
+Fact tables are replicated N times with shifted keys (orders/lineitem
+share the order-key shift so joins stay consistent); dimensions are
+symlinked unchanged — the realistic growth shape (more facts, same
+dims). Embeddings get per-copy decorrelating component sign flips so
+the near-dup candidate structure does not degenerate into N identical
+copies of every vector; documents are exact duplicates on purpose
+(exact-dedup input grows, the post-dedup near-dup stages must stay
+flat). events.ts is written as TIMESTAMP_NS to preserve the nanos
+physical type the engine's reader contract expects.
+
+Usage: python3 tools/make_10x.py [src_dir] [dst_dir] [copies]
+       (defaults: /root/testdata/sf0.1 /tmp/sf10x 10)
+
+This is probe tooling for SURVEY.md §9/§10 numbers, not part of the
+library.
+"""
+import os
+import sys
+
+import duckdb
+
+src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf10x"
+copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+KEY_SHIFT = 10_000_000  # > every natural key in any test SF
+
+os.makedirs(dst, exist_ok=True)
+con = duckdb.connect()
+
+
+def rep(table, select_per_copy):
+    parts = [select_per_copy.format(c=c, src=f"{src}/{table}.parquet")
+             for c in range(copies)]
+    sql = " UNION ALL ".join(parts)
+    con.execute(f"COPY ({sql}) TO '{dst}/{table}.parquet' (FORMAT PARQUET)")
+    print(f"{table}: x{copies}")
+
+
+rep("orders", """
+  SELECT o_orderkey + {c} * {ks} AS o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM read_parquet('{src}')""".replace("{ks}", str(KEY_SHIFT)))
+
+rep("lineitem", """
+  SELECT l_orderkey + {c} * {ks} AS l_orderkey, l_partkey, l_suppkey,
+         l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+         l_returnflag, l_linestatus, l_shipdate
+  FROM read_parquet('{src}')""".replace("{ks}", str(KEY_SHIFT)))
+
+rep("events", """
+  SELECT event_id + {c} * {ks} AS event_id, ts::TIMESTAMP_NS AS ts,
+         user_id, event_type, value, props
+  FROM read_parquet('{src}')""".replace("{ks}", str(KEY_SHIFT)))
+
+rep("documents", """
+  SELECT doc_id + {c} * {ks} AS doc_id, text, lang, source, n_chars
+  FROM read_parquet('{src}')""".replace("{ks}", str(KEY_SHIFT)))
+
+rep("embeddings", """
+  SELECT vec_id + {c} * {ks} AS vec_id,
+         list_transform(embedding, (x, i) ->
+           x * (CASE WHEN (i * 37 + {c} * 101) % 3 = 0 AND {c} > 0
+                THEN -1 ELSE 1 END))::FLOAT[] AS embedding,
+         label
+  FROM read_parquet('{src}')""".replace("{ks}", str(KEY_SHIFT)))
+
+for dim in ["customer", "supplier", "part", "nation", "region"]:
+    link = f"{dst}/{dim}.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{src}/{dim}.parquet", link)
+    print(f"{dim}: symlink")
+print("done:", dst)
