@@ -192,6 +192,20 @@ object Queries {
       ops.Analytics.revenueCube,
       ops.Analytics.revenueCubeOracle(OracleSql.prelude)),
 
+    Spec("payments_pivot",
+      Seq("order_year_month" -> P, "credit_card" -> P, "bank_transfer" -> P,
+        "paypal" -> P, "cash" -> P, "digital_wallet" -> P, "other" -> P),
+      Seq("order_year_month"),
+      ops.Analytics.paymentMethodPivot,
+      ops.Analytics.paymentMethodPivotOracle(OracleSql.prelude)),
+
+    Spec("order_percentiles",
+      Seq("order_year" -> I, "n_orders" -> L, "p50" -> P, "p90" -> P,
+        "p99" -> P),
+      Seq("order_year"),
+      ops.Analytics.orderPercentiles,
+      ops.Analytics.orderPercentilesOracle(OracleSql.prelude)),
+
     Spec("tpch_q13_custdist",
       Seq("c_count" -> L, "custdist" -> L),
       Seq("c_count"),

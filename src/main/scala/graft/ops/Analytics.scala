@@ -148,6 +148,81 @@ object Analytics {
     FROM silver_orders WHERE is_completed
     GROUP BY CUBE(order_year, order_quarter)"""
 
+  /** Native dynamic-pivot operator: monthly successful-payment revenue by
+    * standardized method, via `RelationalGroupedDataset.pivot` with pinned
+    * value columns (the reference builds the same mart shape by hand with
+    * five `sum(case …)` branches — `gold_revenue_analysis.sql:64-80`; this
+    * is the dedicated operator form, one hash aggregate with the pivot
+    * columns as grouping values). Pinning the pivot values keeps the plan
+    * single-pass — Spark otherwise runs a distinct-scan job first — and
+    * makes the output schema declaration-stable at any data scale. */
+  def paymentMethodPivot(spark: SparkSession, dir: String): DataFrame = {
+    val methods = graft.silver.Silver.MethodSynonyms.map(_._1) :+ "other"
+    graft.silver.Silver.payments(spark, dir)
+      .filter(col("is_successful_payment"))
+      .join(graft.silver.Silver.orders(spark, dir)
+        .select("order_key", "order_year_month"), Seq("order_key"))
+      .groupBy("order_year_month")
+      .pivot("payment_method", methods)
+      .agg(sum(round(col("payment_amount") * 100).cast("long")) / 100.0)
+      .na.fill(0.0, methods)
+  }
+
+  def paymentMethodPivotOracle(prelude: String): String = {
+    val methods = graft.silver.Silver.MethodSynonyms.map(_._1) :+ "other"
+    val branches = methods.map(m =>
+      s"""coalesce(sum(CAST(round(CASE WHEN payment_method = '$m'
+            THEN payment_amount ELSE NULL END * 100) AS BIGINT)) / 100.0, 0.0)
+          AS $m""").mkString(",\n      ")
+    s"""$prelude
+    SELECT o.order_year_month,
+      $branches
+    FROM silver_payments p
+    JOIN silver_orders o ON p.order_key = o.order_key
+    WHERE p.is_successful_payment
+    GROUP BY 1"""
+  }
+
+  /** Distributed exact percentiles by nearest rank: p50/p90/p99 of order
+    * amount per year. Interpolated percentiles (`percentile`,
+    * `quantile_cont`) differ across engines by summation-formula ulps AND
+    * Spark's exact `percentile` buffers whole groups in memory — so this
+    * uses the nearest-rank definition instead: the value at row
+    * ⌈p·n⌉ of the group's sort order, computed with a rank window and
+    * pure integer rank arithmetic (`⌈p·n⌉` as `(p·n + denom-1) div
+    * denom`), bit-identical in both engines and scale-safe (one window
+    * sort per group — Spark's standard disk-spilling sort, no in-memory
+    * group buffer). */
+  def orderPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("order_year").orderBy("order_amount", "order_id")
+    val n = Window.partitionBy("order_year")
+    val ranked = graft.silver.Silver.orders(spark, dir)
+      .select(col("order_year"), col("order_id"), col("order_amount"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(n))
+    ranked.groupBy("order_year")
+      .agg(
+        max(col("n")).as("n_orders"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("order_amount"))).as("p50"),
+        max(when(col("rn") === expr("(n * 9 + 9) div 10"), col("order_amount"))).as("p90"),
+        max(when(col("rn") === expr("(n * 99 + 99) div 100"), col("order_amount"))).as("p99"))
+  }
+
+  def orderPercentilesOracle(prelude: String): String =
+    s"""$prelude,
+    ranked AS (
+      SELECT order_year, order_amount,
+        row_number() OVER (PARTITION BY order_year
+          ORDER BY order_amount, order_id) AS rn,
+        count(*) OVER (PARTITION BY order_year) AS n
+      FROM silver_orders)
+    SELECT order_year, max(n) AS n_orders,
+      max(CASE WHEN rn = (n + 1) // 2 THEN order_amount END) AS p50,
+      max(CASE WHEN rn = (n * 9 + 9) // 10 THEN order_amount END) AS p90,
+      max(CASE WHEN rn = (n * 99 + 99) // 100 THEN order_amount END) AS p99
+    FROM ranked GROUP BY 1"""
+
   /** TPC-H Q7 shape: bilateral trade flow — revenue shipped between two
     * chosen nations (supplier side → customer side, both directions) by
     * ship year. Two aliases of the same nation dimension broadcast to

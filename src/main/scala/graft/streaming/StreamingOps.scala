@@ -204,6 +204,42 @@ object StreamingOps {
          sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
        FROM events GROUP BY 1, 2"""
 
+  /** Streaming incremental ingestion: drive a micro-batched file stream
+    * into a [[graft.pipeline.TableSink]] through `foreachBatch` — each
+    * micro-batch upserts by `key` via the sink's merge (a real `MERGE
+    * INTO` on lakehouse formats), so redelivered or restated events land
+    * exactly once in the warehouse table. This is the streaming feeder
+    * for the Registry's `Incremental` materialization: the same sink
+    * contract, fed by a stream instead of a batch replay.
+    *
+    * Scale: each micro-batch merge is one equi-join against the target
+    * keyed on `key` (broadcast when the batch is small — the common
+    * case); checkpointing makes the foreachBatch side effect restartable,
+    * and the first batch full-builds the table. Blocks until the bounded
+    * file listing drains (production would run the query continuously). */
+  def streamIntoSink(spark: SparkSession, dir: String,
+      sink: graft.pipeline.TableSink, layer: String, name: String,
+      key: String, glob: Option[String] = None): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_ckpt_ing_$name")
+    try {
+      val q = readEventsStream(spark, dir, glob).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (sink.exists(spark, layer, name))
+            sink.merge(spark, layer, name, batch, key)
+          else sink.overwrite(spark, layer, name, batch)
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      sink.read(spark, layer, name)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(ckpt.toUri)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
   /** Run a streaming query over `df` into an in-memory table and block
     * until the (file-bounded) stream drains. Returns the result table. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

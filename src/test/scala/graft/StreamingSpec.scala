@@ -19,6 +19,32 @@ class StreamingSpec extends SparkSpec {
     d.toString
   }
 
+  test("streaming ingestion: micro-batches merge into the sink exactly once") {
+    val batches = java.nio.file.Files.createTempDirectory("graft_ingest_src").toString
+    val ev = graft.ops.Events.events(spark, Sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.repartition(3).write.mode("overwrite").parquet(batches)
+    val sink = new graft.pipeline.ParquetSink(
+      java.nio.file.Files.createTempDirectory("graft_ingest_wh").toString)
+    // first drain: 3 files -> first batch full-builds, later batches merge
+    val t1 = StreamingOps.streamIntoSink(spark, batches, sink,
+      "silver", "events_ingest", "event_id")
+    assert(t1.count() == ev.count(), "every micro-batch row must land")
+    // redeliver a restated subset: same ids, value shifted
+    val restatedIds = ev.orderBy("event_id").limit(10)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        (col("value") + 1000.0).as("value"))
+    restatedIds.coalesce(1).write.mode("append").parquet(batches)
+    // second drain (fresh checkpoint) replays all files + the restatement
+    val t2 = StreamingOps.streamIntoSink(spark, batches, sink,
+      "silver", "events_ingest", "event_id")
+    assert(t2.count() == ev.count(),
+      "merge-by-key ingestion must not duplicate redelivered rows")
+    val updated = t2.join(restatedIds.select(col("event_id"), col("value").as("v2")),
+      Seq("event_id")).filter(col("value") === col("v2")).count()
+    assert(updated == 10, "the restated batch (latest file) must win the upsert")
+  }
+
   test("windowed counts with watermark match the batch equivalent") {
     val stream = StreamingOps.readEventsStream(spark, eventsDir)
     // Complete mode: a single bounded file is one micro-batch, so the
