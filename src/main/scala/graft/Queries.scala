@@ -399,6 +399,25 @@ object Queries {
       Seq("purchase_id", "click_id"),
       ops.Events.attribution, ops.Events.attributionOracle),
 
+    Spec("events_asof",
+      Seq("purchase_id" -> P, "user_id" -> P, "purchase_ts" -> P,
+        "click_id" -> P, "click_ts" -> P, "value" -> P),
+      Seq("purchase_id"),
+      ops.Events.asofAttribution, ops.Events.asofAttributionOracle),
+
+    Spec("docs_split",
+      Seq("split" -> P, "n_docs" -> L, "n_chars_total" -> L, "n_langs" -> L),
+      Seq("split"),
+      ops.TextOps.hashSplit, ops.TextOps.hashSplitOracle),
+
+    Spec("skew_salted_count",
+      Seq("user_id" -> P, "n_events" -> L),
+      Seq("user_id"),
+      (s, d) => ops.SkewJoin.saltedCount(
+        ops.Events.events(s, d), "user_id", "event_id", salts = 8)
+        .withColumnRenamed("count", "n_events"),
+      "SELECT user_id, count(*) AS n_events FROM events GROUP BY 1"),
+
     Spec("streaming_windowed_parity",
       Seq("window_start" -> P, "event_type" -> P, "n_events" -> L,
         "total_value" -> P),

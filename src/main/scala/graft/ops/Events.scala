@@ -140,6 +140,60 @@ object Events {
         "click_ts", "value")
   }
 
+  /** As-of join: each purchase matched to the LATEST click at-or-before
+    * it — the canonical time-series operator Spark has no native form of.
+    * Composed from existing ops via the union+window formulation: tag
+    * clicks and purchases, sort once per user by (ts, kind, id), carry
+    * the last-seen click forward with `last(..., ignoreNulls)` — ONE
+    * shuffle on user_id total, versus the join+argmax form whose
+    * candidate fan-out is every (purchase × prior click) pair. Ties are
+    * deterministic: clicks order before purchases at equal ts (as-of is
+    * at-or-before), and the later click_id wins among same-ts clicks.
+    * Purchases with no prior click are kept with NULL click columns
+    * (the honest as-of semantics; the oracle mirrors via rn=1 over a
+    * left join). */
+  def asofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(spark, dir)
+    val tagged = e.filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"),
+        when(col("event_type") === "click", 0).otherwise(1).as("kind"),
+        col("event_id"), col("value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("click_id",
+        last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_ts",
+        last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("click_id"), col("click_ts"),
+        col("value"))
+  }
+
+  def asofAttributionOracle: String =
+    """WITH e AS (
+      SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id,
+        event_type, value
+      FROM events),
+    clicks AS (
+      SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM e WHERE event_type = 'click'),
+    purchases AS (
+      SELECT user_id, ts AS purchase_ts, event_id AS purchase_id, value
+      FROM e WHERE event_type = 'purchase'),
+    ranked AS (
+      SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_id,
+        c.click_ts, p.value,
+        row_number() OVER (PARTITION BY p.purchase_id
+          ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+      FROM purchases p LEFT JOIN clicks c ON c.user_id = p.user_id
+        AND c.click_ts <= p.purchase_ts)
+    SELECT purchase_id, user_id, purchase_ts, click_id, click_ts, value
+    FROM ranked WHERE rn = 1"""
+
   def attributionOracle: String =
     s"""WITH e AS (
       SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id,

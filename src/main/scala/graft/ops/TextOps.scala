@@ -31,6 +31,52 @@ object TextOps {
 
   private def inList(vals: Seq[String]) = vals.map(v => s"'$v'").mkString("(", ",", ")")
 
+  /** Deterministic hash-based train/val/test split (80/10/10): the
+    * document's bucket is 16 bits of md5(doc_id) mod 100, computed with
+    * per-nibble hex arithmetic so the identical integer falls out of both
+    * engines (no `conv()` in DuckDB 1.0; four substr lookups stay inside
+    * whole-stage codegen). Content-stable assignment is the training-data
+    * requirement: re-running the pipeline — or re-sharding the corpus —
+    * never migrates a document across splits, because the bucket depends
+    * only on the id, not on row order, partitioning, or a seed table.
+    * Per-split rollup is one narrow hash aggregate over the scan. */
+  private def md5BucketExpr(idCol: String): String = {
+    def nib(i: Int) =
+      s"(instr('0123456789abcdef', substring(md5(cast($idCol as string)), $i, 1)) - 1)"
+    s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}) % 100"
+  }
+
+  private def md5BucketSqlDuck(idCol: String): String = {
+    def nib(i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5(CAST($idCol AS VARCHAR)), $i, 1)) - 1)"
+    s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}) % 100"
+  }
+
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("bucket", expr(md5BucketExpr("doc_id")))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_total"),
+        countDistinct(col("lang")).as("n_langs"))
+
+  def hashSplitOracle: String =
+    s"""WITH b AS (
+      SELECT doc_id, lang, n_chars, ${md5BucketSqlDuck("doc_id")} AS bucket
+      FROM documents),
+    s AS (
+      SELECT CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split, lang, n_chars
+      FROM b)
+    SELECT split, count(*) AS n_docs, sum(n_chars) AS n_chars_total,
+      count(DISTINCT lang) AS n_langs
+    FROM s GROUP BY 1"""
+
   /** Per-document statistics: counts, ratios, a BPE-ish token estimate
     * (chars/4), a composite quality score, and an md5 fingerprint. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
