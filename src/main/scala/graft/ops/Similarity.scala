@@ -236,8 +236,35 @@ object Similarity {
     SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
     FROM ranked WHERE rank <= $k"""
 
-  val IvfK = 16
+  val IvfKMin = 16
+  /** Cap keeps the centroid table broadcast-able and driver-holdable:
+    * 16384 × 64 doubles ≈ 8 MB. Beyond N ≈ 2^29 vectors raise it with the
+    * executor/driver memory budget. */
+  val IvfKMax = 16384
   val IvfIters = 2
+
+  /** Adaptive IVF centroid count: k ≈ √(2N) via integer bit-length
+    * arithmetic (k = 2^⌊bitlen(N)/2⌋ clamped to [[IvfKMin]]..[[IvfKMax]]),
+    * so per-list occupancy N/k grows only as √N — the FAISS-style sizing
+    * rule — instead of linearly as it would with a fixed k. Integer form
+    * for the same reason as [[nearDupBandPlanes]]: the DuckDB oracle
+    * computes the identical k in SQL (`1 << (length(bin(N)) // 2)`), and
+    * float `sqrt`/`log` could land a hair under a power of two and
+    * silently desynchronize the engines. At the verified SFs: N=200/500 →
+    * k=16 (the floor, results unchanged vs the old fixed k), N=2000 →
+    * k=32. */
+  def ivfK(n: Long): Int = {
+    val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L))
+    // clamp the shift BEFORE 1<<s: an Int shift by 31 wraps negative and
+    // would silently pin k at the floor for n >= 2^62 (DuckDB's BIGINT
+    // shift has headroom to 63, so only this side needs the guard)
+    val shift = math.min(30, bitlen / 2)
+    math.min(IvfKMax, math.max(IvfKMin, 1 << shift))
+  }
+
+  /** [[ivfK]] as DuckDB SQL over a BIGINT rowcount expression. */
+  private def ivfKSqlDuck(nExpr: String): String =
+    s"least($IvfKMax, greatest($IvfKMin, 1 << (length(bin(greatest($nExpr, 1))) // 2)))"
 
   /** Argmin-L2 centroid assignment: dist = ||v||² - 2·v·c + ||c||², every
     * term a deterministic sequential fold, tie-broken by centroid id via
@@ -253,7 +280,7 @@ object Similarity {
         .as("centroid_id"))
 
   /** Deterministic Lloyd k-means coarse quantizer for IVF: init = the
-    * first [[IvfK]] vectors by id, [[IvfIters]] fixed iterations, so the
+    * first [[ivfK]](N) vectors by id, [[IvfIters]] fixed iterations, so the
     * DuckDB oracle replicates training exactly in SQL.
     *
     * Cross-engine float discipline: a cluster mean is a float sum whose
@@ -264,7 +291,8 @@ object Similarity {
     * broadcast assignment pass plus one (centroid, component) aggregation
     * — both linear in N; the trained centroids (k×dim doubles) are
     * collected to the driver exactly like MLlib's KMeansModel holds them. */
-  def ivfCentroids(spark: SparkSession, dir: String): DataFrame = {
+  def ivfCentroids(spark: SparkSession, dir: String,
+      numVectors: Option[Long] = None): DataFrame = {
     import spark.implicits._
     // k×dim doubles live driver-side between iterations (like MLlib's
     // KMeansModel): each Lloyd step is one distributed job whose plan
@@ -276,7 +304,12 @@ object Similarity {
       spark.createDataset(rows).toDF("centroid_id", "c_vec", "c_nrm")
     }
     val base = withNorm(spark, dir)
-    var cents = localized(base.filter(col("vec_id") < IvfK)
+    // k sized from metadata, not a count() job — same discipline as
+    // cosineNearDup's banding
+    val k = ivfK(numVectors
+      .orElse(graft.sources.ParquetStats.rowCount(spark, s"$dir/embeddings.parquet"))
+      .getOrElse(base.count()))
+    var cents = localized(base.filter(col("vec_id") < k)
       .select(col("vec_id").as("centroid_id"), col("vec").as("c_vec"),
         col("nrm").as("c_nrm")))
     for (_ <- 1 to IvfIters) {
@@ -374,9 +407,11 @@ object Similarity {
       SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
     normed AS (
       SELECT vec_id, vec, $normSqlDuck AS nrm FROM base),
+    params AS (
+      SELECT ${ivfKSqlDuck("count(*)")} AS k FROM embeddings),
     cents0 AS (
       SELECT vec_id AS centroid_id, vec AS c_vec, nrm AS c_nrm
-      FROM normed WHERE vec_id < $IvfK),
+      FROM normed WHERE vec_id < (SELECT k FROM params)),
     ${(1 to IvfIters).map(kmeansIterCteDuck).mkString(",\n    ")},
     ${assignCteDuck("assigned", s"cents$IvfIters")},
     lists AS (
@@ -445,9 +480,11 @@ object Similarity {
       SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
     normed AS (
       SELECT vec_id, vec, $normSqlDuck AS nrm FROM base),
+    params AS (
+      SELECT ${ivfKSqlDuck("count(*)")} AS k FROM embeddings),
     cents0 AS (
       SELECT vec_id AS centroid_id, vec AS c_vec, nrm AS c_nrm
-      FROM normed WHERE vec_id < $IvfK),
+      FROM normed WHERE vec_id < (SELECT k FROM params)),
     ${(1 to IvfIters).map(kmeansIterCteDuck).mkString(",\n    ")},
     ${assignCteDuck("assigned", s"cents$IvfIters")},
     lists AS (

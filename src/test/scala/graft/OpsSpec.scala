@@ -144,7 +144,7 @@ class OpsSpec extends SparkSpec {
     val multiR = multi.toDouble / exact.size
     info(f"ivf recall@5 vs exact: nprobe=1 $singleR%.2f  nprobe=${Similarity.IvfNProbe} $multiR%.2f (${exact.size} exact pairs)")
     // probing more inverted lists can only widen the candidate set, and at
-    // nprobe=4 of 16 lists it must clear the production-shaped bar the
+    // nprobe=4 of ivfK(N) lists it must clear the production-shaped bar the
     // nprobe=1 variant (0.30 here) could not
     assert(multi >= single, "extra probes can only add candidates")
     assert(multiR >= 0.5, f"ivf multi-probe recall@5 $multiR%.2f below 0.5")

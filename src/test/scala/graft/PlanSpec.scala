@@ -91,6 +91,19 @@ class PlanSpec extends SparkSpec {
       "user_id must be the equi key; the time range is a join filter")
   }
 
+  test("ivf k formula: known values incl. power-of-two boundaries, oracle parity") {
+    import graft.ops.Similarity.ivfK
+    // verified SFs: 200/500 vectors stay at the floor (results unchanged
+    // vs the old fixed k=16), 2000 promotes to 32 — any compare-run SF
+    // must produce the same k the oracle's SQL formula computes
+    assert(ivfK(200L) == 16 && ivfK(500L) == 16 && ivfK(2000L) == 32)
+    // bit-length boundaries where a float sqrt/log could sit on x.999…
+    assert(ivfK(511L) == 16) // bitlen 9 → 1<<4
+    assert(ivfK(512L) == 32) // bitlen 10 → 1<<5
+    assert(ivfK(1L << 28) == 16384) // √(2N) regime
+    assert(ivfK(Long.MaxValue) == 16384, "centroid broadcast cap")
+  }
+
   test("tpch correlated shapes compile to joins: semi/anti present, no cartesian") {
     import graft.ops.TpchSuite
     // Q21: EXISTS → semi, NOT EXISTS → anti, all on the order-key equi
