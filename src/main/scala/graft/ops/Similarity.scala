@@ -97,6 +97,16 @@ object Similarity {
 
   val LshPlanes = 6
 
+  /** Adaptive ANN bucket width: with fixed planes the expected bucket
+    * size is N/2^p, so per-query candidate cost grows linearly with N;
+    * growing p with log₂N keeps it constant (~32 expected vectors per
+    * bucket). Same formula, floor, cap, and oracle-parity discipline as
+    * [[nearDupBandPlanes]] — the cap additionally bounds the multi-probe
+    * fan-out at planes+1 ≤ 25 probes per query. All locally-verified SFs
+    * (N ≤ 2 000) sit at the floor, so results are unchanged there while
+    * the 100 TB asymptotics are fixed. */
+  def lshPlanes(n: Long): Int = nearDupBandPlanes(n)
+
   /** Embedding dimensionality of the `embeddings` table (TESTDATA.md). */
   val EmbeddingDim = 64
 
@@ -127,9 +137,13 @@ object Similarity {
     * ann: candidate generation is an equi-join on the bucket key (linear
     * shuffle) instead of a cross join; recall tunes with plane count and
     * multi-probe. May return fewer than k neighbors per query. */
-  def annLshTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def annLshTopK(spark: SparkSession, dir: String, k: Int = 5,
+      numVectors: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = withNorm(spark, dir).withColumn("bucket", expr(signBitsExpr("vec", LshPlanes)))
+    val planes = lshPlanes(numVectors
+      .orElse(graft.sources.ParquetStats.rowCount(spark, s"$dir/embeddings.parquet"))
+      .getOrElse(embeddings(spark, dir).count()))
+    val base = withNorm(spark, dir).withColumn("bucket", expr(signBitsExpr("vec", planes)))
     val q = base.filter(annQueryFilter)
       .select(col("vec_id").as("query_id"), col("vec").as("a_vec"),
         col("nrm").as("na"), col("bucket"))
@@ -147,12 +161,14 @@ object Similarity {
   }
 
   def annLshTopKOracle(k: Int = 5): String =
-    s"""WITH base AS (
+    s"""WITH params AS (
+      SELECT ${nearDupBandPlanesSqlDuck("count(*)")} AS planes FROM embeddings),
+    base AS (
       SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
     normed AS (
       SELECT vec_id, vec, $normSqlDuck AS nrm,
-        ${signBitsSqlDuck("vec", LshPlanes)} AS bucket
-      FROM base),
+        ${signBitsSqlDuckExpr("vec", "p.planes")} AS bucket
+      FROM base, params p),
     pairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         q.vec AS a_vec, c.vec AS b_vec, q.nrm AS na, c.nrm AS nb
@@ -176,19 +192,23 @@ object Similarity {
     * tables: probe count multiplies only the tiny query side (Q×(planes+1)
     * rows), while the candidate index and its linear shuffle stay
     * unchanged. Probe buckets are disjoint, so no pair dedup is needed. */
-  def annLshMultiProbeTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def annLshMultiProbeTopK(spark: SparkSession, dir: String, k: Int = 5,
+      numVectors: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val planes = lshPlanes(numVectors
+      .orElse(graft.sources.ParquetStats.rowCount(spark, s"$dir/embeddings.parquet"))
+      .getOrElse(embeddings(spark, dir).count()))
     val base = withNorm(spark, dir)
-      .withColumn("bucket", expr(signBitsExpr("vec", LshPlanes)))
+      .withColumn("bucket", expr(signBitsExpr("vec", planes)))
     val flip =
       s"""CASE WHEN p = 0 THEN bucket
           ELSE concat(substring(bucket, 1, p - 1),
             CASE WHEN substring(bucket, p, 1) = '1' THEN '0' ELSE '1' END,
-            substring(bucket, p + 1, $LshPlanes - p)) END"""
+            substring(bucket, p + 1, $planes - p)) END"""
     val q = base.filter(annQueryFilter)
       .select(col("vec_id").as("query_id"), col("vec").as("a_vec"),
         col("nrm").as("na"), col("bucket"))
-      .withColumn("p", explode(expr(s"sequence(0, $LshPlanes)")))
+      .withColumn("p", explode(expr(s"sequence(0, $planes)")))
       .withColumn("probe_bucket", expr(flip))
       .drop("bucket", "p")
     val c = base.select(col("vec_id").as("neighbor_id"), col("vec").as("b_vec"),
@@ -204,22 +224,24 @@ object Similarity {
   }
 
   def annLshMultiProbeTopKOracle(k: Int = 5): String =
-    s"""WITH base AS (
+    s"""WITH params AS (
+      SELECT ${nearDupBandPlanesSqlDuck("count(*)")} AS planes FROM embeddings),
+    base AS (
       SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
     normed AS (
       SELECT vec_id, vec, $normSqlDuck AS nrm,
-        ${signBitsSqlDuck("vec", LshPlanes)} AS bucket
-      FROM base),
+        ${signBitsSqlDuckExpr("vec", "p.planes")} AS bucket
+      FROM base, params p),
     probes AS (
       SELECT vec_id AS query_id, vec AS a_vec, nrm AS na,
         CASE WHEN p = 0 THEN bucket
         ELSE substr(bucket, 1, CAST(p - 1 AS INTEGER)) ||
           (CASE WHEN substr(bucket, CAST(p AS INTEGER), 1) = '1'
                 THEN '0' ELSE '1' END) ||
-          substr(bucket, CAST(p + 1 AS INTEGER), CAST($LshPlanes - p AS INTEGER)) END
+          substr(bucket, CAST(p + 1 AS INTEGER), CAST(pp.planes - p AS INTEGER)) END
           AS probe_bucket
-      FROM normed CROSS JOIN range(0, ${LshPlanes + 1}) t(p)
-      WHERE vec_id IN ($annQueryIdsSql)),
+      FROM normed CROSS JOIN range(0, 25) t(p), params pp
+      WHERE vec_id IN ($annQueryIdsSql) AND t.p <= pp.planes),
     pairs AS (
       SELECT q.query_id, c.vec_id AS neighbor_id,
         q.a_vec, c.vec AS b_vec, q.na, c.nrm AS nb
