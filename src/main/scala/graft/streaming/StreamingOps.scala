@@ -204,6 +204,20 @@ object StreamingOps {
          sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
        FROM events GROUP BY 1, 2"""
 
+  /** Streaming exactly-once dedup: drop events whose `event_id` was
+    * already seen within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`) — the at-least-once → exactly-once
+    * boundary every streaming ingest needs in front of
+    * [[streamIntoSink]]-style upserts. State is BOUNDED: an id's dedup
+    * entry is evicted once the watermark passes its event time + delay,
+    * so state size tracks the redelivery horizon, not the stream's
+    * lifetime (plain `dropDuplicates` on a key would grow forever at
+    * 100 TB/day). Exact duplicates arriving inside the horizon are
+    * suppressed; the first arrival wins and is emitted unchanged. */
+  def dedupStream(events: DataFrame, withinDelay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", withinDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Streaming incremental ingestion: drive a micro-batched file stream
     * into a [[graft.pipeline.TableSink]] through `foreachBatch` — each
     * micro-batch upserts by `key` via the sink's merge (a real `MERGE

@@ -45,6 +45,34 @@ class StreamingSpec extends SparkSpec {
     assert(updated == 10, "the restated batch (latest file) must win the upsert")
   }
 
+  test("streaming dedup suppresses redelivered ids within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[StreamingOps.Event](spark)
+    val q = StreamingOps.dedupStream(input.toDS().toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckpt_dedup").toString)
+      .start()
+    // batch 1: two distinct events, one intra-batch duplicate
+    input.addData(
+      StreamingOps.Event(1L, ts("2001-01-01 10:00:00"), 1L, "view", 1.0),
+      StreamingOps.Event(1L, ts("2001-01-01 10:00:00"), 1L, "view", 1.0),
+      StreamingOps.Event(2L, ts("2001-01-01 10:01:00"), 1L, "click", 2.0))
+    q.processAllAvailable()
+    // batch 2: id=1 redelivered within the horizon + one genuinely new id
+    input.addData(
+      StreamingOps.Event(1L, ts("2001-01-01 10:00:00"), 1L, "view", 1.0),
+      StreamingOps.Event(3L, ts("2001-01-01 10:02:00"), 1L, "purchase", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream")
+      .select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L),
+      "each id must be emitted exactly once despite intra- and cross-batch redelivery")
+  }
+
   test("windowed counts with watermark match the batch equivalent") {
     val stream = StreamingOps.readEventsStream(spark, eventsDir)
     // Complete mode: a single bounded file is one micro-batch, so the
