@@ -91,6 +91,18 @@ class PlanSpec extends SparkSpec {
       "user_id must be the equi key; the time range is a join filter")
   }
 
+  test("ann top-k ranking is WindowGroupLimit-pruned, never a full per-group sort") {
+    // Catalyst's rank-limit pushdown keeps only k rows per query group
+    // before the final sort — O(n log k) per partition instead of a full
+    // O(n log n) window sort. At 100 TB this is the difference between
+    // the ANN ranking being a heap scan and being a giant sort; pin it so
+    // a rewrite of the rank/filter shape cannot silently lose it.
+    for (df <- Seq(graft.ops.Similarity.annTopK(spark, Sf0001),
+        graft.ops.Similarity.annLshTopK(spark, Sf0001),
+        graft.ops.Similarity.annIvfTopK(spark, Sf0001)))
+      assert(plan(df).contains("WindowGroupLimit"), plan(df).take(400))
+  }
+
   test("ivf k formula: known values incl. power-of-two boundaries, oracle parity") {
     import graft.ops.Similarity.ivfK
     // verified SFs: 200/500 vectors stay at the floor (results unchanged
