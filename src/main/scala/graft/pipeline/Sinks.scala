@@ -166,14 +166,45 @@ class CatalogSink(format: String = "parquet",
       df: DataFrame, layout: TableLayout = TableLayout.none): DataFrame = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS ${database(layer)}")
     dropStaleManagedLocation(spark, layer, name)
-    var w = df.write.mode("overwrite").format(format)
+    // A plan that reads the table it replaces (incremental merge fallback,
+    // SCD2 advance — dbt's `{{ this }}`) cannot saveAsTable(Overwrite)
+    // directly; stage it through a temp table first. Lakehouse formats
+    // version instead, so at scale this branch is the parquet fallback
+    // only. Detection walks the analyzed plan's relations — no job runs.
+    val selfRead = readsTarget(spark, df, layer, name)
+    val (writeName, writeDf) =
+      if (!selfRead) (name, df)
+      else {
+        val staging = s"_graft_staging_$name"
+        dropStaleManagedLocation(spark, layer, staging)
+        df.write.mode("overwrite").format(format)
+          .saveAsTable(ident(layer, staging))
+        (name, spark.table(ident(layer, staging)))
+      }
+    var w = writeDf.write.mode("overwrite").format(format)
     if (layout.partitionBy.nonEmpty) w = w.partitionBy(layout.partitionBy: _*)
     layout.bucketBy.foreach { case (n, cols) =>
       w = w.bucketBy(n, cols.head, cols.tail: _*)
       if (layout.sortBy.nonEmpty) w = w.sortBy(layout.sortBy.head, layout.sortBy.tail: _*)
     }
-    w.saveAsTable(ident(layer, name))
+    w.saveAsTable(ident(layer, writeName))
+    if (selfRead) spark.sql(s"DROP TABLE ${ident(layer, s"_graft_staging_$name")}")
     read(spark, layer, name)
+  }
+
+  /** Whether `df`'s analyzed plan scans `layer`.`name` — the
+    * self-overwrite hazard test. */
+  private def readsTarget(spark: SparkSession, df: DataFrame,
+      layer: String, name: String): Boolean = {
+    val want = ident(layer, name).toLowerCase(java.util.Locale.ROOT)
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.catalogTable.map(t => t.identifier.database.getOrElse("") + "." +
+          t.identifier.table)
+      case h: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+        Some(h.tableMeta.identifier.database.getOrElse("") + "." +
+          h.tableMeta.identifier.table)
+    }.flatten.exists(_.toLowerCase(java.util.Locale.ROOT) == want)
   }
 
   override def merge(spark: SparkSession, layer: String, name: String,
@@ -185,13 +216,9 @@ class CatalogSink(format: String = "parquet",
       executeMerge(spark, MergeSql.upsertByKey(target, src, key))
       spark.catalog.dropTempView(src)
     } else {
-      dropStaleManagedLocation(spark, layer, s"_graft_staging_$name")
-      val staging = s"${database(layer)}._graft_staging_$name"
-      Incremental.merge(read(spark, layer, name), incoming, key)
-        .write.mode("overwrite").format(format).saveAsTable(staging)
-      spark.table(staging).write.mode("overwrite").format(format)
-        .saveAsTable(target)
-      spark.sql(s"DROP TABLE $staging")
+      // overwrite detects the self-read and stages through a temp table
+      overwrite(spark, layer, name,
+        Incremental.merge(read(spark, layer, name), incoming, key))
     }
     read(spark, layer, name)
   }

@@ -220,6 +220,26 @@ class RegistrySpec extends SparkSpec {
       .select("email").as[String].head() == "a-changed@x.com")
   }
 
+  test("catalog sink snapshot: self-referencing advance stages instead of failing") {
+    import spark.implicits._
+    var src = Seq((1L, "a@x.com"), (2L, "b@x.com")).toDF("id", "email")
+    val mdl = Seq(Registry.Model("snap_cat_probe", "silver",
+      Registry.Snapshot("id", Seq("email")), Seq.empty, (_, _, _) => src))
+    val sink = new graft.pipeline.CatalogSink()
+    Registry.run(spark, Sf0001, sink, all = mdl,
+      asOf = expr("TIMESTAMP_NTZ '2001-08-15 00:00:00'"))
+    src = Seq((1L, "a2@x.com"), (2L, "b@x.com")).toDF("id", "email")
+    // the advance reads silver.snap_cat_probe and overwrites it — without
+    // staging, saveAsTable(Overwrite) throws "cannot overwrite a table
+    // that is also being read from"
+    Registry.run(spark, Sf0001, sink, all = mdl,
+      asOf = expr("TIMESTAMP_NTZ '2001-08-16 00:00:00'"))
+    val snap = sink.read(spark, "silver", "snap_cat_probe")
+    assert(snap.count() == 3, "1 closed + 1 reopened + 1 unchanged")
+    assert(spark.catalog.listTables("silver").collect()
+      .forall(_.name != "_graft_staging_snap_cat_probe"), "staging dropped")
+  }
+
   test("MergeSql statement + catalog MERGE INTO branch via fake mergeable format") {
     import spark.implicits._
     var captured = List.empty[String]
