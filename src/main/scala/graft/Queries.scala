@@ -393,6 +393,12 @@ object Queries {
         "n_users" -> L, "total_value" -> P),
       Seq("window_start", "event_type"), ops.Events.windowed, ops.Events.windowedOracle),
 
+    Spec("events_session_window",
+      Seq("user_id" -> P, "session_start" -> P, "session_end" -> P,
+        "n_events" -> L, "total_value" -> P),
+      Seq("user_id", "session_start"),
+      ops.Events.sessionWindows, ops.Events.sessionWindowsOracle),
+
     Spec("events_attribution",
       Seq("purchase_id" -> P, "click_id" -> P, "user_id" -> P,
         "purchase_ts" -> P, "click_ts" -> P, "value" -> P),

@@ -140,6 +140,51 @@ object Events {
         "click_ts", "value")
   }
 
+  /** Native gap sessionization via Spark's `session_window` operator —
+    * the built-in dynamic-window form of [[sessionize]]'s lag/cumsum
+    * formulation, included as its own driver row because the two differ
+    * at the exact-gap boundary: `session_window` MERGES only when the
+    * next event starts strictly before prev_ts + gap, so a pair exactly
+    * 30 minutes apart splits here but merges in [[sessionize]] (`>` vs
+    * `>=`). The oracle mirrors the strict boundary. Output windows are
+    * [min_ts, max_ts + gap) per Spark's semantics. Scale: same single
+    * shuffle on user_id; Spark merges windows inside the aggregation
+    * (`MergingSessionsExec`), no per-user memory beyond the open window. */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    e.groupBy(col("user_id"),
+        session_window(col("ts"), s"$SessionGapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(cents(col("value"))) / 100.0).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").cast("timestamp_ntz").as("session_start"),
+        col("session_window.end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"), col("total_value"))
+  }
+
+  def sessionWindowsOracle: String =
+    s"""WITH e AS (
+      SELECT make_timestamp(epoch_us(ts)) AS ts, user_id, value
+      FROM events),
+    d AS (
+      SELECT user_id, ts, value,
+        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                + INTERVAL $SessionGapMinutes MINUTE
+             THEN 1 ELSE 0 END AS is_new
+      FROM e),
+    s AS (
+      SELECT user_id, ts, value,
+        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM d)
+    SELECT user_id,
+      min(ts) AS session_start,
+      max(ts) + INTERVAL $SessionGapMinutes MINUTE AS session_end,
+      count(*) AS n_events,
+      sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM s GROUP BY user_id, session_seq"""
+
   /** As-of join: each purchase matched to the LATEST click at-or-before
     * it — the canonical time-series operator Spark has no native form of.
     * Composed from existing ops via the union+window formulation: tag
