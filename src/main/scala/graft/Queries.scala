@@ -192,6 +192,13 @@ object Queries {
       ops.Analytics.revenueCube,
       ops.Analytics.revenueCubeOracle(OracleSql.prelude)),
 
+    Spec("revenue_rolling_28d",
+      Seq("order_date" -> P, "n_orders" -> L, "revenue" -> P,
+        "rolling_28d_revenue" -> P, "rolling_28d_orders" -> L),
+      Seq("order_date"),
+      ops.Analytics.rollingRevenue28d,
+      ops.Analytics.rollingRevenue28dOracle(OracleSql.prelude)),
+
     Spec("payments_pivot",
       Seq("order_year_month" -> P, "credit_card" -> P, "bank_transfer" -> P,
         "paypal" -> P, "cash" -> P, "digital_wallet" -> P, "other" -> P),

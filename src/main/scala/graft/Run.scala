@@ -18,6 +18,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Run {
   def main(args: Array[String]): Unit = {
+    if (args.contains("--docs")) {
+      // dbt docs generate analog: print the lineage DOT and exit
+      println(pipeline.Registry.lineageDot())
+      return
+    }
     val catalogMode = args.contains("--catalog")
     val fullRefresh = args.contains("--full-refresh")
     val select = args.collectFirst { case a if a.startsWith("--select=") =>

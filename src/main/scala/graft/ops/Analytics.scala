@@ -223,6 +223,49 @@ object Analytics {
       max(CASE WHEN rn = (n * 99 + 99) // 100 THEN order_amount END) AS p99
     FROM ranked GROUP BY 1"""
 
+  /** Rolling 28-day revenue via a RANGE window frame — the frame class
+    * the gold marts don't exercise (their 7-row MAs are ROWS frames,
+    * which count physical rows; a RANGE frame bounds by VALUE distance,
+    * the correct semantics over a date axis with gaps: a day preceded by
+    * a 3-week quiet spell must not reach back into it). Ordering key =
+    * days-since-epoch int, frame = [-27, 0] days. Scale: daily
+    * cardinality input (the pre-aggregated mart shape), one window over
+    * a dates-sized partition. */
+  def rollingRevenue28d(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = graft.silver.Silver.orders(spark, dir)
+      .filter(col("is_completed"))
+      .groupBy("order_date")
+      .agg(sum(round(col("order_amount") * 100).cast("long")).as("day_cents"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("day_n", datediff(col("order_date"), lit("1970-01-01").cast("date")))
+    val w = Window.orderBy(col("day_n")).rangeBetween(-27, 0)
+    daily
+      .withColumn("revenue", col("day_cents") / 100.0)
+      .withColumn("rolling_28d_revenue", sum(col("day_cents")).over(w) / 100.0)
+      .withColumn("rolling_28d_orders", sum(col("n_orders")).over(w))
+      .select("order_date", "n_orders", "revenue",
+        "rolling_28d_revenue", "rolling_28d_orders")
+  }
+
+  def rollingRevenue28dOracle(prelude: String): String =
+    s"""$prelude,
+    daily AS (
+      SELECT order_date,
+        sum(CAST(round(order_amount * 100) AS BIGINT)) AS day_cents,
+        count(*) AS n_orders
+      FROM silver_orders WHERE is_completed
+      GROUP BY 1)
+    SELECT order_date, n_orders,
+      day_cents / 100.0 AS revenue,
+      sum(day_cents) OVER (ORDER BY order_date
+        RANGE BETWEEN INTERVAL 27 DAY PRECEDING AND CURRENT ROW) / 100.0
+        AS rolling_28d_revenue,
+      sum(n_orders) OVER (ORDER BY order_date
+        RANGE BETWEEN INTERVAL 27 DAY PRECEDING AND CURRENT ROW)
+        AS rolling_28d_orders
+    FROM daily"""
+
   /** TPC-H Q7 shape: bilateral trade flow — revenue shipped between two
     * chosen nations (supplier side → customer side, both directions) by
     * ship year. Two aliases of the same nation dimension broadcast to

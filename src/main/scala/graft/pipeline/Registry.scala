@@ -342,6 +342,25 @@ object Registry {
         s"schema drift in ${m.name}:\n  declared: $declared\n  actual:   $actual")
     }
 
+  /** `dbt docs generate`-style lineage artifact: the model DAG as
+    * GraphViz DOT — materialization as node shape, declared column count
+    * in the label, one edge per `ref()`. Render with `dot -Tsvg`. */
+  def lineageDot(all: Seq[Model] = models): String = {
+    val nodes = topoOrderOf(all).map { m =>
+      val shape = m.materialization match {
+        case View => "ellipse"
+        case Table => "box"
+        case _: Incremental => "box3d"
+        case _: Snapshot => "cylinder"
+      }
+      val cols = m.declaredSchema.map(s => s"\\n${s.size} cols").getOrElse("")
+      s"""  "${m.name}" [shape=$shape, label="${m.name}\\n${m.layer}$cols"];"""
+    }
+    val edges = all.flatMap(m => m.deps.map(d => s"""  "$d" -> "${m.name}";"""))
+    (Seq("digraph graft {", "  rankdir=LR;") ++ nodes ++ edges :+ "}")
+      .mkString("\n")
+  }
+
   /** `dbt source freshness` over the raw sources (SURVEY.md §3.3). */
   def sourceFreshness(spark: SparkSession, sourceDir: String): Map[String, String] = Map(
     "raw_orders" -> graft.quality.Checks.freshness(

@@ -333,6 +333,15 @@ class RegistrySpec extends SparkSpec {
     assert(ex.getMessage.contains("schema drift in silver_customers"))
   }
 
+  test("lineage DOT carries every model node and ref edge") {
+    val dot = Registry.lineageDot()
+    Registry.models.foreach(m => assert(dot.contains(s""""${m.name}"""")))
+    assert(dot.contains(""""silver_orders" -> "silver_payments""""))
+    assert(dot.contains(""""bronze_customers" -> "silver_customers""""))
+    assert(dot.contains("box3d") == false, "default DAG has no incremental models")
+    assert(dot.contains("20 cols"), "silver_orders declared column count in label")
+  }
+
   test("source freshness reports error for the stale pinned orders feed") {
     // raw_orders _loaded_at is pinned 5 days before Clock.now (120h > 48h).
     assert(Registry.sourceFreshness(spark, Sf0001)("raw_orders") == "error")
