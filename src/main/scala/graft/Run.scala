@@ -27,6 +27,10 @@ object Run {
     val fullRefresh = args.contains("--full-refresh")
     val select = args.collectFirst { case a if a.startsWith("--select=") =>
       a.stripPrefix("--select=") }
+    val exclude = args.collectFirst { case a if a.startsWith("--exclude=") =>
+      a.stripPrefix("--exclude=") }
+    val threads = args.collectFirst { case a if a.startsWith("--threads=") =>
+      a.stripPrefix("--threads=").toInt }.getOrElse(4)
     val positional = args.filterNot(_.startsWith("--"))
     val sourceDir = positional.headOption.getOrElse("/root/testdata/sf0.001")
     val warehouse = if (positional.length > 1) positional(1)
@@ -48,8 +52,10 @@ object Run {
       if (catalogMode) new pipeline.CatalogSink()
       else new pipeline.ParquetSink(warehouse)
     select.foreach(s => println(s"==   --select $s"))
+    exclude.foreach(s => println(s"==   --exclude $s"))
     val models = pipeline.Registry.run(spark, sourceDir, sink,
-      select = select, fullRefresh = fullRefresh)
+      threads = threads, select = select, exclude = exclude,
+      fullRefresh = fullRefresh)
     pipeline.Registry.topoOrder.filter(m => models.contains(m.name)).foreach { m =>
       println(f"  ${m.name}%-24s ${m.materialization}%-6s ${models(m.name).count()}%8d rows")
     }

@@ -249,13 +249,17 @@ object Registry {
     * stamp versions with (pinned [[graft.model.Clock]] by default). */
   def run(spark: SparkSession, sourceDir: String, sink: TableSink,
       threads: Int = 4, all: Seq[Model] = models,
-      select: Option[String] = None, fullRefresh: Boolean = false,
+      select: Option[String] = None, exclude: Option[String] = None,
+      fullRefresh: Boolean = false,
       asOf: org.apache.spark.sql.Column = graft.model.Clock.now): Map[String, DataFrame] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val ordered = topoOrderOf(all)
+    // dbt semantics: --exclude removes its graph closure from whatever
+    // --select picked (or from everything)
     val selected: Set[String] =
-      select.map(selectClosure(_, all)).getOrElse(ordered.map(_.name).toSet)
+      select.map(selectClosure(_, all)).getOrElse(ordered.map(_.name).toSet) --
+        exclude.map(selectClosure(_, all)).getOrElse(Set.empty)
     // the provided (read-only) frontier: transitive deps of the selection
     val byName = all.map(m => m.name -> m).toMap
     val needed = scala.collection.mutable.Set.empty[String]

@@ -313,6 +313,20 @@ class RegistrySpec extends SparkSpec {
     assert(out2("gold_revenue_analysis").count() > 0)
   }
 
+  test("exclude removes its closure from the selection (dbt --exclude)") {
+    val wh = Files.createTempDirectory("graft_wh_excl").toString
+    Registry.run(spark, Sf0001, wh) // seed warehouse state
+    val spy = new SpySink(new graft.pipeline.ParquetSink(wh))
+    // everything except the gold layer's customer-summary subtree
+    val out = Registry.run(spark, Sf0001, spy,
+      exclude = Some("gold_customer_summary"))
+    assert(!spy.of("overwrite").contains("gold_customer_summary"))
+    assert(spy.of("overwrite").toSet ==
+      Set("silver_customers", "silver_orders", "silver_payments",
+        "gold_order_metrics", "gold_revenue_analysis"))
+    assert(!out.contains("gold_customer_summary"))
+  }
+
   test("select fails clearly when an unselected upstream table was never materialized") {
     val spy = new SpySink(new graft.pipeline.ParquetSink(
       Files.createTempDirectory("graft_wh_sel_miss").toString))
