@@ -48,7 +48,9 @@ object Registry {
     * new files). `--full-refresh` rebuilds like dbt's flag. */
   final case class Incremental(
     uniqueKey: Option[String],
-    watermarkCol: String) extends Materialization
+    watermarkCol: String,
+    onSchemaChange: graft.pipeline.Incremental.OnSchemaChange =
+      graft.pipeline.Incremental.Ignore) extends Materialization
 
   /** dbt snapshot, `check` strategy: SCD2 table keyed by `key`,
     * change-tracked on `checkCols` ([[Incremental$.Scd2]]). First run
@@ -298,12 +300,27 @@ object Registry {
       case View => df
       case Table => sink.overwrite(spark, m.layer, m.name, df, m.layout)
       case inc: Incremental =>
+        import graft.pipeline.{Incremental => I}
         if (firstRun) sink.overwrite(spark, m.layer, m.name, df, m.layout)
-        else inc.uniqueKey match {
-          case Some(k) => sink.merge(spark, m.layer, m.name, df, k)
-          case None => sink.append(spark, m.layer, m.name,
-            graft.pipeline.Incremental.freshRows(
-              sink.read(spark, m.layer, m.name), df, inc.watermarkCol))
+        else (inc.uniqueKey, inc.onSchemaChange) match {
+          // the sink's native merge path applies the Ignore contract
+          // (target schema wins) internally; a widening or fail policy
+          // needs the transform-level merge + a rewrite (self-read-safe
+          // overwrite), since appended files can't change schema
+          case (Some(k), I.Ignore) => sink.merge(spark, m.layer, m.name, df, k)
+          case (Some(k), policy) => sink.overwrite(spark, m.layer, m.name,
+            I.merge(sink.read(spark, m.layer, m.name), df, k, policy), m.layout)
+          case (None, policy) =>
+            val target = sink.read(spark, m.layer, m.name)
+            val fresh = I.freshRows(target, df, inc.watermarkCol)
+            policy match {
+              case I.AppendNewColumns
+                  if fresh.columns.toSet != target.columns.toSet =>
+                sink.overwrite(spark, m.layer, m.name,
+                  target.unionByName(fresh, allowMissingColumns = true), m.layout)
+              case _ =>
+                sink.append(spark, m.layer, m.name, I.align(target, fresh, policy))
+            }
         }
       case snap: Snapshot =>
         // SCD2 advance rewrites via overwrite here; on a lakehouse format

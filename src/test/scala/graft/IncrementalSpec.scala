@@ -27,6 +27,52 @@ class IncrementalSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c")))
   }
 
+  test("merge on_schema_change=ignore drops new columns, null-fills vanished ones") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "v", "amt")
+    // incoming adds `extra`, drops `amt`
+    val incoming = Seq((2L, "B", "x"), (3L, "c", "y")).toDF("id", "v", "extra")
+    val out = Incremental.merge(target, incoming, "id")
+    assert(out.columns.toSeq == Seq("id", "v", "amt"), "target schema wins")
+    val rows = out.as[(Long, String, Option[Double])].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "a", Some(10.0)), (2L, "B", None), (3L, "c", None)),
+      "replaced/new rows carry NULL for the vanished column")
+  }
+
+  test("merge on_schema_change=append_new_columns widens the result") {
+    val target = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val incoming = Seq((2L, "B", "x"), (3L, "c", "y")).toDF("id", "v", "extra")
+    val out = Incremental.merge(target, incoming, "id", Incremental.AppendNewColumns)
+    assert(out.columns.toSeq == Seq("id", "v", "extra"))
+    val rows = out.as[(Long, String, Option[String])].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "a", None), (2L, "B", Some("x")), (3L, "c", Some("y"))),
+      "pre-existing rows carry NULL in the new column")
+  }
+
+  test("merge on_schema_change=fail aborts on any column-set difference") {
+    val target = Seq((1L, "a")).toDF("id", "v")
+    val incoming = Seq((2L, "B", "x")).toDF("id", "v", "extra")
+    intercept[IllegalArgumentException](
+      Incremental.merge(target, incoming, "id", Incremental.FailOnChange))
+  }
+
+  test("registry incremental widens via rewrite when the build adds a column") {
+    import graft.pipeline.Registry
+    var src = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val mdl = Seq(Registry.Model("evolving", "silver",
+      Registry.Incremental(Some("id"), "id",
+        onSchemaChange = Incremental.AppendNewColumns),
+      Seq.empty, (_, _, _) => src))
+    val sink = new graft.pipeline.ParquetSink(
+      java.nio.file.Files.createTempDirectory("graft_wh_evolve").toString)
+    Registry.run(spark, Sf0001, sink, all = mdl)
+    src = Seq((2L, "B", "x"), (3L, "c", "y")).toDF("id", "v", "extra")
+    Registry.run(spark, Sf0001, sink, all = mdl)
+    val out = sink.read(spark, "silver", "evolving")
+    assert(out.columns.toSet == Set("id", "v", "extra"))
+    assert(out.count() == 3)
+    assert(out.filter(col("id") === 1L).select("extra").head().isNullAt(0))
+  }
+
   test("scd2 check-strategy tracks changes with valid_from/valid_to") {
     val day1 = Seq((1L, "alice", "x"), (2L, "bob", "y")).toDF("id", "name", "attr")
     val snap1 = Incremental.Scd2.init(day1, ts("2001-01-01 00:00:00"))
