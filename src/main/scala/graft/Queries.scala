@@ -121,6 +121,20 @@ object Queries {
       Seq("check_name"),
       graft.quality.DataQuality.summary, graft.quality.DataQuality.oracle),
 
+    Spec("dq_failures",
+      Seq("value_field" -> P, "n_records" -> L),
+      Seq("value_field"),
+      (s, d) => graft.quality.Checks.acceptedValuesFailures(
+        Silver.payments(s, d), "payment_method",
+        Seq("credit_card", "bank_transfer", "paypal", "cash", "other")),
+      s"""${OracleSql.prelude}
+         SELECT payment_method AS value_field, count(*) AS n_records
+         FROM silver_payments
+         WHERE payment_method IS NOT NULL
+           AND payment_method NOT IN
+             ('credit_card', 'bank_transfer', 'paypal', 'cash', 'other')
+         GROUP BY 1"""),
+
     Spec("source_freshness",
       Seq("source" -> P, "max_loaded_at" -> P, "hours_stale" -> L,
         "status" -> P),

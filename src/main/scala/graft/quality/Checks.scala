@@ -113,6 +113,24 @@ object Checks {
 
   /** Surplus-row count for `unique`: count(col) - count(distinct col).
     * Zero iff the dbt test passes. */
+  /** dbt `--store-failures` analog for `accepted_values`: the stored
+    * failure table is (value_field, n_records) per off-inventory value —
+    * the rows a user debugs with, not just the count. NULLs are the
+    * `not_null` check's business, as in dbt. */
+  def acceptedValuesFailures(df: DataFrame, colName: String,
+      allowed: Seq[String]): DataFrame =
+    df.filter(col(colName).isNotNull && !col(colName).isin(allowed: _*))
+      .groupBy(col(colName).as("value_field"))
+      .agg(count(lit(1)).as("n_records"))
+
+  /** dbt `--store-failures` analog for `unique`: duplicated key values
+    * with their multiplicities. */
+  def uniqueFailures(df: DataFrame, colName: String): DataFrame =
+    df.filter(col(colName).isNotNull)
+      .groupBy(col(colName).as("unique_field"))
+      .agg(count(lit(1)).as("n_records"))
+      .filter(col("n_records") > 1)
+
   def uniqueViolations(c: String): Column =
     (count(col(c)) - countDistinct(col(c))).as(s"$c.unique")
 

@@ -58,6 +58,40 @@ class OpsSpec extends SparkSpec {
     assert(rows.forall(_._3 <= 48))
   }
 
+  test("approximate sketches stay within bounds of exact answers") {
+    // HLL++ (approx_count_distinct) and the GK quantile sketch are the
+    // 100 TB scale path where exact forms shuffle every key or buffer
+    // whole groups; their outputs are algorithm-defined, so there is no
+    // cross-engine oracle — the verification contract here is an error
+    // bound against the exact answer instead.
+    val e = Events.events(spark, Sf0001)
+    val exactD = e.select(countDistinct(col("user_id"))).head().getLong(0)
+    val approxD = e.select(approx_count_distinct("user_id", 0.02)).head().getLong(0)
+    assert(math.abs(approxD - exactD).toDouble / exactD < 0.05,
+      s"approx_count_distinct $approxD vs exact $exactD")
+    val amounts = graft.silver.Silver.orders(spark, Sf0001).select("order_amount")
+    val exactP50 = amounts.select(
+      expr("percentile(order_amount, 0.5)")).head().getDouble(0)
+    val sketchP50 = amounts.select(
+      expr("percentile_approx(order_amount, 0.5, 1000)")).head().getDouble(0)
+    assert(math.abs(sketchP50 - exactP50) / exactP50 < 0.02,
+      s"percentile_approx $sketchP50 vs exact $exactP50")
+  }
+
+  test("store-failures tables carry the debuggable rows, not just counts") {
+    import graft.quality.Checks
+    val pay = graft.silver.Silver.payments(spark, Sf0001)
+    val av = Checks.acceptedValuesFailures(pay, "payment_method",
+      Seq("credit_card", "bank_transfer", "paypal", "cash", "other"))
+      .as[(String, Long)].collect()
+    // the reference's digital_wallet quirk: produced by the normalizer,
+    // missing from the accepted list — so it MUST surface here
+    assert(av.map(_._1).toSeq == Seq("digital_wallet"))
+    assert(av.head._2 > 0)
+    // silver keys are genuinely unique, so the unique-failures table is empty
+    assert(Checks.uniqueFailures(pay, "payment_key").isEmpty)
+  }
+
   test("dedup clusters: connected components of the minhash pair graph") {
     val pairs = Dedup.minhashLsh(spark, Sf0001)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()
