@@ -432,6 +432,12 @@ object Queries {
       Seq("purchase_id"),
       ops.Events.asofAttribution, ops.Events.asofAttributionOracle),
 
+    Spec("docs_redact",
+      Seq("doc_id" -> P, "n_emails" -> L, "n_numbers" -> L,
+        "redacted_len" -> L, "redacted_md5" -> P),
+      Seq("doc_id"),
+      ops.TextOps.redact, ops.TextOps.redactOracle),
+
     Spec("docs_split",
       Seq("split" -> P, "n_docs" -> L, "n_chars_total" -> L, "n_langs" -> L),
       Seq("split"),

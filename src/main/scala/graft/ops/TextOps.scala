@@ -52,6 +52,65 @@ object TextOps {
     s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}) % 100"
   }
 
+  /** PII-style redaction pass: emails → `<EMAIL>`, digit runs → `<NUM>`,
+    * with per-document replacement counts — the pre-training cleanup
+    * every public-corpus pipeline runs. Patterns are deliberately
+    * ASCII-class-only so Java regex (Spark) and RE2 (DuckDB) agree
+    * byte-for-byte; the md5 of the redacted text is emitted and
+    * oracle-compared, which proves the cross-engine redaction is
+    * IDENTICAL on every byte of every document, not merely count-equal.
+    * Narrow per-row transform — embarrassingly parallel over the scan. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val NumberPattern = "[0-9]+"
+
+  def redact(spark: SparkSession, dir: String): DataFrame = {
+    // The synthetic corpus is letters-only, so each doc is augmented with
+    // deterministic PII-shaped content derived from its id (the adapter
+    // fabrication pattern, RawSources-style) — the redaction then has
+    // real matches to prove itself on, and `%31` docs get a second email
+    // to exercise multi-match replacement.
+    val aug = documents(spark, dir).withColumn("full_text",
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com id "), (col("doc_id") * 7919).cast("string"),
+        when(col("doc_id") % 31 === 0,
+          concat(lit(" cc admin"), col("doc_id").cast("string"),
+            lit("@corp.example.org"))).otherwise(lit(""))))
+    aug
+      .withColumn("n_emails",
+        size(split(col("full_text"), EmailPattern, -1)) - 1)
+      // count digit runs on the email-redacted text so an address's
+      // digits are not double-counted
+      .withColumn("n_numbers",
+        size(split(regexp_replace(col("full_text"), EmailPattern, "<EMAIL>"),
+          NumberPattern, -1)) - 1)
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("full_text"), EmailPattern, "<EMAIL>"),
+          NumberPattern, "<NUM>"))
+      .select(col("doc_id"), col("n_emails"), col("n_numbers"),
+        length(col("redacted")).as("redacted_len"),
+        md5(col("redacted")).as("redacted_md5"))
+  }
+
+  def redactOracle: String =
+    s"""WITH aug AS (
+      SELECT doc_id,
+        text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        '@example.com id ' || CAST(doc_id * 7919 AS VARCHAR) ||
+        CASE WHEN doc_id % 31 = 0
+             THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@corp.example.org'
+             ELSE '' END AS full_text
+      FROM documents)
+    SELECT doc_id,
+      len(regexp_split_to_array(full_text, '$EmailPattern')) - 1 AS n_emails,
+      len(regexp_split_to_array(
+        regexp_replace(full_text, '$EmailPattern', '<EMAIL>', 'g'),
+        '$NumberPattern')) - 1 AS n_numbers,
+      length(regexp_replace(regexp_replace(full_text, '$EmailPattern', '<EMAIL>', 'g'),
+        '$NumberPattern', '<NUM>', 'g')) AS redacted_len,
+      md5(regexp_replace(regexp_replace(full_text, '$EmailPattern', '<EMAIL>', 'g'),
+        '$NumberPattern', '<NUM>', 'g')) AS redacted_md5
+    FROM aug"""
+
   def hashSplit(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
       .withColumn("bucket", expr(md5BucketExpr("doc_id")))
