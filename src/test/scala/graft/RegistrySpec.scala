@@ -347,6 +347,15 @@ class RegistrySpec extends SparkSpec {
     assert(ex.getMessage.contains("schema drift in silver_customers"))
   }
 
+  test("Run --docs prints the lineage DOT and exits before any Spark work") {
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      graft.Run.main(Array("--docs"))
+    }
+    val out = buf.toString
+    assert(out.contains("digraph graft") && out.contains("silver_orders"))
+  }
+
   test("lineage DOT carries every model node and ref edge") {
     val dot = Registry.lineageDot()
     Registry.models.foreach(m => assert(dot.contains(s""""${m.name}"""")))

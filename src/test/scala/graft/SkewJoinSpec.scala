@@ -21,6 +21,17 @@ class SkewJoinSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("salting genuinely spreads the hot key across all sub-keys") {
+    // the mechanism, not just the equivalence: the hot key's rows must
+    // land in every salt bucket, so the one straggler task becomes
+    // `salts` even tasks
+    val spread = skewed
+      .withColumn("_salt", pmod(hash(col("v")), lit(8)))
+      .filter(col("k") === 7L)
+      .select("_salt").distinct().count()
+    assert(spread == 8L, s"hot key only reached $spread of 8 salt buckets")
+  }
+
   test("saltedCount equals the plain groupBy count") {
     val plain = skewed.groupBy("k").count()
     val salted = SkewJoin.saltedCount(skewed, "k", "v", salts = 8)
