@@ -253,7 +253,8 @@ object Registry {
       threads: Int = 4, all: Seq[Model] = models,
       select: Option[String] = None, exclude: Option[String] = None,
       fullRefresh: Boolean = false,
-      asOf: org.apache.spark.sql.Column = graft.model.Clock.now): Map[String, DataFrame] = {
+      asOf: org.apache.spark.sql.Column = graft.model.Clock.now,
+      registerViews: Boolean = true): Map[String, DataFrame] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val ordered = topoOrderOf(all)
@@ -281,8 +282,9 @@ object Registry {
         val upstream = acc.toMap
         val batch = Future.sequence(ms.map(m => Future {
           m.name -> (if (selected(m.name))
-            materialize(spark, m, sourceDir, sink, upstream, fullRefresh, asOf)
-          else provide(spark, m, sourceDir, sink, upstream))
+            materialize(spark, m, sourceDir, sink, upstream, fullRefresh,
+              asOf, registerViews)
+          else provide(spark, m, sourceDir, sink, upstream, registerViews))
         }))
         Await.result(batch, Duration.Inf).foreach { case (n, df) => acc(n) = df }
       }
@@ -292,7 +294,7 @@ object Registry {
 
   private def materialize(spark: SparkSession, m: Model, sourceDir: String,
       sink: TableSink, upstream: Map[String, DataFrame], fullRefresh: Boolean,
-      asOf: org.apache.spark.sql.Column): DataFrame = {
+      asOf: org.apache.spark.sql.Column, registerViews: Boolean): DataFrame = {
     val df = m.build(spark, sourceDir, upstream)
     assertDeclaredSchema(m, df)
     def firstRun = fullRefresh || !sink.exists(spark, m.layer, m.name)
@@ -331,7 +333,10 @@ object Registry {
             sink.read(spark, m.layer, m.name), df, snap.key, snap.checkCols, asOf)
         sink.overwrite(spark, m.layer, m.name, next, m.layout)
     }
-    materialized.createOrReplaceTempView(m.name)
+    // the temp view is a SQL-access courtesy, not the dataflow (builds
+    // receive upstream DataFrames directly): session-global names, so two
+    // concurrent run()s in one session should disable registration on one
+    if (registerViews) materialized.createOrReplaceTempView(m.name)
     materialized
   }
 
@@ -339,7 +344,8 @@ object Registry {
     * state; views have no stored state, so they rebuild lazily (free until
     * an action pulls on them). */
   private def provide(spark: SparkSession, m: Model, sourceDir: String,
-      sink: TableSink, upstream: Map[String, DataFrame]): DataFrame = {
+      sink: TableSink, upstream: Map[String, DataFrame],
+      registerViews: Boolean): DataFrame = {
     val df = m.materialization match {
       case View => m.build(spark, sourceDir, upstream)
       case _ =>
@@ -348,7 +354,7 @@ object Registry {
             "include it in the selector or run it first")
         sink.read(spark, m.layer, m.name)
     }
-    df.createOrReplaceTempView(m.name)
+    if (registerViews) df.createOrReplaceTempView(m.name)
     df
   }
 
