@@ -95,8 +95,6 @@ object Similarity {
     SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
     FROM ranked WHERE rank <= $k"""
 
-  val LshPlanes = 6
-
   /** Adaptive ANN bucket width: with fixed planes the expected bucket
     * size is N/2^p, so per-query candidate cost grows linearly with N;
     * growing p with log₂N keeps it constant (~32 expected vectors per
@@ -118,9 +116,6 @@ object Similarity {
     * to the oracle's per-row md5 derivation ([[graft.functions.SignBits.coef]]). */
   private def signBitsExpr(vecCol: String, planes: Int): String =
     s"sign_bits($vecCol, $planes)"
-
-  private def signBitsSqlDuck(vecCol: String, planes: Int): String =
-    signBitsSqlDuckExpr(vecCol, planes.toString)
 
   /** Signature SQL with the plane count as a SQL expression (a column or
     * scalar subquery), for oracles whose banding adapts to cardinality. */
@@ -187,7 +182,7 @@ object Similarity {
     FROM ranked WHERE rank <= $k"""
 
   /** Multi-probe LSH ANN: each query searches its own hyperplane bucket
-    * plus every bucket at Hamming distance 1 ([[LshPlanes]] single-bit
+    * plus every bucket at Hamming distance 1 ([[lshPlanes]] single-bit
     * flips) — the standard recall lever that avoids building more hash
     * tables: probe count multiplies only the tiny query side (Q×(planes+1)
     * rows), while the candidate index and its linear shuffle stay

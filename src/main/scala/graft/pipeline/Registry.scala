@@ -309,7 +309,8 @@ object Registry {
           // (target schema wins) internally; a widening or fail policy
           // needs the transform-level merge + a rewrite (self-read-safe
           // overwrite), since appended files can't change schema
-          case (Some(k), I.Ignore) => sink.merge(spark, m.layer, m.name, df, k)
+          case (Some(k), I.Ignore) =>
+            sink.merge(spark, m.layer, m.name, df, k, m.layout)
           case (Some(k), policy) => sink.overwrite(spark, m.layer, m.name,
             I.merge(sink.read(spark, m.layer, m.name), df, k, policy), m.layout)
           case (None, policy) =>
@@ -320,15 +321,19 @@ object Registry {
                   if fresh.columns.toSet != target.columns.toSet =>
                 sink.overwrite(spark, m.layer, m.name,
                   target.unionByName(fresh, allowMissingColumns = true), m.layout)
-              case _ =>
-                sink.append(spark, m.layer, m.name, I.align(target, fresh, policy))
+              case _ => sink.append(spark, m.layer, m.name,
+                I.align(target, fresh, policy), m.layout)
             }
         }
       case snap: Snapshot =>
         // SCD2 advance rewrites via overwrite here; on a lakehouse format
-        // the same transform lands as a MERGE on (key, _valid_from)
+        // the same transform lands as a MERGE on (key, _valid_from).
+        // Snapshots are EXEMPT from fullRefresh, exactly like dbt's
+        // --full-refresh: closed-version history is irrecoverable, so a
+        // refresh flag must never re-init an existing snapshot.
         val next =
-          if (firstRun) graft.pipeline.Incremental.Scd2.init(df, asOf)
+          if (!sink.exists(spark, m.layer, m.name))
+            graft.pipeline.Incremental.Scd2.init(df, asOf)
           else graft.pipeline.Incremental.Scd2.advance(
             sink.read(spark, m.layer, m.name), df, snap.key, snap.checkCols, asOf)
         sink.overwrite(spark, m.layer, m.name, next, m.layout)

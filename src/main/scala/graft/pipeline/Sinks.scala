@@ -37,16 +37,21 @@ trait TableSink {
     layout: TableLayout = TableLayout.none): DataFrame
 
   /** Upsert `incoming` into `layer`.`name` by `key` (dbt incremental with
-    * `unique_key`); returns a reader over the merged table. */
+    * `unique_key`); returns a reader over the merged table. `layout` is
+    * the model's declared physical layout, honored when the merge has to
+    * rewrite (MERGE-capable formats keep the table's own layout). */
   def merge(spark: SparkSession, layer: String, name: String,
-    incoming: DataFrame, key: String): DataFrame
+    incoming: DataFrame, key: String,
+    layout: TableLayout = TableLayout.none): DataFrame
 
   /** Insert `fresh` rows into `layer`.`name` without touching existing
     * data (dbt incremental with no `unique_key`) — at scale this writes
-    * only the new files, never a rewrite. Returns a reader over the
-    * appended table. */
+    * only the new files, never a rewrite. `layout` must match the
+    * table's declared layout so appended files land in the right
+    * partition directories (catalog sinks take it from table metadata).
+    * Returns a reader over the appended table. */
   def append(spark: SparkSession, layer: String, name: String,
-    fresh: DataFrame): DataFrame
+    fresh: DataFrame, layout: TableLayout = TableLayout.none): DataFrame
 
   /** Whether `layer`.`name` is already materialized — the first-run test
     * dbt's incremental/snapshot materializations branch on. */
@@ -104,14 +109,20 @@ final class ParquetSink(warehouseDir: String) extends TableSink {
   }
 
   override def merge(spark: SparkSession, layer: String, name: String,
-      incoming: DataFrame, key: String): DataFrame =
-    // safe against the self-read because overwrite stages + renames
+      incoming: DataFrame, key: String,
+      layout: TableLayout = TableLayout.none): DataFrame =
+    // safe against the self-read because overwrite stages + renames; the
+    // rewrite preserves the model's declared partitioning
     overwrite(spark, layer, name,
-      Incremental.merge(read(spark, layer, name), incoming, key))
+      Incremental.merge(read(spark, layer, name), incoming, key), layout)
 
   override def append(spark: SparkSession, layer: String, name: String,
-      fresh: DataFrame): DataFrame = {
-    fresh.write.mode("append").parquet(path(layer, name))
+      fresh: DataFrame, layout: TableLayout = TableLayout.none): DataFrame = {
+    // appended files must follow the table's partition-directory scheme —
+    // a flat append into a partitioned table makes it unreadable
+    val w = fresh.write.mode("append")
+    val wp = if (layout.partitionBy.nonEmpty) w.partitionBy(layout.partitionBy: _*) else w
+    wp.parquet(path(layer, name))
     read(spark, layer, name)
   }
 
@@ -172,14 +183,13 @@ class CatalogSink(format: String = "parquet",
     // version instead, so at scale this branch is the parquet fallback
     // only. Detection walks the analyzed plan's relations — no job runs.
     val selfRead = readsTarget(spark, df, layer, name)
-    val (writeName, writeDf) =
-      if (!selfRead) (name, df)
+    val staging = ident(layer, s"_graft_staging_$name")
+    val writeDf =
+      if (!selfRead) df
       else {
-        val staging = s"_graft_staging_$name"
-        dropStaleManagedLocation(spark, layer, staging)
-        df.write.mode("overwrite").format(format)
-          .saveAsTable(ident(layer, staging))
-        (name, spark.table(ident(layer, staging)))
+        dropStaleManagedLocation(spark, layer, s"_graft_staging_$name")
+        df.write.mode("overwrite").format(format).saveAsTable(staging)
+        spark.table(staging)
       }
     var w = writeDf.write.mode("overwrite").format(format)
     if (layout.partitionBy.nonEmpty) w = w.partitionBy(layout.partitionBy: _*)
@@ -187,8 +197,8 @@ class CatalogSink(format: String = "parquet",
       w = w.bucketBy(n, cols.head, cols.tail: _*)
       if (layout.sortBy.nonEmpty) w = w.sortBy(layout.sortBy.head, layout.sortBy.tail: _*)
     }
-    w.saveAsTable(ident(layer, writeName))
-    if (selfRead) spark.sql(s"DROP TABLE ${ident(layer, s"_graft_staging_$name")}")
+    w.saveAsTable(ident(layer, name))
+    if (selfRead) spark.sql(s"DROP TABLE $staging")
     read(spark, layer, name)
   }
 
@@ -208,7 +218,8 @@ class CatalogSink(format: String = "parquet",
   }
 
   override def merge(spark: SparkSession, layer: String, name: String,
-      incoming: DataFrame, key: String): DataFrame = {
+      incoming: DataFrame, key: String,
+      layout: TableLayout = TableLayout.none): DataFrame = {
     val target = ident(layer, name)
     if (mergeCapable) {
       val src = s"_graft_merge_src_$name"
@@ -216,15 +227,19 @@ class CatalogSink(format: String = "parquet",
       executeMerge(spark, MergeSql.upsertByKey(target, src, key))
       spark.catalog.dropTempView(src)
     } else {
-      // overwrite detects the self-read and stages through a temp table
+      // overwrite detects the self-read and stages through a temp table;
+      // the rewrite re-applies the model's declared layout
       overwrite(spark, layer, name,
-        Incremental.merge(read(spark, layer, name), incoming, key))
+        Incremental.merge(read(spark, layer, name), incoming, key), layout)
     }
     read(spark, layer, name)
   }
 
   override def append(spark: SparkSession, layer: String, name: String,
-      fresh: DataFrame): DataFrame = {
+      fresh: DataFrame, layout: TableLayout = TableLayout.none): DataFrame = {
+    // append resolves to an insert into the EXISTING table, whose
+    // partitioning/bucketing come from catalog metadata — `layout` is
+    // intentionally unused here
     fresh.write.mode("append").format(format).saveAsTable(ident(layer, name))
     read(spark, layer, name)
   }

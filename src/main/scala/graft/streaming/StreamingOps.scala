@@ -41,10 +41,24 @@ object StreamingOps {
     // to the feed's physical timestamp type exactly like
     // [[graft.ops.Events.events]]: TIMESTAMP(NANOS) arrives as BIGINT
     // under nanosAsLong (→ truncate to micros), a re-exported
-    // micro-precision feed arrives as a real timestamp.
+    // micro-precision feed arrives as a real timestamp. A directory with
+    // no files yet — the watch-an-empty-feed startup file streams exist
+    // for — falls back to the canonical nanos contract instead of
+    // failing the inference read.
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanosContract = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
     val batch = spark.read
     glob.foreach(g => batch.option("pathGlobFilter", g))
-    val schema = batch.parquet(dir).schema
+    val schema =
+      try batch.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => nanosContract }
     val reader = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
     glob.foreach(g => reader.option("pathGlobFilter", g))

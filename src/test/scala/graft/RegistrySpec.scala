@@ -116,13 +116,14 @@ class RegistrySpec extends SparkSpec {
       rec("overwrite", name); inner.overwrite(spark, layer, name, df, layout)
     }
     override def merge(spark: org.apache.spark.sql.SparkSession, layer: String,
-        name: String, incoming: org.apache.spark.sql.DataFrame,
-        key: String): org.apache.spark.sql.DataFrame = {
-      rec("merge", name); inner.merge(spark, layer, name, incoming, key)
+        name: String, incoming: org.apache.spark.sql.DataFrame, key: String,
+        layout: graft.pipeline.TableLayout): org.apache.spark.sql.DataFrame = {
+      rec("merge", name); inner.merge(spark, layer, name, incoming, key, layout)
     }
     override def append(spark: org.apache.spark.sql.SparkSession, layer: String,
-        name: String, fresh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      rec("append", name); inner.append(spark, layer, name, fresh)
+        name: String, fresh: org.apache.spark.sql.DataFrame,
+        layout: graft.pipeline.TableLayout): org.apache.spark.sql.DataFrame = {
+      rec("append", name); inner.append(spark, layer, name, fresh, layout)
     }
     override def exists(spark: org.apache.spark.sql.SparkSession, layer: String,
         name: String): Boolean = inner.exists(spark, layer, name)
@@ -186,6 +187,44 @@ class RegistrySpec extends SparkSpec {
     assert(out("silver_orders").count() > firstCount)
     assert(out("silver_orders").orderBy("order_id").collect().toSeq ==
       full("silver_orders").orderBy("order_id").collect().toSeq)
+  }
+
+  test("incremental runs preserve the declared partition layout") {
+    import spark.implicits._
+    var batch = Seq((1L, 1997, "a"), (2L, 1998, "b")).toDF("id", "yr", "v")
+    val mdl = Seq(Registry.Model("part_inc", "gold",
+      Registry.Incremental(None, "id"), Seq.empty, (_, _, _) => batch,
+      graft.pipeline.TableLayout(partitionBy = Seq("yr"))))
+    val wh = Files.createTempDirectory("graft_wh_part_inc").toString
+    val sink = new graft.pipeline.ParquetSink(wh)
+    Registry.run(spark, Sf0001, sink, all = mdl)
+    batch = Seq((3L, 1999, "c")).toDF("id", "yr", "v")
+    // a flat (layout-less) append here would break the partitioned table
+    val out = Registry.run(spark, Sf0001, sink, all = mdl)
+    assert(out("part_inc").count() == 3)
+    val dirs = new java.io.File(s"$wh/gold/part_inc").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("yr=1997", "yr=1998", "yr=1999"),
+      s"appended rows must land in partition dirs, got ${dirs.toSeq}")
+    assert(sink.read(spark, "gold", "part_inc").count() == 3)
+  }
+
+  test("snapshots are exempt from --full-refresh: history survives") {
+    import spark.implicits._
+    var src = Seq((1L, "a@x.com")).toDF("id", "email")
+    val mdl = Seq(Registry.Model("snap_fr", "silver",
+      Registry.Snapshot("id", Seq("email")), Seq.empty, (_, _, _) => src))
+    val sink = new graft.pipeline.ParquetSink(
+      Files.createTempDirectory("graft_wh_snap_fr").toString)
+    Registry.run(spark, Sf0001, sink, all = mdl,
+      asOf = expr("TIMESTAMP_NTZ '2001-08-15 00:00:00'"))
+    src = Seq((1L, "a2@x.com")).toDF("id", "email")
+    Registry.run(spark, Sf0001, sink, all = mdl, fullRefresh = true,
+      asOf = expr("TIMESTAMP_NTZ '2001-08-16 00:00:00'"))
+    val snap = sink.read(spark, "silver", "snap_fr")
+    assert(snap.count() == 2,
+      "full-refresh must ADVANCE the snapshot (closed + current), never re-init it")
+    assert(snap.filter(!col("_is_current")).count() == 1, "closed version retained")
   }
 
   test("registry incremental --full-refresh rebuilds instead of merging") {

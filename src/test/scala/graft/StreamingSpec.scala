@@ -19,6 +19,15 @@ class StreamingSpec extends SparkSpec {
     d.toString
   }
 
+  test("file stream starts over an empty directory (nanos-contract fallback)") {
+    val empty = java.nio.file.Files.createTempDirectory("graft_empty_feed").toString
+    // the watch-an-empty-feed startup: schema inference has no files to
+    // read, so the declared nanos contract must carry the stream
+    val stream = StreamingOps.readEventsStream(spark, empty)
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType.typeName == "timestamp")
+  }
+
   test("streaming ingestion: micro-batches merge into the sink exactly once") {
     val batches = java.nio.file.Files.createTempDirectory("graft_ingest_src").toString
     val ev = graft.ops.Events.events(spark, Sf0001)
