@@ -279,6 +279,22 @@ class RegistrySpec extends SparkSpec {
       .forall(_.name != "_graft_staging_snap_cat_probe"), "staging dropped")
   }
 
+  test("catalog merge rewrite preserves the bucketed layout") {
+    import spark.implicits._
+    val sink = new graft.pipeline.CatalogSink()
+    val layout = graft.pipeline.TableLayout(
+      bucketBy = Some((4, Seq("id"))), sortBy = Seq("id"))
+    sink.overwrite(spark, "silver", "bucket_probe",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), layout)
+    sink.merge(spark, "silver", "bucket_probe",
+      Seq((2L, "B"), (3L, "c")).toDF("id", "v"), "id", layout)
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED silver.bucket_probe")
+      .collect().map(_.mkString(" ")).mkString("\n")
+    assert(desc.contains("Num Buckets") && desc.contains("4"),
+      s"merge rewrite must keep bucket metadata:\n$desc")
+    assert(sink.read(spark, "silver", "bucket_probe").count() == 3)
+  }
+
   test("MergeSql statement + catalog MERGE INTO branch via fake mergeable format") {
     import spark.implicits._
     var captured = List.empty[String]
