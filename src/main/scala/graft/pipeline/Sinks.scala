@@ -237,10 +237,16 @@ class CatalogSink(format: String = "parquet",
 
   override def append(spark: SparkSession, layer: String, name: String,
       fresh: DataFrame, layout: TableLayout = TableLayout.none): DataFrame = {
-    // append resolves to an insert into the EXISTING table, whose
-    // partitioning/bucketing come from catalog metadata — `layout` is
-    // intentionally unused here
-    fresh.write.mode("append").format(format).saveAsTable(ident(layer, name))
+    // saveAsTable(Append) VALIDATES the writer's declared layout against
+    // the existing table's (empty spec vs partitioned table is an
+    // AnalysisException), so the model's layout must be restated here
+    var w = fresh.write.mode("append").format(format)
+    if (layout.partitionBy.nonEmpty) w = w.partitionBy(layout.partitionBy: _*)
+    layout.bucketBy.foreach { case (n, cols) =>
+      w = w.bucketBy(n, cols.head, cols.tail: _*)
+      if (layout.sortBy.nonEmpty) w = w.sortBy(layout.sortBy.head, layout.sortBy.tail: _*)
+    }
+    w.saveAsTable(ident(layer, name))
     read(spark, layer, name)
   }
 

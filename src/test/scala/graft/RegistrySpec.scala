@@ -279,6 +279,32 @@ class RegistrySpec extends SparkSpec {
       .forall(_.name != "_graft_staging_snap_cat_probe"), "staging dropped")
   }
 
+  test("catalog-sink incremental: merge and partitioned append route correctly") {
+    import spark.implicits._
+    val sink = new graft.pipeline.CatalogSink()
+    // merge path: exists() on the uppercase-created database must be true
+    var src = Seq((1L, 1997, "a"), (2L, 1998, "b")).toDF("id", "yr", "v")
+    val mergeMdl = Seq(Registry.Model("cat_inc_m", "silver",
+      Registry.Incremental(Some("id"), "id"), Seq.empty, (_, _, _) => src))
+    Registry.run(spark, Sf0001, sink, all = mergeMdl)
+    src = Seq((2L, 1998, "B"), (3L, 1999, "c")).toDF("id", "yr", "v")
+    val m2 = Registry.run(spark, Sf0001, sink, all = mergeMdl)
+    assert(m2("cat_inc_m").count() == 3)
+    assert(spark.table("silver.cat_inc_m").filter(col("v") === "B").count() == 1)
+    // append path into a PARTITIONED catalog table: the insert must take
+    // the partitioning from table metadata
+    src = Seq((1L, 1997, "a"), (2L, 1998, "b")).toDF("id", "yr", "v")
+    val appMdl = Seq(Registry.Model("cat_inc_a", "gold",
+      Registry.Incremental(None, "id"), Seq.empty, (_, _, _) => src,
+      graft.pipeline.TableLayout(partitionBy = Seq("yr"))))
+    Registry.run(spark, Sf0001, sink, all = appMdl)
+    src = Seq((3L, 1999, "c")).toDF("id", "yr", "v")
+    val a2 = Registry.run(spark, Sf0001, sink, all = appMdl)
+    assert(a2("cat_inc_a").count() == 3)
+    assert(spark.sql("SHOW PARTITIONS gold.cat_inc_a").count() == 3,
+      "appended rows must create their partition")
+  }
+
   test("catalog merge rewrite preserves the bucketed layout") {
     import spark.implicits._
     val sink = new graft.pipeline.CatalogSink()
