@@ -247,14 +247,15 @@ object StreamingOps {
     * file listing drains (production would run the query continuously). */
   def streamIntoSink(spark: SparkSession, dir: String,
       sink: graft.pipeline.TableSink, layer: String, name: String,
-      key: String, glob: Option[String] = None): DataFrame = {
+      key: String, glob: Option[String] = None,
+      layout: graft.pipeline.TableLayout = graft.pipeline.TableLayout.none): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft_ckpt_ing_$name")
     try {
       val q = readEventsStream(spark, dir, glob).writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           if (sink.exists(spark, layer, name))
-            sink.merge(spark, layer, name, batch, key)
-          else sink.overwrite(spark, layer, name, batch)
+            sink.merge(spark, layer, name, batch, key, layout)
+          else sink.overwrite(spark, layer, name, batch, layout)
           ()
         }
         .option("checkpointLocation", ckpt.toString)
