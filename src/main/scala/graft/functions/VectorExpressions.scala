@@ -5,7 +5,29 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StringType}
+
+/** Element accessors shared by the vector expressions: FLOAT and DOUBLE
+  * arrays are both accepted natively, so callers feed parquet
+  * `array<float>` embeddings straight in — the old
+  * `transform(embedding, x -> cast(x as double))` pre-pass was an
+  * interpreted higher-order function (HOFs are CodegenFallback) that
+  * allocated a converted copy of every vector on every row; reading the
+  * float and widening per element inside the primitive loop is exact
+  * (float→double is value-preserving) so results are bit-unchanged. */
+private[functions] object VecType {
+  def isVec(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  def isFloat(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  /** Java source for reading element `i` of `arr` as a double. */
+  def getter(isFloat: Boolean, arr: String, i: String): String =
+    if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+}
 
 /** Native Catalyst expression for the dense-vector dot product.
   *
@@ -25,17 +47,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
 case class VecDot(left: Expression, right: Expression)
   extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(t: DataType) = t match {
-      case ArrayType(DoubleType, _) => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VecType.isVec(left.dataType) && VecType.isVec(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"vec_dot requires array<double> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
-  }
+      s"vec_dot requires array<double|float> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+
+  @transient private lazy val leftFloat = VecType.isFloat(left.dataType)
+  @transient private lazy val rightFloat = VecType.isFloat(right.dataType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
@@ -44,7 +65,9 @@ case class VecDot(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += xs.getDouble(i) * ys.getDouble(i)
+      val x = if (leftFloat) xs.getFloat(i).toDouble else xs.getDouble(i)
+      val y = if (rightFloat) ys.getFloat(i).toDouble else ys.getDouble(i)
+      acc += x * y
       i += 1
     }
     acc
@@ -59,7 +82,7 @@ case class VecDot(left: Expression, right: Expression)
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         double $acc = 0.0;
         for (int $i = 0; $i < $n; $i++) {
-          $acc += $a.getDouble($i) * $b.getDouble($i);
+          $acc += ${VecType.getter(leftFloat, a, i)} * ${VecType.getter(rightFloat, b, i)};
         }
         ${ev.value} = $acc;
       """
@@ -118,12 +141,14 @@ case class SignBits(vec: Expression, planes: Expression)
   override def left: Expression = vec
   override def right: Expression = planes
 
-  override def checkInputDataTypes(): TypeCheckResult = vec.dataType match {
-    case ArrayType(DoubleType, _) if planes.dataType == IntegerType && planes.foldable =>
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VecType.isVec(vec.dataType) && planes.dataType == IntegerType &&
+        planes.foldable)
       TypeCheckResult.TypeCheckSuccess
-    case _ => TypeCheckResult.TypeCheckFailure(
-      "sign_bits requires (array<double>, foldable int)")
-  }
+    else TypeCheckResult.TypeCheckFailure(
+      "sign_bits requires (array<double|float>, foldable int)")
+
+  @transient private lazy val vecFloat = VecType.isFloat(vec.dataType)
   override def dataType: DataType = StringType
   override def prettyName: String = "sign_bits"
 
@@ -166,7 +191,8 @@ case class SignBits(vec: Expression, planes: Expression)
       var acc = 0.0
       var c = 0
       while (c < dim) {
-        acc += cf(j * dim + c) * xs.getDouble(c)
+        val x = if (vecFloat) xs.getFloat(c).toDouble else xs.getDouble(c)
+        acc += cf(j * dim + c) * x
         c += 1
       }
       sb.append(if (acc > 0) '1' else '0')
@@ -198,7 +224,7 @@ case class SignBits(vec: Expression, planes: Expression)
         for (int $j = 0; $j < $nPlanes; $j++) {
           double $acc = 0.0;
           for (int $c = 0; $c < $dim; $c++) {
-            $acc += $cf[$j * $dim + $c] * $v.getDouble($c);
+            $acc += $cf[$j * $dim + $c] * ${VecType.getter(vecFloat, v, c)};
           }
           $bits[$j] = $acc > 0 ? (byte) '1' : (byte) '0';
         }

@@ -26,8 +26,14 @@ object Similarity {
 
   def embeddings(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
+    // `vec` is the raw float array: VecDot/SignBits accept it natively and
+    // widen per element inside their primitive loops (float→double is
+    // exact, so every downstream double is bit-unchanged). The previous
+    // `transform(embedding, cast)` pre-pass was an interpreted HOF —
+    // CodegenFallback, one converted copy of every vector per row — in
+    // front of otherwise fully codegen'd stages.
     spark.read.parquet(s"$dir/embeddings.parquet")
-      .withColumn("vec", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("vec", col("embedding"))
   }
 
   // Codegen'd sequential-fold dot product (graft.functions.VecDot) — same

@@ -42,11 +42,16 @@ class OpsSpec extends SparkSpec {
 
   test("vec_dot matches the interpreted HOF fold bit-for-bit") {
     graft.functions.VectorFunctions.register(spark)
+    // the contract (and the DuckDB oracle's DOUBLE[] cast) widens each
+    // element BEFORE multiplying — a float×float product would round to
+    // float first and diverge; the HOF reference must widen the same way
     val df = Similarity.embeddings(spark, Sf0001).limit(50)
       .select(col("vec").as("a_vec"), col("vec").as("b_vec"))
     val cmp = df.select(
       expr("vec_dot(a_vec, b_vec)").as("native"),
-      expr("aggregate(zip_with(a_vec, b_vec, (x, y) -> x * y), 0D, (acc, x) -> acc + x)").as("hof"))
+      expr("""aggregate(zip_with(a_vec, b_vec,
+          (x, y) -> cast(x as double) * cast(y as double)),
+        0D, (acc, x) -> acc + x)""").as("hof"))
     assert(cmp.filter(col("native") =!= col("hof")).count() == 0)
   }
 
