@@ -432,6 +432,11 @@ object Queries {
       Seq("purchase_id"),
       ops.Events.asofAttribution, ops.Events.asofAttributionOracle),
 
+    Spec("vocab_top_terms",
+      Seq("rank" -> I, "token" -> P, "term_freq" -> L, "doc_freq" -> L),
+      Seq("rank"),
+      (s, d) => ops.TextOps.vocabulary(s, d), ops.TextOps.vocabularyOracle()),
+
     Spec("docs_redact",
       Seq("doc_id" -> P, "n_emails" -> L, "n_numbers" -> L,
         "redacted_len" -> L, "redacted_md5" -> P),

@@ -52,6 +52,50 @@ object TextOps {
     s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}) % 100"
   }
 
+  /** Vocabulary building: the corpus-wide token frequency table, ranked —
+    * the aggregation that feeds tokenizer training (BPE seed vocab,
+    * frequency cutoffs) and corpus drift monitoring. Shape: explode to
+    * one row per token occurrence, hash-aggregate on the token, rank.
+    * Scale: the explode is map-side (no pre-shuffle materialization),
+    * partial aggregation collapses each partition's counts before the
+    * single shuffle on the token — the canonical word-count at 100 TB;
+    * doc_freq (documents containing the token) rides the same aggregate
+    * via a distinct count inside per-doc pre-grouping. Ties rank by
+    * token for cross-engine determinism. */
+  def vocabulary(spark: SparkSession, dir: String, top: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokens = documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val perDoc = tokens.groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("n_in_doc"))
+    val vocab = perDoc.groupBy("token")
+      .agg(sum(col("n_in_doc")).as("term_freq"),
+        count(lit(1)).as("doc_freq"))
+    val w = Window.orderBy(col("term_freq").desc, col("token"))
+    vocab.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= top)
+      .select("rank", "token", "term_freq", "doc_freq")
+  }
+
+  def vocabularyOracle(top: Int = 100): String =
+    s"""WITH tokens AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    per_doc AS (
+      SELECT token, doc_id, count(*) AS n_in_doc
+      FROM tokens WHERE length(token) > 0
+      GROUP BY 1, 2),
+    vocab AS (
+      SELECT token, sum(n_in_doc) AS term_freq, count(*) AS doc_freq
+      FROM per_doc GROUP BY 1),
+    ranked AS (
+      SELECT token, term_freq, doc_freq,
+        row_number() OVER (ORDER BY term_freq DESC, token) AS rank
+      FROM vocab)
+    SELECT rank, token, term_freq, doc_freq
+    FROM ranked WHERE rank <= $top"""
+
   /** PII-style redaction pass: emails → `<EMAIL>`, digit runs → `<NUM>`,
     * with per-document replacement counts — the pre-training cleanup
     * every public-corpus pipeline runs. Patterns are deliberately
