@@ -61,7 +61,13 @@ object TextOps {
     * single shuffle on the token — the canonical word-count at 100 TB;
     * doc_freq (documents containing the token) rides the same aggregate
     * via a distinct count inside per-doc pre-grouping. Ties rank by
-    * token for cross-engine determinism. */
+    * token for cross-engine determinism.
+    *
+    * The top-k is `orderBy + limit` — Spark's TakeOrderedAndProject, a
+    * per-partition heap + driver merge — NOT a global row_number window,
+    * which would sort every distinct token of the corpus in ONE
+    * partition (millions of tokens at real scale); the rank is then
+    * assigned over the already-bounded `top` rows. */
   def vocabulary(spark: SparkSession, dir: String, top: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tokens = documents(spark, dir)
@@ -72,9 +78,9 @@ object TextOps {
     val vocab = perDoc.groupBy("token")
       .agg(sum(col("n_in_doc")).as("term_freq"),
         count(lit(1)).as("doc_freq"))
+    val topK = vocab.orderBy(col("term_freq").desc, col("token")).limit(top)
     val w = Window.orderBy(col("term_freq").desc, col("token"))
-    vocab.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= top)
+    topK.withColumn("rank", row_number().over(w))
       .select("rank", "token", "term_freq", "doc_freq")
   }
 

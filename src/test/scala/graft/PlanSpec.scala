@@ -103,6 +103,12 @@ class PlanSpec extends SparkSpec {
       assert(plan(df).contains("WindowGroupLimit"), plan(df).take(400))
   }
 
+  test("vocabulary top-k is TakeOrderedAndProject, not a corpus-wide window sort") {
+    val p = plan(TextOps.vocabulary(spark, Sf0001))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be the distributed heap+merge, not a global sort:\n" + p.take(400))
+  }
+
   test("ivf k formula: known values incl. power-of-two boundaries, oracle parity") {
     import graft.ops.Similarity.ivfK
     // verified SFs: 200/500 vectors stay at the floor (results unchanged
