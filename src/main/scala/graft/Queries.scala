@@ -463,6 +463,13 @@ object Queries {
       streaming.StreamingOps.windowedParity,
       streaming.StreamingOps.windowedParityOracle),
 
+    Spec("streaming_windowed_append",
+      Seq("window_start" -> P, "event_type" -> P, "n_events" -> L,
+        "total_value" -> P),
+      Seq("window_start", "event_type"),
+      streaming.StreamingOps.windowedParityAppend,
+      streaming.StreamingOps.windowedParityAppendOracle),
+
     Spec("events_json",
       Seq("event_type" -> P, "n_events" -> L, "n_users" -> L, "k_sum" -> L,
         "k_min" -> L, "k_max" -> L, "value_sum" -> P),

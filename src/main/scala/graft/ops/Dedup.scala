@@ -201,49 +201,103 @@ object Dedup {
       .agg(count(lit(1)).as("shared_bands"))
   }
 
-  /** Duplicate-cluster assignment: connected components over the
-    * [[minhashLsh]] near-dup pair graph, by iterated min-label propagation
-    * — each round every node takes the minimum cluster id among itself
-    * and its neighbors, until a fixpoint ("hash-to-min", the standard
-    * MapReduce/Spark connected-components recipe; MLlib's
-    * PowerIterationClustering and GraphX CC use the same shape). The
-    * cluster id is therefore the smallest doc_id in the component — the
-    * "keeper" under a keep-first policy, turning pairwise dedup output
-    * into actionable per-document drop lists.
+  /** Guard on connected-components rounds. With pointer-doubling the
+    * round count is O(log₂ diameter), so 50 covers components of diameter
+    * ~2⁵⁰ — hitting this bound means the iteration is not converging
+    * (a bug), not that the data is big. */
+  val MaxCcRounds = 50
+
+  /** Rounds the most recent [[connectedComponents]] call took to converge
+    * — test-visible hook pinning the O(log d) bound. */
+  val lastCcRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Connected components over an undirected pair list `(doc_a, doc_b)`:
+    * one row per node with `cluster_id` = the smallest node id in its
+    * component. Min-label propagation with pointer-doubling:
     *
-    * Scale: each round is ONE shuffle (edge ⋈ label equi-join + min
-    * aggregate); rounds needed = graph diameter, and near-dup components
-    * are overwhelmingly tiny (dups of dups), so 2–4 rounds converge.
-    * Labels are localCheckpoint'ed per round — the iterative-algorithm
-    * idiom that truncates lineage so round k's plan does not re-derive
-    * rounds 1..k-1 (same pattern as [[Similarity.ivfCentroids]] holding
-    * centroids driver-side). The convergence test is a count of decreased
-    * labels per round — an O(rounds) driver scalar, not a data collect.
-    * The DuckDB oracle computes the same components by recursive CTE
-    * (min reachable id), so engine and oracle agree exactly. */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(spark, dir).select("doc_a", "doc_b")
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("cluster_id", col("node")).localCheckpoint()
+    *  - propagate: every node takes the min label among itself and its
+    *    neighbors ("hash-to-min", the standard MapReduce/Spark CC recipe);
+    *  - shortcut: every node then jumps to its label's label
+    *    (Shiloach–Vishkin-style pointer doubling), which halves the
+    *    remaining distance to the component minimum each round.
+    *
+    * Propagation alone needs diameter-many rounds — a chain-shaped
+    * component (templated spam is exactly this shape) of 1 000 docs would
+    * take 1 000 shuffles. With shortcutting the label graph's depth halves
+    * per round, so convergence is O(log₂ d) rounds (DedupSpec pins a
+    * 101-node chain converging in ≤10 rounds); large-star/small-star from
+    * Kiveris et al. "Connected Components in MapReduce and Beyond" gives
+    * the same bound by rewriting edges instead of labels.
+    *
+    * Each round is two equi-join shuffles (edge⋈label, label⋈label) plus
+    * a min aggregate; the convergence test is a count of decreased labels
+    * — an O(rounds) driver scalar, not a data collect. Rounds are bounded
+    * by `maxRounds` with a clear error rather than looping forever.
+    *
+    * Lineage per round is truncated by `localCheckpoint` (blocks on this
+    * JVM's executors; recomputed-from-nothing on executor loss). Passing
+    * `checkpointDir` switches to reliable `checkpoint()` — blocks persisted
+    * to the shared directory survive executor loss, the right trade on a
+    * long-running 1000-executor job where a lost executor mid-iteration
+    * would otherwise kill the whole run. */
+  def connectedComponents(spark: SparkSession, pairs: DataFrame,
+      maxRounds: Int = MaxCcRounds,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(d) =>
+        spark.sparkContext.setCheckpointDir(d)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
+    val ab = pairs.toDF("doc_a", "doc_b")
+    val edges = ckpt(ab.union(ab.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst"))
+    var labels = ckpt(edges.select(col("src").as("node")).distinct()
+      .withColumn("cluster_id", col("node")))
     var changed = 1L
+    var round = 0
     while (changed > 0) {
+      round += 1
+      if (round > maxRounds) throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds; " +
+          "with pointer-doubling this means the iteration is broken, not " +
+          "that the component is large — investigate before raising maxRounds")
       val viaNbr = edges.join(labels, col("dst") === col("node"))
         .select(col("src").as("node"), col("cluster_id"))
-      val next = labels.select("node", "cluster_id").union(viaNbr)
-        .groupBy("node").agg(min("cluster_id").as("cluster_id"))
-        .localCheckpoint()
+      // checkpointed so the pointer-doubling self-join below reads one
+      // materialized table instead of recomputing the propagate step twice
+      // (it also sidesteps ambiguous-attribute rewrites on self-union plans)
+      val prop = ckpt(labels.select("node", "cluster_id").union(viaNbr)
+        .groupBy("node").agg(min("cluster_id").as("cluster_id")))
+      // pointer doubling: follow my label's label (labels form a forest
+      // pointing at smaller ids, so the join is an equi-join on the label)
+      val next = ckpt(prop.as("a")
+        .join(prop.select(col("node").as("l_node"),
+          col("cluster_id").as("l_cluster")).as("b"),
+          col("a.cluster_id") === col("l_node"), "left")
+        .select(col("a.node"),
+          least(col("a.cluster_id"),
+            coalesce(col("l_cluster"), col("a.cluster_id"))).as("cluster_id")))
       changed = next
         .join(labels.select(col("node"), col("cluster_id").as("prev")), Seq("node"))
         .filter(col("cluster_id") < col("prev")).count()
       labels = next
     }
+    lastCcRounds.set(round)
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     labels.select(col("node").as("doc_id"), col("cluster_id"))
       .join(sizes, Seq("cluster_id"))
       .select("doc_id", "cluster_id", "cluster_size")
   }
+
+  /** Duplicate-cluster assignment: [[connectedComponents]] over the
+    * [[minhashLsh]] near-dup pair graph. The cluster id is the smallest
+    * doc_id in the component — the "keeper" under a keep-first policy,
+    * turning pairwise dedup output into actionable per-document drop
+    * lists. The DuckDB oracle computes the same components by recursive
+    * CTE (min reachable id), so engine and oracle agree exactly. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(spark, minhashLsh(spark, dir).select("doc_a", "doc_b"))
 
   def dedupClustersOracle: String =
     s"""WITH RECURSIVE pairs AS (

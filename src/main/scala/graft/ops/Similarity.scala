@@ -317,6 +317,7 @@ object Similarity {
   def ivfCentroids(spark: SparkSession, dir: String,
       numVectors: Option[Long] = None): DataFrame = {
     import spark.implicits._
+    IvfIndex.trainings.incrementAndGet()
     // k×dim doubles live driver-side between iterations (like MLlib's
     // KMeansModel): each Lloyd step is one distributed job whose plan
     // reads the parquet once, instead of a lineage that re-derives every
@@ -353,14 +354,17 @@ object Similarity {
     cents
   }
 
-  /** IVF ANN: k-means coarse quantizer ([[ivfCentroids]]), one assignment
-    * pass, then exact cosine ranking only within the query's inverted
-    * list (nprobe = 1). At scale the per-centroid lists are exactly the
+  /** IVF ANN: k-means coarse quantizer (trained once and served from the
+    * materialized index table — [[IvfIndex.centroids]]; pass `centroids`
+    * to serve from an explicitly-managed index), one assignment pass, then
+    * exact cosine ranking only within the query's inverted list
+    * (nprobe = 1). At scale the per-centroid lists are exactly the
     * partitions of one linear shuffle on the centroid key. */
-  def annIvfTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def annIvfTopK(spark: SparkSession, dir: String, k: Int = 5,
+      centroids: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = withNorm(spark, dir)
-    val cents = ivfCentroids(spark, dir)
+    val cents = centroids.getOrElse(IvfIndex.centroids(spark, dir))
     val lists = assignToCentroids(base, cents)
       .join(base.select(col("vec_id"), col("vec"), col("nrm")), Seq("vec_id"))
     val q = lists.filter(annQueryFilter)
@@ -396,10 +400,10 @@ object Similarity {
     * lists; at production scale nprobe (and k ~ √N) are the recall/cost
     * dial exactly as in FAISS-style IVF indexes. */
   def annIvfMultiProbeTopK(spark: SparkSession, dir: String, k: Int = 5,
-      nprobe: Int = IvfNProbe): DataFrame = {
+      nprobe: Int = IvfNProbe, centroids: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = withNorm(spark, dir)
-    val cents = ivfCentroids(spark, dir)
+    val cents = centroids.getOrElse(IvfIndex.centroids(spark, dir))
     val lists = assignToCentroids(base, cents)
       .join(base.select(col("vec_id"), col("vec"), col("nrm")), Seq("vec_id"))
     val pw = Window.partitionBy("vec_id")

@@ -16,20 +16,27 @@ import org.apache.spark.sql.SparkSession
 object ParquetStats {
 
   /** Total row count of the parquet file or directory at `path`, summed
-    * from file footers. None if the path is missing, contains no parquet
-    * files, or any footer is unreadable (callers fall back to count()). */
+    * from file footers. Directories are walked recursively (skipping
+    * `_`/`.`-prefixed metadata names), so partitioned layouts
+    * (`year=2001/part-*.parquet`) are sized from footers too instead of
+    * silently falling back to a full count() job. None if the path is
+    * missing, contains no parquet files, or any footer is unreadable
+    * (callers fall back to count()). */
   def rowCount(spark: SparkSession, path: String): Option[Long] = {
     try {
       val conf = spark.sessionState.newHadoopConf()
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) return None
+      def walk(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.Path] = {
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+        else if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(walk)
+        else if (n.endsWith(".parquet")) Seq(st.getPath)
+        else Seq.empty
+      }
       val files =
-        if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).toSeq
-            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet") &&
-              !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-            .map(_.getPath)
+        if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq.flatMap(walk)
         else Seq(p)
       if (files.isEmpty) None
       else Some(files.map { f =>

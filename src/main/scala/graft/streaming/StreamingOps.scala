@@ -218,6 +218,48 @@ object StreamingOps {
          sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
        FROM events GROUP BY 1, 2"""
 
+  /** Append-mode parity — the PRODUCTION output mode, oracle-checked.
+    * Same stream as [[windowedParity]] but drained in `Append`: a window
+    * is emitted exactly once, when the watermark passes its end, and
+    * windows the final watermark never reaches are withheld. That
+    * withholding is part of the semantics, so the oracle computes it too:
+    * Spark's watermark is `floor(max_event_time_us / 1000) - delay_ms`
+    * (EventTimeWatermarkExec tracks event times in milliseconds) and
+    * append emits windows with `window_end_us <= watermark_ms * 1000` —
+    * the SQL twin applies exactly that cutoff. The trailing no-data
+    * micro-batch (on by default) flushes everything the final watermark
+    * closed before `processAllAvailable` returns.
+    *
+    * At scale this is the mode that keeps state bounded: Complete mode
+    * re-emits (and retains) every window ever seen; Append evicts a
+    * window's state the moment it is finalized, so state size tracks the
+    * watermark horizon, not the stream's lifetime. */
+  def windowedParityAppend(spark: SparkSession, dir: String): DataFrame = {
+    val agg = readEventsStream(spark, dir, glob = Some("events.parquet"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+    runToMemory(spark, agg, "graft_windowed_parity_append", OutputMode.Append())
+  }
+
+  def windowedParityAppendOracle: String =
+    """WITH wm AS (
+         SELECT ((max(epoch_us(ts)) // 1000) - 3600000) * 1000 AS wm_us
+         FROM events),
+       w AS (
+         SELECT ((epoch_us(ts) // 600000000) * 600000000) AS ws_us,
+                event_type, value
+         FROM events)
+       SELECT make_timestamp(ws_us) AS window_start, event_type,
+         count(*) AS n_events,
+         sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+       FROM w, wm
+       WHERE ws_us + 600000000 <= wm_us
+       GROUP BY 1, 2"""
+
   /** Streaming exactly-once dedup: drop events whose `event_id` was
     * already seen within the watermark horizon
     * (`dropDuplicatesWithinWatermark`) — the at-least-once → exactly-once

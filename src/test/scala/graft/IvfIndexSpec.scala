@@ -1,0 +1,64 @@
+package graft
+
+import graft.ops.{IvfIndex, Similarity}
+
+/** Lifecycle guarantees of the persisted IVF index: train once, serve
+  * many, retrain only on data change, results bit-identical to fresh
+  * training. */
+class IvfIndexSpec extends SparkSpec {
+
+  private def withFreshCache[A](body: => A): A = {
+    val prev = IvfIndex.cacheRoot
+    IvfIndex.cacheRoot =
+      java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    try body
+    finally {
+      IvfIndex.clearCache(spark)
+      IvfIndex.cacheRoot = prev
+    }
+  }
+
+  test("cold query builds the index once; warm queries run zero Lloyd trainings") {
+    withFreshCache {
+      val before = IvfIndex.trainings.get
+      assert(Similarity.annIvfTopK(spark, Sf0001).count() > 0)
+      assert(IvfIndex.trainings.get == before + 1,
+        "first query against a cold cache trains exactly once")
+      assert(Similarity.annIvfTopK(spark, Sf0001).count() > 0)
+      assert(Similarity.annIvfMultiProbeTopK(spark, Sf0001).count() > 0)
+      assert(IvfIndex.trainings.get == before + 1,
+        "warm-index queries must serve from the materialized centroid " +
+          "table and run ZERO Lloyd iterations")
+    }
+  }
+
+  test("served centroids are bit-identical to fresh training") {
+    withFreshCache {
+      val served = Similarity.annIvfTopK(spark, Sf0001)
+        .collect().map(_.toSeq).toSet
+      val fresh = Similarity.annIvfTopK(spark, Sf0001,
+        centroids = Some(Similarity.ivfCentroids(spark, Sf0001)))
+        .collect().map(_.toSeq).toSet
+      assert(served == fresh,
+        "doubles round-trip parquet exactly; the served index must not " +
+          "perturb a single cosine or rank")
+    }
+  }
+
+  test("fingerprint is content-addressed: distinct datasets never share an index") {
+    assert(IvfIndex.fingerprint(spark, Sf0001) !=
+      IvfIndex.fingerprint(spark, "/root/testdata/sf0.01"))
+  }
+
+  test("registry model materializes the centroid table through the run's sink") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivf_reg").toString
+    val sink = new graft.pipeline.ParquetSink(wh)
+    graft.pipeline.Registry.run(spark, Sf0001, sink,
+      all = Seq(IvfIndex.registryModel), registerViews = false)
+    assert(sink.exists(spark, "ann", "ann_ivf_index"))
+    val idx = sink.read(spark, "ann", "ann_ivf_index")
+    assert(idx.columns.toSeq == Seq("centroid_id", "c_vec", "c_nrm"))
+    // sf0.001 has 500 vectors -> k = ivfK(500) = 16 centroids
+    assert(idx.count() == Similarity.ivfK(500L))
+  }
+}

@@ -39,8 +39,13 @@ def main():
         name = os.path.basename(p)[:-len(".parquet")]
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # optional third arg: comma-separated query names (matches Verify's
+    # `only` filter for fast single-query iteration)
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     n_pass = n_fail = 0
     for qname in sorted(oracle):
+        if only is not None and qname not in only:
+            continue
         res_dir = os.path.join(out_dir, qname)
         try:
             spark_rel = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
