@@ -305,14 +305,14 @@ object Registry {
         import graft.pipeline.{Incremental => I}
         if (firstRun) sink.overwrite(spark, m.layer, m.name, df, m.layout)
         else (inc.uniqueKey, inc.onSchemaChange) match {
-          // the sink's native merge path applies the Ignore contract
-          // (target schema wins) internally; a widening or fail policy
-          // needs the transform-level merge + a rewrite (self-read-safe
-          // overwrite), since appended files can't change schema
-          case (Some(k), I.Ignore) =>
-            sink.merge(spark, m.layer, m.name, df, k, m.layout)
-          case (Some(k), policy) => sink.overwrite(spark, m.layer, m.name,
-            I.merge(sink.read(spark, m.layer, m.name), df, k, policy), m.layout)
+          // every keyed policy routes through the sink's merge, which owns
+          // the drift contract: Ignore projects to the target schema,
+          // AppendNewColumns widens (ALTER TABLE on MERGE-capable formats,
+          // a rewriting union on the parquet fallback), FailOnChange
+          // rejects — so a lakehouse sink never pays a rewrite for what
+          // its format does as a metadata operation
+          case (Some(k), policy) =>
+            sink.merge(spark, m.layer, m.name, df, k, m.layout, policy)
           case (None, policy) =>
             val target = sink.read(spark, m.layer, m.name)
             val fresh = I.freshRows(target, df, inc.watermarkCol)

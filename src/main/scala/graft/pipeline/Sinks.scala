@@ -39,10 +39,14 @@ trait TableSink {
   /** Upsert `incoming` into `layer`.`name` by `key` (dbt incremental with
     * `unique_key`); returns a reader over the merged table. `layout` is
     * the model's declared physical layout, honored when the merge has to
-    * rewrite (MERGE-capable formats keep the table's own layout). */
+    * rewrite (MERGE-capable formats keep the table's own layout).
+    * `onSchemaChange` is dbt's drift policy, applied by EVERY sink before
+    * rows land: Ignore projects incoming to the target's schema,
+    * AppendNewColumns widens the target first, FailOnChange rejects. */
   def merge(spark: SparkSession, layer: String, name: String,
     incoming: DataFrame, key: String,
-    layout: TableLayout = TableLayout.none): DataFrame
+    layout: TableLayout = TableLayout.none,
+    onSchemaChange: Incremental.OnSchemaChange = Incremental.Ignore): DataFrame
 
   /** Insert `fresh` rows into `layer`.`name` without touching existing
     * data (dbt incremental with no `unique_key`) — at scale this writes
@@ -99,22 +103,35 @@ final class ParquetSink(warehouseDir: String) extends TableSink {
     // never a second rewrite.
     val target = new org.apache.hadoop.fs.Path(path(layer, name))
     val staging = new org.apache.hadoop.fs.Path(path(layer, s"_staging_$name"))
+    val backup = new org.apache.hadoop.fs.Path(path(layer, s"_backup_$name"))
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
     val w = df.write.mode("overwrite")
     val wp = if (layout.partitionBy.nonEmpty) w.partitionBy(layout.partitionBy: _*) else w
     wp.parquet(staging.toString)
-    if (fs.exists(target)) fs.delete(target, true)
+    // Swap via backup: rename target aside, rename staging in, then drop
+    // the backup. A crash between the renames leaves the old data intact
+    // under `_backup_` (recoverable by hand) instead of the
+    // delete-then-rename shape where a failed second step lost the table;
+    // the reader-visible missing-path window is one rename, not
+    // delete+rename.
+    if (fs.exists(backup)) fs.delete(backup, true)
+    val hadTarget = fs.exists(target)
+    if (hadTarget) require(fs.rename(target, backup),
+      s"rename $target -> $backup failed")
     require(fs.rename(staging, target), s"rename $staging -> $target failed")
+    if (hadTarget) fs.delete(backup, true)
     read(spark, layer, name)
   }
 
   override def merge(spark: SparkSession, layer: String, name: String,
       incoming: DataFrame, key: String,
-      layout: TableLayout = TableLayout.none): DataFrame =
+      layout: TableLayout = TableLayout.none,
+      onSchemaChange: Incremental.OnSchemaChange = Incremental.Ignore): DataFrame =
     // safe against the self-read because overwrite stages + renames; the
     // rewrite preserves the model's declared partitioning
     overwrite(spark, layer, name,
-      Incremental.merge(read(spark, layer, name), incoming, key), layout)
+      Incremental.merge(read(spark, layer, name), incoming, key, onSchemaChange),
+      layout)
 
   override def append(spark: SparkSession, layer: String, name: String,
       fresh: DataFrame, layout: TableLayout = TableLayout.none): DataFrame = {
@@ -219,18 +236,39 @@ class CatalogSink(format: String = "parquet",
 
   override def merge(spark: SparkSession, layer: String, name: String,
       incoming: DataFrame, key: String,
-      layout: TableLayout = TableLayout.none): DataFrame = {
+      layout: TableLayout = TableLayout.none,
+      onSchemaChange: Incremental.OnSchemaChange = Incremental.Ignore): DataFrame = {
     val target = ident(layer, name)
     if (mergeCapable) {
+      // MERGE ... UPDATE SET */INSERT * requires the source's schema to
+      // match the target's, so the drift policy is applied BEFORE the
+      // statement: Ignore projects incoming down to the target's columns
+      // (a drifted source would otherwise fail the MERGE instead of
+      // dropping new columns per the policy); AppendNewColumns widens the
+      // target via ALTER TABLE ADD COLUMNS — the lakehouse-native schema
+      // evolution, metadata-only, no rewrite — then projects; FailOnChange
+      // rejects inside align.
+      val aligned = onSchemaChange match {
+        case Incremental.AppendNewColumns =>
+          val existing = read(spark, layer, name).columns.toSet
+          val added = incoming.schema.fields.filterNot(f => existing.contains(f.name))
+          if (added.nonEmpty) {
+            val ddl = added.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+            spark.sql(s"ALTER TABLE $target ADD COLUMNS ($ddl)")
+          }
+          Incremental.align(read(spark, layer, name), incoming, Incremental.Ignore)
+        case p => Incremental.align(read(spark, layer, name), incoming, p)
+      }
       val src = s"_graft_merge_src_$name"
-      incoming.createOrReplaceTempView(src)
+      aligned.createOrReplaceTempView(src)
       executeMerge(spark, MergeSql.upsertByKey(target, src, key))
       spark.catalog.dropTempView(src)
     } else {
       // overwrite detects the self-read and stages through a temp table;
       // the rewrite re-applies the model's declared layout
       overwrite(spark, layer, name,
-        Incremental.merge(read(spark, layer, name), incoming, key), layout)
+        Incremental.merge(read(spark, layer, name), incoming, key, onSchemaChange),
+        layout)
     }
     read(spark, layer, name)
   }

@@ -117,8 +117,11 @@ class RegistrySpec extends SparkSpec {
     }
     override def merge(spark: org.apache.spark.sql.SparkSession, layer: String,
         name: String, incoming: org.apache.spark.sql.DataFrame, key: String,
-        layout: graft.pipeline.TableLayout): org.apache.spark.sql.DataFrame = {
-      rec("merge", name); inner.merge(spark, layer, name, incoming, key, layout)
+        layout: graft.pipeline.TableLayout,
+        onSchemaChange: graft.pipeline.Incremental.OnSchemaChange)
+        : org.apache.spark.sql.DataFrame = {
+      rec("merge", name)
+      inner.merge(spark, layer, name, incoming, key, layout, onSchemaChange)
     }
     override def append(spark: org.apache.spark.sql.SparkSession, layer: String,
         name: String, fresh: org.apache.spark.sql.DataFrame,
@@ -361,6 +364,56 @@ class RegistrySpec extends SparkSpec {
       Seq((1L, "a"), (2L, "B"), (3L, "c")))
     assert(spark.catalog.listTables("silver").collect()
       .forall(_.name != "_graft_merge_src_merge_sql_probe"))
+  }
+
+  test("MERGE branch applies schema-drift policies: Ignore projects, AppendNewColumns widens via ALTER") {
+    import spark.implicits._
+    val M = ("""MERGE INTO (\S+) t USING (\S+) s ON t\.(\S+) = s\.(\S+)\n""" +
+      """WHEN MATCHED THEN UPDATE SET \*\nWHEN NOT MATCHED THEN INSERT \*""").r
+    val sink = new graft.pipeline.CatalogSink("parquet",
+        mergeCapableOverride = Some(true)) {
+      override protected def executeMerge(s: org.apache.spark.sql.SparkSession,
+          statement: String): Unit = statement match {
+        case M(target, src, k1, _) =>
+          // a real MERGE rejects source/target schema mismatches — assert
+          // the align happened BEFORE the statement, like Delta would
+          assert(s.table(src).columns.toSeq == s.table(target).columns.toSeq,
+            "source view must be aligned to the target schema pre-MERGE")
+          val merged = graft.pipeline.Incremental.merge(
+            s.table(target), s.table(src), k1)
+          val rows = merged.collect().toSeq
+          s.createDataFrame(
+            new java.util.ArrayList(scala.jdk.CollectionConverters
+              .SeqHasAsJava(rows).asJava), merged.schema)
+            .write.mode("overwrite").format("parquet").saveAsTable(target)
+        case other => fail(s"malformed MERGE statement:\n$other")
+      }
+    }
+    import graft.pipeline.Incremental
+    sink.overwrite(spark, "silver", "drift_probe",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // Ignore: the drifted `extra` column is dropped, not a MERGE failure
+    val ignored = sink.merge(spark, "silver", "drift_probe",
+      Seq((2L, "B", "x")).toDF("id", "v", "extra"), "id",
+      onSchemaChange = Incremental.Ignore)
+    assert(ignored.columns.toSeq == Seq("id", "v"))
+    assert(ignored.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "B")))
+    // AppendNewColumns: target widens (metadata ALTER, no rewrite of old
+    // rows), pre-drift rows read back NULL in the new column
+    val widened = sink.merge(spark, "silver", "drift_probe",
+      Seq((3L, "c", "x3")).toDF("id", "v", "extra"), "id",
+      onSchemaChange = Incremental.AppendNewColumns)
+    assert(widened.columns.toSeq == Seq("id", "v", "extra"))
+    assert(widened.as[(Long, String, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a", null), (2L, "B", null), (3L, "c", "x3")))
+    // FailOnChange: drift is an error before any SQL is issued
+    intercept[IllegalArgumentException] {
+      sink.merge(spark, "silver", "drift_probe",
+        Seq((4L, "d")).toDF("id", "v"), "id",
+        onSchemaChange = Incremental.FailOnChange)
+    }
+    spark.sql("DROP TABLE IF EXISTS silver.drift_probe")
   }
 
   test("selectClosure implements dbt graph operators") {
