@@ -240,6 +240,29 @@ object Dedup {
     * to the shared directory survive executor loss, the right trade on a
     * long-running 1000-executor job where a lost executor mid-iteration
     * would otherwise kill the whole run. */
+  /** One propagate step: every node takes the min label among itself and
+    * its neighbors. Exactly one shuffle pair — the edge⋈label equi-join
+    * on `node` and the min aggregate (PlanSpec pins the Exchange count so
+    * an edit cannot silently add a shuffle to the O(log d) loop body). */
+  private[graft] def ccPropagate(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val viaNbr = edges.join(labels, col("dst") === col("node"))
+      .select(col("src").as("node"), col("cluster_id"))
+    labels.select("node", "cluster_id").union(viaNbr)
+      .groupBy("node").agg(min("cluster_id").as("cluster_id"))
+  }
+
+  /** One shortcut step: every node jumps to its label's label
+    * (Shiloach–Vishkin pointer doubling — labels form a forest pointing
+    * at smaller ids, so this is a single equi-join on the label). */
+  private[graft] def ccShortcut(prop: DataFrame): DataFrame =
+    prop.as("a")
+      .join(prop.select(col("node").as("l_node"),
+        col("cluster_id").as("l_cluster")).as("b"),
+        col("a.cluster_id") === col("l_node"), "left")
+      .select(col("a.node"),
+        least(col("a.cluster_id"),
+          coalesce(col("l_cluster"), col("a.cluster_id"))).as("cluster_id"))
+
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
       maxRounds: Int = MaxCcRounds,
       checkpointDir: Option[String] = None): DataFrame = {
@@ -262,22 +285,11 @@ object Dedup {
         s"connectedComponents did not converge within $maxRounds rounds; " +
           "with pointer-doubling this means the iteration is broken, not " +
           "that the component is large — investigate before raising maxRounds")
-      val viaNbr = edges.join(labels, col("dst") === col("node"))
-        .select(col("src").as("node"), col("cluster_id"))
       // checkpointed so the pointer-doubling self-join below reads one
       // materialized table instead of recomputing the propagate step twice
       // (it also sidesteps ambiguous-attribute rewrites on self-union plans)
-      val prop = ckpt(labels.select("node", "cluster_id").union(viaNbr)
-        .groupBy("node").agg(min("cluster_id").as("cluster_id")))
-      // pointer doubling: follow my label's label (labels form a forest
-      // pointing at smaller ids, so the join is an equi-join on the label)
-      val next = ckpt(prop.as("a")
-        .join(prop.select(col("node").as("l_node"),
-          col("cluster_id").as("l_cluster")).as("b"),
-          col("a.cluster_id") === col("l_node"), "left")
-        .select(col("a.node"),
-          least(col("a.cluster_id"),
-            coalesce(col("l_cluster"), col("a.cluster_id"))).as("cluster_id")))
+      val prop = ckpt(ccPropagate(edges, labels))
+      val next = ckpt(ccShortcut(prop))
       changed = next
         .join(labels.select(col("node"), col("cluster_id").as("prev")), Seq("node"))
         .filter(col("cluster_id") < col("prev")).count()

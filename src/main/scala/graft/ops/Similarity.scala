@@ -383,7 +383,13 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
-  val IvfNProbe = 4
+  /** Default probe count, chosen from the measured recall ladder
+    * (AnnRecallSpec, sf0.001: nprobe 1/2/4/8 → recall@5
+    * 0.30/0.60/0.70/0.90): 8 is the first rung at or above the 0.9
+    * target. Probe cost stays bounded as data grows because k scales
+    * ~√(2N) ([[ivfK]]) while nprobe stays fixed — at sf0.001 8 probes
+    * scan half the 16 lists, at N=2²⁸ they scan 8/16384 ≈ 0.05%. */
+  val IvfNProbe = 8
 
   /** Multi-probe IVF ANN: each query searches its [[IvfNProbe]] nearest
     * inverted lists instead of one — the same recall lever already proven
@@ -394,8 +400,8 @@ object Similarity {
     * exactly one), so probing n distinct centroids can never produce a
     * duplicate candidate pair and no dedup step is needed.
     *
-    * Recall@5 at sf0.001 with nprobe=4: 0.70 vs 0.30 at nprobe=1
-    * (measured in SimilaritySpec) — the quantizer's nearest list holds
+    * Recall@5 at sf0.001: 0.30/0.60/0.70/0.90 for nprobe 1/2/4/8
+    * (ladder pinned in AnnRecallSpec) — the quantizer's nearest list holds
     * only ~N/k vectors, so most of the exact top-5 lives in the next few
     * lists; at production scale nprobe (and k ~ √N) are the recall/cost
     * dial exactly as in FAISS-style IVF indexes. */

@@ -1,0 +1,38 @@
+package graft
+
+import graft.ops.Similarity
+
+/** Recall ladder for the IVF ANN index: recall@5 against the exact
+  * brute-force baseline as a function of nprobe, pinning (a) monotone
+  * improvement and (b) the shipped default's floor — so a parameter or
+  * quantizer edit that silently tanks recall fails a test, not a user. */
+class AnnRecallSpec extends SparkSpec {
+
+  private def recallAt5(nprobe: Int, dir: String): Double = {
+    val exact = Similarity.annTopK(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = Similarity.annIvfMultiProbeTopK(spark, dir, nprobe = nprobe)
+      .collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val per = exact.map { case (q, ex) =>
+      approx.getOrElse(q, Set.empty[Long]).count(ex).toDouble / ex.size
+    }
+    per.sum / per.size
+  }
+
+  test("recall@5 is monotone in nprobe and the default meets its floor") {
+    val ladder = Seq(1, 2, 4, 8).map(np => np -> recallAt5(np, Sf0001))
+    info(ladder.map { case (n, r) => f"nprobe=$n recall@5=$r%.3f" }
+      .mkString(", "))
+    ladder.sliding(2).foreach { case Seq((_, lo), (npHi, hi)) =>
+      assert(hi >= lo - 1e-9,
+        s"recall must not decrease as nprobe grows (nprobe=$npHi dropped)")
+    }
+    val byNp = ladder.toMap
+    // default chosen as the first rung at/above the 0.9 target (see
+    // Similarity.IvfNProbe); training is deterministic so this is exact
+    assert(byNp(Similarity.IvfNProbe) >= 0.899,
+      f"shipped default nprobe=${Similarity.IvfNProbe} recall@5=" +
+        f"${byNp(Similarity.IvfNProbe)}%.3f fell below its 0.9 target")
+  }
+}

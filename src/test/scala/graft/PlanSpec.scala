@@ -72,16 +72,83 @@ class PlanSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(listener)
     try {
       graft.ops.Similarity.cosineNearDup(spark, Sf0001)
-      // job-start events post synchronously at submission; a short drain
-      // guards against bus latency without making the test timing-critical
-      Thread.sleep(300)
+      // drain the listener bus deterministically (no sleep): private[spark]
+      // compiles to a public method, so reflection reaches it
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
       import scala.jdk.CollectionConverters._
-      val actions = stages.asScala.filterNot(_.startsWith("parquet at"))
+      // the only legitimate job is Spark's own parquet schema-inference
+      // read; rather than whitelist its (version-dependent) name, reject
+      // any stage whose callsite is a driver-side ACTION — the shape a
+      // sizing count()/collect() regression would reintroduce
+      val actions = stages.asScala.filter(n =>
+        Seq("count at ", "collect at ", "take at ", "head at ", "first at ",
+          "isEmpty at ", "fold at ", "reduce at ").exists(n.contains))
       assert(actions.isEmpty,
-        s"sizing the banding must be a metadata lookup — plan construction may " +
-          s"only trigger Spark's own parquet schema-inference read, not " +
-          s"actions like count(); saw: ${actions.mkString(", ")}")
+        s"sizing the banding must be a metadata lookup — plan construction " +
+          s"must not run actions like count(); saw: ${actions.mkString(", ")}")
     } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** Shuffle-exchange count in the pre-execution physical plan
+    * (BroadcastExchange excluded — broadcasts are the cheap alternative
+    * being pinned FOR). */
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+    "(?<![A-Za-z])Exchange ".r.findAllIn(plan(df)).length
+
+  test("exchange counts pinned on the top-5 expensive plans") {
+    import graft.ops.{Corpus, Dedup, TpchSuite}
+    // A future edit that adds a shuffle to one of these should fail a
+    // test, not surface as a bench regression. Counts are the CURRENT
+    // plan's — if an intentional change moves one, re-justify and re-pin.
+    val counts = Map(
+      "dq_summary" -> shuffles(graft.quality.DataQuality.summary(spark, Sf0001)),
+      "minhash_lsh" -> shuffles(Dedup.minhashLsh(spark, Sf0001)),
+      "tpch_q2" -> shuffles(TpchSuite.minCostSupplier(spark, Sf0001)),
+      "corpus_clean" -> shuffles(Corpus.corpusClean(spark, Sf0001)))
+    assert(counts == Map(
+      "dq_summary" -> 33, "minhash_lsh" -> 15,
+      "tpch_q2" -> 5, "corpus_clean" -> 26), counts.toString)
+  }
+
+  test("cc loop body: propagate is join+agg, shortcut is one self-join — pinned") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // force the shuffle path (tiny local inputs would broadcast and hide
+    // the exchanges the pin exists to count)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+      val labels = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("node", "cluster_id")
+      val prop = Dedup.ccPropagate(edges, labels)
+      val short = Dedup.ccShortcut(labels)
+      assert(shuffles(prop) == 3, plan(prop))
+      assert(shuffles(short) == 2, plan(short))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("gold order_year layout prunes partitions on a year-filtered read") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val sink = new graft.pipeline.CatalogSink("parquet")
+    sink.overwrite(spark, "gold", "prune_probe",
+      Seq((1L, 1999, 10.0), (2L, 2000, 20.0), (3L, 2000, 30.0))
+        .toDF("order_key", "order_year", "amount"),
+      graft.pipeline.TableLayout(partitionBy = Seq("order_year")))
+    try {
+      val read = sink.read(spark, "gold", "prune_probe")
+        .filter(col("order_year") === 2000)
+      val p = read.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("PartitionFilters") &&
+        "PartitionFilters: \\[[^\\]]*order_year[^\\]]*= 2000".r
+          .findFirstIn(p).isDefined,
+        "the year predicate must prune partition directories, not filter rows:\n" +
+          p.take(1500))
+      assert(read.count() == 2)
+    } finally spark.sql("DROP TABLE IF EXISTS gold.prune_probe")
   }
 
   test("attribution interval join is an equi-join on user, not a cartesian") {
