@@ -1,7 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.pipeline.{ParquetSink, Registry}
+import org.apache.spark.sql.functions.col
+import graft.pipeline.{ParquetSink, Registry, TableLayout}
 
 /** Train-once / serve-many lifecycle for the IVF coarse quantizer.
   *
@@ -69,6 +70,30 @@ object IvfIndex {
     else sink.overwrite(spark, layer, name, Similarity.ivfCentroids(spark, dir))
   }
 
+  /** The inverted lists for `dir`'s embeddings, materialized PARTITIONED
+    * BY `centroid_id` — the directory layout is the index structure
+    * itself: a probe of p lists is a p-directory read (Spark's dynamic
+    * partition pruning skips the rest when the tiny probe side joins on
+    * the partition column), so query cost tracks nprobe/k, not N. Built
+    * once per data fingerprint from the cached [[centroids]]; doubles
+    * round-trip parquet exactly, so served lists are bit-identical to a
+    * fresh assignment pass.
+    *
+    * The partition column comes back from parquet directory names typed
+    * int and ordered last — normalized here so serving is
+    * indistinguishable from the inline build. */
+  def lists(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val sink = new ParquetSink(cacheRoot)
+    val name = s"ivf_lists_${fingerprint(spark, dir)}"
+    if (!sink.exists(spark, layer, name))
+      sink.overwrite(spark, layer, name,
+        Similarity.buildIvfLists(spark, dir, centroids(spark, dir)),
+        TableLayout(partitionBy = Seq("centroid_id")))
+    sink.read(spark, layer, name)
+      .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"),
+        col("vec"), col("nrm"))
+  }
+
   /** Drop every cached index under [[cacheRoot]] (tests; data migrations
     * would instead let fingerprints age out naturally). */
   def clearCache(spark: SparkSession): Unit = synchronized {
@@ -84,4 +109,12 @@ object IvfIndex {
   val registryModel: Registry.Model =
     Registry.Model("ann_ivf_index", layer, Registry.Table, Seq.empty,
       (s, dir, _) => Similarity.ivfCentroids(s, dir))
+
+  /** The inverted-lists table as a DAG node downstream of the quantizer —
+    * `Registry.run` rebuilds centroids then lists in dependency order,
+    * landing the lists partitioned by `centroid_id` like [[lists]] does. */
+  val listsRegistryModel: Registry.Model =
+    Registry.Model("ann_ivf_lists", layer, Registry.Table, Seq("ann_ivf_index"),
+      (s, dir, up) => Similarity.buildIvfLists(s, dir, up("ann_ivf_index")),
+      layout = TableLayout(partitionBy = Seq("centroid_id")))
 }

@@ -360,13 +360,26 @@ object Similarity {
     * exact cosine ranking only within the query's inverted list
     * (nprobe = 1). At scale the per-centroid lists are exactly the
     * partitions of one linear shuffle on the centroid key. */
+  /** The inverted lists: every vector with its centroid assignment,
+    * carrying (vec, nrm) so a probe never has to revisit the embeddings
+    * table. [[IvfIndex.lists]] materializes this partitioned BY
+    * `centroid_id` — the on-disk layout IS the index: a probe of p
+    * centroids reads p list directories and leaves the other k−p
+    * untouched. */
+  private[ops] def buildIvfLists(spark: SparkSession, dir: String,
+      cents: DataFrame): DataFrame = {
+    val base = withNorm(spark, dir)
+    assignToCentroids(base, cents)
+      .join(base.select(col("vec_id"), col("vec"), col("nrm")), Seq("vec_id"))
+  }
+
   def annIvfTopK(spark: SparkSession, dir: String, k: Int = 5,
       centroids: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = withNorm(spark, dir)
-    val cents = centroids.getOrElse(IvfIndex.centroids(spark, dir))
-    val lists = assignToCentroids(base, cents)
-      .join(base.select(col("vec_id"), col("vec"), col("nrm")), Seq("vec_id"))
+    val lists = centroids match {
+      case Some(c) => buildIvfLists(spark, dir, c)
+      case None => IvfIndex.lists(spark, dir)
+    }
     val q = lists.filter(annQueryFilter)
       .select(col("vec_id").as("query_id"), col("vec").as("a_vec"),
         col("nrm").as("na"), col("centroid_id"))
@@ -410,8 +423,10 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val base = withNorm(spark, dir)
     val cents = centroids.getOrElse(IvfIndex.centroids(spark, dir))
-    val lists = assignToCentroids(base, cents)
-      .join(base.select(col("vec_id"), col("vec"), col("nrm")), Seq("vec_id"))
+    val lists = centroids match {
+      case Some(c) => buildIvfLists(spark, dir, c)
+      case None => IvfIndex.lists(spark, dir)
+    }
     val pw = Window.partitionBy("vec_id")
       .orderBy(col("dist"), col("centroid_id"))
     val q = base.filter(annQueryFilter)

@@ -50,6 +50,38 @@ class IvfIndexSpec extends SparkSpec {
       IvfIndex.fingerprint(spark, "/root/testdata/sf0.01"))
   }
 
+  test("inverted lists: one directory per centroid, probes prune via DPP") {
+    withFreshCache {
+      assert(Similarity.annIvfTopK(spark, Sf0001).count() > 0)
+      val annDir = new java.io.File(s"${IvfIndex.cacheRoot}/ann")
+      val listsDir = annDir.listFiles()
+        .find(_.getName.startsWith("ivf_lists_"))
+        .getOrElse(fail("lists table was not materialized"))
+      assert(listsDir.listFiles().exists(_.getName.startsWith("centroid_id=")),
+        "the on-disk layout must be one partition directory per centroid — " +
+          "that layout IS the index structure")
+      val p = Similarity.annIvfMultiProbeTopK(spark, Sf0001)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning"),
+        "the probe join must prune list directories at runtime (dynamic " +
+          "partition pruning), so query cost tracks nprobe/k, not N:\n" +
+          p.take(600))
+    }
+  }
+
+  test("registry DAG rebuilds quantizer then lists in dependency order") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivf_reg2").toString
+    val sink = new graft.pipeline.ParquetSink(wh)
+    graft.pipeline.Registry.run(spark, Sf0001, sink,
+      all = Seq(IvfIndex.registryModel, IvfIndex.listsRegistryModel),
+      registerViews = false)
+    assert(sink.exists(spark, "ann", "ann_ivf_lists"))
+    assert(sink.read(spark, "ann", "ann_ivf_lists").count() == 500L)
+    assert(new java.io.File(s"$wh/ann/ann_ivf_lists").listFiles()
+      .exists(_.getName.startsWith("centroid_id=")),
+      "the Registry-materialized lists must honor the partition layout")
+  }
+
   test("registry model materializes the centroid table through the run's sink") {
     val wh = java.nio.file.Files.createTempDirectory("graft_ivf_reg").toString
     val sink = new graft.pipeline.ParquetSink(wh)
