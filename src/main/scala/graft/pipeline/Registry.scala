@@ -67,7 +67,16 @@ object Registry {
     deps: Seq[String],
     build: (SparkSession, String, Map[String, DataFrame]) => DataFrame,
     layout: TableLayout = TableLayout.none,
-    declaredSchema: Option[Seq[(String, String)]] = None)
+    declaredSchema: Option[Seq[(String, String)]] = None,
+    tags: Seq[String] = Seq.empty) {
+    /** The model's tags plus its layer — the reference's dbt_project.yml
+      * applies `+tags: ['bronze'|'silver'|'gold']` per layer directory
+      * (/root/reference/dbt_project.yml:21-31), so the layer always
+      * behaves as a tag in selectors. */
+    def effectiveTags: Seq[String] = tags :+ layer
+    /** dbt-style virtual source path, the `path:` selector's target. */
+    def path: String = s"models/$layer/$name"
+  }
 
   /** Declared column contracts for the table-shaped models — the engine's
     * mirror of the reference's schema YAML
@@ -223,12 +232,31 @@ object Registry {
         next(stack.pop()).foreach(n => if (seen.add(n)) stack.push(n))
       seen.toSet
     }
+    // selector methods (dbt: name, tag:, path:) resolve a token core to
+    // the models it names; graph operators +m/m+ then expand per model
+    def resolve(core: String): Seq[String] =
+      if (core.startsWith("tag:")) {
+        val t = core.stripPrefix("tag:")
+        val hits = all.filter(_.effectiveTags.contains(t)).map(_.name)
+        require(hits.nonEmpty, s"no models carry tag '$t'")
+        hits
+      } else if (core.startsWith("path:")) {
+        val p = core.stripPrefix("path:").stripSuffix("/")
+        val hits = all.filter(m => m.path == p || m.path.startsWith(p + "/") ||
+          m.layer == p).map(_.name)
+        require(hits.nonEmpty, s"no models under path '$p'")
+        hits
+      } else {
+        require(byName.contains(core), s"unknown model in selector: $core")
+        Seq(core)
+      }
     selector.trim.split("[ ,]+").filter(_.nonEmpty).flatMap { tok =>
-      val name = tok.stripPrefix("+").stripSuffix("+")
-      require(byName.contains(name), s"unknown model in selector: $name")
-      (if (tok.startsWith("+")) walk(name, byName(_).deps) else Set(name)) ++
-        (if (tok.endsWith("+")) walk(name, children.getOrElse(_, Seq.empty))
-         else Set(name))
+      val core = tok.stripPrefix("+").stripSuffix("+")
+      resolve(core).flatMap { name =>
+        (if (tok.startsWith("+")) walk(name, byName(_).deps) else Set(name)) ++
+          (if (tok.endsWith("+")) walk(name, children.getOrElse(_, Seq.empty))
+           else Set(name))
+      }
     }.toSet
   }
 

@@ -428,6 +428,23 @@ class RegistrySpec extends SparkSpec {
     assert(Registry.selectClosure("bronze_orders, gold_order_metrics") ==
       Set("bronze_orders", "gold_order_metrics"))
     intercept[IllegalArgumentException](Registry.selectClosure("nope+"))
+    // tag: selector — the layer acts as a tag, mirroring the reference's
+    // per-directory `+tags` in dbt_project.yml
+    assert(Registry.selectClosure("tag:gold") ==
+      Set("gold_customer_summary", "gold_order_metrics", "gold_revenue_analysis"))
+    assert(Registry.selectClosure("tag:bronze+").contains("gold_revenue_analysis"),
+      "graph operators compose with tag selectors")
+    // path: selector — dbt directory paths and bare layer names
+    assert(Registry.selectClosure("path:models/silver") ==
+      Registry.selectClosure("tag:silver"))
+    assert(Registry.selectClosure("path:models/gold/gold_order_metrics") ==
+      Set("gold_order_metrics"))
+    assert(Registry.selectClosure("+path:gold") ==
+      Registry.selectClosure("+gold_customer_summary") ++
+        Registry.selectClosure("+gold_order_metrics") ++
+        Registry.selectClosure("+gold_revenue_analysis"))
+    intercept[IllegalArgumentException](Registry.selectClosure("tag:nope"))
+    intercept[IllegalArgumentException](Registry.selectClosure("path:models/nope"))
   }
 
   test("run --select materializes exactly the selected subtree; upstream provided read-only") {
