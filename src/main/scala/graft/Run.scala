@@ -31,6 +31,16 @@ object Run {
       a.stripPrefix("--exclude=") }
     val threads = args.collectFirst { case a if a.startsWith("--threads=") =>
       a.stripPrefix("--threads=").toInt }.getOrElse(4)
+    // dbt state/defer surface: --state points at a previous run's
+    // artifacts (enables state:modified selectors), --defer-warehouse
+    // resolves unbuilt upstreams from another warehouse, --write-manifest
+    // saves this project's fingerprints as the next --state baseline
+    val state = args.collectFirst { case a if a.startsWith("--state=") =>
+      a.stripPrefix("--state=") }
+    val deferWh = args.collectFirst { case a if a.startsWith("--defer-warehouse=") =>
+      a.stripPrefix("--defer-warehouse=") }
+    val writeManifest = args.collectFirst { case a if a.startsWith("--write-manifest=") =>
+      a.stripPrefix("--write-manifest=") }
     val positional = args.filterNot(_.startsWith("--"))
     val sourceDir = positional.headOption.getOrElse("/root/testdata/sf0.001")
     val warehouse = if (positional.length > 1) positional(1)
@@ -53,9 +63,15 @@ object Run {
       else new pipeline.ParquetSink(warehouse)
     select.foreach(s => println(s"==   --select $s"))
     exclude.foreach(s => println(s"==   --exclude $s"))
+    state.foreach(s => println(s"==   --state $s"))
     val models = pipeline.Registry.run(spark, sourceDir, sink,
       threads = threads, select = select, exclude = exclude,
-      fullRefresh = fullRefresh)
+      fullRefresh = fullRefresh, state = state,
+      deferTo = deferWh.map(new pipeline.ParquetSink(_)))
+    writeManifest.foreach { d =>
+      pipeline.Registry.writeManifest(spark, sourceDir, d)
+      println(s"==   manifest written to $d")
+    }
     pipeline.Registry.topoOrder.filter(m => models.contains(m.name)).foreach { m =>
       println(f"  ${m.name}%-24s ${m.materialization}%-6s ${models(m.name).count()}%8d rows")
     }

@@ -221,7 +221,61 @@ object Registry {
     * the model alone, `m+` adds its transitive descendants, `+m` its
     * transitive ancestors, `+m+` both; multiple space- or comma-separated
     * selectors union. */
-  def selectClosure(selector: String, all: Seq[Model] = models): Set[String] = {
+  /** Logical fingerprint per model: md5 of the canonicalized analyzed
+    * plan of the model's build over `sourceDir`, with the whole DAG
+    * chained lazily (planning only — no job runs). The exprId-normalized
+    * canonical form is stable across sessions for unchanged code, and any
+    * change to a model's transform (or to an upstream it inlines) changes
+    * its fingerprint — the engine's analogue of dbt's manifest checksums,
+    * which hash the SQL text. Upstream inlining means an edited silver
+    * model marks its gold descendants modified too, matching dbt's
+    * `state:modified+` idiom without needing the `+`; `state:modified`
+    * alone therefore over-selects relative to dbt (descendants included),
+    * which errs toward rebuilding — the safe direction. */
+  def manifest(spark: SparkSession, sourceDir: String,
+      all: Seq[Model] = models): Map[String, String] = {
+    val acc = scala.collection.mutable.Map.empty[String, DataFrame]
+    topoOrderOf(all).foreach(m => acc(m.name) = m.build(spark, sourceDir, acc.toMap))
+    acc.map { case (n, df) =>
+      val canon = df.queryExecution.analyzed.canonicalized.toString
+      n -> java.security.MessageDigest.getInstance("MD5")
+        .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }.toMap
+  }
+
+  private val ManifestFile = "graft_manifest.json"
+
+  /** Persist the current manifest as the state artifact a later run's
+    * `state:modified` compares against (dbt: `target/manifest.json`). */
+  def writeManifest(spark: SparkSession, sourceDir: String, stateDir: String,
+      all: Seq[Model] = models): Unit = {
+    val json = manifest(spark, sourceDir, all).toSeq.sortBy(_._1)
+      .map { case (k, v) => s"""  "$k": "$v"""" }.mkString("{\n", ",\n", "\n}\n")
+    val p = java.nio.file.Paths.get(stateDir)
+    java.nio.file.Files.createDirectories(p)
+    java.nio.file.Files.write(p.resolve(ManifestFile), json.getBytes("UTF-8"))
+  }
+
+  /** Read a previous run's manifest (empty if the artifact is absent —
+    * every model then counts as new, hence modified). */
+  def readManifest(stateDir: String): Map[String, String] = {
+    val f = java.nio.file.Paths.get(stateDir).resolve(ManifestFile)
+    if (!java.nio.file.Files.exists(f)) Map.empty
+    else """"([^"]+)":\s*"([^"]+)"""".r
+      .findAllMatchIn(new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
+      .map(m => m.group(1) -> m.group(2)).toMap
+  }
+
+  /** Models whose fingerprint differs from (or is absent in) the state
+    * manifest — dbt `state:modified` (new models included). */
+  def modifiedSince(spark: SparkSession, sourceDir: String,
+      state: Map[String, String], all: Seq[Model] = models): Set[String] =
+    manifest(spark, sourceDir, all).collect {
+      case (n, fp) if !state.get(n).contains(fp) => n
+    }.toSet
+
+  def selectClosure(selector: String, all: Seq[Model] = models,
+      stateModified: Option[Set[String]] = None): Set[String] = {
     val byName = all.map(m => m.name -> m).toMap
     val children = all.flatMap(m => m.deps.map(_ -> m.name))
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
@@ -235,7 +289,11 @@ object Registry {
     // selector methods (dbt: name, tag:, path:) resolve a token core to
     // the models it names; graph operators +m/m+ then expand per model
     def resolve(core: String): Seq[String] =
-      if (core.startsWith("tag:")) {
+      if (core == "state:modified") {
+        require(stateModified.isDefined,
+          "state:modified requires a state manifest (run with state=<dir>)")
+        stateModified.get.toSeq.filter(byName.contains)
+      } else if (core.startsWith("tag:")) {
         val t = core.stripPrefix("tag:")
         val hits = all.filter(_.effectiveTags.contains(t)).map(_.name)
         require(hits.nonEmpty, s"no models carry tag '$t'")
@@ -282,15 +340,22 @@ object Registry {
       select: Option[String] = None, exclude: Option[String] = None,
       fullRefresh: Boolean = false,
       asOf: org.apache.spark.sql.Column = graft.model.Clock.now,
-      registerViews: Boolean = true): Map[String, DataFrame] = {
+      registerViews: Boolean = true,
+      state: Option[String] = None,
+      deferTo: Option[TableSink] = None): Map[String, DataFrame] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val ordered = topoOrderOf(all)
+    // dbt --state: resolve state:modified selectors against the previous
+    // run's manifest (fingerprints compared by [[modifiedSince]])
+    val modified: Option[Set[String]] =
+      state.map(d => modifiedSince(spark, sourceDir, readManifest(d), all))
     // dbt semantics: --exclude removes its graph closure from whatever
     // --select picked (or from everything)
     val selected: Set[String] =
-      select.map(selectClosure(_, all)).getOrElse(ordered.map(_.name).toSet) --
-        exclude.map(selectClosure(_, all)).getOrElse(Set.empty)
+      select.map(selectClosure(_, all, modified))
+        .getOrElse(ordered.map(_.name).toSet) --
+        exclude.map(selectClosure(_, all, modified)).getOrElse(Set.empty)
     // the provided (read-only) frontier: transitive deps of the selection
     val byName = all.map(m => m.name -> m).toMap
     val needed = scala.collection.mutable.Set.empty[String]
@@ -312,7 +377,8 @@ object Registry {
           m.name -> (if (selected(m.name))
             materialize(spark, m, sourceDir, sink, upstream, fullRefresh,
               asOf, registerViews)
-          else provide(spark, m, sourceDir, sink, upstream, registerViews))
+          else provide(spark, m, sourceDir, sink, upstream, registerViews,
+            deferTo))
         }))
         Await.result(batch, Duration.Inf).foreach { case (n, df) => acc(n) = df }
       }
@@ -378,14 +444,24 @@ object Registry {
     * an action pulls on them). */
   private def provide(spark: SparkSession, m: Model, sourceDir: String,
       sink: TableSink, upstream: Map[String, DataFrame],
-      registerViews: Boolean): DataFrame = {
+      registerViews: Boolean,
+      deferTo: Option[TableSink] = None): DataFrame = {
     val df = m.materialization match {
       case View => m.build(spark, sourceDir, upstream)
       case _ =>
-        require(sink.exists(spark, m.layer, m.name),
-          s"${m.name} is upstream of the selection but not materialized; " +
-            "include it in the selector or run it first")
-        sink.read(spark, m.layer, m.name)
+        // dbt --defer: an upstream the selection didn't build resolves to
+        // the local warehouse when present, else to the deferred (prod)
+        // environment — so a dev run of one model needs nothing else built
+        if (sink.exists(spark, m.layer, m.name))
+          sink.read(spark, m.layer, m.name)
+        else deferTo match {
+          case Some(d) if d.exists(spark, m.layer, m.name) =>
+            d.read(spark, m.layer, m.name)
+          case _ => throw new IllegalArgumentException(
+            s"${m.name} is upstream of the selection but not materialized " +
+              "locally" + (if (deferTo.isDefined) " nor in the deferred state"
+              else "") + "; include it in the selector, run it first, or defer")
+        }
     }
     if (registerViews) df.createOrReplaceTempView(m.name)
     df

@@ -416,6 +416,55 @@ class RegistrySpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS silver.drift_probe")
   }
 
+  test("state:modified manifest — stable fingerprints, edit detection, defer") {
+    import org.apache.spark.sql.functions._
+    // fingerprints are deterministic across manifest() calls (canonicalized
+    // plans normalize exprIds, the pinned Clock freezes now())
+    val m1 = Registry.manifest(spark, Sf0001)
+    val m2 = Registry.manifest(spark, Sf0001)
+    assert(m1 == m2 && m1.size == Registry.models.size)
+    // round-trip through the state artifact
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_state").toString
+    Registry.writeManifest(spark, Sf0001, stateDir)
+    assert(Registry.readManifest(stateDir) == m1)
+    // unchanged project → nothing modified; an edited model (and its
+    // descendants, which inline it) show up as modified
+    assert(Registry.modifiedSince(spark, Sf0001, m1).isEmpty)
+    val edited = Registry.models.map { m =>
+      if (m.name == "silver_orders")
+        m.copy(build = (s, d, up) =>
+          m.build(s, d, up).withColumn("extra", lit(1)))
+      else m
+    }
+    val mod = Registry.modifiedSince(spark, Sf0001, m1, edited)
+    assert(mod.contains("silver_orders"))
+    assert(mod.contains("gold_order_metrics"),
+      "descendants inline the edited plan and must re-select")
+    assert(!mod.contains("bronze_orders") && !mod.contains("silver_customers"),
+      "untouched subtrees keep their fingerprints")
+    // selector integration: state:modified composes like any other method
+    assert(Registry.selectClosure("state:modified", edited, Some(mod)) == mod)
+    intercept[IllegalArgumentException](Registry.selectClosure("state:modified"))
+    // --defer: a selected model whose upstream is only in the "prod"
+    // warehouse builds against that warehouse instead of failing
+    val prodWh = java.nio.file.Files.createTempDirectory("graft_prod").toString
+    val devWh = java.nio.file.Files.createTempDirectory("graft_dev").toString
+    val prod = new graft.pipeline.ParquetSink(prodWh)
+    Registry.run(spark, Sf0001, prod, registerViews = false)
+    val dev = new graft.pipeline.ParquetSink(devWh)
+    intercept[IllegalArgumentException] {
+      Registry.run(spark, Sf0001, dev, select = Some("gold_order_metrics"),
+        registerViews = false)
+    }
+    val out = Registry.run(spark, Sf0001, dev, select = Some("gold_order_metrics"),
+      registerViews = false, deferTo = Some(prod))
+    assert(out("gold_order_metrics").count() > 0)
+    assert(dev.exists(spark, "gold", "gold_order_metrics"),
+      "the selected model lands in the dev warehouse")
+    assert(!dev.exists(spark, "silver", "silver_orders"),
+      "deferred upstreams are read from prod, never copied into dev")
+  }
+
   test("selectClosure implements dbt graph operators") {
     assert(Registry.selectClosure("silver_orders") == Set("silver_orders"))
     assert(Registry.selectClosure("+silver_orders") ==
