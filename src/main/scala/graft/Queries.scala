@@ -443,6 +443,12 @@ object Queries {
       Seq("doc_id"),
       ops.TextOps.redact, ops.TextOps.redactOracle),
 
+    Spec("docs_sample_stratified",
+      Seq("doc_id" -> P, "lang" -> P, "sample_key" -> L),
+      Seq("doc_id"),
+      (s, d) => ops.TextOps.stratifiedSample(s, d),
+      ops.TextOps.stratifiedSampleOracle()),
+
     Spec("docs_split",
       Seq("split" -> P, "n_docs" -> L, "n_chars_total" -> L, "n_langs" -> L),
       Seq("split"),

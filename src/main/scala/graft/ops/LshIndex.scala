@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{ParquetSink, TableLayout}
+
+/** Train-once / serve-many lifecycle for the hyperplane-LSH signatures —
+  * the [[IvfIndex]] pattern applied to the second ANN family. The
+  * signature table `(vec_id, vec, nrm, bucket)` is deterministic given
+  * the data (planes derive from footer row counts, coefficients from
+  * md5), so it is a pure materialization: serve it from the warehouse
+  * instead of recomputing a full scan + SignBits pass per query.
+  *
+  * Layout: partitioned by `bucket_prefix` — the first
+  * min(planes, [[MaxPrefixBits]]) sign bits, letter-prefixed so the
+  * 0/1 string never gets numeric partition-type inference. Unlike IVF's
+  * one-directory-per-centroid (k ≤ 16384), full LSH buckets can number
+  * 2²⁴ — far too many directories — but a 10-bit prefix caps the layout
+  * at 1024 while still letting a probe's equi-join on
+  * (bucket_prefix, bucket) dynamically prune to the handful of
+  * directories its probes touch: prefix pruning reads ≤ probes/1024 of
+  * the index, the remaining selection happens inside the row groups.
+  */
+object LshIndex {
+
+  val MaxPrefixBits = 10
+
+  def prefixLen(planes: Int): Int = math.min(planes, MaxPrefixBits)
+
+  private val layer = "ann"
+
+  private[ops] def prefixCol(bucket: org.apache.spark.sql.Column,
+      planes: Int): org.apache.spark.sql.Column =
+    concat(lit("p"), substring(bucket, 1, prefixLen(planes)))
+
+  /** The signature table for `dir`'s embeddings (with `planes` sign bits)
+    * served from the index warehouse, built once per data fingerprint.
+    * Returns columns (vec_id, vec, nrm, bucket, bucket_prefix). */
+  def signatures(spark: SparkSession, dir: String, planes: Int,
+      build: => DataFrame): DataFrame = synchronized {
+    val sink = new ParquetSink(IvfIndex.cacheRoot)
+    val name = s"lsh_sigs_${planes}_${IvfIndex.fingerprint(spark, dir)}"
+    if (!sink.exists(spark, layer, name))
+      sink.overwrite(spark, layer, name,
+        build.withColumn("bucket_prefix", prefixCol(col("bucket"), planes)),
+        TableLayout(partitionBy = Seq("bucket_prefix")))
+    sink.read(spark, layer, name)
+      .select(col("vec_id"), col("vec"), col("nrm"), col("bucket"),
+        col("bucket_prefix"))
+  }
+}

@@ -144,16 +144,20 @@ object Similarity {
     val planes = lshPlanes(numVectors
       .orElse(graft.sources.ParquetStats.rowCount(spark, s"$dir/embeddings.parquet"))
       .getOrElse(embeddings(spark, dir).count()))
-    val base = withNorm(spark, dir).withColumn("bucket", expr(signBitsExpr("vec", planes)))
+    // signatures served from the materialized index (built once per data
+    // fingerprint); joining on (bucket_prefix, bucket) — the prefix is a
+    // function of the bucket — lets DPP prune the prefix directories
+    val base = LshIndex.signatures(spark, dir, planes,
+      withNorm(spark, dir).withColumn("bucket", expr(signBitsExpr("vec", planes))))
     val q = base.filter(annQueryFilter)
       .select(col("vec_id").as("query_id"), col("vec").as("a_vec"),
-        col("nrm").as("na"), col("bucket"))
+        col("nrm").as("na"), col("bucket"), col("bucket_prefix"))
     val c = base
       .select(col("vec_id").as("neighbor_id"), col("vec").as("b_vec"),
-        col("nrm").as("nb"), col("bucket"))
+        col("nrm").as("nb"), col("bucket"), col("bucket_prefix"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    q.join(c, Seq("bucket"))
+    q.join(c, Seq("bucket_prefix", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
       .withColumn("rank", row_number().over(w))
@@ -199,8 +203,8 @@ object Similarity {
     val planes = lshPlanes(numVectors
       .orElse(graft.sources.ParquetStats.rowCount(spark, s"$dir/embeddings.parquet"))
       .getOrElse(embeddings(spark, dir).count()))
-    val base = withNorm(spark, dir)
-      .withColumn("bucket", expr(signBitsExpr("vec", planes)))
+    val base = LshIndex.signatures(spark, dir, planes,
+      withNorm(spark, dir).withColumn("bucket", expr(signBitsExpr("vec", planes))))
     val flip =
       s"""CASE WHEN p = 0 THEN bucket
           ELSE concat(substring(bucket, 1, p - 1),
@@ -211,12 +215,14 @@ object Similarity {
         col("nrm").as("na"), col("bucket"))
       .withColumn("p", explode(expr(s"sequence(0, $planes)")))
       .withColumn("probe_bucket", expr(flip))
-      .drop("bucket", "p")
+      .withColumn("probe_prefix", LshIndex.prefixCol(col("probe_bucket"), planes))
+      .drop("bucket", "bucket_prefix", "p")
     val c = base.select(col("vec_id").as("neighbor_id"), col("vec").as("b_vec"),
-      col("nrm").as("nb"), col("bucket").as("probe_bucket"))
+      col("nrm").as("nb"), col("bucket").as("probe_bucket"),
+      col("bucket_prefix").as("probe_prefix"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    q.join(c, Seq("probe_bucket"))
+    q.join(c, Seq("probe_prefix", "probe_bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
       .withColumn("rank", row_number().over(w))

@@ -40,17 +40,56 @@ object TextOps {
     * never migrates a document across splits, because the bucket depends
     * only on the id, not on row order, partitioning, or a seed table.
     * Per-split rollup is one narrow hash aggregate over the scan. */
-  private def md5BucketExpr(idCol: String): String = {
+  /** First 16 md5 bits of the id as an integer in [0, 65536) — the
+    * deterministic uniform variate behind hash splits and sampling.
+    * Nibble-by-nibble arithmetic because DuckDB has no hex→int conv. */
+  private def md5U16Expr(idCol: String): String = {
     def nib(i: Int) =
       s"(instr('0123456789abcdef', substring(md5(cast($idCol as string)), $i, 1)) - 1)"
-    s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}) % 100"
+    s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"
   }
 
-  private def md5BucketSqlDuck(idCol: String): String = {
+  private def md5U16SqlDuck(idCol: String): String = {
     def nib(i: Int) =
       s"(strpos('0123456789abcdef', substr(md5(CAST($idCol AS VARCHAR)), $i, 1)) - 1)"
-    s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}) % 100"
+    s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"
   }
+
+  private def md5BucketExpr(idCol: String): String =
+    s"${md5U16Expr(idCol)} % 100"
+
+  private def md5BucketSqlDuck(idCol: String): String =
+    s"${md5U16SqlDuck(idCol)} % 100"
+
+  /** Deterministic stratified sampling: ~`targetPerStratum` docs per
+    * language, chosen by hash threshold — keep iff
+    * `u16(doc_id) * n_lang < 65536 * target`, all-integer arithmetic so
+    * both engines agree bit-exactly AND membership is stable under
+    * resharding/re-runs (the property `df.sample` lacks: its Bernoulli
+    * draw depends on partition layout, so two runs of a pipeline sample
+    * different training sets). Over-represented languages are thinned
+    * toward the target; strata at or under it pass through whole.
+    * Scale: one tiny per-stratum count aggregate broadcast back — the
+    * corpus-side pass is a map-only filter, no shuffle of the data. */
+  def stratifiedSample(spark: SparkSession, dir: String,
+      targetPerStratum: Int = 100): DataFrame = {
+    val d = documents(spark, dir)
+      .withColumn("sample_key", expr(md5U16Expr("doc_id")).cast("long"))
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    d.join(broadcast(counts), Seq("lang"))
+      .filter(col("sample_key") * col("n_lang") <
+        lit(65536L) * targetPerStratum)
+      .select("doc_id", "lang", "sample_key")
+  }
+
+  def stratifiedSampleOracle(targetPerStratum: Int = 100): String =
+    s"""WITH u AS (
+      SELECT doc_id, lang, ${md5U16SqlDuck("doc_id")} AS sample_key
+      FROM documents),
+    c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1)
+    SELECT u.doc_id, u.lang, CAST(u.sample_key AS BIGINT) AS sample_key
+    FROM u JOIN c USING (lang)
+    WHERE u.sample_key * c.n_lang < 65536 * $targetPerStratum"""
 
   /** Vocabulary building: the corpus-wide token frequency table, ranked —
     * the aggregation that feeds tokenizer training (BPE seed vocab,

@@ -69,6 +69,22 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("LSH signatures served from the index; prefix directories prune via DPP") {
+    withFreshCache {
+      assert(Similarity.annLshTopK(spark, Sf0001).count() > 0)
+      val annDir = new java.io.File(s"${IvfIndex.cacheRoot}/ann")
+      val sigs = annDir.listFiles().find(_.getName.startsWith("lsh_sigs_"))
+        .getOrElse(fail("signature table was not materialized"))
+      assert(sigs.listFiles().exists(_.getName.startsWith("bucket_prefix=p")),
+        "signatures must be laid out by letter-prefixed bucket prefix")
+      val p = Similarity.annLshMultiProbeTopK(spark, Sf0001)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning"),
+        "the probe join must prune signature directories at runtime:\n" +
+          p.take(600))
+    }
+  }
+
   test("registry DAG rebuilds quantizer then lists in dependency order") {
     val wh = java.nio.file.Files.createTempDirectory("graft_ivf_reg2").toString
     val sink = new graft.pipeline.ParquetSink(wh)
