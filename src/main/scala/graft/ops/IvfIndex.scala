@@ -86,8 +86,13 @@ object IvfIndex {
     val sink = new ParquetSink(cacheRoot)
     val name = s"ivf_lists_${fingerprint(spark, dir)}"
     if (!sink.exists(spark, layer, name))
+      // repartition on the partition key so each list directory gets one
+      // file instead of one-per-writing-task — without it a k-way
+      // partitionBy from t tasks can write t×k small files (measured: the
+      // 10× cold build was dominated by exactly that)
       sink.overwrite(spark, layer, name,
-        Similarity.buildIvfLists(spark, dir, centroids(spark, dir)),
+        Similarity.buildIvfLists(spark, dir, centroids(spark, dir))
+          .repartition(col("centroid_id")),
         TableLayout(partitionBy = Seq("centroid_id")))
     sink.read(spark, layer, name)
       .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"),

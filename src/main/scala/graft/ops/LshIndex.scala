@@ -41,8 +41,11 @@ object LshIndex {
     val sink = new ParquetSink(IvfIndex.cacheRoot)
     val name = s"lsh_sigs_${planes}_${IvfIndex.fingerprint(spark, dir)}"
     if (!sink.exists(spark, layer, name))
+      // one file per prefix directory (see IvfIndex.lists: a p-way
+      // partitionBy from t tasks otherwise writes t×p small files)
       sink.overwrite(spark, layer, name,
-        build.withColumn("bucket_prefix", prefixCol(col("bucket"), planes)),
+        build.withColumn("bucket_prefix", prefixCol(col("bucket"), planes))
+          .repartition(col("bucket_prefix")),
         TableLayout(partitionBy = Seq("bucket_prefix")))
     sink.read(spark, layer, name)
       .select(col("vec_id"), col("vec"), col("nrm"), col("bucket"),

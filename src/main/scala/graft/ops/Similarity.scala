@@ -320,6 +320,30 @@ object Similarity {
     * broadcast assignment pass plus one (centroid, component) aggregation
     * — both linear in N; the trained centroids (k×dim doubles) are
     * collected to the driver exactly like MLlib's KMeansModel holds them. */
+  /** Training-sample multiple: the quantizer trains on at most
+    * `IvfTrainPerCentroid × k` vectors (FAISS's default heuristic is this
+    * same shape), chosen by the deterministic u16-hash threshold
+    * `u16(vec_id) · N < 65536 · cap`. When cap ≥ N the inequality holds
+    * for every u16, so ALL vectors train — which is the case at every
+    * locally-verifiable SF (engages at N > 131 072 with k's √(2N)
+    * growth); beyond it, training cost is O(256·k²·iters) instead of
+    * O(N·k·iters) — the difference between a bounded index build and one
+    * that rescans 100 TB per Lloyd pass. The oracle applies the identical
+    * integer threshold in SQL. */
+  val IvfTrainPerCentroid = 256
+
+  private def u16Expr(idCol: String): String = {
+    def nib(i: Int) =
+      s"(instr('0123456789abcdef', substring(md5(cast($idCol as string)), $i, 1)) - 1)"
+    s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"
+  }
+
+  private def u16SqlDuck(idCol: String): String = {
+    def nib(i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5(CAST($idCol AS VARCHAR)), $i, 1)) - 1)"
+    s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"
+  }
+
   def ivfCentroids(spark: SparkSession, dir: String,
       numVectors: Option[Long] = None): DataFrame = {
     import spark.implicits._
@@ -336,16 +360,23 @@ object Similarity {
     val base = withNorm(spark, dir)
     // k sized from metadata, not a count() job — same discipline as
     // cosineNearDup's banding
-    val k = ivfK(numVectors
+    val n = numVectors
       .orElse(graft.sources.ParquetStats.rowCount(spark, s"$dir/embeddings.parquet"))
-      .getOrElse(base.count()))
-    var cents = localized(base.filter(col("vec_id") < k)
+      .getOrElse(base.count())
+    val k = ivfK(n)
+    // deterministic hash-capped training set (all rows at verified SFs)
+    val train = base.filter(
+      expr(u16Expr("vec_id")).cast("long") * lit(n) <
+        lit(65536L) * (IvfTrainPerCentroid.toLong * k))
+    // init = the k smallest train vec_ids (identical to `vec_id < k` when
+    // the cap keeps everything, i.e. at every verified SF)
+    var cents = localized(train.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("centroid_id"), col("vec").as("c_vec"),
         col("nrm").as("c_nrm")))
     for (_ <- 1 to IvfIters) {
       val meanComp = (col("s").cast("double") / lit(1000000.0)) / col("n")
-      cents = localized(assignToCentroids(base, cents)
-        .join(base, Seq("vec_id"))
+      cents = localized(assignToCentroids(train, cents)
+        .join(train, Seq("vec_id"))
         .select(col("centroid_id"), posexplode(col("vec")))
         .toDF("centroid_id", "pos", "comp")
         .groupBy("centroid_id", "pos")
@@ -463,9 +494,7 @@ object Similarity {
       SELECT vec_id, vec, $normSqlDuck AS nrm FROM base),
     params AS (
       SELECT ${ivfKSqlDuck("count(*)")} AS k FROM embeddings),
-    cents0 AS (
-      SELECT vec_id AS centroid_id, vec AS c_vec, nrm AS c_nrm
-      FROM normed WHERE vec_id < (SELECT k FROM params)),
+    $trainCtesDuck,
     ${(1 to IvfIters).map(kmeansIterCteDuck).mkString(",\n    ")},
     ${assignCteDuck("assigned", s"cents$IvfIters")},
     lists AS (
@@ -497,8 +526,10 @@ object Similarity {
     FROM ranked WHERE rank <= $k"""
 
   /** DuckDB assignment CTE vs a given centroid CTE — the row_number
-    * formulation of the same (dist, centroid_id) argmin. */
-  private def assignCteDuck(name: String, centsCte: String): String =
+    * formulation of the same (dist, centroid_id) argmin. `over` is the
+    * vector set being assigned (training subset vs the whole table). */
+  private def assignCteDuck(name: String, centsCte: String,
+      over: String = "normed"): String =
     s"""$name AS (
       SELECT vec_id, centroid_id FROM (
         SELECT n.vec_id, c.centroid_id,
@@ -506,17 +537,32 @@ object Similarity {
             n.nrm - 2 * list_reduce(list_transform(range(1, len(n.vec) + 1),
               i -> n.vec[i] * c.c_vec[i]), (x, y) -> x + y) + c.c_nrm,
             c.centroid_id) AS rn
-        FROM normed n CROSS JOIN $centsCte c) WHERE rn = 1)"""
+        FROM $over n CROSS JOIN $centsCte c) WHERE rn = 1)"""
 
-  /** One Lloyd iteration in DuckDB SQL: assign vs cents(i-1), then the
-    * grid-quantized component means — mirrors [[ivfCentroids]] exactly. */
+  /** The deterministic hash-capped training set (mirrors `train` in
+    * [[ivfCentroids]]; keeps every row when 256·k ≥ N — all verified
+    * SFs) and the init centroids (k smallest train vec_ids). */
+  private def trainCtesDuck: String =
+    s"""train AS (
+      SELECT n.* FROM normed n, params p,
+        (SELECT count(*) AS nn FROM embeddings) t
+      WHERE ${u16SqlDuck("n.vec_id")} * t.nn
+              < 65536 * ($IvfTrainPerCentroid * p.k)),
+    cents0 AS (
+      SELECT vec_id AS centroid_id, vec AS c_vec, nrm AS c_nrm FROM (
+        SELECT *, row_number() OVER (ORDER BY vec_id) AS rn FROM train)
+      WHERE rn <= (SELECT k FROM params))"""
+
+  /** One Lloyd iteration in DuckDB SQL: assign vs cents(i-1) over the
+    * training set, then the grid-quantized component means — mirrors
+    * [[ivfCentroids]] exactly. */
   private def kmeansIterCteDuck(i: Int): String =
-    s"""${assignCteDuck(s"a$i", s"cents${i - 1}")},
+    s"""${assignCteDuck(s"a$i", s"cents${i - 1}", "train")},
     sums$i AS (
       SELECT a.centroid_id, t.i AS pos,
         sum(CAST(round(n.vec[t.i] * 1000000.0) AS BIGINT)) AS s,
         count(*) AS n
-      FROM a$i a JOIN normed n USING (vec_id)
+      FROM a$i a JOIN train n USING (vec_id)
       CROSS JOIN range(1, $EmbeddingDim + 1) t(i)
       GROUP BY 1, 2),
     cvec$i AS (
@@ -536,9 +582,7 @@ object Similarity {
       SELECT vec_id, vec, $normSqlDuck AS nrm FROM base),
     params AS (
       SELECT ${ivfKSqlDuck("count(*)")} AS k FROM embeddings),
-    cents0 AS (
-      SELECT vec_id AS centroid_id, vec AS c_vec, nrm AS c_nrm
-      FROM normed WHERE vec_id < (SELECT k FROM params)),
+    $trainCtesDuck,
     ${(1 to IvfIters).map(kmeansIterCteDuck).mkString(",\n    ")},
     ${assignCteDuck("assigned", s"cents$IvfIters")},
     lists AS (

@@ -187,6 +187,14 @@ class PlanSpec extends SparkSpec {
     assert(ivfK(512L) == 32) // bitlen 10 → 1<<5
     assert(ivfK(1L << 28) == 16384) // √(2N) regime
     assert(ivfK(Long.MaxValue) == 16384, "centroid broadcast cap")
+    // training-sample cap: disabled (keeps every vector, so results are
+    // unchanged) at every locally-verifiable N, engaged at warehouse scale
+    import graft.ops.Similarity.IvfTrainPerCentroid
+    Seq(200L, 500L, 2000L, 20000L).foreach(n =>
+      assert(IvfTrainPerCentroid.toLong * ivfK(n) >= n,
+        s"N=$n must train on the full set (oracle parity at verified SFs)"))
+    assert(IvfTrainPerCentroid.toLong * ivfK(1000000L) < 1000000L,
+      "the cap must engage at warehouse scale (bounded index build)")
   }
 
   test("tpch correlated shapes compile to joins: semi/anti present, no cartesian") {
