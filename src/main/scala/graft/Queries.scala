@@ -443,6 +443,12 @@ object Queries {
       Seq("doc_id"),
       ops.TextOps.redact, ops.TextOps.redactOracle),
 
+    Spec("emb_quantize_int8",
+      Seq("vec_id" -> P, "scale" -> P, "l2_err" -> P),
+      Seq("vec_id"),
+      (s, d) => ops.Similarity.quantizeInt8(s, d),
+      ops.Similarity.quantizeInt8Oracle),
+
     Spec("docs_sample_stratified",
       Seq("doc_id" -> P, "lang" -> P, "sample_key" -> L),
       Seq("doc_id"),

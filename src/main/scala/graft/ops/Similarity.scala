@@ -723,4 +723,49 @@ object Similarity {
       SELECT doc_a, doc_b, $dotSqlDuck / (sqrt(na) * sqrt(nb)) AS cosine
       FROM pairs)
     SELECT doc_a, doc_b, cosine FROM scored WHERE cosine >= $threshold"""
+
+  /** Int8 scalar quantization of the embedding column — the standard
+    * model-serving compression (4× smaller than float32, 8× than the
+    * doubles they widen to): per-vector scale = max|component| / 127,
+    * q_i = round(v_i / scale) ∈ [−127, 127]. Emits per-vector audit rows
+    * (scale + L2 reconstruction error) rather than the int8 payload so
+    * the driver can value-compare them; the quantized array itself is the
+    * `transform(...)` column inside, reusable as a real output.
+    *
+    * Cross-engine float discipline: scale is an order-independent max;
+    * the error sum is a left fold seeded with 0.0 (exact no-op add), so
+    * every double matches DuckDB's list_reduce bit-for-bit. A zero
+    * vector's scale degenerates to 1.0 on both sides (guard, not NaN).
+    * Scale: map-only — one narrow pass, no shuffle; at 100 TB this is
+    * the compress-on-write step of an embedding store. */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .withColumn("max_abs", expr(
+        "aggregate(vec, cast(0.0 as double), (a, x) -> greatest(a, abs(cast(x as double))))"))
+      .withColumn("scale", expr(
+        "CASE WHEN max_abs = 0.0 THEN 1.0 ELSE max_abs / 127.0 END"))
+      .withColumn("q", expr(
+        "transform(vec, x -> cast(round(cast(x as double) / scale) as int))"))
+      .withColumn("l2_err", sqrt(expr(
+        """aggregate(zip_with(vec, q, (x, qi) ->
+             pow(qi * scale - cast(x as double), 2)),
+           cast(0.0 as double), (a, e) -> a + e)""")))
+      .select(col("vec_id"), col("scale"), col("l2_err"))
+
+  def quantizeInt8Oracle: String =
+    s"""WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    scaled AS (
+      SELECT vec_id, vec,
+        CASE WHEN m = 0.0 THEN 1.0 ELSE m / 127.0 END AS scale
+      FROM (
+        SELECT vec_id, vec,
+          list_reduce(list_transform(range(1, len(vec) + 1),
+            i -> abs(vec[i])), (x, y) -> greatest(x, y)) AS m
+        FROM base))
+    SELECT vec_id, scale,
+      sqrt(list_reduce(list_transform(range(1, len(vec) + 1),
+        i -> pow(round(vec[i] / scale) * scale - vec[i], 2)),
+        (x, y) -> x + y)) AS l2_err
+    FROM scaled"""
 }
