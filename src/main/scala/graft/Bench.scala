@@ -39,14 +39,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout first — it is the channel the driver parses and must survive
+    // even if the file copy fails (unwritable cwd, bad env override)
+    println(json)
     // The driver captures a bounded tail of stdout; at 69 queries the one
     // JSON line outgrew it in round 3 and the head (including the
-    // "metric":"total" prefix) was cut. The file is the durable copy —
-    // stdout stays for the driver's line parser.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes("UTF-8"))
-    println(json)
+    // "metric":"total" prefix) was cut. The file is the durable copy.
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (json + "\n").getBytes("UTF-8"))
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"bench file copy failed (stdout already has it): $e")
+    }
     spark.stop()
   }
 }

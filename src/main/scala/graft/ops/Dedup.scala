@@ -266,12 +266,19 @@ object Dedup {
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
       maxRounds: Int = MaxCcRounds,
       checkpointDir: Option[String] = None): DataFrame = {
+    // The checkpoint directory is session-global state: remember the
+    // caller's and restore it on exit so unrelated later checkpoints
+    // don't silently land in (or clobber) ours. The checkpoint FILES are
+    // owned by the caller's directory and must outlive this call — the
+    // returned DataFrame's lineage reads them — so no cleanup here.
+    val prevCkptDir = spark.sparkContext.getCheckpointDir
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(d) =>
         spark.sparkContext.setCheckpointDir(d)
         df => df.checkpoint()
       case None => df => df.localCheckpoint()
     }
+    try {
     val ab = pairs.toDF("doc_a", "doc_b")
     val edges = ckpt(ab.union(ab.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst"))
@@ -300,6 +307,10 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("cluster_id"))
       .join(sizes, Seq("cluster_id"))
       .select("doc_id", "cluster_id", "cluster_size")
+    } finally {
+      if (checkpointDir.isDefined)
+        prevCkptDir.foreach(spark.sparkContext.setCheckpointDir)
+    }
   }
 
   /** Duplicate-cluster assignment: [[connectedComponents]] over the

@@ -44,30 +44,70 @@ object IvfIndex {
 
   private val layer = "ann"
 
+  /** Algorithm-version component of every cache key: the cacheRoot
+    * persists across JVM runs, so a code change to the training recipe
+    * must invalidate cached indexes built by the old code (otherwise a
+    * stale index serves results that diverge from the oracle's SQL
+    * replay of the NEW recipe, with no visible cause). Derived from the
+    * constants that define training; bump the literal for recipe changes
+    * they don't capture (grid quantization, init rule, signature
+    * derivation). */
+  private[ops] def algoVersion: String =
+    s"a2i${Similarity.IvfIters}t${Similarity.IvfTrainPerCentroid}" +
+      s"k${Similarity.IvfKMin}_${Similarity.IvfKMax}"
+
   /** Content fingerprint of the embeddings table: md5 over the absolute
-    * path plus every data file's (name, length, mtime), directories walked
-    * recursively. Metadata-only — the same cost class as planning the
+    * path plus every data file's (root-relative path, length, mtime),
+    * directories walked recursively — the relative path (not the bare
+    * name) so files swapped between partition subdirectories change the
+    * fingerprint. Metadata-only — the same cost class as planning the
     * scan, never a job. */
   def fingerprint(spark: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val rootUri = p.toUri.getPath
+    def rel(st: org.apache.hadoop.fs.FileStatus): String =
+      st.getPath.toUri.getPath.stripPrefix(rootUri)
     def walk(st: org.apache.hadoop.fs.FileStatus): Seq[String] =
       if (st.isDirectory)
         fs.listStatus(st.getPath).toSeq.sortBy(_.getPath.getName).flatMap(walk)
-      else Seq(s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      else Seq(s"${rel(st)}:${st.getLen}:${st.getModificationTime}")
     val desc = (p.toString +: walk(fs.getFileStatus(p))).mkString("|")
     java.security.MessageDigest.getInstance("MD5")
       .digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
+  /** Build-if-absent through a process-unique staging name: ParquetSink's
+    * own staging path is deterministic, so two JVMs sharing the
+    * persistent cacheRoot (a Verify and a Bench run) could interleave
+    * writes and rename a corrupt directory into place. Building under a
+    * UUID name and renaming into the final name only if still absent
+    * makes concurrent cold builds last-writer-loses instead of
+    * corrupting; the losing build's staging table is dropped. */
+  private[ops] def buildIfAbsent(spark: SparkSession, sink: ParquetSink,
+      name: String, layout: TableLayout = TableLayout.none)
+      (build: => DataFrame): Unit = {
+    if (sink.exists(spark, layer, name)) return
+    val tmp = s"${name}_b${java.util.UUID.randomUUID.toString.take(8)}"
+    sink.overwrite(spark, layer, tmp, build, layout)
+    val fs = new org.apache.hadoop.fs.Path(cacheRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val src = new org.apache.hadoop.fs.Path(s"$cacheRoot/$layer/$tmp")
+    val dst = new org.apache.hadoop.fs.Path(s"$cacheRoot/$layer/$name")
+    // rename fails (returns false) if dst appeared meanwhile — another
+    // process won the race; its index is equally valid, drop ours
+    if (!fs.rename(src, dst)) fs.delete(src, true)
+  }
+
   /** The trained centroid table for `dir`'s embeddings: read from the
     * index warehouse when present, trained-and-materialized once when not.
-    * Serialized JVM-wide so concurrent queries share one build. */
+    * Serialized JVM-wide so concurrent queries share one build;
+    * cross-process races resolve via [[buildIfAbsent]]. */
   def centroids(spark: SparkSession, dir: String): DataFrame = synchronized {
     val sink = new ParquetSink(cacheRoot)
-    val name = s"ivf_${fingerprint(spark, dir)}"
-    if (sink.exists(spark, layer, name)) sink.read(spark, layer, name)
-    else sink.overwrite(spark, layer, name, Similarity.ivfCentroids(spark, dir))
+    val name = s"ivf_${algoVersion}_${fingerprint(spark, dir)}"
+    buildIfAbsent(spark, sink, name)(Similarity.ivfCentroids(spark, dir))
+    sink.read(spark, layer, name)
   }
 
   /** The inverted lists for `dir`'s embeddings, materialized PARTITIONED
@@ -84,16 +124,15 @@ object IvfIndex {
     * indistinguishable from the inline build. */
   def lists(spark: SparkSession, dir: String): DataFrame = synchronized {
     val sink = new ParquetSink(cacheRoot)
-    val name = s"ivf_lists_${fingerprint(spark, dir)}"
-    if (!sink.exists(spark, layer, name))
-      // repartition on the partition key so each list directory gets one
-      // file instead of one-per-writing-task — without it a k-way
-      // partitionBy from t tasks can write t×k small files (measured: the
-      // 10× cold build was dominated by exactly that)
-      sink.overwrite(spark, layer, name,
-        Similarity.buildIvfLists(spark, dir, centroids(spark, dir))
-          .repartition(col("centroid_id")),
-        TableLayout(partitionBy = Seq("centroid_id")))
+    val name = s"ivf_lists_${algoVersion}_${fingerprint(spark, dir)}"
+    // repartition on the partition key so each list directory gets one
+    // file instead of one-per-writing-task — without it a k-way
+    // partitionBy from t tasks can write t×k small files (measured: the
+    // 10× cold build was dominated by exactly that)
+    buildIfAbsent(spark, sink, name,
+      TableLayout(partitionBy = Seq("centroid_id")))(
+      Similarity.buildIvfLists(spark, dir, centroids(spark, dir))
+        .repartition(col("centroid_id")))
     sink.read(spark, layer, name)
       .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"),
         col("vec"), col("nrm"))

@@ -36,17 +36,23 @@ object LshIndex {
   /** The signature table for `dir`'s embeddings (with `planes` sign bits)
     * served from the index warehouse, built once per data fingerprint.
     * Returns columns (vec_id, vec, nrm, bucket, bucket_prefix). */
+  /** Version of the signature derivation (SignBits md5 coefficient
+    * scheme + prefix layout) — bumped on recipe changes so a persistent
+    * cache never serves signatures built by older code. */
+  private val SigVersion = "s1"
+
   def signatures(spark: SparkSession, dir: String, planes: Int,
       build: => DataFrame): DataFrame = synchronized {
     val sink = new ParquetSink(IvfIndex.cacheRoot)
-    val name = s"lsh_sigs_${planes}_${IvfIndex.fingerprint(spark, dir)}"
-    if (!sink.exists(spark, layer, name))
-      // one file per prefix directory (see IvfIndex.lists: a p-way
-      // partitionBy from t tasks otherwise writes t×p small files)
-      sink.overwrite(spark, layer, name,
-        build.withColumn("bucket_prefix", prefixCol(col("bucket"), planes))
-          .repartition(col("bucket_prefix")),
-        TableLayout(partitionBy = Seq("bucket_prefix")))
+    val name =
+      s"lsh_sigs_${SigVersion}p${planes}_${IvfIndex.fingerprint(spark, dir)}"
+    // one file per prefix directory (see IvfIndex.lists: a p-way
+    // partitionBy from t tasks otherwise writes t×p small files);
+    // build-if-absent races resolve via the UUID-staged rename
+    IvfIndex.buildIfAbsent(spark, sink, name,
+      TableLayout(partitionBy = Seq("bucket_prefix")))(
+      build.withColumn("bucket_prefix", prefixCol(col("bucket"), planes))
+        .repartition(col("bucket_prefix")))
     sink.read(spark, layer, name)
       .select(col("vec_id"), col("vec"), col("nrm"), col("bucket"),
         col("bucket_prefix"))

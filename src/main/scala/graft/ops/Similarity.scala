@@ -332,17 +332,11 @@ object Similarity {
     * integer threshold in SQL. */
   val IvfTrainPerCentroid = 256
 
-  private def u16Expr(idCol: String): String = {
-    def nib(i: Int) =
-      s"(instr('0123456789abcdef', substring(md5(cast($idCol as string)), $i, 1)) - 1)"
-    s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"
-  }
-
-  private def u16SqlDuck(idCol: String): String = {
-    def nib(i: Int) =
-      s"(strpos('0123456789abcdef', substr(md5(CAST($idCol AS VARCHAR)), $i, 1)) - 1)"
-    s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"
-  }
+  // the md5→u16 derivation is shared with TextOps (hash splits and
+  // stratified sampling) — one definition keeps the Spark↔DuckDB pair in
+  // lockstep everywhere it is used
+  private def u16Expr(idCol: String): String = TextOps.md5U16Expr(idCol)
+  private def u16SqlDuck(idCol: String): String = TextOps.md5U16SqlDuck(idCol)
 
   def ivfCentroids(spark: SparkSession, dir: String,
       numVectors: Option[Long] = None): DataFrame = {

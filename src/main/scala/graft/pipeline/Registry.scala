@@ -236,8 +236,17 @@ object Registry {
       all: Seq[Model] = models): Map[String, String] = {
     val acc = scala.collection.mutable.Map.empty[String, DataFrame]
     topoOrderOf(all).foreach(m => acc(m.name) = m.build(spark, sourceDir, acc.toMap))
+    // source paths are scrubbed from the canonical form so a manifest
+    // written over one environment's data directory compares cleanly in
+    // another (dbt's checksums hash SQL text, which is path-free; without
+    // this, prod-manifest-vs-dev-target — the defer workflow — would mark
+    // every model modified)
+    val scrub = java.util.regex.Pattern.quote(
+      sourceDir.stripSuffix("/"))
     acc.map { case (n, df) =>
       val canon = df.queryExecution.analyzed.canonicalized.toString
+        .replaceAll(s"file:$scrub", "<src>")
+        .replaceAll(scrub, "<src>")
       n -> java.security.MessageDigest.getInstance("MD5")
         .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }.toMap
@@ -347,9 +356,15 @@ object Registry {
     import scala.concurrent.duration.Duration
     val ordered = topoOrderOf(all)
     // dbt --state: resolve state:modified selectors against the previous
-    // run's manifest (fingerprints compared by [[modifiedSince]])
+    // run's manifest (fingerprints compared by [[modifiedSince]]) — but
+    // only pay the full-DAG plan-fingerprint pass when a selector
+    // actually uses it
+    val usesState = (select.toSeq ++ exclude.toSeq)
+      .exists(_.contains("state:modified"))
     val modified: Option[Set[String]] =
-      state.map(d => modifiedSince(spark, sourceDir, readManifest(d), all))
+      if (usesState)
+        state.map(d => modifiedSince(spark, sourceDir, readManifest(d), all))
+      else None
     // dbt semantics: --exclude removes its graph closure from whatever
     // --select picked (or from everything)
     val selected: Set[String] =

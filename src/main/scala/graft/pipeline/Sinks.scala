@@ -250,8 +250,13 @@ class CatalogSink(format: String = "parquet",
       // rejects inside align.
       val aligned = onSchemaChange match {
         case Incremental.AppendNewColumns =>
-          val existing = read(spark, layer, name).columns.toSet
-          val added = incoming.schema.fields.filterNot(f => existing.contains(f.name))
+          // case-insensitive: Spark's default resolution treats `Extra`
+          // and `extra` as the same column, so a case-variant must count
+          // as existing rather than trigger a failing ALTER
+          val existing = read(spark, layer, name).columns
+            .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+          val added = incoming.schema.fields.filterNot(f =>
+            existing.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
           if (added.nonEmpty) {
             val ddl = added.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
             spark.sql(s"ALTER TABLE $target ADD COLUMNS ($ddl)")
