@@ -1,7 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Warehouse maintenance: the background jobs a parquet lakehouse needs
   * that dbt itself leaves to the platform (Delta's OPTIMIZE, Iceberg's
@@ -71,5 +71,157 @@ object Maintenance {
       }
     sink.overwrite(spark, layer, name, compacted, layout)
     ()
+  }
+
+  /** Z-order clustering compaction: rewrite `layer`.`name` so rows that
+    * are close in EVERY one of `clusterBy`'s dimensions land in the same
+    * file. Each dimension is scaled to 16 bits against its min/max (one
+    * aggregate job), the bits are interleaved into a single z-value, and
+    * the rewrite range-partitions + sorts on it — so every output file
+    * covers a small hyper-rectangle of the key space and its parquet
+    * footer min/max excludes it from most multi-predicate scans. A sort
+    * on (a, b) clusters only the leading column; the z-curve is what lets
+    * BOTH `WHERE a = …` and `WHERE b = …` skip files, which is why
+    * lakehouse OPTIMIZE commands cluster this way.
+    *
+    * For tables with a partition layout, partition columns already prune
+    * at directory level — z-order the remaining filter columns instead.
+    * This rewrite is for unpartitioned (or single-partition-scoped)
+    * tables; file count follows `targetFileBytes` like [[compact]]. */
+  def zOrderCompact(spark: SparkSession, sink: ParquetSink,
+      warehouseDir: String, layer: String, name: String,
+      clusterBy: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(clusterBy.nonEmpty && clusterBy.size <= 4,
+      s"z-order needs 1-4 cluster columns, got ${clusterBy.size}")
+    val df = sink.read(spark, layer, name)
+    // one metadata-cheap aggregate for all bounds; doubles are fine — the
+    // z-value orders the rewrite, it never lands in the data
+    val aggs = clusterBy.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"lo_$c"),
+      max(col(c).cast("double")).as(s"hi_$c")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    def at(i: Int) = if (bounds.isNullAt(i)) 0.0 else bounds.getDouble(i)
+    val z = zValue(clusterBy.zipWithIndex.map { case (c, i) =>
+      scaleToU16(col(c), at(2 * i), at(2 * i + 1))
+    })
+    val bytes = tableBytes(spark, warehouseDir, layer, name)
+    val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    sink.overwrite(spark, layer, name,
+      df.repartitionByRange(parts, z).sortWithinPartitions(z))
+    ()
+  }
+
+  /** `c` scaled to [0, 65535] against [lo, hi]; nulls and degenerate
+    * ranges collapse to 0 (they cluster together, which is the point). */
+  private[pipeline] def scaleToU16(c: Column, lo: Double, hi: Double): Column =
+    if (hi <= lo) lit(0L)
+    else coalesce(least(lit(65535L), greatest(lit(0L),
+      floor((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(65535.0))
+        .cast("long"))), lit(0L))
+
+  /** Bit-interleave d 16-bit values: bit b of dimension i lands at
+    * position b·d + i, so the high interleaved bits split the space into
+    * quadrants/octants — a balanced expression tree of 16·d shift/mask
+    * ops, well inside whole-stage codegen. */
+  private[pipeline] def zValue(dims: Seq[Column]): Column =
+    dims.zipWithIndex.flatMap { case (u, i) =>
+      (0 until 16).map(b => shiftleft(shiftright(u, b).bitwiseAND(lit(1L)),
+        b * dims.size + i))
+    }.reduce(_ bitwiseOR _)
+
+  /** Per-data-file (min, max) of integral column `column` under `path`,
+    * read from parquet footers (metadata-only; same walk as
+    * [[graft.sources.ParquetStats]]). The clustering audit: after
+    * [[zOrderCompact]] on (a, b), a point predicate on either column
+    * should exclude most files by these ranges — which is exactly the
+    * file/row-group skipping a scan's pushed filters perform. */
+  def fileColumnRanges(spark: SparkSession, path: String,
+      column: String): Seq[(Long, Long)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    def walk(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.Path] = {
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+      else if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(walk)
+      else if (n.endsWith(".parquet")) Seq(st.getPath) else Seq.empty
+    }
+    import scala.jdk.CollectionConverters._
+    walk(fs.getFileStatus(root)).map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val stats = r.getFooter.getBlocks.asScala.flatMap { blk =>
+          blk.getColumns.asScala
+            .find(_.getPath.toDotString == column).map(_.getStatistics)
+        }
+        (stats.map(s => asLong(s.genericGetMin: Any)).min,
+          stats.map(s => asLong(s.genericGetMax: Any)).max)
+      } finally r.close()
+    }
+  }
+
+  private def asLong(v: Any): Long = v match {
+    case n: java.lang.Number => n.longValue()
+    case other => other.toString.toLong
+  }
+
+  /** Delete crash debris under a path-routed warehouse: `_staging_*` /
+    * `_backup_*` directories that [[ParquetSink.overwrite]]'s staged
+    * swap leaves behind ONLY when a run died between its write and its
+    * renames. `graceMs` keeps anything newer than the grace window — a
+    * live overwrite's in-flight staging directory must never be swept.
+    * Returns the deleted paths. */
+  def vacuumDebris(spark: SparkSession, warehouseDir: String,
+      graceMs: Long, nowMs: Long): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(warehouseDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Seq.empty
+    for {
+      layerSt <- fs.listStatus(root).toSeq if layerSt.isDirectory
+      st <- fs.listStatus(layerSt.getPath).toSeq
+      n = st.getPath.getName
+      if (n.startsWith("_staging_") || n.startsWith("_backup_")) &&
+        st.getModificationTime < nowMs - graceMs &&
+        fs.delete(st.getPath, true)
+    } yield st.getPath.toString
+  }
+
+  /** GC the persistent ANN index cache ([[graft.ops.IvfIndex.cacheRoot]]):
+    * every data refresh changes the embeddings fingerprint, so the cache
+    * accumulates one centroid + lists (+ LSH signature) table per
+    * superseded data version, plus UUID-staged leftovers from builds that
+    * lost a race or crashed. Keeps tables whose name ends in a live
+    * fingerprint; deletes everything else older than `retentionMs`
+    * (retention, not immediate: a query started against the old data
+    * version may still be serving from its index). Returns deleted
+    * table names. */
+  def vacuumAnnIndexCache(spark: SparkSession, cacheRoot: String,
+      liveFingerprints: Set[String], retentionMs: Long,
+      nowMs: Long): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$cacheRoot/ann")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Seq.empty
+    for {
+      st <- fs.listStatus(root).toSeq
+      n = st.getPath.getName
+      if !liveFingerprints.exists(fp => n.endsWith(s"_$fp")) &&
+        st.getModificationTime < nowMs - retentionMs &&
+        fs.delete(st.getPath, true)
+    } yield n
+  }
+
+  /** Refresh catalog statistics for a [[CatalogSink]]-materialized table:
+    * row count + size, then per-column min/max/ndv/null counts. This is
+    * what turns Catalyst's cost-based optimizer on for real — without
+    * ANALYZE, join reordering and broadcast decisions fall back to file
+    * sizes; with it, a 100-way star join orders itself from actual
+    * cardinalities. Run it on the same cadence as [[compact]]. */
+  def analyze(spark: SparkSession, layer: String, name: String,
+      targetDatabase: String = "default"): Unit = {
+    val table = s"${Registry.databaseName(Some(layer), targetDatabase)}.$name"
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR ALL COLUMNS")
   }
 }

@@ -43,4 +43,88 @@ class MaintenanceSpec extends SparkSpec {
       "partition directories survive the rewrite")
     assert(sink.read(spark, "gold", "fragp").count() == 42)
   }
+
+  test("zOrderCompact: point predicates on BOTH dimensions skip most files") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val sink = new ParquetSink(wh)
+    // a 100x100 grid written in row-shuffled order across 8 files: every
+    // file's footer covers nearly the full range of both x and y, so a
+    // point predicate can skip nothing
+    val grid = Seq.tabulate(10000) { i =>
+      (((i * 2654435761L) % 10000).toInt, i % 100, i / 100)
+    }.sortBy(_._1).map { case (_, x, y) => (x.toLong, y.toLong) }
+    sink.overwrite(spark, "silver", "zt", grid.toDF("x", "y").repartition(8))
+    def matching(colName: String, v: Long): Int =
+      Maintenance.fileColumnRanges(spark, s"$wh/silver/zt", colName)
+        .count { case (lo, hi) => lo <= v && v <= hi }
+    assert(matching("x", 5L) == 8 && matching("y", 5L) == 8,
+      "pre-compaction every file straddles both dimensions")
+    Maintenance.zOrderCompact(spark, sink, wh, "silver", "zt", Seq("x", "y"),
+      targetFileBytes = 16L * 1024)
+    val files = Maintenance.fileCount(spark, wh, "silver", "zt")
+    assert(files >= 4, s"rewrite must keep multiple files (saw $files)")
+    assert(matching("x", 5L) <= files / 2,
+      "z-order clusters x: a point on x excludes at least half the files")
+    assert(matching("y", 5L) <= files / 2,
+      "z-order clusters y too — the property a plain sort on (x, y) lacks")
+    assert(sink.read(spark, "silver", "zt").count() == 10000,
+      "rewrite preserves the row set")
+  }
+
+  test("vacuumDebris sweeps aged _staging_/_backup_ dirs, keeps fresh ones") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_vac").toString
+    val sink = new ParquetSink(wh)
+    sink.overwrite(spark, "silver", "keepme", Seq(1L).toDF("id"))
+    val old = new java.io.File(s"$wh/silver/_staging_dead"); old.mkdirs()
+    old.setLastModified(1000L)
+    val oldB = new java.io.File(s"$wh/silver/_backup_dead"); oldB.mkdirs()
+    oldB.setLastModified(1000L)
+    val fresh = new java.io.File(s"$wh/silver/_staging_live"); fresh.mkdirs()
+    val now = fresh.lastModified()
+    val deleted = Maintenance.vacuumDebris(spark, wh, graceMs = 3600_000L,
+      nowMs = now)
+    assert(deleted.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet ==
+      Set("_staging_dead", "_backup_dead"))
+    assert(fresh.exists(), "in-flight staging inside the grace window survives")
+    assert(sink.read(spark, "silver", "keepme").count() == 1,
+      "real tables are never touched")
+  }
+
+  test("vacuumAnnIndexCache drops superseded fingerprints, keeps live ones") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annvac").toString
+    val live = "aaaa1111"
+    val mk = (n: String) => {
+      val d = new java.io.File(s"$root/ann/$n"); d.mkdirs(); d
+    }
+    val keep = mk(s"ivf_a2_$live")
+    val stale = mk("ivf_a2_dead0000"); stale.setLastModified(1000L)
+    val lost = mk(s"ivf_a2_${live}_b12ab34cd"); lost.setLastModified(1000L)
+    val recent = mk("ivf_a2_new0000")
+    val now = recent.lastModified()
+    val deleted = Maintenance.vacuumAnnIndexCache(spark, root, Set(live),
+      retentionMs = 3600_000L, nowMs = now).toSet
+    assert(deleted == Set("ivf_a2_dead0000", s"ivf_a2_${live}_b12ab34cd"),
+      "aged non-live tables and staged leftovers go; note the UUID-staged " +
+        "dir is swept even though its name CONTAINS the live fingerprint")
+    assert(keep.exists(), "the live-fingerprint index survives at any age")
+    assert(recent.exists(), "a non-live table inside retention survives")
+  }
+
+  test("analyze lands row/column statistics in the catalog") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.warehouse.dir")
+    val sink = new graft.pipeline.CatalogSink()
+    sink.overwrite(spark, "silver", "stats_t",
+      (1L to 77L).toDF("id").withColumn("grp", col("id") % 3))
+    Maintenance.analyze(spark, "silver", "stats_t")
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("stats_t", Some("silver")))
+    val stats = meta.stats.getOrElse(fail("ANALYZE must record table stats"))
+    assert(stats.rowCount.contains(BigInt(77)))
+    assert(stats.colStats.keySet == Set("id", "grp"),
+      "FOR ALL COLUMNS must cover every column")
+    assert(stats.colStats("id").max.map(_.toString).contains("77"))
+  }
 }
