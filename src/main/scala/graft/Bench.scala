@@ -49,8 +49,13 @@ object Bench {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (json + "\n").getBytes("UTF-8"))
-    } catch { case e: java.io.IOException =>
-      System.err.println(s"bench file copy failed (stdout already has it): $e")
+    } catch {
+      // NonFatal, not just IOException: a malformed SPARK_GRAFT_BENCH_OUT
+      // makes Paths.get throw InvalidPathException (a RuntimeException),
+      // and the bench must still stop spark and exit 0 — the JSON is
+      // already on stdout, which is the channel the driver parses.
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"bench file copy failed (stdout already has it): $e")
     }
     spark.stop()
   }

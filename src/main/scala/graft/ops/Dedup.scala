@@ -263,14 +263,26 @@ object Dedup {
         least(col("a.cluster_id"),
           coalesce(col("l_cluster"), col("a.cluster_id"))).as("cluster_id"))
 
+  /** `checkpointDir = Some(d)` switches the loop to reliable
+    * (executor-loss-tolerant) `checkpoint()` files under `d`.
+    *
+    * CAVEAT — the checkpoint directory is session-global state with no
+    * unset API on SparkContext. If the caller's session already had one,
+    * it is restored on exit; if it had NONE, the session permanently
+    * keeps `d` and unrelated later `df.checkpoint()` calls will land
+    * there — so do not clean `d` while the session lives (deleting it
+    * would invalidate those lineages alongside ours). Callers who need
+    * full control should `setCheckpointDir` themselves up front and pass
+    * that same directory here. */
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
       maxRounds: Int = MaxCcRounds,
       checkpointDir: Option[String] = None): DataFrame = {
-    // The checkpoint directory is session-global state: remember the
-    // caller's and restore it on exit so unrelated later checkpoints
-    // don't silently land in (or clobber) ours. The checkpoint FILES are
-    // owned by the caller's directory and must outlive this call — the
-    // returned DataFrame's lineage reads them — so no cleanup here.
+    // Remember the caller's dir and restore it on exit so unrelated later
+    // checkpoints don't silently land in (or clobber) ours — best-effort:
+    // see the scaladoc caveat for the None-prior case. The checkpoint
+    // FILES are owned by the caller's directory and must outlive this
+    // call — the returned DataFrame's lineage reads them — so no cleanup
+    // here.
     val prevCkptDir = spark.sparkContext.getCheckpointDir
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(d) =>

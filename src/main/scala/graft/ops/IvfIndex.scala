@@ -94,9 +94,40 @@ object IvfIndex {
       .getFileSystem(spark.sessionState.newHadoopConf())
     val src = new org.apache.hadoop.fs.Path(s"$cacheRoot/$layer/$tmp")
     val dst = new org.apache.hadoop.fs.Path(s"$cacheRoot/$layer/$name")
-    // rename fails (returns false) if dst appeared meanwhile — another
-    // process won the race; its index is equally valid, drop ours
-    if (!fs.rename(src, dst)) fs.delete(src, true)
+    renameIfAbsent(fs, src, dst)
+    ()
+  }
+
+  /** Move `src` into place at `dst` unless `dst` already exists, in which
+    * case another process won the cold-build race and `src` is dropped
+    * (its index is equally valid). Returns true iff `src` became `dst`.
+    *
+    * A bare `fs.rename(src, dst)` is NOT a safe last-writer-loses
+    * primitive here: on RawLocalFileSystem a failed `File.renameTo`
+    * (e.g. dst is a non-empty directory) falls through to
+    * `FileUtil.copy`, whose checkDest NESTS src *inside* the existing
+    * dst directory and reports success — the losing JVM's staging table
+    * would land inside the winner's cached table and corrupt every later
+    * read of the index. So: treat an existing dst as a lost race before
+    * renaming, and afterwards verify the copy-fallback signature (our
+    * staging directory nested under dst) did not appear in the window
+    * between the check and the rename, repairing if it did. */
+  private[graft] def renameIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = {
+    if (fs.exists(dst)) { fs.delete(src, true); return false }
+    val renamed =
+      try fs.rename(src, dst)
+      catch { case _: java.io.IOException => false }
+    if (!renamed) { if (fs.exists(src)) fs.delete(src, true); return false }
+    val nested = new org.apache.hadoop.fs.Path(dst, src.getName)
+    if (fs.exists(nested)) {
+      // dst appeared between the exists check and the rename and the
+      // rename degraded to a nesting copy: undo it, keep the winner's dst
+      fs.delete(nested, true)
+      if (fs.exists(src)) fs.delete(src, true)
+      false
+    } else true
   }
 
   /** The trained centroid table for `dir`'s embeddings: read from the

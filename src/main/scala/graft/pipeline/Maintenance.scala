@@ -42,9 +42,69 @@ object Maintenance {
     if (fs.exists(p)) walk(fs.getFileStatus(p)) else 0L
   }
 
-  /** Compact `layer`.`name` to ~`targetFileBytes` files: rewrite through
-    * the sink's atomic overwrite (staged rename — readers never see a
-    * partial table) with the row set unchanged.
+  /** File listing of `layer`.`name` as a change-detection fingerprint:
+    * every data file's (path, length, mtime), sorted. Metadata-only —
+    * the same walk as [[tableBytes]], never a job. */
+  private[graft] def listingFingerprint(spark: SparkSession,
+      warehouseDir: String, layer: String, name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$warehouseDir/$layer/$name")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def walk(st: org.apache.hadoop.fs.FileStatus): Seq[String] = {
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+      else if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq.sortBy(_.getPath.getName).flatMap(walk)
+      else Seq(s"${st.getPath.toUri.getPath}:${st.getLen}:${st.getModificationTime}")
+    }
+    if (fs.exists(p)) walk(fs.getFileStatus(p)).mkString("|") else ""
+  }
+
+  /** Stage the rewrite produced by `build`, then swap it in ONLY if the
+    * table's file listing is unchanged since before the rewrite — rows
+    * appended or merged by a concurrent incremental run during the
+    * rewrite job would otherwise be silently discarded (lost update).
+    * On conflict the staged rewrite is dropped and
+    * `ConcurrentModificationException` thrown: rerun when the table is
+    * quiet.
+    *
+    * Compaction remains a SINGLE-WRITER operation: the listing check
+    * shrinks the lost-update window from the whole rewrite job down to
+    * the metadata-check→rename gap, it does not eliminate it. Schedule
+    * maintenance in the same orchestration slot as the table's writers
+    * (or on a lakehouse format whose OPTIMIZE takes a real table lock). */
+  private[graft] def guardedRewrite(spark: SparkSession,
+      warehouseDir: String, layer: String, name: String, layout: TableLayout)
+      (build: () => org.apache.spark.sql.DataFrame): Unit = {
+    val before = listingFingerprint(spark, warehouseDir, layer, name)
+    val staging = new org.apache.hadoop.fs.Path(s"$warehouseDir/$layer/_maint_$name")
+    val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(staging)) fs.delete(staging, true)
+    val w = build().write.mode("overwrite")
+    val wp = if (layout.partitionBy.nonEmpty) w.partitionBy(layout.partitionBy: _*) else w
+    wp.parquet(staging.toString)
+    val after = listingFingerprint(spark, warehouseDir, layer, name)
+    if (after != before) {
+      fs.delete(staging, true)
+      throw new java.util.ConcurrentModificationException(
+        s"$layer.$name changed while its compaction rewrite ran " +
+          "(concurrent append/merge); the staged rewrite was dropped to " +
+          "avoid a lost update — rerun maintenance when the table is quiet")
+    }
+    // same backup-rename swap as ParquetSink.overwrite: old data stays
+    // recoverable under _backup_ if a rename fails mid-swap
+    val target = new org.apache.hadoop.fs.Path(s"$warehouseDir/$layer/$name")
+    val backup = new org.apache.hadoop.fs.Path(s"$warehouseDir/$layer/_backup_$name")
+    if (fs.exists(backup)) fs.delete(backup, true)
+    require(fs.rename(target, backup), s"rename $target -> $backup failed")
+    require(fs.rename(staging, target), s"rename $staging -> $target failed")
+    fs.delete(backup, true)
+    ()
+  }
+
+  /** Compact `layer`.`name` to ~`targetFileBytes` files: staged rewrite
+    * swapped in by rename (readers never see a partial table) with the
+    * row set unchanged, guarded against concurrent writers by
+    * [[guardedRewrite]]'s listing check.
     *
     * Un-partitioned tables repartition to ceil(bytes/target) (sized from
     * file metadata, no job); partitioned tables repartition on their
@@ -59,9 +119,9 @@ object Maintenance {
   def compact(spark: SparkSession, sink: ParquetSink, warehouseDir: String,
       layer: String, name: String,
       layout: TableLayout = TableLayout.none,
-      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
-    val df = sink.read(spark, layer, name)
-    val compacted =
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit =
+    guardedRewrite(spark, warehouseDir, layer, name, layout) { () =>
+      val df = sink.read(spark, layer, name)
       if (layout.partitionBy.nonEmpty)
         df.repartition(layout.partitionBy.map(col): _*)
       else {
@@ -69,9 +129,7 @@ object Maintenance {
         val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
         df.repartition(parts.toInt)
       }
-    sink.overwrite(spark, layer, name, compacted, layout)
-    ()
-  }
+    }
 
   /** Z-order clustering compaction: rewrite `layer`.`name` so rows that
     * are close in EVERY one of `clusterBy`'s dimensions land in the same
@@ -94,22 +152,22 @@ object Maintenance {
       targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     require(clusterBy.nonEmpty && clusterBy.size <= 4,
       s"z-order needs 1-4 cluster columns, got ${clusterBy.size}")
-    val df = sink.read(spark, layer, name)
-    // one metadata-cheap aggregate for all bounds; doubles are fine — the
-    // z-value orders the rewrite, it never lands in the data
-    val aggs = clusterBy.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"lo_$c"),
-      max(col(c).cast("double")).as(s"hi_$c")))
-    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
-    def at(i: Int) = if (bounds.isNullAt(i)) 0.0 else bounds.getDouble(i)
-    val z = zValue(clusterBy.zipWithIndex.map { case (c, i) =>
-      scaleToU16(col(c), at(2 * i), at(2 * i + 1))
-    })
-    val bytes = tableBytes(spark, warehouseDir, layer, name)
-    val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    sink.overwrite(spark, layer, name,
-      df.repartitionByRange(parts, z).sortWithinPartitions(z))
-    ()
+    guardedRewrite(spark, warehouseDir, layer, name, TableLayout.none) { () =>
+      val df = sink.read(spark, layer, name)
+      // one metadata-cheap aggregate for all bounds; doubles are fine — the
+      // z-value orders the rewrite, it never lands in the data
+      val aggs = clusterBy.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"lo_$c"),
+        max(col(c).cast("double")).as(s"hi_$c")))
+      val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+      def at(i: Int) = if (bounds.isNullAt(i)) 0.0 else bounds.getDouble(i)
+      val z = zValue(clusterBy.zipWithIndex.map { case (c, i) =>
+        scaleToU16(col(c), at(2 * i), at(2 * i + 1))
+      })
+      val bytes = tableBytes(spark, warehouseDir, layer, name)
+      val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      df.repartitionByRange(parts, z).sortWithinPartitions(z)
+    }
   }
 
   /** `c` scaled to [0, 65535] against [lo, hi]; nulls and degenerate

@@ -109,4 +109,35 @@ class IvfIndexSpec extends SparkSpec {
     // sf0.001 has 500 vectors -> k = ivfK(500) = 16 centroids
     assert(idx.count() == Similarity.ivfK(500L))
   }
+
+  test("a lost cold-build race never nests the loser inside the winning index") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_race").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def mkTable(name: String, file: String): org.apache.hadoop.fs.Path = {
+      val d = new org.apache.hadoop.fs.Path(s"$root/$name")
+      fs.mkdirs(d)
+      val out = fs.create(new org.apache.hadoop.fs.Path(d, file))
+      out.write(Array.fill[Byte](16)(1)); out.close()
+      d
+    }
+    // winner already in place (non-empty directory): on RawLocalFileSystem
+    // a bare fs.rename here degrades to FileUtil.copy, which would nest
+    // the loser INSIDE the winner and report success — exactly the
+    // corruption renameIfAbsent exists to prevent
+    val dst = mkTable("idx", "winner.parquet")
+    val src = mkTable("idx_bdeadbeef", "loser.parquet")
+    assert(!IvfIndex.renameIfAbsent(fs, src, dst), "existing dst = lost race")
+    assert(!fs.exists(src), "the losing staging table is dropped")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dst, "winner.parquet")),
+      "the winning index is untouched")
+    assert(fs.listStatus(dst).length == 1,
+      "nothing nested inside the winning index directory")
+    // clean-path promotion still renames into place
+    val src2 = mkTable("idx2_b01234567", "data.parquet")
+    val dst2 = new org.apache.hadoop.fs.Path(s"$root/idx2")
+    assert(IvfIndex.renameIfAbsent(fs, src2, dst2))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dst2, "data.parquet")))
+    assert(!fs.exists(src2))
+  }
 }

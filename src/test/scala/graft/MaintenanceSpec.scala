@@ -60,8 +60,16 @@ class MaintenanceSpec extends SparkSpec {
         .count { case (lo, hi) => lo <= v && v <= hi }
     assert(matching("x", 5L) == 8 && matching("y", 5L) == 8,
       "pre-compaction every file straddles both dimensions")
+    // size the target from the measured table so parts ≈ 16 regardless of
+    // the parquet codec in play — a fixed byte target made the file count
+    // hostage to compression ratios. ~16 z-ranges resolve the top TWO bits
+    // of each interleaved dimension, so a point query matches ~1/4 of the
+    // files and the ≤ half assertion below has real margin (at ~7 files
+    // only the single leading bit of x is resolved and matching sits at
+    // exactly half ± sampling noise).
+    val srcBytes = Maintenance.tableBytes(spark, wh, "silver", "zt")
     Maintenance.zOrderCompact(spark, sink, wh, "silver", "zt", Seq("x", "y"),
-      targetFileBytes = 16L * 1024)
+      targetFileBytes = math.max(1L, srcBytes / 16))
     val files = Maintenance.fileCount(spark, wh, "silver", "zt")
     assert(files >= 4, s"rewrite must keep multiple files (saw $files)")
     assert(matching("x", 5L) <= files / 2,
@@ -110,6 +118,27 @@ class MaintenanceSpec extends SparkSpec {
         "dir is swept even though its name CONTAINS the live fingerprint")
     assert(keep.exists(), "the live-fingerprint index survives at any age")
     assert(recent.exists(), "a non-live table inside retention survives")
+  }
+
+  test("compaction aborts instead of discarding concurrently appended rows") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_compact_cc").toString
+    val sink = new ParquetSink(wh)
+    sink.overwrite(spark, "silver", "busy", (1L to 50L).toDF("id").repartition(4))
+    intercept[java.util.ConcurrentModificationException] {
+      Maintenance.guardedRewrite(spark, wh, "silver", "busy",
+        TableLayout.none) { () =>
+        // a concurrent incremental append lands while the rewrite runs —
+        // without the listing guard the swap would silently drop it
+        sink.append(spark, "silver", "busy", Seq(999L).toDF("id"))
+        sink.read(spark, "silver", "busy").repartition(1)
+      }
+    }
+    assert(sink.read(spark, "silver", "busy").as[Long].collect().toSet ==
+      (1L to 50L).toSet + 999L,
+      "the concurrently appended row survives; no lost update")
+    assert(!new java.io.File(s"$wh/silver/_maint_busy").exists,
+      "the staged rewrite is cleaned up on abort")
   }
 
   test("analyze lands row/column statistics in the catalog") {
