@@ -460,6 +460,23 @@ object Queries {
       Seq("split"),
       ops.TextOps.hashSplit, ops.TextOps.hashSplitOracle),
 
+    Spec("docs_fingerprint",
+      Seq("doc_id" -> P, "n_grams" -> L, "n_fingerprints" -> L,
+        "fp_digest" -> P),
+      Seq("doc_id"),
+      ops.TextOps.winnow, ops.TextOps.winnowOracle),
+
+    Spec("token_counts",
+      Seq("doc_id" -> P, "lang" -> P, "ws_tokens" -> L, "re_tokens" -> L,
+        "est_tokens" -> L),
+      Seq("doc_id"),
+      ops.TextOps.tokenCounts, ops.TextOps.tokenCountsOracle),
+
+    Spec("range_join_promos",
+      Seq("promo" -> P, "n_orders" -> L, "revenue" -> Money),
+      Seq("promo"),
+      ops.RangeJoin.promoRevenue, ops.RangeJoin.promoRevenueOracle),
+
     Spec("skew_salted_count",
       Seq("user_id" -> P, "n_events" -> L),
       Seq("user_id"),

@@ -291,9 +291,14 @@ object Dedup {
       case None => df => df.localCheckpoint()
     }
     try {
-    val ab = pairs.toDF("doc_a", "doc_b")
-    val edges = ckpt(ab.union(ab.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst"))
+    // materialize the pair list FIRST: `pairs` is typically an expensive
+    // subplan (the LSH band join), and building the symmetric edge list
+    // straight off it evaluates that subplan once per union branch — the
+    // checkpoint makes both directions (and the initial labels) two cheap
+    // scans of one materialized table instead of two LSH executions
+    val ab = ckpt(pairs.toDF("doc_a", "doc_b"))
+    val edges = ab.union(ab.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
     var labels = ckpt(edges.select(col("src").as("node")).distinct()
       .withColumn("cluster_id", col("node")))
     var changed = 1L

@@ -152,18 +152,31 @@ object TextOps {
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val NumberPattern = "[0-9]+"
 
-  def redact(spark: SparkSession, dir: String): DataFrame = {
-    // The synthetic corpus is letters-only, so each doc is augmented with
-    // deterministic PII-shaped content derived from its id (the adapter
-    // fabrication pattern, RawSources-style) — the redaction then has
-    // real matches to prove itself on, and `%31` docs get a second email
-    // to exercise multi-match replacement.
-    val aug = documents(spark, dir).withColumn("full_text",
+  /** The synthetic corpus is letters-only, so each doc is augmented with
+    * deterministic PII-shaped content derived from its id (the adapter
+    * fabrication pattern, RawSources-style) — redaction and regex
+    * tokenization then have real matches (emails, digit runs,
+    * punctuation) to prove themselves on, and `%31` docs get a second
+    * email to exercise multi-match behavior. */
+  private[ops] def augmented(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).withColumn("full_text",
       concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
         lit("@example.com id "), (col("doc_id") * 7919).cast("string"),
         when(col("doc_id") % 31 === 0,
           concat(lit(" cc admin"), col("doc_id").cast("string"),
             lit("@corp.example.org"))).otherwise(lit(""))))
+
+  private[ops] val augmentedSql: String =
+    """SELECT doc_id, lang, source,
+      text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      '@example.com id ' || CAST(doc_id * 7919 AS VARCHAR) ||
+      CASE WHEN doc_id % 31 = 0
+           THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@corp.example.org'
+           ELSE '' END AS full_text
+    FROM documents"""
+
+  def redact(spark: SparkSession, dir: String): DataFrame = {
+    val aug = augmented(spark, dir)
     aug
       .withColumn("n_emails",
         size(split(col("full_text"), EmailPattern, -1)) - 1)
@@ -181,14 +194,7 @@ object TextOps {
   }
 
   def redactOracle: String =
-    s"""WITH aug AS (
-      SELECT doc_id,
-        text || ' contact user' || CAST(doc_id AS VARCHAR) ||
-        '@example.com id ' || CAST(doc_id * 7919 AS VARCHAR) ||
-        CASE WHEN doc_id % 31 = 0
-             THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@corp.example.org'
-             ELSE '' END AS full_text
-      FROM documents)
+    s"""WITH aug AS ($augmentedSql)
     SELECT doc_id,
       len(regexp_split_to_array(full_text, '$EmailPattern')) - 1 AS n_emails,
       len(regexp_split_to_array(
@@ -199,6 +205,109 @@ object TextOps {
       md5(regexp_replace(regexp_replace(full_text, '$EmailPattern', '<EMAIL>', 'g'),
         '$NumberPattern', '<NUM>', 'g')) AS redacted_md5
     FROM aug"""
+
+  val WinnowK = 8 // k-gram length in chars
+  val WinnowW = 4 // winnowing window in hashes
+
+  /** Winnowing fingerprint selection over any DataFrame with a `text`
+    * column (Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for
+    * Document Fingerprinting", SIGMOD 2003): hash every k-char gram,
+    * slide a w-hash window, keep each window's minimum hash. Guarantees:
+    * any shared substring of length ≥ k+w-1 contributes at least one
+    * shared fingerprint (the detection floor), and expected density is
+    * 2/(w+1) of grams — position-robust fingerprints at a bounded
+    * fraction of the document size, which is what makes them joinable at
+    * corpus scale where full minhash signatures would be recomputed per
+    * pair.
+    *
+    * Production engines compute the gram hash with a Karp–Rabin ROLLING
+    * hash (O(1) per gram); here each gram is md5-hashed (O(k) per gram)
+    * because both engines produce identical md5 bytes, making the
+    * selection byte-for-byte reproducible in the DuckDB oracle. Same
+    * selection semantics, still a narrow shuffle-free per-row map in
+    * whole-stage codegen (`transform`/`slice`/`array_min` are all
+    * built-ins). */
+  private[ops] def withFingerprints(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ng", greatest(length(col("text")) - lit(WinnowK - 1), lit(1)))
+      .withColumn("hs",
+        expr(s"transform(sequence(1, ng), i -> md5(substring(text, i, $WinnowK)))"))
+      .withColumn("fps",
+        expr(s"array_distinct(transform(sequence(1, greatest(ng - ${WinnowW - 1}, 1)), " +
+          s"j -> array_min(slice(hs, j, $WinnowW))))"))
+
+  /** One row per selected fingerprint — the joinable form two corpora
+    * match on (MOSS-style overlap detection). */
+  def winnowFingerprints(docs: DataFrame): DataFrame =
+    withFingerprints(docs)
+      .select(col("doc_id"), explode(col("fps")).as("fingerprint"))
+
+  /** Driver row: per-document fingerprint digest. `fp_digest` is md5 over
+    * the sorted fingerprint set, so the oracle hash compare proves EVERY
+    * selected fingerprint of every document matches, at one row per doc. */
+  def winnow(spark: SparkSession, dir: String): DataFrame =
+    withFingerprints(documents(spark, dir))
+      .select(col("doc_id"), col("ng").cast("bigint").as("n_grams"),
+        size(col("fps")).cast("bigint").as("n_fingerprints"),
+        md5(array_join(array_sort(col("fps")), ",")).as("fp_digest"))
+
+  def winnowOracle: String =
+    s"""WITH d AS (
+      SELECT doc_id, text, greatest(length(text) - ${WinnowK - 1}, 1) AS ng
+      FROM documents),
+    h AS (
+      SELECT doc_id, ng,
+        list_transform(range(1, ng + 1),
+          i -> md5(substr(text, CAST(i AS INTEGER), $WinnowK))) AS hs
+      FROM d),
+    w AS (
+      SELECT doc_id, ng,
+        list_distinct(list_transform(range(1, greatest(ng - ${WinnowW - 1}, 1) + 1),
+          j -> list_min(hs[j : j + ${WinnowW - 1}]))) AS fps
+      FROM h)
+    SELECT doc_id, CAST(ng AS BIGINT) AS n_grams,
+      CAST(len(fps) AS BIGINT) AS n_fingerprints,
+      md5(array_to_string(list_sort(fps), ',')) AS fp_digest
+    FROM w"""
+
+  /** GPT-2-style pre-tokenizer regex, restricted to constructs Java regex
+    * (Spark) and RE2 (DuckDB) match identically: contraction suffixes,
+    * optional-leading-space letter runs, digit runs, symbol runs,
+    * residual spaces. ASCII classes only — no lookarounds (RE2 has
+    * none), no \\p classes (engine-dependent tables). */
+  val BpeTokenPattern = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+  /** Regex token counting over any DataFrame with a `full_text` column —
+    * factored off [[tokenCounts]] so tests can drive it with constructed
+    * strings where the three counters genuinely diverge. */
+  private[graft] def withTokenCounts(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws_tokens",
+        size(split(col("full_text"), " ")).cast("bigint"))
+      .withColumn("re_tokens",
+        size(regexp_extract_all(col("full_text"), lit(BpeTokenPattern), lit(0)))
+          .cast("bigint"))
+      .withColumn("est_tokens",
+        ceil(length(col("full_text")) / lit(4.0)).cast("bigint"))
+
+  /** Token counting three ways — whitespace split, a BPE-ish pre-tokenizer
+    * regex, and the chars/4 estimate — over the PII-augmented text (the
+    * plain corpus is single-spaced lowercase words, where all three
+    * collapse to the same number; emails/digit-runs/punctuation are where
+    * budget estimates diverge and the regex one earns its cost). Narrow
+    * per-row map, no shuffle. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    withTokenCounts(augmented(spark, dir))
+      .select("doc_id", "lang", "ws_tokens", "re_tokens", "est_tokens")
+
+  def tokenCountsOracle: String = {
+    val pat = BpeTokenPattern.replace("'", "''")
+    s"""SELECT doc_id, lang,
+      CAST(len(string_split(full_text, ' ')) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(full_text, '$pat')) AS BIGINT) AS re_tokens,
+      CAST(ceil(length(full_text) / 4.0) AS BIGINT) AS est_tokens
+    FROM ($augmentedSql) aug"""
+  }
 
   def hashSplit(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)

@@ -212,4 +212,67 @@ class OpsSpec extends SparkSpec {
     assert(TextOps.langId(spark, Sf0001).collect().toSeq ==
       TextOps.langId(spark, Sf0001).collect().toSeq)
   }
+
+  test("winnowing: shared substring ≥ k+w-1 guarantees a shared fingerprint") {
+    // two docs sharing an 11-char run (= WinnowK + WinnowW - 1) embedded in
+    // otherwise unrelated text — the winnowing guarantee says at least one
+    // selected fingerprint must coincide
+    val shared = "abcdefghijk"
+    require(shared.length == TextOps.WinnowK + TextOps.WinnowW - 1)
+    val docs = Seq(
+      (1L, s"xxxx yyyy $shared zzzz wwww"),
+      (2L, s"totally different prefix $shared and suffix here"),
+      (3L, "no overlap with anything else at all qqqq")).toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(docs)
+    val byDoc = fps.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getString(1)).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "docs sharing a k+w-1 substring must share a fingerprint")
+    // density: winnowing selects ~2/(w+1) of grams, never more than 1/window
+    val d1 = byDoc(1L).size.toDouble / (docs.filter(col("doc_id") === 1)
+      .select(length(col("text"))).head().getInt(0) - TextOps.WinnowK + 1)
+    assert(d1 > 0.1 && d1 < 0.8, s"fingerprint density out of range: $d1")
+    // deterministic
+    assert(TextOps.winnowFingerprints(docs).collect().toSet ==
+      TextOps.winnowFingerprints(docs).collect().toSet)
+  }
+
+  test("winnowing handles docs shorter than one gram") {
+    val tiny = Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text")
+    val out = TextOps.winnowFingerprints(tiny).collect()
+    assert(out.length == 2, "each short doc still gets exactly one fingerprint")
+    assert(out.forall(_.getString(1).length == 32))
+  }
+
+  test("regex token counts diverge from whitespace counts where they should") {
+    val docs = Seq(
+      (1L, "don't stop 123 now!!"),
+      (2L, "plain lowercase words only")).toDF("doc_id", "full_text")
+    val rows = TextOps.withTokenCounts(docs)
+      .select("doc_id", "ws_tokens", "re_tokens").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // "don't stop 123 now!!" → don | 't | _stop | _123 | _now | !! = 6
+    assert(rows(1L) == (4L, 6L),
+      s"contraction + digit run + punctuation must tokenize apart, got ${rows(1L)}")
+    // on plain space-joined words all counters agree
+    assert(rows(2L) == (4L, 4L))
+  }
+
+  test("range join attributes orders to containing promo windows only") {
+    val out = graft.ops.RangeJoin.promoRevenue(spark, Sf0001).collect()
+    assert(out.nonEmpty)
+    // cross-check one promo against a direct filter (no join)
+    val promos = graft.ops.RangeJoin.Promos
+      .map { case (p, lo, hi) => p -> (lo, hi) }.toMap
+    val orders = spark.read.parquet(s"$Sf0001/orders.parquet")
+      .withColumn("d", col("o_orderdate").cast("timestamp_ntz").cast("date"))
+    out.foreach { r =>
+      val (lo, hi) = promos(r.getString(0))
+      val expected = orders
+        .filter(col("d") >= lit(lo).cast("date") && col("d") <= lit(hi).cast("date"))
+        .count()
+      assert(r.getLong(1) == expected,
+        s"${r.getString(0)}: bucket-expansion join must equal the direct range count")
+    }
+  }
 }

@@ -31,6 +31,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("range join runs as a bucket equi-join, not a nested-loop range scan") {
+    val p = plan(graft.ops.RangeJoin.promoRevenue(spark, Sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket expansion must turn the BETWEEN join into a hash equi-join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "a raw range predicate would plan as BNLJ — O(rows × intervals)")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("emb_near_dup: banded candidates equi-join, no nested-loop/cartesian pairs") {
     val p = plan(graft.ops.Similarity.cosineNearDup(spark, Sf0001))
     assert(!p.contains("BroadcastNestedLoopJoin"),
