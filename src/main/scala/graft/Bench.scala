@@ -15,6 +15,8 @@ object Bench {
       // marginal at 42 queries x 2 passes in round 2) — size generously,
       // entries are just compiled-class references.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // same extension surface as Verify/deployment sessions
+      .withExtensions(new graft.plans.GraftExtensions()(_))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up pass at the smallest SF: triggers JIT + whole-stage-codegen

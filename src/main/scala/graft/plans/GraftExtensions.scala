@@ -12,12 +12,17 @@ import graft.functions.{SignBits, SimHash64, StrHamming, VecDot}
   * plain `spark.sql(...)` and should not need to call
   * `VectorFunctions.register` programmatically.
   *
-  * (The reference has no optimizer of its own to port — SURVEY.md §4 — so
-  * no custom Rule/Strategy is injected; the extension surface carries the
-  * engine's function library.)
+  * Also injects [[RangeJoinRewrite]], the engine's one optimizer rule:
+  * Catalyst plans a pure range-containment join as
+  * BroadcastNestedLoopJoin, and the rule rewrites it to the
+  * bucket-expansion equi-join ([[graft.ops.RangeJoin]]'s shape) so naive
+  * `BETWEEN` joins stay scale-safe. (The reference has no optimizer of
+  * its own to port — SURVEY.md §4 — this rule covers a gap in Spark, not
+  * a reference feature.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
