@@ -201,6 +201,61 @@ object Dedup {
       .agg(count(lit(1)).as("shared_bands"))
   }
 
+  /** Winnowing fingerprints appearing in more documents than this are
+    * boilerplate (shared templates, common phrases) — dropped from the
+    * inverted index, the same hot-key guard as
+    * [[MaxShingleDocFrequency]]. Also the skew bound: no posting list
+    * exceeds this length, so the fingerprint equi-join cannot produce a
+    * quadratic hot key. Deliberately aggressive (MOSS suppresses
+    * boilerplate the same way): on a small-vocabulary corpus short
+    * passages recur everywhere, and df≤50 produced an ~88k-pair
+    * near-quadratic graph at sf0.01 where df≤10 keeps the 25 genuinely
+    * overlapping pairs. */
+  val MaxFingerprintDocFrequency = 10
+
+  /** Minimum shared selected fingerprints to call a pair a near-dup —
+    * a couple of shared fingerprints can be short coincidental phrases;
+    * five distinct selected regions ≈ a shared passage of several dozen
+    * chars (winnowing selects ~2/(w+1) of gram positions). */
+  val MinSharedFingerprints = 5
+
+  /** MOSS-style passage-overlap detection over
+    * [[TextOps.winnowFingerprints]]: pairs of documents sharing
+    * ≥ [[MinSharedFingerprints]] winnowing-selected fingerprints, found
+    * by the inverted-index equi-join. Complements the other near-dup
+    * operators: winnowing guarantees any shared run of ≥ k+w-1 chars
+    * shares a fingerprint, so this catches copied PASSAGES inside
+    * otherwise-different documents, where minhash/simhash score
+    * whole-document similarity. Scale shape: fingerprint density is
+    * ~2/(w+1) of grams, posting lists are DF-bounded, and pairs come
+    * only from the equi-join — never all-pairs. */
+  private[graft] def winnowNearDupFrom(docs: DataFrame): DataFrame = {
+    val fp = TextOps.winnowFingerprints(docs)
+    val keep = fp.groupBy("fingerprint").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, MaxFingerprintDocFrequency))
+      .select("fingerprint")
+    val f = fp.join(keep, Seq("fingerprint"))
+    f.as("a").join(f.as("b"), Seq("fingerprint"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= MinSharedFingerprints)
+  }
+
+  def winnowNearDup(spark: SparkSession, dir: String): DataFrame =
+    winnowNearDupFrom(TextOps.documents(spark, dir))
+
+  def winnowNearDupOracle: String =
+    s"""WITH ${TextOps.winnowCte},
+    fp AS (SELECT doc_id, unnest(fps) AS fingerprint FROM w),
+    keep AS (
+      SELECT fingerprint FROM fp GROUP BY 1
+      HAVING count(*) BETWEEN 2 AND $MaxFingerprintDocFrequency),
+    f AS (SELECT fp.doc_id, fp.fingerprint FROM fp JOIN keep USING (fingerprint))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+    FROM f a JOIN f b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= $MinSharedFingerprints"""
+
   /** Guard on connected-components rounds. With pointer-doubling the
     * round count is O(log₂ diameter), so 50 covers components of diameter
     * ~2⁵⁰ — hitting this bound means the iteration is not converging

@@ -251,8 +251,11 @@ object TextOps {
         size(col("fps")).cast("bigint").as("n_fingerprints"),
         md5(array_join(array_sort(col("fps")), ",")).as("fp_digest"))
 
-  def winnowOracle: String =
-    s"""WITH d AS (
+  /** The winnowing selection as DuckDB CTEs ending in
+    * `w(doc_id, ng, fps)` — shared by [[winnowOracle]] and
+    * [[Dedup.winnowNearDupOracle]] so both mirror one definition. */
+  private[ops] def winnowCte: String =
+    s"""d AS (
       SELECT doc_id, text, greatest(length(text) - ${WinnowK - 1}, 1) AS ng
       FROM documents),
     h AS (
@@ -264,7 +267,10 @@ object TextOps {
       SELECT doc_id, ng,
         list_distinct(list_transform(range(1, greatest(ng - ${WinnowW - 1}, 1) + 1),
           j -> list_min(hs[j : j + ${WinnowW - 1}]))) AS fps
-      FROM h)
+      FROM h)"""
+
+  def winnowOracle: String =
+    s"""WITH $winnowCte
     SELECT doc_id, CAST(ng AS BIGINT) AS n_grams,
       CAST(len(fps) AS BIGINT) AS n_fingerprints,
       md5(array_to_string(list_sort(fps), ',')) AS fp_digest

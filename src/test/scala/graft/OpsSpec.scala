@@ -237,6 +237,21 @@ class OpsSpec extends SparkSpec {
       TextOps.winnowFingerprints(docs).collect().toSet)
   }
 
+  test("winnow near-dup finds copied passages, not whole-doc similarity") {
+    // docs 1 and 2 share one long passage inside otherwise-different text;
+    // doc 3 is unrelated. The passage guarantees many shared fingerprints.
+    val passage = "the quick brown fox jumps over the lazy dog repeatedly"
+    val docs = Seq(
+      (1L, s"intro alpha beta $passage outro gamma"),
+      (2L, s"completely different start $passage and a different ending too"),
+      (3L, "nothing in common with the others at all here qqq zzz")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowNearDupFrom(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"only the passage-sharing pair must surface, got $pairs")
+  }
+
   test("winnowing handles docs shorter than one gram") {
     val tiny = Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text")
     val out = TextOps.winnowFingerprints(tiny).collect()
