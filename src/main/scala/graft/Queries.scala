@@ -396,6 +396,18 @@ object Queries {
       Seq("query_id", "rank"),
       (s, d) => ops.Similarity.annTopK(s, d), ops.Similarity.annTopKOracle()),
 
+    Spec("ann_int8_topk",
+      Seq("query_id" -> P, "neighbor_id" -> P, "rank" -> I, "cosine" -> P),
+      Seq("query_id", "rank"),
+      (s, d) => ops.Similarity.annInt8TopK(s, d),
+      ops.Similarity.annInt8TopKOracle()),
+
+    Spec("ann_rrf_fusion",
+      Seq("query_id" -> P, "rank" -> I, "neighbor_id" -> P, "rrf" -> P),
+      Seq("query_id", "rank"),
+      (s, d) => ops.Similarity.annRrfFusion(s, d),
+      ops.Similarity.annRrfFusionOracle()),
+
     Spec("emb_near_dup",
       Seq("doc_a" -> P, "doc_b" -> P, "cosine" -> P),
       Seq("doc_a", "doc_b"),
@@ -471,11 +483,35 @@ object Queries {
       Seq("doc_id"),
       ops.TextOps.winnow, ops.TextOps.winnowOracle),
 
+    Spec("docs_chunks",
+      Seq("doc_id" -> P, "chunk_idx" -> L, "chunk_len" -> L,
+        "chunk_md5" -> P),
+      Seq("doc_id", "chunk_idx"),
+      (s, d) => ops.TextOps.chunk(s, d), ops.TextOps.chunkOracle()),
+
+    Spec("docs_repetition",
+      Seq("doc_id" -> P, "n_words" -> L, "dup_word_frac" -> P,
+        "top_bigram_frac" -> P, "dup_trigram_frac" -> P),
+      Seq("doc_id"),
+      ops.TextOps.repetition, ops.TextOps.repetitionOracle),
+
     Spec("token_counts",
       Seq("doc_id" -> P, "lang" -> P, "ws_tokens" -> L, "re_tokens" -> L,
         "est_tokens" -> L),
       Seq("doc_id"),
       ops.TextOps.tokenCounts, ops.TextOps.tokenCountsOracle),
+
+    Spec("search_bm25",
+      Seq("query_id" -> I, "rank" -> I, "doc_id" -> P, "score_q" -> L,
+        "n_terms_matched" -> L),
+      Seq("query_id", "rank"),
+      (s, d) => ops.Search.bm25TopK(s, d), ops.Search.bm25TopKOracle()),
+
+    Spec("decontam_overlap",
+      Seq("doc_id" -> P, "bench_id" -> P, "n_shared" -> L,
+        "bench_frac" -> P),
+      Seq("doc_id", "bench_id"),
+      (s, d) => ops.Decontam.overlap(s, d), ops.Decontam.overlapOracle()),
 
     Spec("range_join_promos",
       Seq("promo" -> P, "n_orders" -> L, "revenue" -> Money),

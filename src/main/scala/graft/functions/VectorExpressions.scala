@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StringType}
 
 /** Element accessors shared by the vector expressions: FLOAT and DOUBLE
@@ -106,7 +106,104 @@ object VectorFunctions {
       "str_hamming", exprs => StrHamming(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "sign_bits", exprs => SignBits(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "winnow_fps", exprs => WinnowFps(exprs(0), exprs(1), exprs(2)), "built-in")
   }
+}
+
+/** Winnowing fingerprint selection (`winnow_fps(text, k, w)`): md5 every
+  * k-char gram, slide a w-hash window, keep each window's minimum, distinct
+  * in first-occurrence order — one native pass per row.
+  *
+  * Exists because the HOF formulation (`hs = transform(sequence(1, ng),
+  * i -> md5(substring(text, i, k)))` then `transform(..., j ->
+  * array_min(slice(hs, j, w)))`) is NOT safe to leave to the optimizer:
+  * CollapseProject inlines `hs` into the window lambda — recomputing all
+  * ng gram hashes for EVERY window, O(ng²) md5 calls per document — and
+  * `explode(fps)` plants a `size(fps) > 0` Filter that evaluates the whole
+  * inlined chain once more, all in interpreted mode (HOFs are
+  * CodegenFallback). At sf0.1 one bench task sat at 100% CPU for >8 min in
+  * exactly that predicate. This expression hashes each gram ONCE
+  * (O(ng·w) total) and keeps the stage in codegen.
+  *
+  * Semantics are byte-identical to the HOF form and the DuckDB CTE mirror
+  * (graft.ops.TextOps.winnowCte): substring by SQL character semantics
+  * (`UTF8String.substringSQL`), lowercase-hex md5, lexicographic min
+  * (ASCII hex = binary order in both engines), windows clipped at the
+  * array end, short docs degenerate to one whole-text gram.
+  */
+case class WinnowFps(text: Expression, kExpr: Expression, wExpr: Expression)
+  extends TernaryExpression {
+
+  override def first: Expression = text
+  override def second: Expression = kExpr
+  override def third: Expression = wExpr
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (text.dataType == StringType && kExpr.dataType == IntegerType &&
+        wExpr.dataType == IntegerType && kExpr.foldable && wExpr.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "winnow_fps requires (string, foldable int k, foldable int w)")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  @transient private lazy val kN: Int = kExpr.eval(null).asInstanceOf[Int]
+  @transient private lazy val wN: Int = wExpr.eval(null).asInstanceOf[Int]
+
+  override def nullSafeEval(t: Any, k: Any, w: Any): Any =
+    fps(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  def fps(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val ng = math.max(s.numChars() - (kN - 1), 1)
+    val hs = new Array[String](ng)
+    var i = 0
+    while (i < ng) {
+      val digest = md.digest(s.substringSQL(i + 1, kN).getBytes)
+      val sb = new java.lang.StringBuilder(32)
+      var b = 0
+      while (b < 16) {
+        sb.append(Character.forDigit((digest(b) >>> 4) & 0xf, 16))
+        sb.append(Character.forDigit(digest(b) & 0xf, 16))
+        b += 1
+      }
+      hs(i) = sb.toString
+      i += 1
+    }
+    val nw = math.max(ng - (wN - 1), 1)
+    val out = new java.util.LinkedHashSet[String]()
+    var j = 0
+    while (j < nw) {
+      var m = hs(j)
+      val end = math.min(j + wN, ng)
+      var t = j + 1
+      while (t < end) { if (hs(t).compareTo(m) < 0) m = hs(t); t += 1 }
+      out.add(m)
+      j += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var a = 0
+    while (it.hasNext) {
+      arr(a) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      a += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  /** md5 dominates; the typed call avoids CodegenFallback's per-row boxing
+    * and keeps the surrounding stage in whole-stage codegen (SimHash64
+    * pattern). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("winnowExpr", this, classOf[WinnowFps].getName)
+    nullSafeCodeGen(ctx, ev, (t, _, _) => s"${ev.value} = $self.fps($t);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): WinnowFps =
+    copy(text = newFirst, kExpr = newSecond, wExpr = newThird)
 }
 
 object SignBits {

@@ -762,4 +762,137 @@ object Similarity {
         i -> pow(round(vec[i] / scale) * scale - vec[i], 2)),
         (x, y) -> x + y)) AS l2_err
     FROM scaled"""
+
+  /** Top-k serving over the int8-quantized vectors ([[quantizeInt8]]'s
+    * codes) — the compressed read path of an embedding store: the scan
+    * touches int8 codes + one float scale per vector (4× less IO/memory
+    * than float32, the difference between an index fitting in cluster RAM
+    * or not at 100 TB), and similarity is an INTEGER dot product scaled by
+    * `scale_a·scale_b` afterwards.
+    *
+    * Cross-engine exactness is structural here, stronger than the float
+    * family's fold-order discipline: the code dot product and code norms
+    * are sums of int×int (order-free), and the only float ops are two
+    * multiplies, two sqrts, and a divide on exactly-agreed operands.
+    * Ranking ties break on neighbor id. Same pinned query set and
+    * O(Q·N·d) brute-force shape as [[annTopK]] — the bucketed variants
+    * compose orthogonally (quantize the lists of the IVF index). */
+  def annInt8TopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codes = embeddings(spark, dir)
+      .withColumn("max_abs", expr(
+        "aggregate(vec, cast(0.0 as double), (a, x) -> greatest(a, abs(cast(x as double))))"))
+      .withColumn("scale", expr(
+        "CASE WHEN max_abs = 0.0 THEN 1.0 ELSE max_abs / 127.0 END"))
+      .withColumn("q", expr(
+        "transform(vec, x -> cast(round(cast(x as double) / scale) as int))"))
+      // integer self dot product = squared code norm (exact)
+      .withColumn("qq", expr(
+        "aggregate(zip_with(q, q, (a, b) -> cast(a as bigint) * b), 0L, (acc, x) -> acc + x)"))
+      .select("vec_id", "scale", "q", "qq")
+    val qside = codes.filter(annQueryFilter)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"),
+        col("scale").as("sa"), col("qq").as("qqa"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    qside.join(
+        codes.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
+          col("scale").as("sb"), col("qq").as("qqb")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot_int", expr(
+        "aggregate(zip_with(qa, qb, (a, b) -> cast(a as bigint) * b), 0L, (acc, x) -> acc + x)"))
+      // cosine of the DEQUANTIZED vectors: (sa·sb·dot)/(sa·|qa|·sb·|qb|)
+      // — scales cancel, so it is the pure code-space cosine
+      .withColumn("cosine",
+        col("dot_int") / (sqrt(col("qqa")) * sqrt(col("qqb"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR 2009) of two
+    * rankers over the same pinned query set: the exact float ranker
+    * ([[annTopK]]) and the compressed int8 ranker ([[annInt8TopK]]).
+    * `rrf = Σ_rankers 1/(60 + rank)`, absent → no contribution; rerank by
+    * fused score, ties on neighbor id. THE standard hybrid-retrieval
+    * combiner (lexical+vector in production; two vector rankers here —
+    * [[Search.bm25TopK]]'s term queries live in a different query-id
+    * space, so fusing it would be a type error, not a design win).
+    *
+    * Determinism: ranks are integers, each contribution is one
+    * correctly-rounded division, and the sum is two fixed-order adds —
+    * no quantization needed. Scale: a full-outer equi-join of two
+    * (Q·k)-row lists + one rank window — negligible next to the rankers
+    * themselves. */
+  def annRrfFusion(spark: SparkSession, dir: String,
+      inputK: Int = 10, k: Int = 5, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = annTopK(spark, dir, inputK)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_exact"))
+    val b = annInt8TopK(spark, dir, inputK)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_int8"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("neighbor_id"))
+    a.join(b, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_exact")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_int8")), lit(0.0)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("rrf"))
+  }
+
+  def annRrfFusionOracle(inputK: Int = 10, k: Int = 5, rrfK: Int = 60): String =
+    s"""WITH a AS (${annTopKOracle(inputK)}),
+    b AS (${annInt8TopKOracle(inputK)}),
+    fused AS (
+      SELECT coalesce(a.query_id, b.query_id) AS query_id,
+        coalesce(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+        coalesce(1.0e0 / ($rrfK + a.rank), 0.0e0)
+          + coalesce(1.0e0 / ($rrfK + b.rank), 0.0e0) AS rrf
+      FROM a FULL OUTER JOIN b
+        ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, rrf,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY rrf DESC, neighbor_id) AS rank
+      FROM fused)
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, rrf
+    FROM ranked WHERE rank <= $k"""
+
+  def annInt8TopKOracle(k: Int = 5): String =
+    s"""WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    scaled AS (
+      SELECT vec_id,
+        CASE WHEN m = 0.0 THEN 1.0 ELSE m / 127.0 END AS scale, vec
+      FROM (
+        SELECT vec_id, vec,
+          list_reduce(list_transform(range(1, len(vec) + 1),
+            i -> abs(vec[i])), (x, y) -> greatest(x, y)) AS m
+        FROM base)),
+    codes AS (
+      SELECT vec_id, scale,
+        list_transform(vec, x -> CAST(round(x / scale) AS BIGINT)) AS q
+      FROM scaled),
+    normed AS (
+      SELECT vec_id, scale, q,
+        list_reduce(list_transform(range(1, len(q) + 1),
+          i -> q[i] * q[i]), (x, y) -> x + y) AS qq
+      FROM codes),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        list_reduce(list_transform(range(1, len(a.q) + 1),
+          i -> a.q[i] * b.q[i]), (x, y) -> x + y) AS dot_int,
+        a.qq AS qqa, b.qq AS qqb
+      FROM normed a JOIN normed b ON a.vec_id != b.vec_id
+      WHERE a.vec_id IN ($annQueryIdsSql)),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+        dot_int / (sqrt(qqa) * sqrt(qqb)) AS cosine,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY dot_int / (sqrt(qqa) * sqrt(qqb)) DESC, neighbor_id) AS rank
+      FROM pairs)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
+    FROM ranked WHERE rank <= $k"""
 }

@@ -223,18 +223,22 @@ object TextOps {
     * Production engines compute the gram hash with a Karp–Rabin ROLLING
     * hash (O(1) per gram); here each gram is md5-hashed (O(k) per gram)
     * because both engines produce identical md5 bytes, making the
-    * selection byte-for-byte reproducible in the DuckDB oracle. Same
-    * selection semantics, still a narrow shuffle-free per-row map in
-    * whole-stage codegen (`transform`/`slice`/`array_min` are all
-    * built-ins). */
-  private[ops] def withFingerprints(docs: DataFrame): DataFrame =
+    * selection byte-for-byte reproducible in the DuckDB oracle.
+    *
+    * The selection runs as the native [[graft.functions.WinnowFps]]
+    * expression — one O(ng·w) pass hashing each gram once. The equivalent
+    * HOF formulation (`hs` transform + windowed `array_min(slice(...))`)
+    * is an optimizer trap: CollapseProject inlines `hs` into the window
+    * lambda (O(ng²) md5 per row) and the `size(fps) > 0` filter planted
+    * under `explode(fps)` evaluates the whole inlined chain again,
+    * interpreted — one sf0.1 bench task measured >8 min of CPU in that
+    * predicate. */
+  private[ops] def withFingerprints(docs: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
     docs
       .withColumn("ng", greatest(length(col("text")) - lit(WinnowK - 1), lit(1)))
-      .withColumn("hs",
-        expr(s"transform(sequence(1, ng), i -> md5(substring(text, i, $WinnowK)))"))
-      .withColumn("fps",
-        expr(s"array_distinct(transform(sequence(1, greatest(ng - ${WinnowW - 1}, 1)), " +
-          s"j -> array_min(slice(hs, j, $WinnowW))))"))
+      .withColumn("fps", expr(s"winnow_fps(text, $WinnowK, $WinnowW)"))
+  }
 
   /** One row per selected fingerprint — the joinable form two corpora
     * match on (MOSS-style overlap detection). */
@@ -386,6 +390,142 @@ object TextOps {
       md5(lower(text)) AS fingerprint
     FROM d"""
   }
+
+  /** Chunking geometry: 200-char chunks advancing 150 chars → 50-char
+    * overlap between consecutive chunks (the context-preserving split every
+    * training pipeline runs before tokenization). */
+  val ChunkSize = 200
+  val ChunkStride = 150
+
+  /** Fixed-size overlapping document chunks: one output row per chunk with
+    * its exact md5, so the oracle compare proves every chunk boundary and
+    * every chunk byte cross-engine.
+    *
+    * `n_chunks = ceil((len - size) / stride) + 1` (min 1) — the last chunk
+    * may run short; every char belongs to ≥1 chunk and consecutive chunks
+    * share `size - stride` chars. The explode is map-side over the scan
+    * (no shuffle except the presentation sort): at 100 TB this is the
+    * embarrassingly-parallel shape — chunk fan-out is bounded by
+    * `len/stride`, proportional to bytes already being read, and column
+    * pruning keeps the scan at `doc_id, text`. */
+  def chunk(spark: SparkSession, dir: String,
+      size: Int = ChunkSize, stride: Int = ChunkStride): DataFrame =
+    chunkDocs(documents(spark, dir), size, stride)
+
+  /** Chunking over any DataFrame with (doc_id, text) — factored so tests
+    * drive it with constructed documents. */
+  def chunkDocs(docs: DataFrame,
+      size: Int = ChunkSize, stride: Int = ChunkStride): DataFrame =
+    docs
+      .withColumn("n_chunks",
+        greatest(expr(s"cast(ceil((length(text) - $size) / $stride.0) as int)"),
+          lit(0)) + 1)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0, n_chunks - 1)")).as("chunk_idx"))
+      .withColumn("chunk",
+        expr(s"substring(text, 1 + chunk_idx * $stride, $size)"))
+      .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        length(col("chunk")).cast("bigint").as("chunk_len"),
+        md5(col("chunk")).as("chunk_md5"))
+
+  def chunkOracle(size: Int = ChunkSize, stride: Int = ChunkStride): String =
+    s"""WITH d AS (
+      SELECT doc_id, text,
+        greatest(CAST(ceil((length(text) - $size) / $stride.0) AS INTEGER), 0) + 1
+          AS n_chunks
+      FROM documents),
+    c AS (
+      SELECT doc_id, text,
+        unnest(range(0, n_chunks)) AS chunk_idx
+      FROM d)
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      CAST(length(substr(text, CAST(1 + chunk_idx * $stride AS INTEGER), $size)) AS BIGINT)
+        AS chunk_len,
+      md5(substr(text, CAST(1 + chunk_idx * $stride AS INTEGER), $size)) AS chunk_md5
+    FROM c"""
+
+  /** Gopher-style repetition signals per document — the quality filters
+    * that catch templated/looping text which length and stopword ratios
+    * miss (Rae et al., "Scaling Language Models: ... Gopher", 2021, §A1.1):
+    *
+    *  - `dup_word_frac`: fraction of word occurrences that are repeats of
+    *    an earlier word (1 - distinct/total);
+    *  - `top_bigram_frac`: share of bigram occurrences taken by the single
+    *    most frequent bigram;
+    *  - `dup_trigram_frac`: fraction of trigram occurrences that are
+    *    repeats.
+    *
+    * Shape: per-row gram-list construction (map-side), explode, one hash
+    * aggregate per gram order keyed on (doc_id, gram), rollup to one row
+    * per doc — a word-count over doc-local keys, linear and partial-agg
+    * friendly at any corpus size. All ratios are exact rationals of
+    * integer counts, so both engines produce bit-identical doubles. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionFrom(documents(spark, dir))
+
+  /** Repetition signals over any DataFrame with (doc_id, text). */
+  def repetitionFrom(docs: DataFrame): DataFrame = {
+    val d = docs
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("bigrams", expr(
+        """IF(size(words) < 2, array(),
+             transform(sequence(1, size(words) - 1),
+               i -> concat(element_at(words, i), ' ', element_at(words, i + 1))))"""))
+      .withColumn("trigrams", expr(
+        """IF(size(words) < 3, array(),
+             transform(sequence(1, size(words) - 2),
+               i -> concat(element_at(words, i), ' ', element_at(words, i + 1),
+                           ' ', element_at(words, i + 2))))"""))
+    val uni = d.select(col("doc_id"), explode(col("words")).as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), countDistinct(col("w")).as("n_distinct_words"))
+    val bi = d.select(col("doc_id"), explode(col("bigrams")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_bigrams"), max(col("cnt")).as("top_bigram_count"))
+    val tri = d.select(col("doc_id"), explode(col("trigrams")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_trigrams"), count(lit(1)).as("n_distinct_trigrams"))
+    uni.join(bi, Seq("doc_id"), "left").join(tri, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_words").cast("bigint").as("n_words"),
+        ((col("n_words") - col("n_distinct_words")) * 1.0 /
+          col("n_words")).as("dup_word_frac"),
+        (col("top_bigram_count") * 1.0 /
+          nullif(col("n_bigrams"), lit(0))).as("top_bigram_frac"),
+        ((col("n_trigrams") - col("n_distinct_trigrams")) * 1.0 /
+          nullif(col("n_trigrams"), lit(0))).as("dup_trigram_frac"))
+  }
+
+  def repetitionOracle: String =
+    s"""WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    uni AS (
+      SELECT doc_id, count(*) AS n_words, count(DISTINCT w) AS n_distinct_words
+      FROM (SELECT doc_id, unnest(words) AS w FROM d) GROUP BY 1),
+    bi_cnt AS (
+      SELECT doc_id, g, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(list_transform(range(1, len(words)),
+              i -> words[i] || ' ' || words[i + 1])) AS g FROM d)
+      GROUP BY 1, 2),
+    bi AS (
+      SELECT doc_id, sum(cnt) AS n_bigrams, max(cnt) AS top_bigram_count
+      FROM bi_cnt GROUP BY 1),
+    tri_cnt AS (
+      SELECT doc_id, g, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(list_transform(range(1, len(words) - 1),
+              i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])) AS g FROM d)
+      GROUP BY 1, 2),
+    tri AS (
+      SELECT doc_id, sum(cnt) AS n_trigrams, count(*) AS n_distinct_trigrams
+      FROM tri_cnt GROUP BY 1)
+    SELECT uni.doc_id, CAST(n_words AS BIGINT) AS n_words,
+      (n_words - n_distinct_words) * 1.0 / n_words AS dup_word_frac,
+      top_bigram_count * 1.0 / nullif(n_bigrams, 0) AS top_bigram_frac,
+      (n_trigrams - n_distinct_trigrams) * 1.0 / nullif(n_trigrams, 0)
+        AS dup_trigram_frac
+    FROM uni LEFT JOIN bi USING (doc_id) LEFT JOIN tri USING (doc_id)"""
 
   /** Function-word-profile language ID: score = hits per language profile,
     * argmax with deterministic (score, lang) tie-break. The profiles are a

@@ -252,11 +252,129 @@ class OpsSpec extends SparkSpec {
       s"only the passage-sharing pair must surface, got $pairs")
   }
 
+  test("winnow_fps matches the HOF/SQL-expressible formulation exactly") {
+    graft.functions.VectorFunctions.register(spark)
+    val k = TextOps.WinnowK
+    val w = TextOps.WinnowW
+    // the interpreted reference formulation the DuckDB oracle mirrors —
+    // NOT used in production (CollapseProject turns it O(ng²); see
+    // graft.functions.WinnowFps)
+    val hof = TextOps.documents(spark, Sf0001)
+      .withColumn("ng", greatest(length(col("text")) - lit(k - 1), lit(1)))
+      .withColumn("hs",
+        expr(s"transform(sequence(1, ng), i -> md5(substring(text, i, $k)))"))
+      .withColumn("ref",
+        expr(s"array_distinct(transform(sequence(1, greatest(ng - ${w - 1}, 1)), " +
+          s"j -> array_min(slice(hs, j, $w))))"))
+      .withColumn("native", expr(s"winnow_fps(text, $k, $w)"))
+    assert(hof.filter(col("native") =!= col("ref")).count() == 0)
+  }
+
   test("winnowing handles docs shorter than one gram") {
     val tiny = Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text")
     val out = TextOps.winnowFingerprints(tiny).collect()
     assert(out.length == 2, "each short doc still gets exactly one fingerprint")
     assert(out.forall(_.getString(1).length == 32))
+  }
+
+  test("chunking covers every char, overlaps by size-stride, md5s are exact") {
+    val text = ('a' to 'z').mkString * 20 // 520 chars
+    val docs = Seq((1L, text), (2L, "short doc")).toDF("doc_id", "text")
+    val rows = TextOps.chunkDocs(docs, size = 200, stride = 150)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val (d1, d2) = rows.partition(_.getLong(0) == 1L)
+    // 520 chars: starts 0/150/300/450 → ceil((520-200)/150)+1 = 4 chunks
+    assert(d1.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(d1.map(_.getLong(2)).toSeq == Seq(200L, 200L, 200L, 70L))
+    // md5 of each chunk matches a direct substring hash
+    d1.zipWithIndex.foreach { case (r, i) =>
+      val expect = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.substring(i * 150, math.min(i * 150 + 200, text.length))
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getString(3) == expect)
+    }
+    // short doc → exactly one chunk of its own length
+    assert(d2.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((0L, 9L)))
+  }
+
+  test("repetition signals: looping text scores high, diverse text low") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val rows = TextOps.repetitionFrom(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // 4×"spam": dup words 3/4; "spam spam" is all 3 bigrams; trigrams all dup
+    assert(rows(1L) == (0.75, 1.0, 0.5))
+    // all-distinct words: no dup words, each bigram unique (top = 1/5)
+    assert(rows(2L)._1 == 0.0 && rows(2L)._2 == 0.2 && rows(2L)._3 == 0.0)
+  }
+
+  test("decontam flags corpus docs sharing passages with the benchmark set") {
+    val out = ops.Decontam.overlap(spark, Sf0001).collect()
+    // every flagged pair crosses the boundary and meets the floor
+    assert(out.forall(r => r.getLong(0) >= ops.Decontam.BenchmarkDocs &&
+      r.getLong(1) < ops.Decontam.BenchmarkDocs &&
+      r.getLong(2) >= ops.Decontam.MinSharedGrams))
+    // bench_frac is a fraction of the benchmark doc's distinct grams
+    assert(out.forall(r => r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
+    assert(out.nonEmpty, "sf0.01 contains at least one contaminated pair")
+  }
+
+  test("bm25: tf monotonicity and rare-term dominance") {
+    val out = ops.Search.bm25TopK(spark, Sf0001)
+      .select("query_id", "rank", "doc_id", "score_q").collect()
+    val byQ = out.groupBy(_.getInt(0))
+    assert(byQ.keySet == ops.Search.QuerySet.map(_._1).toSet)
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length))
+      // scores are non-increasing down the ranking
+      val scores = sorted.map(_.getLong(3)).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+    // query 3 contains "dup" (df ~26 of 500 docs): its top hit must
+    // actually contain the rare term — idf dominance
+    val top3 = out.filter(r => r.getInt(0) == 3 && r.getInt(1) == 1).head.getLong(2)
+    val text = graft.ops.TextOps.documents(spark, Sf0001)
+      .filter(col("doc_id") === top3).head.getAs[String]("text")
+    assert(text.split(" ").contains("dup"))
+  }
+
+  test("int8 ANN agrees with exact ANN at high rank overlap") {
+    val exact = Similarity.annTopK(spark, Sf0001, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val int8 = Similarity.annInt8TopK(spark, Sf0001, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(int8.keySet == exact.keySet)
+    // int8 quantization barely moves cosine: ≥80% top-5 overlap on average
+    val overlap = exact.keys.toSeq
+      .map(q => (exact(q) intersect int8(q)).size.toDouble / 5).sum / exact.size
+    assert(overlap >= 0.8, s"int8 recall vs exact too low: $overlap")
+  }
+
+  test("rrf fusion: members come from the input lists, consensus wins") {
+    val exact = Similarity.annTopK(spark, Sf0001, k = 10)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    val int8 = Similarity.annInt8TopK(spark, Sf0001, k = 10)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    val fused = Similarity.annRrfFusion(spark, Sf0001)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect()
+    val inputs = (exact ++ int8).map(r => (r._1, r._2)).toSet
+    assert(fused.forall(f => inputs.contains((f._1, f._3))),
+      "a fused hit must come from at least one input ranking")
+    // where both rankers agree on the top hit, fusion must keep it at 1
+    val top1exact = exact.filter(_._3 == 1).map(r => r._1 -> r._2).toMap
+    val top1int8 = int8.filter(_._3 == 1).map(r => r._1 -> r._2).toMap
+    val top1fused = fused.filter(_._2 == 1).map(f => f._1 -> f._3).toMap
+    top1exact.foreach { case (q, n) =>
+      if (top1int8.get(q).contains(n))
+        assert(top1fused(q) == n, s"consensus top-1 for query $q must survive fusion")
+    }
   }
 
   test("regex token counts diverge from whitespace counts where they should") {

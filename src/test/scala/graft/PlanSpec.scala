@@ -51,6 +51,32 @@ class PlanSpec extends SparkSpec {
     assert(graft.ops.Similarity.AnnQueryIds.size == 20)
   }
 
+  test("bm25: broadcast query/df/corpus sides, top-k via WindowGroupLimit") {
+    val p = plan(graft.ops.Search.bm25TopK(spark, Sf0001))
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-k must prune through the rank window, not sort all scored rows")
+    assert(p.contains("BroadcastHashJoin"),
+      "query terms / df / corpus stats are tiny and must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("winnow fingerprints run as the native expression, not the HOF chain") {
+    val p = plan(graft.ops.Dedup.winnowNearDup(spark, Sf0001))
+    assert(p.contains("winnow_fps"),
+      "fingerprint selection must be the native one-pass expression")
+    assert(!p.contains("array_min"),
+      "an array_min(slice(...)) window means the O(ng²) interpreted HOF chain is back")
+  }
+
+  test("decontam: shingle-hash equi-join with broadcast benchmark side") {
+    val p = plan(graft.ops.Decontam.overlap(spark, Sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      "the benchmark shingle side is small and must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "contamination candidates must come from the inverted-index join")
+  }
+
   test("near-dup banding formula: known values incl. power-of-two boundaries") {
     import graft.ops.Similarity.{nearDupBandPlanes, NearDupBandPlanes}
     // embeddings rowcounts at sf0.001/sf0.01 (500) and sf0.1 (2000) —
