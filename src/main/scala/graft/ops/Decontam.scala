@@ -59,7 +59,7 @@ object Decontam {
        END"""
 
   private def shingles(spark: SparkSession, dir: String): DataFrame =
-    TextOps.documents(spark, dir)
+    TextOps.spread(TextOps.documents(spark, dir))
       .withColumn("words", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(gramExpr)).as("sh"))
       .distinct()

@@ -230,7 +230,10 @@ object Dedup {
     * ~2/(w+1) of grams, posting lists are DF-bounded, and pairs come
     * only from the equi-join — never all-pairs. */
   private[graft] def winnowNearDupFrom(docs: DataFrame): DataFrame = {
-    val fp = TextOps.winnowFingerprints(docs)
+    // the fingerprint subtree feeds three consumers (the DF filter and
+    // both sides of the pair join); checkpoint the exploded list so the
+    // gram hashing runs once, not once per consumer
+    val fp = TextOps.winnowFingerprints(docs).localCheckpoint()
     val keep = fp.groupBy("fingerprint").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, MaxFingerprintDocFrequency))
       .select("fingerprint")

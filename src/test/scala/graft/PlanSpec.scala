@@ -61,7 +61,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("winnow fingerprints run as the native expression, not the HOF chain") {
-    val p = plan(graft.ops.Dedup.winnowNearDup(spark, Sf0001))
+    // the digest row shares withFingerprints with the near-dup path
+    // (whose own plan hides it behind the fingerprint checkpoint)
+    val p = plan(TextOps.winnow(spark, Sf0001))
     assert(p.contains("winnow_fps"),
       "fingerprint selection must be the native one-pass expression")
     assert(!p.contains("array_min"),
