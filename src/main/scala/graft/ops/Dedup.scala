@@ -228,12 +228,18 @@ object Dedup {
     * otherwise-different documents, where minhash/simhash score
     * whole-document similarity. Scale shape: fingerprint density is
     * ~2/(w+1) of grams, posting lists are DF-bounded, and pairs come
-    * only from the equi-join — never all-pairs. */
+    * only from the equi-join — never all-pairs. Runs on one
+    * representative (min doc_id) per distinct text, the same staging as
+    * every near-dup operator here: exact duplicates are [[exact]]'s job,
+    * and on a duplicate-heavy corpus every twin shares every fingerprint
+    * with every other — the quadratic blowup the round-1 10× probe
+    * measured for the shingle joins. */
   private[graft] def winnowNearDupFrom(docs: DataFrame): DataFrame = {
     // the fingerprint subtree feeds three consumers (the DF filter and
     // both sides of the pair join); checkpoint the exploded list so the
     // gram hashing runs once, not once per consumer
-    val fp = TextOps.winnowFingerprints(docs).localCheckpoint()
+    val reps = docs.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+    val fp = TextOps.winnowFingerprints(reps).localCheckpoint()
     val keep = fp.groupBy("fingerprint").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, MaxFingerprintDocFrequency))
       .select("fingerprint")
@@ -249,7 +255,8 @@ object Dedup {
     winnowNearDupFrom(TextOps.documents(spark, dir))
 
   def winnowNearDupOracle: String =
-    s"""WITH ${TextOps.winnowCte},
+    s"""WITH ${TextOps.winnowCte(
+        "(SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text)")},
     fp AS (SELECT doc_id, unnest(fps) AS fingerprint FROM w),
     keep AS (
       SELECT fingerprint FROM fp GROUP BY 1

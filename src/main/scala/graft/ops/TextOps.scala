@@ -271,11 +271,13 @@ object TextOps {
 
   /** The winnowing selection as DuckDB CTEs ending in
     * `w(doc_id, ng, fps)` — shared by [[winnowOracle]] and
-    * [[Dedup.winnowNearDupOracle]] so both mirror one definition. */
-  private[ops] def winnowCte: String =
+    * [[Dedup.winnowNearDupOracle]] so both mirror one definition.
+    * `source` is the relation fingerprinted (the raw table for the digest
+    * row; distinct-text representatives for the near-dup join). */
+  private[ops] def winnowCte(source: String = "documents"): String =
     s"""d AS (
       SELECT doc_id, text, greatest(length(text) - ${WinnowK - 1}, 1) AS ng
-      FROM documents),
+      FROM $source),
     h AS (
       SELECT doc_id, ng,
         list_transform(range(1, ng + 1),
@@ -288,7 +290,7 @@ object TextOps {
       FROM h)"""
 
   def winnowOracle: String =
-    s"""WITH $winnowCte
+    s"""WITH ${winnowCte()}
     SELECT doc_id, CAST(ng AS BIGINT) AS n_grams,
       CAST(len(fps) AS BIGINT) AS n_fingerprints,
       md5(array_to_string(list_sort(fps), ',')) AS fp_digest
