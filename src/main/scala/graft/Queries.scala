@@ -495,6 +495,18 @@ object Queries {
       Seq("doc_id"),
       ops.TextOps.repetition, ops.TextOps.repetitionOracle),
 
+    Spec("docs_pack",
+      Seq("lang" -> P, "seq_id" -> L, "n_docs" -> L, "n_tokens" -> L),
+      Seq("lang", "seq_id"),
+      (s, d) => ops.TextOps.pack(s, d), ops.TextOps.packOracle()),
+
+    Spec("events_funnel",
+      Seq("funnel" -> P, "n_view" -> L, "n_view_click" -> L,
+        "n_view_click_purchase" -> L, "conv_click" -> P,
+        "conv_purchase" -> P),
+      Seq("funnel"),
+      ops.Events.funnel, ops.Events.funnelOracle),
+
     Spec("token_counts",
       Seq("doc_id" -> P, "lang" -> P, "ws_tokens" -> L, "re_tokens" -> L,
         "est_tokens" -> L),

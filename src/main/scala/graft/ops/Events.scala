@@ -279,4 +279,59 @@ object Events {
          max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
          sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
        FROM events GROUP BY 1"""
+
+  /** Ordered funnel: view → click (strictly after the first view) →
+    * purchase (strictly after that click) — the classic product-analytics
+    * conversion query. Each step is a per-user min-timestamp aggregate
+    * over the PREVIOUS step's anchor, so the whole funnel is three
+    * user_id-keyed aggregates + two user_id equi-joins: one partitioning
+    * reused end-to-end, no window over the global event stream, no
+    * per-user event buffering — linear at any event volume. Conversion
+    * ratios are exact integer rationals. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select("user_id", "event_type", "ts")
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n_view"),
+        count(col("t2")).as("n_view_click"),
+        count(col("t3")).as("n_view_click_purchase"))
+      .select(lit("view>click>purchase").as("funnel"),
+        col("n_view"), col("n_view_click"), col("n_view_click_purchase"),
+        (col("n_view_click") * 1.0 / col("n_view")).as("conv_click"),
+        (col("n_view_click_purchase") * 1.0 /
+          col("n_view_click")).as("conv_purchase"))
+  }
+
+  def funnelOracle: String =
+    """WITH t1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN t1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > t1.t1
+      GROUP BY 1),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN t2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+      GROUP BY 1),
+    agg AS (
+      SELECT count(*) AS n_view, count(t2.t2) AS n_view_click,
+        count(t3.t3) AS n_view_click_purchase
+      FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id))
+    SELECT 'view>click>purchase' AS funnel,
+      n_view, n_view_click, n_view_click_purchase,
+      n_view_click * 1.0 / n_view AS conv_click,
+      n_view_click_purchase * 1.0 / n_view_click AS conv_purchase
+    FROM agg"""
 }

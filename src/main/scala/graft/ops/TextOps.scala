@@ -38,7 +38,13 @@ object TextOps {
     * boutique inputs where the shuffled bytes are trivial. */
   private[ops] def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    // <= par, not < par: getNumPartitions is the PRE-AQE number — a plan
+    // reporting exactly `par` shuffle partitions of a few MB gets
+    // runtime-coalesced to ONE, re-serializing the map (observed: the
+    // fingerprint stage fused above a coalesced distinct-texts aggregate,
+    // 38 s single-task at the 10x probe). An explicit user repartition(n)
+    // is exempt from AQE coalescing, which is the point.
+    if (df.rdd.getNumPartitions <= par) df.repartition(par) else df
   }
 
   private def inList(vals: Seq[String]) = vals.map(v => s"'$v'").mkString("(", ",", ")")
@@ -459,6 +465,51 @@ object TextOps {
         AS chunk_len,
       md5(substr(text, CAST(1 + chunk_idx * $stride AS INTEGER), $size)) AS chunk_md5
     FROM c"""
+
+  /** Training-sequence length for [[pack]]. */
+  val PackSeqLen = 2048
+
+  /** Contiguous sequence packing (the GPT-style concat-and-split): within
+    * each language stratum, documents are laid end to end in doc_id order
+    * and cut into [[PackSeqLen]]-token sequences; a document belongs to
+    * the sequence holding its first token. Emits the per-sequence audit
+    * (docs, tokens, fill) a packing job publishes before training.
+    *
+    * Shape: one cumulative-sum window per stratum + one hash aggregate —
+    * integer arithmetic throughout (token estimate = ceil(n_chars/4),
+    * the [[textStats]] budget column), deterministic total order
+    * (doc_id). Scale: the window partitions by stratum, so parallelism =
+    * number of strata — which is exactly how production packing runs
+    * (per-shard packing inside a deterministically hash-split corpus,
+    * [[hashSplit]]); a single global pack order would serialize the
+    * corpus through one partition AND make every sequence boundary
+    * depend on every earlier byte. */
+  def pack(spark: SparkSession, dir: String, seqLen: Int = PackSeqLen): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(spark, dir)
+      .withColumn("tok", ceil(col("n_chars") / lit(4.0)).cast("bigint"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("seq_id", expr(s"(cum - tok) div $seqLen"))
+      .groupBy("lang", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      .select(col("lang"), col("seq_id"), col("n_docs"),
+        col("n_tokens").cast("bigint").as("n_tokens"))
+  }
+
+  def packOracle(seqLen: Int = PackSeqLen): String =
+    s"""WITH d AS (
+      SELECT lang, doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tok
+      FROM documents),
+    c AS (
+      SELECT lang, doc_id, tok,
+        sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d)
+    SELECT lang, CAST((cum - tok) // $seqLen AS BIGINT) AS seq_id,
+      count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
+    FROM c GROUP BY 1, 2"""
 
   /** Gopher-style repetition signals per document — the quality filters
     * that catch templated/looping text which length and stopword ratios

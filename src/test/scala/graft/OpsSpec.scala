@@ -354,6 +354,36 @@ class OpsSpec extends SparkSpec {
     assert(overlap >= 0.8, s"int8 recall vs exact too low: $overlap")
   }
 
+  test("funnel steps are nested and ratios well-formed") {
+    val r = Events.funnel(spark, Sf0001).head()
+    val (v, vc, vcp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(v >= vc && vc >= vcp, "each funnel step can only lose users")
+    assert(v > 0 && vc > 0, "the synthetic event stream converts at least one user")
+    assert(r.getDouble(4) == vc.toDouble / v && r.getDouble(5) == vcp.toDouble / vc)
+  }
+
+  test("sequence packing conserves tokens and numbers sequences contiguously") {
+    val docs = TextOps.documents(spark, Sf0001)
+      .select(col("lang"), ceil(col("n_chars") / lit(4.0)).cast("bigint").as("tok"))
+      .groupBy("lang").agg(sum("tok").as("total"), max("tok").as("max_doc"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val packed = TextOps.pack(spark, Sf0001).collect()
+      .groupBy(_.getString(0))
+    packed.foreach { case (lang, rows) =>
+      val (total, maxDoc) = docs(lang)
+      // token conservation: packing moves every token exactly once
+      assert(rows.map(_.getLong(3)).sum == total)
+      // sequence ids are a contiguous prefix 0..max
+      val ids = rows.map(_.getLong(1)).sorted
+      assert(ids.toSeq == (0L until ids.length).toSeq)
+      // a sequence can only stay under seqLen if the next doc overflowed:
+      // every non-final sequence holds > seqLen - max_doc tokens
+      rows.filter(_.getLong(1) < ids.max).foreach { r =>
+        assert(r.getLong(3) > TextOps.PackSeqLen - maxDoc)
+      }
+    }
+  }
+
   test("rrf fusion: members come from the input lists, consensus wins") {
     val exact = Similarity.annTopK(spark, Sf0001, k = 10)
       .select("query_id", "neighbor_id", "rank")
