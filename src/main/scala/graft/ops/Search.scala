@@ -55,7 +55,9 @@ object Search {
     * `score_q` = Σ_terms floor(term_score·1e6) — exact cross-engine. */
   def bm25TopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = TextOps.documents(spark, dir)
+    // spread: the token explode + map-side partial tf aggregation run in
+    // the scan stage — a one-row-group file would serialize them
+    val docs = TextOps.spread(TextOps.documents(spark, dir))
       .withColumn("words", split(col("text"), " "))
     val docLen = docs.select(col("doc_id"), size(col("words")).as("dl"))
     // one corpus-wide row: N and average doc length (exact: integer sum /

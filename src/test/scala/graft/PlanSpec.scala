@@ -60,6 +60,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("spread fans narrow scans out via USER-specified repartition (AQE-exempt)") {
+    // REPARTITION_BY_NUM marks a user repartition(n), which AQE must not
+    // coalesce — the pre-AQE partition count lied once (a few-MB shuffle
+    // reporting exactly `cores` partitions was runtime-coalesced to ONE,
+    // re-serializing the fused fingerprint map: 38 s at the 10x probe)
+    val p = plan(TextOps.winnow(spark, Sf0001))
+    assert(p.contains("REPARTITION_BY_NUM"),
+      "the CPU-bound gram hash must run after an explicit fan-out")
+  }
+
   test("winnow fingerprints run as the native expression, not the HOF chain") {
     // the digest row shares withFingerprints with the near-dup path
     // (whose own plan hides it behind the fingerprint checkpoint)
