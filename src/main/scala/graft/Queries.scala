@@ -364,6 +364,11 @@ object Queries {
       Seq("doc_a", "doc_b"),
       (s, d) => ops.Dedup.simhash(s, d), ops.Dedup.simhashOracle()),
 
+    Spec("split_leakage",
+      Seq("split_a" -> P, "split_b" -> P, "n_pairs" -> L, "is_leak" -> I),
+      Seq("split_a", "split_b"),
+      ops.Dedup.splitLeakage, ops.Dedup.splitLeakageOracle),
+
     Spec("dedup_winnow",
       Seq("doc_a" -> P, "doc_b" -> P, "shared_fps" -> L),
       Seq("doc_a", "doc_b"),

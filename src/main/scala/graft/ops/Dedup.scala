@@ -438,4 +438,35 @@ object Dedup {
     FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
       AND a.doc_id < b.doc_id
     GROUP BY 1, 2"""
+
+  /** Split-leakage audit: near-dup pairs ([[minhashLsh]]) crossed with the
+    * deterministic hash-split assignment ([[TextOps.hashSplit]]'s bucket) —
+    * a near-duplicate of a training document sitting in val/test silently
+    * inflates eval scores, so every corpus release checks this matrix
+    * before shipping. One row per (split_a, split_b) with the pair count;
+    * off-diagonal rows ARE the leaks. Cost: the split label is a per-row
+    * md5 on the (already tiny) pair list — free next to the near-dup join
+    * that produced it. */
+  private def splitCase(bucket: String): String =
+    s"CASE WHEN $bucket < 80 THEN 'train' WHEN $bucket < 90 THEN 'val' ELSE 'test' END"
+
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame =
+    minhashLsh(spark, dir)
+      .withColumn("split_a",
+        expr(splitCase(s"(${TextOps.md5U16Expr("doc_a")} % 100)")))
+      .withColumn("split_b",
+        expr(splitCase(s"(${TextOps.md5U16Expr("doc_b")} % 100)")))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak",
+        (col("split_a") =!= col("split_b")).cast("int"))
+
+  def splitLeakageOracle: String =
+    s"""WITH labeled AS (
+      SELECT ${splitCase(s"(${TextOps.md5U16SqlDuck("doc_a")} % 100)")} AS split_a,
+             ${splitCase(s"(${TextOps.md5U16SqlDuck("doc_b")} % 100)")} AS split_b
+      FROM ($minhashLshOracle) pairs)
+    SELECT split_a, split_b, count(*) AS n_pairs,
+      CAST(split_a != split_b AS INTEGER) AS is_leak
+    FROM labeled GROUP BY 1, 2"""
 }

@@ -354,6 +354,17 @@ class OpsSpec extends SparkSpec {
     assert(overlap >= 0.8, s"int8 recall vs exact too low: $overlap")
   }
 
+  test("split leakage matrix conserves the near-dup pair count, flags off-diagonal") {
+    val pairs = Dedup.minhashLsh(spark, Sf0001).count()
+    val m = Dedup.splitLeakage(spark, Sf0001).collect()
+    assert(m.map(_.getLong(2)).sum == pairs, "every pair lands in exactly one cell")
+    m.foreach { r =>
+      assert((r.getInt(3) == 1) == (r.getString(0) != r.getString(1)))
+    }
+    assert(m.exists(_.getInt(3) == 1),
+      "the synthetic corpus has near-dups crossing splits — the audit must surface them")
+  }
+
   test("funnel steps are nested and ratios well-formed") {
     val r = Events.funnel(spark, Sf0001).head()
     val (v, vc, vcp) = (r.getLong(1), r.getLong(2), r.getLong(3))
