@@ -364,6 +364,12 @@ object Queries {
       Seq("doc_a", "doc_b"),
       (s, d) => ops.Dedup.simhash(s, d), ops.Dedup.simhashOracle()),
 
+    Spec("chunks_dedup",
+      Seq("chunk_md5" -> P, "keeper_doc_id" -> P, "keeper_chunk_idx" -> L,
+        "dup_count" -> L),
+      Seq("chunk_md5"),
+      ops.Dedup.chunkDedup, ops.Dedup.chunkDedupOracle),
+
     Spec("split_leakage",
       Seq("split_a" -> P, "split_b" -> P, "n_pairs" -> L, "is_leak" -> I),
       Seq("split_a", "split_b"),

@@ -461,6 +461,37 @@ object Dedup {
       .withColumn("is_leak",
         (col("split_a") =!= col("split_b")).cast("int"))
 
+  /** Chunk-level exact dedup: the passage-granularity variant of
+    * [[exact]], run over [[TextOps.chunkDocs]]'s overlapping chunks
+    * BEFORE sequence packing — repeated boilerplate (headers, footers,
+    * licenses) recurs as identical chunks inside otherwise-distinct
+    * documents, which document-level dedup by definition cannot see.
+    * One hash aggregate on the chunk md5 (the 32-hex key shuffles, not
+    * the text); emits only the duplicated chunks — the dedupable mass —
+    * with the keeper = lexicographically first (doc_id, chunk_idx). */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    TextOps.chunk(spark, dir)
+      .groupBy("chunk_md5")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("keeper"),
+        count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+      .select(col("chunk_md5"),
+        col("keeper.doc_id").as("keeper_doc_id"),
+        col("keeper.chunk_idx").as("keeper_chunk_idx"),
+        col("dup_count"))
+
+  def chunkDedupOracle: String =
+    s"""WITH chunks AS (${TextOps.chunkOracle()}),
+    k AS (
+      SELECT chunk_md5, doc_id, chunk_idx,
+        row_number() OVER (PARTITION BY chunk_md5
+          ORDER BY doc_id, chunk_idx) AS rn,
+        count(*) OVER (PARTITION BY chunk_md5) AS dup_count
+      FROM chunks)
+    SELECT chunk_md5, doc_id AS keeper_doc_id,
+      chunk_idx AS keeper_chunk_idx, CAST(dup_count AS BIGINT) AS dup_count
+    FROM k WHERE rn = 1 AND dup_count > 1"""
+
   def splitLeakageOracle: String =
     s"""WITH labeled AS (
       SELECT ${splitCase(s"(${TextOps.md5U16SqlDuck("doc_a")} % 100)")} AS split_a,

@@ -288,8 +288,13 @@ object Events {
     * reused end-to-end, no window over the global event stream, no
     * per-user event buffering — linear at any event volume. Conversion
     * ratios are exact integer rationals. */
-  def funnel(spark: SparkSession, dir: String): DataFrame = {
-    val e = events(spark, dir).select("user_id", "event_type", "ts")
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelFrom(events(spark, dir))
+
+  /** Funnel over any DataFrame with (user_id, event_type, ts) — factored
+    * so StreamingSpec can assert stream/batch parity on one input. */
+  def funnelFrom(eventsDf: DataFrame): DataFrame = {
+    val e = eventsDf.select("user_id", "event_type", "ts")
     val t1 = e.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min(col("ts")).as("t1"))
     val t2 = e.filter(col("event_type") === "click")

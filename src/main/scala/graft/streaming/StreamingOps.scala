@@ -168,6 +168,88 @@ object StreamingOps {
       }
   }
 
+  /** Per-user funnel state for [[funnelStages]]: `Long.MaxValue`
+    * sentinels for not-yet-reached stages (Option[Long] costs an object
+    * per field in state serialization); `pendingClicks`/`pendingPurchases`
+    * hold timestamps not currently valid for their stage that a LATER
+    * out-of-order arrival upstream could still promote — pruned below the
+    * watermark, which is what bounds them. */
+  final case class FunnelState(
+    minView: Long, bestClick: Long, bestPurchase: Long,
+    pendingClicks: Seq[Long], pendingPurchases: Seq[Long])
+  final case class FunnelUpdate(
+    user_id: Long, stage: Int, t1_micros: Long, t2_micros: Long,
+    t3_micros: Long)
+
+  /** Streaming analogue of [[graft.ops.Events.funnel]]: per-user
+    * view → click → purchase progression, EXACT under the watermark
+    * contract even for out-of-order arrivals.
+    *
+    * The subtlety a naive monotone state machine gets wrong: the batch
+    * semantics anchor each stage on the FINAL minimum of the previous
+    * stage (`t2 = min click > t1` where `t1 = min view overall`), and a
+    * late-arriving earlier view LOWERS t1, turning clicks that were
+    * invalid (≤ old t1) into valid ones. So clicks/purchases that are
+    * currently invalid are not dropped but PARKED, and re-promoted
+    * whenever the upstream anchor moves down; anchors only ever decrease,
+    * and late data older than the watermark is dropped by the engine, so
+    * parked timestamps at or below the current watermark can never be
+    * promoted again and are pruned — state per user is O(events inside
+    * the watermark window), the same bound the stream-stream join pays.
+    * Emits the running (stage, t1, t2, t3) per user; the latest update
+    * per user equals the batch funnel on the same data (StreamingSpec
+    * feeds shuffled out-of-order batches and asserts parity). */
+  def funnelStages(events: Dataset[Event]): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    val Unset = Long.MaxValue
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelUpdate](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(
+            FunnelState(Unset, Unset, Unset, Nil, Nil))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // lowering an anchor can promote parked timestamps downstream;
+          // promotion lowers the next anchor in turn, so cascade
+          def promote(): Unit = {
+            val (validC, parkedC) = s.pendingClicks.partition(_ > s.minView)
+            val bc = (validC :+ s.bestClick).min
+            val (validP, parkedP) =
+              s.pendingPurchases.partition(_ > bc)
+            val bp = (validP :+ s.bestPurchase).min
+            s = FunnelState(s.minView, bc, bp, parkedC, parkedP)
+          }
+          batch.toSeq.sortBy(e => tsMicros(e.ts)).foreach { e =>
+            val us = tsMicros(e.ts)
+            e.event_type match {
+              case "view" if us < s.minView =>
+                s = s.copy(minView = us); promote()
+              case "click" =>
+                if (us > s.minView && us < s.bestClick) {
+                  s = s.copy(bestClick = us); promote()
+                } else if (us <= s.minView && us > wmUs)
+                  s = s.copy(pendingClicks = s.pendingClicks :+ us)
+              case "purchase" =>
+                if (us > s.bestClick && us < s.bestPurchase)
+                  s = s.copy(bestPurchase = us)
+                else if (us <= s.bestClick && us > wmUs)
+                  s = s.copy(pendingPurchases = s.pendingPurchases :+ us)
+              case _ => ()
+            }
+          }
+          s = s.copy(pendingClicks = s.pendingClicks.filter(_ > wmUs),
+            pendingPurchases = s.pendingPurchases.filter(_ > wmUs))
+          state.update(s)
+          val stage =
+            if (s.bestPurchase != Unset) 3
+            else if (s.bestClick != Unset) 2
+            else if (s.minView != Unset) 1 else 0
+          FunnelUpdate(userId, stage, s.minView, s.bestClick, s.bestPurchase)
+      }
+  }
+
   /** Stream-stream interval join: purchases matched to the same user's
     * clicks within the attribution window. Both sides carry watermarks,
     * so Spark bounds the click-side state to watermark + window and the

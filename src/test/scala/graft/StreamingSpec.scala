@@ -182,6 +182,66 @@ class StreamingSpec extends SparkSpec {
       c.user_id == 1L && c.n_events == 1 && !c.closed_by_timeout))
   }
 
+  test("streaming funnel matches the batch funnel on out-of-order batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // deliberately adversarial ordering: the user-1 click at 10:05 arrives
+    // while the only known view is 10:10 (invalid — parked), then a LATE
+    // earlier view (10:00) arrives and must re-promote it; user 2 clicks
+    // before any view (never converts); user 3 completes in order
+    val batch1 = Seq(
+      StreamingOps.Event(1L, ts("2001-01-01 10:10:00"), 1L, "view", 0),
+      StreamingOps.Event(2L, ts("2001-01-01 10:05:00"), 1L, "click", 0),
+      StreamingOps.Event(3L, ts("2001-01-01 10:02:00"), 2L, "click", 0),
+      StreamingOps.Event(4L, ts("2001-01-01 10:00:00"), 3L, "view", 0))
+    val batch2 = Seq(
+      StreamingOps.Event(5L, ts("2001-01-01 10:00:00"), 1L, "view", 0),
+      StreamingOps.Event(6L, ts("2001-01-01 10:20:00"), 1L, "purchase", 0),
+      StreamingOps.Event(7L, ts("2001-01-01 10:03:00"), 2L, "view", 0),
+      StreamingOps.Event(8L, ts("2001-01-01 10:01:00"), 3L, "click", 0),
+      StreamingOps.Event(9L, ts("2001-01-01 10:00:30"), 3L, "purchase", 0))
+    val input = MemoryStream[StreamingOps.Event](spark)
+    val q = StreamingOps.funnelStages(input.toDS())
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckpt_funnel").toString)
+      .start()
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // latest update per user (MemoryStream keeps all update-mode rows)
+    val last = spark.table("funnel_stream")
+      .groupBy("user_id")
+      .agg(max(struct(col("stage"), col("t1_micros"), col("t2_micros"),
+        col("t3_micros"))).as("s"))
+      .select(col("user_id"), col("s.stage"), col("s.t1_micros"),
+        col("s.t2_micros"), col("s.t3_micros"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // batch truth on the identical events
+    val batchDf = (batch1 ++ batch2).toDF()
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val b = graft.ops.Events.funnelFrom(batchDf).head()
+    // user 1: late 10:00 view re-anchors; parked 10:05 click promotes;
+    // purchase 10:20 follows → full funnel
+    assert(last(1L)._1 == 3)
+    assert(last(1L)._2 == ts("2001-01-01 10:00:00").getTime * 1000)
+    assert(last(1L)._3 == ts("2001-01-01 10:05:00").getTime * 1000)
+    assert(last(1L)._4 == ts("2001-01-01 10:20:00").getTime * 1000)
+    // user 2: click precedes its view → stage 1; user 3: purchase
+    // precedes the click → stage 2
+    assert(last(2L)._1 == 1 && last(3L)._1 == 2)
+    // aggregate parity with the batch funnel: n_view / n_view_click /
+    // n_view_click_purchase
+    val nView = last.values.count(_._1 >= 1).toLong
+    val nClick = last.values.count(_._1 >= 2).toLong
+    val nPurch = last.values.count(_._1 >= 3).toLong
+    assert((nView, nClick, nPurch) == (b.getLong(1), b.getLong(2), b.getLong(3)))
+  }
+
   test("mapGroupsWithState keeps running per-user counts") {
     val stream = StreamingOps.readEventsStream(spark, eventsDir)
       .selectExpr("event_id", "ts", "user_id", "event_type", "value")
