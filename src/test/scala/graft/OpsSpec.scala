@@ -252,6 +252,34 @@ class OpsSpec extends SparkSpec {
       s"only the passage-sharing pair must surface, got $pairs")
   }
 
+  test("winnow_fps handles multi-byte unicode like SQL substring (property)") {
+    graft.functions.VectorFunctions.register(spark)
+    val k = TextOps.WinnowK
+    val w = TextOps.WinnowW
+    // WinnowFps walks code-point offsets into the raw UTF8 bytes by hand;
+    // the HOF reference goes through Spark's own substring. Any offset bug
+    // shows on strings mixing 1/2/3/4-byte encodings — generate exactly
+    // those (ASCII, Latin-1 é, CJK 漢, astral 😀 as a surrogate pair).
+    val alphabet = "ab 7é漢語🙂😀ß中"
+    val rng = new scala.util.Random(20260813)
+    val cps = alphabet.codePoints().toArray
+    val docs = (0 until 120).map { i =>
+      val n = rng.nextInt(40) // includes < k and < k+w-1 edge lengths
+      val sb = new java.lang.StringBuilder
+      (0 until n).foreach(_ => sb.appendCodePoint(cps(rng.nextInt(cps.length))))
+      (i.toLong, sb.toString)
+    }.toDF("doc_id", "text")
+    val cmp = docs
+      .withColumn("ng", greatest(length(col("text")) - lit(k - 1), lit(1)))
+      .withColumn("hs",
+        expr(s"transform(sequence(1, ng), i -> md5(substring(text, i, $k)))"))
+      .withColumn("ref",
+        expr(s"array_distinct(transform(sequence(1, greatest(ng - ${w - 1}, 1)), " +
+          s"j -> array_min(slice(hs, j, $w))))"))
+      .withColumn("native", expr(s"winnow_fps(text, $k, $w)"))
+    assert(cmp.filter(col("native") =!= col("ref")).count() == 0)
+  }
+
   test("winnow_fps matches the HOF/SQL-expressible formulation exactly") {
     graft.functions.VectorFunctions.register(spark)
     val k = TextOps.WinnowK
