@@ -413,6 +413,12 @@ object Queries {
       (s, d) => ops.Similarity.annInt8TopK(s, d),
       ops.Similarity.annInt8TopKOracle()),
 
+    Spec("ann_pq_adc",
+      Seq("query_id" -> P, "neighbor_id" -> P, "rank" -> I, "adc_cosine" -> P),
+      Seq("query_id", "rank"),
+      (s, d) => ops.Similarity.annPqAdc(s, d),
+      ops.Similarity.annPqAdcOracle()),
+
     Spec("ann_rrf_fusion",
       Seq("query_id" -> P, "rank" -> I, "neighbor_id" -> P, "rrf" -> P),
       Seq("query_id", "rank"),

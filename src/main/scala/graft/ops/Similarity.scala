@@ -338,32 +338,24 @@ object Similarity {
   private def u16Expr(idCol: String): String = TextOps.md5U16Expr(idCol)
   private def u16SqlDuck(idCol: String): String = TextOps.md5U16SqlDuck(idCol)
 
-  def ivfCentroids(spark: SparkSession, dir: String,
-      numVectors: Option[Long] = None): DataFrame = {
+  /** Deterministic Lloyd loop over a `(vec_id, vec, nrm)` training frame:
+    * init = the k smallest train vec_ids, [[IvfIters]] fixed iterations,
+    * grid-quantized component means, L2 assignment tie-broken by centroid
+    * id — the training core shared by the IVF coarse quantizer and the
+    * PQ sub-codebooks, replicated CTE-for-CTE by their DuckDB oracles.
+    *
+    * k×dim doubles live driver-side between iterations (like MLlib's
+    * KMeansModel): each Lloyd step is one distributed job whose plan
+    * reads the input once, instead of a lineage that re-derives every
+    * earlier iteration recursively. */
+  private[ops] def deterministicKmeans(spark: SparkSession, train: DataFrame,
+      k: Int): DataFrame = {
     import spark.implicits._
-    IvfIndex.trainings.incrementAndGet()
-    // k×dim doubles live driver-side between iterations (like MLlib's
-    // KMeansModel): each Lloyd step is one distributed job whose plan
-    // reads the parquet once, instead of a lineage that re-derives every
-    // earlier iteration recursively.
     def localized(cents: DataFrame): DataFrame = {
       val rows = cents.select("centroid_id", "c_vec", "c_nrm")
         .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1)
       spark.createDataset(rows).toDF("centroid_id", "c_vec", "c_nrm")
     }
-    val base = withNorm(spark, dir)
-    // k sized from metadata, not a count() job — same discipline as
-    // cosineNearDup's banding
-    val n = numVectors
-      .orElse(graft.sources.ParquetStats.rowCount(spark, s"$dir/embeddings.parquet"))
-      .getOrElse(base.count())
-    val k = ivfK(n)
-    // deterministic hash-capped training set (all rows at verified SFs)
-    val train = base.filter(
-      expr(u16Expr("vec_id")).cast("long") * lit(n) <
-        lit(65536L) * (IvfTrainPerCentroid.toLong * k))
-    // init = the k smallest train vec_ids (identical to `vec_id < k` when
-    // the cap keeps everything, i.e. at every verified SF)
     var cents = localized(train.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("centroid_id"), col("vec").as("c_vec"),
         col("nrm").as("c_nrm")))
@@ -383,6 +375,23 @@ object Similarity {
         .withColumn("c_nrm", expr("vec_dot(c_vec, c_vec)")))
     }
     cents
+  }
+
+  def ivfCentroids(spark: SparkSession, dir: String,
+      numVectors: Option[Long] = None): DataFrame = {
+    IvfIndex.trainings.incrementAndGet()
+    val base = withNorm(spark, dir)
+    // k sized from metadata, not a count() job — same discipline as
+    // cosineNearDup's banding
+    val n = numVectors
+      .orElse(graft.sources.ParquetStats.rowCount(spark, s"$dir/embeddings.parquet"))
+      .getOrElse(base.count())
+    val k = ivfK(n)
+    // deterministic hash-capped training set (all rows at verified SFs)
+    val train = base.filter(
+      expr(u16Expr("vec_id")).cast("long") * lit(n) <
+        lit(65536L) * (IvfTrainPerCentroid.toLong * k))
+    deterministicKmeans(spark, train, k)
   }
 
   /** IVF ANN: k-means coarse quantizer (trained once and served from the
@@ -809,6 +818,184 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
+
+  // ---- Product quantization (PQ) ----
+
+  /** PQ geometry: the 64-dim embedding splits into [[PqSubspaces]]
+    * contiguous 16-dim subvectors, each quantized against its own
+    * [[PqK]]-centroid codebook (Jégou/Douze/Schmid, "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011). Storage per vector is
+    * m log₂k = 4×4 bits vs 64×4 bytes — the representation that lets a
+    * 100 TB embedding store keep its whole index in memory; int8
+    * ([[annInt8TopK]]) compresses 4×, PQ compresses 128×. */
+  val PqSubspaces = 4
+  val PqSubDim: Int = EmbeddingDim / PqSubspaces
+  val PqK = 16
+
+  private def pqBase(spark: SparkSession, dir: String, s: Int): DataFrame =
+    embeddings(spark, dir)
+      .withColumn("vec", expr(s"slice(vec, ${s * PqSubDim + 1}, $PqSubDim)"))
+      .withColumn("nrm", expr(normExpr))
+      .select("vec_id", "vec", "nrm")
+
+  /** One codebook per subspace, trained by the shared deterministic Lloyd
+    * loop ([[deterministicKmeans]]) on the same u16-hash-capped sample
+    * discipline as IVF (256·k rows — everything at verified SFs). Train
+    * once per corpus, serve many: production materializes this exactly
+    * like [[IvfIndex.centroids]]. */
+  def pqCodebooks(spark: SparkSession, dir: String,
+      numVectors: Option[Long] = None): DataFrame = {
+    val n = numVectors
+      .orElse(graft.sources.ParquetStats.rowCount(spark, s"$dir/embeddings.parquet"))
+      .getOrElse(embeddings(spark, dir).count())
+    (0 until PqSubspaces).map { s =>
+      val train = pqBase(spark, dir, s).filter(
+        expr(u16Expr("vec_id")).cast("long") * lit(n) <
+          lit(65536L) * (IvfTrainPerCentroid.toLong * PqK))
+      deterministicKmeans(spark, train, PqK).withColumn("subspace", lit(s))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over the PQ codes: the query stays
+    * full-precision, every database vector is its 4 codebook ids, and the
+    * score is the sum of 4 lookup-table entries —
+    * `Σ_s dot(q_s, centroid[code_s(x)])`, the PQ approximation of the
+    * full dot product.
+    *
+    * Shape: the lookup tables are Q×m×k rows (20×4×16 here) built by a
+    * tiny crossJoin and BROADCAST; the database side touches only its
+    * 2-byte codes — the scan the 128× compression buys. Per-subspace
+    * contributions are floor(·1e6)-quantized BIGINTs so the 4-way sum is
+    * order-free exact (the BM25 discipline); ranking ties break on
+    * neighbor id. */
+  def annPqAdc(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val books = pqCodebooks(spark, dir)
+    val perSub = (0 until PqSubspaces).map { s =>
+      val book = books.filter(col("subspace") === s).drop("subspace")
+      val codes = assignToCentroids(pqBase(spark, dir, s), book)
+        // carry the assigned centroid's squared norm (1e6-quantized so the
+        // 4-way reconstruction-norm sum is order-free like the dot sum)
+        .join(broadcast(book.select(col("centroid_id"),
+          floor(col("c_nrm") * 1e6).cast("bigint").as("cn_q"))),
+          Seq("centroid_id"))
+      val qtab = pqBase(spark, dir, s).filter(annQueryFilter)
+        .select(col("vec_id").as("query_id"), col("vec").as("a_vec"))
+        .crossJoin(broadcast(
+          book.select(col("centroid_id"), col("c_vec").as("b_vec"))))
+        .select(col("query_id"), col("centroid_id"),
+          floor(expr(dotExpr) * 1e6).cast("bigint").as("dot_q"))
+      codes.join(broadcast(qtab), Seq("centroid_id"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("dot_q"), col("cn_q"))
+    }
+    // full-precision query norms: ADC approximates COSINE (the family's
+    // ranking objective — raw dot would rank by vector length), so the
+    // numerator is the table-sum dot and the denominator uses the
+    // reconstructed (code-word) database norm
+    val qn = withNorm(spark, dir).filter(annQueryFilter)
+      .select(col("vec_id").as("query_id"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_cosine").desc, col("neighbor_id"))
+    perSub.reduce(_ unionByName _)
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("dot_q")).as("score_q"), sum(col("cn_q")).as("recon_q"))
+      .join(broadcast(qn), Seq("query_id"))
+      .withColumn("adc_cosine",
+        (col("score_q") / lit(1e6)) /
+          (sqrt(col("q_nrm")) * sqrt(col("recon_q") / lit(1e6))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adc_cosine")
+  }
+
+  /** The PQ training + coding + ADC pipeline in DuckDB SQL: per subspace,
+    * the same train/init/iterate CTEs as the IVF oracle over the sliced
+    * DOUBLE[] subvectors (slicing a widened double array equals widening
+    * a sliced float array), then codes, lookup tables, and the quantized
+    * 4-way sum. */
+  def annPqAdcOracle(k: Int = 5): String = {
+    def sub(s: Int): String = {
+      val lo = s * PqSubDim + 1
+      val hi = (s + 1) * PqSubDim
+      s"""sub_p$s AS (
+      SELECT vec_id, fullvec[$lo:$hi] AS vec FROM pqbase),
+    normed_p$s AS (
+      SELECT vec_id, vec, $normSqlDuck AS nrm FROM sub_p$s),
+    train_p$s AS (
+      SELECT n.* FROM normed_p$s n, pqnn t
+      WHERE ${u16SqlDuck("n.vec_id")} * t.nn
+              < 65536 * ($IvfTrainPerCentroid * $PqK)),
+    cents0_p$s AS (
+      SELECT vec_id AS centroid_id, vec AS c_vec, nrm AS c_nrm FROM (
+        SELECT *, row_number() OVER (ORDER BY vec_id) AS rn FROM train_p$s)
+      WHERE rn <= $PqK),
+    ${(1 to IvfIters).map(i => pqIterCte(s, i)).mkString(",\n    ")},
+    ${assignCteDuck(s"codes_p$s", s"cents${IvfIters}_p$s", s"normed_p$s")},
+    qtab_p$s AS (
+      SELECT q.vec_id AS query_id, c.centroid_id,
+        CAST(floor(list_reduce(list_transform(range(1, len(q.vec) + 1),
+          i -> q.vec[i] * c.c_vec[i]), (x, y) -> x + y) * 1e6) AS BIGINT)
+          AS dot_q
+      FROM normed_p$s q CROSS JOIN cents${IvfIters}_p$s c
+      WHERE q.vec_id IN ($annQueryIdsSql)),
+    contrib_p$s AS (
+      SELECT t.query_id, d.vec_id AS neighbor_id, t.dot_q,
+        CAST(floor(c.c_nrm * 1e6) AS BIGINT) AS cn_q
+      FROM codes_p$s d
+      JOIN cents${IvfIters}_p$s c ON c.centroid_id = d.centroid_id
+      JOIN qtab_p$s t ON d.centroid_id = t.centroid_id
+      WHERE t.query_id != d.vec_id)"""
+    }
+    s"""WITH pqbase AS (
+      SELECT vec_id, embedding::DOUBLE[] AS fullvec FROM embeddings),
+    pqnn AS (SELECT count(*) AS nn FROM embeddings),
+    qn AS (
+      SELECT vec_id AS query_id,
+        list_reduce(list_transform(range(1, len(fullvec) + 1),
+          i -> fullvec[i] * fullvec[i]), (x, y) -> x + y) AS q_nrm
+      FROM pqbase WHERE vec_id IN ($annQueryIdsSql)),
+    ${(0 until PqSubspaces).map(sub).mkString(",\n    ")},
+    scored AS (
+      SELECT query_id, neighbor_id, sum(dot_q) AS score_q,
+        sum(cn_q) AS recon_q
+      FROM (${(0 until PqSubspaces).map(s => s"SELECT * FROM contrib_p$s")
+        .mkString(" UNION ALL ")})
+      GROUP BY 1, 2),
+    cos AS (
+      SELECT s.query_id, s.neighbor_id,
+        (s.score_q / 1e6) / (sqrt(q.q_nrm) * sqrt(s.recon_q / 1e6))
+          AS adc_cosine
+      FROM scored s JOIN qn q USING (query_id)),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY adc_cosine DESC, neighbor_id) AS rank
+      FROM cos)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, adc_cosine
+    FROM ranked WHERE rank <= $k"""
+  }
+
+  /** One Lloyd iteration for subspace `s` — [[kmeansIterCteDuck]] with
+    * suffixed CTE names and the subspace dimensionality. */
+  private def pqIterCte(s: Int, i: Int): String =
+    s"""${assignCteDuck(s"a${i}_p$s", s"cents${i - 1}_p$s", s"train_p$s")},
+    sums${i}_p$s AS (
+      SELECT a.centroid_id, t.i AS pos,
+        sum(CAST(round(n.vec[t.i] * 1000000.0) AS BIGINT)) AS s,
+        count(*) AS n
+      FROM a${i}_p$s a JOIN train_p$s n USING (vec_id)
+      CROSS JOIN range(1, ${PqSubDim + 1}) t(i)
+      GROUP BY 1, 2),
+    cvec${i}_p$s AS (
+      SELECT centroid_id,
+        list((CAST(s AS DOUBLE) / 1000000.0) / n ORDER BY pos) AS c_vec
+      FROM sums${i}_p$s GROUP BY 1),
+    cents${i}_p$s AS (
+      SELECT centroid_id, c_vec,
+        list_reduce(list_transform(range(1, len(c_vec) + 1),
+          i -> c_vec[i] * c_vec[i]), (x, y) -> x + y) AS c_nrm
+      FROM cvec${i}_p$s)"""
 
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR 2009) of two
     * rankers over the same pinned query set: the exact float ranker

@@ -423,6 +423,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("pq adc: well-formed ranking whose picks beat random selection") {
+    // full exact cosine list per query (k = N) — the quality reference
+    val exactAll = Similarity.annTopK(spark, Sf0001, k = 1000)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    val byQ = exactAll.groupBy(_._1)
+      .view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val pq = Similarity.annPqAdc(spark, Sf0001, k = 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    assert(pq.groupBy(_._1).keySet == byQ.keySet)
+    pq.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+      assert(rows.forall(r => r._1 != r._2))
+      // the contract a 128×-compressed code can honestly make on a
+      // near-random corpus (exact top cosines ≈ 0.33 vs noise ≈ 0.25):
+      // not exact-top-5 recovery, but selections whose TRUE cosine is
+      // decisively above the corpus average for that query
+      val cos = byQ(q)
+      val picked = rows.map(r => cos(r._2)).sum / rows.length
+      val avg = cos.values.sum / cos.size
+      assert(picked > avg + 0.1,
+        f"query $q: pq picks avg true cosine $picked%.3f vs corpus $avg%.3f")
+    }
+  }
+
   test("rrf fusion: members come from the input lists, consensus wins") {
     val exact = Similarity.annTopK(spark, Sf0001, k = 10)
       .select("query_id", "neighbor_id", "rank")
