@@ -213,6 +213,14 @@ object Queries {
       ops.Analytics.rollingRevenue28d,
       ops.Analytics.rollingRevenue28dOracle(OracleSql.prelude)),
 
+    Spec("method_revenue_ranks",
+      Seq("order_year_month" -> P, "payment_method" -> P, "revenue" -> P,
+        "rnk" -> I, "dense_rnk" -> I, "pct_rank" -> P, "cume" -> P,
+        "quartile" -> I),
+      Seq("order_year_month", "payment_method"),
+      ops.Analytics.methodRevenueRanks,
+      ops.Analytics.methodRevenueRanksOracle(OracleSql.prelude)),
+
     Spec("payments_pivot",
       Seq("order_year_month" -> P, "credit_card" -> P, "bank_transfer" -> P,
         "paypal" -> P, "cash" -> P, "digital_wallet" -> P, "other" -> P),
@@ -523,6 +531,18 @@ object Queries {
         "conv_purchase" -> P),
       Seq("funnel"),
       ops.Events.funnel, ops.Events.funnelOracle),
+
+    Spec("events_retention",
+      Seq("cohort_week" -> P, "activity_week" -> P, "week_offset" -> I,
+        "active_users" -> L, "cohort_size" -> L, "retention" -> P),
+      Seq("cohort_week", "activity_week"),
+      ops.Events.retention, ops.Events.retentionOracle),
+
+    Spec("corpus_mixture",
+      Seq("doc_id" -> P, "lang" -> P, "n_lang" -> L, "target_docs" -> L,
+        "n_copies" -> L),
+      Seq("doc_id"),
+      (s, d) => ops.TextOps.mixture(s, d), ops.TextOps.mixtureOracle),
 
     Spec("token_counts",
       Seq("doc_id" -> P, "lang" -> P, "ws_tokens" -> L, "re_tokens" -> L,

@@ -223,6 +223,55 @@ object Analytics {
       max(CASE WHEN rn = (n * 99 + 99) // 100 THEN order_amount END) AS p99
     FROM ranked GROUP BY 1"""
 
+  /** The ranking-function family — rank, dense_rank, percent_rank,
+    * cume_dist, ntile — over monthly payment-method revenue. The
+    * reference's 13 windows are all analytic sums/lags (SURVEY §2.6);
+    * this covers the ordinal class a full engine needs. Determinism:
+    * revenue aggregates in exact cents and the window order carries a
+    * payment_method tie-break, so every ordinal is identical in both
+    * engines; percent_rank/cume_dist are small-integer divisions, exact
+    * in IEEE doubles; Spark and DuckDB share the same ntile bucket rule
+    * (earlier buckets take the remainder). Scale: input is the
+    * months×methods aggregate, so the window partitions are dimension-
+    * bounded; the only data-sized work is the one grouped aggregation. */
+  def methodRevenueRanks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = graft.silver.Silver.payments(spark, dir)
+      .filter(col("is_successful_payment"))
+      .join(graft.silver.Silver.orders(spark, dir)
+        .select("order_key", "order_year_month"), Seq("order_key"))
+      .groupBy("order_year_month", "payment_method")
+      .agg((sum(round(col("payment_amount") * 100).cast("long")) / 100.0)
+        .as("revenue"))
+    val w = Window.partitionBy("order_year_month")
+      .orderBy(col("revenue").desc, col("payment_method"))
+    monthly
+      .withColumn("rnk", rank().over(w))
+      .withColumn("dense_rnk", dense_rank().over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+  }
+
+  def methodRevenueRanksOracle(prelude: String): String =
+    s"""$prelude,
+    monthly AS (
+      SELECT o.order_year_month, p.payment_method,
+        sum(CAST(round(p.payment_amount * 100) AS BIGINT)) / 100.0 AS revenue
+      FROM silver_payments p
+      JOIN silver_orders o ON p.order_key = o.order_key
+      WHERE p.is_successful_payment
+      GROUP BY 1, 2)
+    SELECT order_year_month, payment_method, revenue,
+      rank() OVER w AS rnk,
+      dense_rank() OVER w AS dense_rnk,
+      percent_rank() OVER w AS pct_rank,
+      cume_dist() OVER w AS cume,
+      ntile(4) OVER w AS quartile
+    FROM monthly
+    WINDOW w AS (PARTITION BY order_year_month
+      ORDER BY revenue DESC, payment_method)"""
+
   /** Rolling 28-day revenue via a RANGE window frame — the frame class
     * the gold marts don't exercise (their 7-row MAs are ROWS frames,
     * which count physical rows; a RANGE frame bounds by VALUE distance,

@@ -339,4 +339,69 @@ object Events {
       n_view_click * 1.0 / n_view AS conv_click,
       n_view_click_purchase * 1.0 / n_view_click AS conv_purchase
     FROM agg"""
+
+  /** Cohort retention matrix: users bucketed by first-activity week (the
+    * cohort), counted in every week they return — the standard growth
+    * analytics triangle (cohort_week × week_offset → active_users,
+    * retention fraction of the cohort's size).
+    *
+    * Weeks are pure epoch-day arithmetic — `days-since-Monday-1970-01-05
+    * div 7` — NOT a week-of-year date format: 'ww'/'YYYY' week-year
+    * patterns differ between engines (ISO vs locale week numbering, the
+    * same trap SURVEY §2 C12 documents for month formats), while integer
+    * day division is identical everywhere and makes offsets subtractable.
+    *
+    * Shape: ONE shuffle on user_id — per-user week sets are built with
+    * `collect_set` (bounded: weeks-per-user ≤ the calendar span, not the
+    * event count, and the set dedups map-side inside the partial
+    * aggregate), the cohort week is `array_min` of the same set, and the
+    * explode back to (cohort, week) pairs is map-side. The alternative
+    * distinct + min-groupBy + self-join formulation shuffles three times.
+    * The final matrix is dimension-bounded (weeks²), so its window over
+    * cohort_week is trivially small. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = events(spark, dir)
+      .select(col("user_id"),
+        expr("datediff(cast(ts as date), date'1970-01-05') div 7").as("wk"))
+      .groupBy("user_id")
+      .agg(collect_set(col("wk")).as("weeks"))
+      .withColumn("cohort_wk", array_min(col("weeks")))
+    val matrix = perUser
+      .select(col("cohort_wk"), explode(col("weeks")).as("wk"))
+      .groupBy("cohort_wk", "wk")
+      .agg(count(lit(1)).as("active_users"))
+    def weekStart(c: org.apache.spark.sql.Column) =
+      date_add(lit("1970-01-05").cast("date"), (c * 7).cast("int"))
+    val w = Window.partitionBy("cohort_wk")
+    matrix
+      .withColumn("week_offset", (col("wk") - col("cohort_wk")).cast("int"))
+      .withColumn("cohort_size",
+        max(when(col("wk") === col("cohort_wk"), col("active_users"))).over(w))
+      .withColumn("retention",
+        col("active_users") * lit(1.0) / col("cohort_size"))
+      .select(weekStart(col("cohort_wk")).as("cohort_week"),
+        weekStart(col("wk")).as("activity_week"),
+        col("week_offset"), col("active_users"), col("cohort_size"),
+        col("retention"))
+  }
+
+  def retentionOracle: String =
+    """WITH a AS (
+      SELECT DISTINCT user_id,
+        (CAST(ts AS DATE) - DATE '1970-01-05') // 7 AS wk
+      FROM events),
+    c AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY 1),
+    m AS (
+      SELECT c.cohort_wk, a.wk, count(*) AS active_users
+      FROM a JOIN c USING (user_id) GROUP BY 1, 2),
+    s AS (
+      SELECT *, wk - cohort_wk AS week_offset,
+        max(CASE WHEN wk = cohort_wk THEN active_users END)
+          OVER (PARTITION BY cohort_wk) AS cohort_size
+      FROM m)
+    SELECT DATE '1970-01-05' + CAST(cohort_wk * 7 AS INTEGER) AS cohort_week,
+      DATE '1970-01-05' + CAST(wk * 7 AS INTEGER) AS activity_week,
+      week_offset, active_users, cohort_size,
+      active_users * 1.0 / cohort_size AS retention
+    FROM s"""
 }

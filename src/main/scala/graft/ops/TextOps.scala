@@ -109,6 +109,69 @@ object TextOps {
     FROM u JOIN c USING (lang)
     WHERE u.sample_key * c.n_lang < 65536 * $targetPerStratum"""
 
+  /** Temperature-weighted mixture resampling: rebalance the corpus across
+    * language strata with the multilingual-pretraining sampling rule
+    * p_l ∝ n_l^(1/T) at T = 2 — i.e. weight = sqrt(n_l), the standard
+    * head-suppressing / tail-boosting exponent. `sqrt` is the one
+    * fractional power that is IEEE-correctly-rounded in both engines
+    * (general `pow` is not ulp-stable cross-engine), which is why the
+    * temperature is fixed rather than a parameter; weights are quantized
+    * to 1e-6 BIGINTs so their sum is order-free.
+    *
+    * Every document gets an exact integer copy count:
+    * `n_copies = target_l div n_l` whole epochs, plus one extra copy for
+    * the documents selected by the same reshard-stable hash threshold as
+    * [[stratifiedSample]] (`u16(doc_id) · n_l < 65536 · remainder`) — so
+    * over-represented languages thin to ~target (copies 0/1) and rare
+    * languages repeat (copies ≥ 1), deterministically: re-running or
+    * re-sharding the corpus can never change a document's copy count.
+    * The target total is the corpus size N (resample-in-place).
+    *
+    * Scale: one tiny per-language count aggregate, a driver-free scalar
+    * cross-join of its 2-row totals, and a broadcast join back — the
+    * corpus-side pass is map-only, no shuffle of the data. The per-copy
+    * expansion stays virtual (a count column, not exploded rows); the
+    * training loader multiplies by it. */
+  def mixture(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+      .withColumn("sample_key", expr(md5U16Expr("doc_id")).cast("long"))
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val weights = counts.withColumn("w",
+      floor(sqrt(col("n_lang").cast("double")) * 1e6).cast("long"))
+    val totals = weights.agg(
+      sum("n_lang").cast("long").as("n_total"),
+      sum("w").cast("long").as("sum_w"))
+    val targets = weights.crossJoin(broadcast(totals))
+      .withColumn("target_docs",
+        floor(col("n_total").cast("double") * col("w") / col("sum_w"))
+          .cast("long"))
+      .select("lang", "n_lang", "target_docs")
+    d.join(broadcast(targets), Seq("lang"))
+      .withColumn("n_copies",
+        expr("target_docs div n_lang") +
+          when(col("sample_key") * col("n_lang") <
+            lit(65536L) * (col("target_docs") % col("n_lang")), 1L)
+            .otherwise(0L))
+      .select("doc_id", "lang", "n_lang", "target_docs", "n_copies")
+  }
+
+  def mixtureOracle: String =
+    s"""WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+    w AS (SELECT lang, n_lang,
+      CAST(floor(sqrt(CAST(n_lang AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+      FROM c),
+    t AS (SELECT CAST(sum(n_lang) AS BIGINT) AS n_total,
+      CAST(sum(w) AS BIGINT) AS sum_w FROM w),
+    g AS (SELECT lang, n_lang,
+      CAST(floor(CAST(t.n_total AS DOUBLE) * w.w / t.sum_w) AS BIGINT)
+        AS target_docs
+      FROM w, t)
+    SELECT d.doc_id, d.lang, g.n_lang, g.target_docs,
+      (g.target_docs // g.n_lang) +
+      CASE WHEN ${md5U16SqlDuck("d.doc_id")} * g.n_lang
+        < 65536 * (g.target_docs % g.n_lang) THEN 1 ELSE 0 END AS n_copies
+    FROM documents d JOIN g USING (lang)"""
+
   /** Vocabulary building: the corpus-wide token frequency table, ranked —
     * the aggregation that feeds tokenizer training (BPE seed vocab,
     * frequency cutoffs) and corpus drift monitoring. Shape: explode to

@@ -502,4 +502,73 @@ class OpsSpec extends SparkSpec {
         s"${r.getString(0)}: bucket-expansion join must equal the direct range count")
     }
   }
+
+  test("mixture: sqrt-temperature resampling, exact copy counts per stratum") {
+    val out = TextOps.mixture(spark, Sf0001)
+      .select("lang", "n_lang", "target_docs", "n_copies")
+      .as[(String, Long, Long, Long)].collect()
+    val byLang = out.groupBy(_._1)
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, rows) =>
+      val n = rows.head._2
+      val target = rows.head._3
+      assert(rows.length == n, s"$lang: one output row per document")
+      val base = target / n
+      // copy counts are whole epochs +/- the hash-threshold remainder copy
+      assert(rows.forall(r => r._4 == base || r._4 == base + 1))
+      // the threshold hits the remainder in expectation; bound the deviation
+      val copies = rows.map(_._4).sum
+      assert(math.abs(copies - target) <= math.max(8L, n / 4),
+        s"$lang: total copies $copies vs target $target")
+    }
+    // sqrt weighting suppresses the head stratum and boosts the tail
+    val strata = out.map(r => (r._1, r._2, r._3)).distinct
+    val head = strata.maxBy(_._2)
+    val tail = strata.minBy(_._2)
+    if (head._2 > 2 * tail._2) {
+      assert(head._3 < head._2, s"head ${head._1} must be downsampled")
+      assert(tail._3 > tail._2, s"tail ${tail._1} must be upsampled")
+    }
+  }
+
+  test("ranking family: ordinals well-formed and mutually consistent") {
+    val rows = graft.ops.Analytics.methodRevenueRanks(spark, Sf0001)
+      .select("order_year_month", "rnk", "dense_rnk", "pct_rank", "cume",
+        "quartile")
+      .as[(String, Int, Int, Double, Double, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (m, rs) =>
+      val n = rs.length
+      // ties are broken in the window order, so rank is the identity
+      // permutation 1..n and dense_rank coincides with it
+      assert(rs.map(_._2).sorted.toSeq == (1 to n), s"$m ranks")
+      rs.foreach { r =>
+        assert(r._2 == r._3, s"$m: tie-broken rank == dense_rank")
+        val expectedPct = if (n == 1) 0.0 else (r._2 - 1).toDouble / (n - 1)
+        assert(r._4 == expectedPct, s"$m percent_rank")
+        assert(r._5 == r._2.toDouble / n, s"$m cume_dist with unique order")
+        assert(r._6 >= 1 && r._6 <= 4, s"$m ntile bounds")
+      }
+    }
+  }
+
+  test("retention: diagonal equals cohort size, fractions bounded") {
+    val rows = Events.retention(spark, Sf0001)
+      .select(col("cohort_week").cast("string"),
+        col("activity_week").cast("string"), col("week_offset"),
+        col("active_users"), col("cohort_size"), col("retention"))
+      .as[(String, String, Int, Long, Long, Double)].collect()
+    assert(rows.length > 1, "the events span must yield a real matrix")
+    rows.foreach { case (c, a, off, act, size, ret) =>
+      assert(off >= 0, "no activity before the cohort's first week")
+      assert((off == 0) == (c == a))
+      assert(act <= size, "retained users are a subset of the cohort")
+      assert(ret > 0 && ret <= 1.0 + 1e-12)
+    }
+    rows.groupBy(_._1).foreach { case (c, rs) =>
+      val diag = rs.find(_._3 == 0)
+      assert(diag.isDefined, s"cohort $c must contain its first week")
+      assert(diag.get._4 == diag.get._5, "offset-0 activity IS the cohort size")
+    }
+  }
 }

@@ -159,6 +159,25 @@ class PlanSpec extends SparkSpec {
       "tpch_q2" -> 5, "corpus_clean" -> 26), counts.toString)
   }
 
+  test("mixture: corpus-side pass is broadcast-join map-only, no sort-merge join") {
+    val p = plan(graft.ops.TextOps.mixture(spark, Sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      "per-language targets must broadcast back to the corpus")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "no shuffle join of the corpus side")
+    // shuffles are the two tiny aggregates (lang counts, scalar totals),
+    // never the documents themselves
+    assert(shuffles(graft.ops.TextOps.mixture(spark, Sf0001)) <= 3, p)
+  }
+
+  test("retention: one user_id data shuffle + matrix-sized agg/window only") {
+    val df = graft.ops.Events.retention(spark, Sf0001)
+    // user_id groupBy (the only event-data shuffle), matrix groupBy, and
+    // the cohort window partition — 3 exchanges total, pinned
+    assert(shuffles(df) == 3, plan(df))
+    assert(!plan(df).contains("CartesianProduct"))
+  }
+
   test("cc loop body: propagate is join+agg, shortcut is one self-join — pinned") {
     import spark.implicits._
     import graft.ops.Dedup
