@@ -840,11 +840,13 @@ object Similarity {
 
   /** One codebook per subspace, trained by the shared deterministic Lloyd
     * loop ([[deterministicKmeans]]) on the same u16-hash-capped sample
-    * discipline as IVF (256·k rows — everything at verified SFs). Train
-    * once per corpus, serve many: production materializes this exactly
-    * like [[IvfIndex.centroids]]. */
+    * discipline as IVF (256·k rows — everything at verified SFs). This is
+    * the TRAINING pass; [[IvfIndex.pqCodebooks]] materializes its output
+    * once per corpus fingerprint and [[annPqAdc]] serves from that table
+    * (train once / serve many). */
   def pqCodebooks(spark: SparkSession, dir: String,
       numVectors: Option[Long] = None): DataFrame = {
+    IvfIndex.trainings.incrementAndGet()
     val n = numVectors
       .orElse(graft.sources.ParquetStats.rowCount(spark, s"$dir/embeddings.parquet"))
       .getOrElse(embeddings(spark, dir).count())
@@ -868,9 +870,13 @@ object Similarity {
     * contributions are floor(·1e6)-quantized BIGINTs so the 4-way sum is
     * order-free exact (the BM25 discipline); ranking ties break on
     * neighbor id. */
-  def annPqAdc(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def annPqAdc(spark: SparkSession, dir: String, k: Int = 5,
+      codebooks: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val books = pqCodebooks(spark, dir)
+    // train-once / serve-many: codebooks come from the materialized index
+    // cache (one Lloyd training per corpus fingerprint), not a per-query
+    // training pass — same lifecycle as IvfIndex.centroids
+    val books = codebooks.getOrElse(IvfIndex.pqCodebooks(spark, dir))
     val perSub = (0 until PqSubspaces).map { s =>
       val book = books.filter(col("subspace") === s).drop("subspace")
       val codes = assignToCentroids(pqBase(spark, dir, s), book)

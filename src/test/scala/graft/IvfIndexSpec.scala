@@ -32,6 +32,27 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("pq: cold query trains codebooks once; warm ADC queries train zero") {
+    withFreshCache {
+      val before = IvfIndex.trainings.get
+      assert(Similarity.annPqAdc(spark, Sf0001).count() > 0)
+      assert(IvfIndex.trainings.get == before + 1,
+        "cold cache trains the product quantizer exactly once")
+      assert(Similarity.annPqAdc(spark, Sf0001).count() > 0)
+      assert(IvfIndex.trainings.get == before + 1,
+        "warm ADC serving reads the materialized codebooks — zero Lloyd loops")
+      // served codebooks are bit-identical to fresh training
+      val served = Similarity.annPqAdc(spark, Sf0001)
+        .collect().map(_.toSeq).toSet
+      val fresh = Similarity.annPqAdc(spark, Sf0001,
+        codebooks = Some(Similarity.pqCodebooks(spark, Sf0001)))
+        .collect().map(_.toSeq).toSet
+      assert(served == fresh,
+        "doubles round-trip parquet exactly; served codebooks must not " +
+          "perturb a single ADC score or rank")
+    }
+  }
+
   test("served centroids are bit-identical to fresh training") {
     withFreshCache {
       val served = Similarity.annIvfTopK(spark, Sf0001)
