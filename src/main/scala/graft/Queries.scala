@@ -550,6 +550,12 @@ object Queries {
       Seq("doc_id"),
       ops.TextOps.tokenCounts, ops.TextOps.tokenCountsOracle),
 
+    Spec("bpe_merges",
+      Seq("rank" -> I, "pair_a" -> P, "pair_b" -> P, "merged" -> P,
+        "score" -> L),
+      Seq("rank"),
+      (s, d) => ops.Bpe.merges(s, d), ops.Bpe.mergesOracle),
+
     Spec("search_bm25",
       Seq("query_id" -> I, "rank" -> I, "doc_id" -> P, "score_q" -> L,
         "n_terms_matched" -> L),

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training — the greedy byte-pair-merge loop
+  * (Sennrich/Haddow/Birch, "Neural Machine Translation of Rare Words with
+  * Subword Units", ACL 2016) that produces a subword vocabulary from the
+  * corpus. This is the training-side capability the rest of the tokenizer
+  * stack consumes: `token_counts` applies a BPE-ish segmentation,
+  * `vocab_top_terms` builds the seed frequency table; this learns the
+  * merge table itself.
+  *
+  * Algorithm shape (faithful to the reference implementation): training
+  * operates on the word-frequency DICTIONARY, not the raw corpus — one
+  * corpus-wide aggregation builds `(word, freq)`, and every merge
+  * iteration then works on that dimension-bounded table. Each iteration:
+  * count adjacent symbol pairs weighted by word frequency, take the
+  * highest-scoring pair (ties broken lexicographically so both engines
+  * agree), and fuse every occurrence in the symbol sequences.
+  *
+  * Determinism across engines:
+  *  - scores are integer frequency sums — order-free exact;
+  *  - argmax tie-breaks on (score DESC, a, b) — a total order;
+  *  - merges apply through literal `replace` on space-delimited symbol
+  *    strings; both engines share the left-to-right non-overlapping scan
+  *    rule, and the double application catches the alternating-occurrence
+  *    chain (`a b a b`) whose first pass consumes the shared delimiter.
+  *  - the dictionary is capped to the top `VocabCap` ASCII words
+  *    (`^[a-z]+$`), ranked (freq DESC, word) — the cap bounds the oracle
+  *    and sidesteps unicode char-split divergence between engines.
+  *
+  * Scale: the only corpus-sized work is the word-count aggregate (the
+  * canonical word-count shuffle); it is localCheckpoint'ed once so the
+  * NumMerges iterations — each a tiny explode/agg over ≤ VocabCap rows —
+  * never re-scan the corpus. The per-iteration argmax is collected to the
+  * driver because it PARAMETERIZES the next iteration's expressions (the
+  * merge loop is inherently sequential — same scalar-control precedent as
+  * dedupClusters' convergence test and MLlib's iterative trainers); each
+  * collect moves exactly one row.
+  */
+object Bpe {
+
+  val NumMerges = 8
+  val VocabCap = 300
+
+  /** The capped word-frequency dictionary with initial symbol sequences:
+    * one space-delimited character per symbol plus the `</w>` end-of-word
+    * marker, space-padded so every symbol occurrence — first, inner,
+    * last — matches the same ` a b ` pattern. */
+  private def dict0(spark: SparkSession, dir: String): DataFrame =
+    TextOps.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(VocabCap)
+      .withColumn("seq",
+        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "),
+          lit("</w> ")))
+
+  /** The learned merge table: `NumMerges` rows of
+    * (rank, pair_a, pair_b, merged, score). */
+  def merges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var v = dict0(spark, dir).localCheckpoint()
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (i <- 1 to NumMerges) {
+      val pairs = v
+        .withColumn("syms", split(trim(col("seq")), " "))
+        .select(col("freq"), explode(expr(
+          "transform(slice(syms, 1, size(syms) - 1)," +
+            " (x, i) -> struct(x AS a, syms[i + 1] AS b))")).as("p"))
+        .groupBy($"p.a".as("a"), $"p.b".as("b"))
+        .agg(sum("freq").as("score"))
+      val best = pairs.orderBy(col("score").desc, col("a"), col("b"))
+        .limit(1).as[(String, String, Long)].head()
+      val (a, b, score) = best
+      val m = a + b
+      out += ((i, a, b, m, score))
+      v = v.withColumn("seq",
+        expr(s"replace(replace(seq, ' $a $b ', ' $m '), ' $a $b ', ' $m ')"))
+    }
+    spark.createDataset(out.result())
+      .toDF("rank", "pair_a", "pair_b", "merged", "score")
+  }
+
+  /** The same loop in DuckDB SQL: the data-dependent iteration unrolls to
+    * `NumMerges` chained (pairs → argmax → apply) CTE stages — the same
+    * programmatic-CTE technique as the k-means training oracles. */
+  def mergesOracle: String = {
+    def stage(i: Int): String =
+      s"""p$i AS (
+      SELECT s.syms[t.i] AS a, s.syms[t.i + 1] AS b, sum(s.freq) AS score
+      FROM (SELECT freq, string_split(trim(seq), ' ') AS syms FROM v${i - 1}) s,
+           UNNEST(generate_series(1, len(s.syms) - 1)) AS t(i)
+      GROUP BY 1, 2),
+    m$i AS (
+      SELECT $i AS rank, a, b, a || b AS merged, score
+      FROM p$i ORDER BY score DESC, a, b LIMIT 1),
+    v$i AS (
+      SELECT word, freq,
+        replace(replace(seq, ' ' || m.a || ' ' || m.b || ' ',
+                        ' ' || m.merged || ' '),
+                ' ' || m.a || ' ' || m.b || ' ',
+                ' ' || m.merged || ' ') AS seq
+      FROM v${i - 1}, m$i m)"""
+    s"""WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    dict AS (
+      SELECT word, count(*) AS freq FROM words
+      WHERE regexp_full_match(word, '[a-z]+')
+      GROUP BY 1 ORDER BY freq DESC, word LIMIT $VocabCap),
+    v0 AS (
+      SELECT word, freq,
+        ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' AS seq
+      FROM dict),
+    ${(1 to NumMerges).map(stage).mkString(",\n    ")}
+    SELECT rank, a AS pair_a, b AS pair_b, merged, score
+    FROM (${(1 to NumMerges).map(i => s"SELECT * FROM m$i")
+        .mkString(" UNION ALL ")})"""
+  }
+}

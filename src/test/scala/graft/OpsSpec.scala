@@ -552,6 +552,23 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("bpe: greedy merge scores are non-increasing and merges well-formed") {
+    val rows = graft.ops.Bpe.merges(spark, Sf0001)
+      .select("rank", "pair_a", "pair_b", "merged", "score")
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1 to graft.ops.Bpe.NumMerges))
+    rows.foreach { case (_, a, b, m, score) =>
+      assert(m == a + b, "merged symbol is the pair concatenation")
+      assert(score > 0)
+    }
+    // any pair present after a merge either existed before (score <= max)
+    // or was created by it (count <= the chosen pair's count), so the
+    // greedy max sequence can never increase
+    rows.sliding(2).foreach { case Array(x, y) =>
+      assert(y._5 <= x._5, s"greedy scores must be non-increasing: $x -> $y")
+    }
+  }
+
   test("retention: diagonal equals cohort size, fractions bounded") {
     val rows = Events.retention(spark, Sf0001)
       .select(col("cohort_week").cast("string"),
