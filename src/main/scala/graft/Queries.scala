@@ -556,6 +556,11 @@ object Queries {
       Seq("rank"),
       (s, d) => ops.Bpe.merges(s, d), ops.Bpe.mergesOracle),
 
+    Spec("bpe_segment",
+      Seq("word" -> P, "freq" -> L, "segmented" -> P, "n_subwords" -> I),
+      Seq("word"),
+      (s, d) => ops.Bpe.segment(s, d), ops.Bpe.segmentOracle),
+
     Spec("search_bm25",
       Seq("query_id" -> I, "rank" -> I, "doc_id" -> P, "score_q" -> L,
         "n_terms_matched" -> L),

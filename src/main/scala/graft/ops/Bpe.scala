@@ -58,9 +58,10 @@ object Bpe {
         concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "),
           lit("</w> ")))
 
-  /** The learned merge table: `NumMerges` rows of
-    * (rank, pair_a, pair_b, merged, score). */
-  def merges(spark: SparkSession, dir: String): DataFrame = {
+  /** Run the greedy merge loop: returns the learned merge list and the
+    * dictionary with fully-merged symbol sequences. */
+  private def trainLoop(spark: SparkSession, dir: String)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     import spark.implicits._
     var v = dict0(spark, dir).localCheckpoint()
     val out = Seq.newBuilder[(Int, String, String, String, Long)]
@@ -80,9 +81,28 @@ object Bpe {
       v = v.withColumn("seq",
         expr(s"replace(replace(seq, ' $a $b ', ' $m '), ' $a $b ', ' $m ')"))
     }
-    spark.createDataset(out.result())
+    (out.result(), v)
+  }
+
+  /** The learned merge table: `NumMerges` rows of
+    * (rank, pair_a, pair_b, merged, score). */
+  def merges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(trainLoop(spark, dir)._1)
       .toDF("rank", "pair_a", "pair_b", "merged", "score")
   }
+
+  /** The serving side: every dictionary word segmented by the learned
+    * merge table — the apply pass a tokenizer runs over the corpus. The
+    * segmentation is the training loop's final symbol state, so train and
+    * apply cannot drift; at corpus scale the same replace chain is a
+    * map-only pass over the token stream with the merge table broadcast
+    * (here it is baked into the expressions — 8 merges = 16 nested
+    * literal replaces, one codegen'd projection). */
+  def segment(spark: SparkSession, dir: String): DataFrame =
+    trainLoop(spark, dir)._2
+      .select(col("word"), col("freq"), trim(col("seq")).as("segmented"),
+        size(split(trim(col("seq")), " ")).as("n_subwords"))
 
   /** The same loop in DuckDB SQL: the data-dependent iteration unrolls to
     * `NumMerges` chained (pairs → argmax → apply) CTE stages — the same
@@ -118,5 +138,16 @@ object Bpe {
     SELECT rank, a AS pair_a, b AS pair_b, merged, score
     FROM (${(1 to NumMerges).map(i => s"SELECT * FROM m$i")
         .mkString(" UNION ALL ")})"""
+  }
+
+  /** Oracle for [[segment]]: the same unrolled chain, selecting the final
+    * symbol state instead of the merge list. */
+  def segmentOracle: String = {
+    val merges = mergesOracle
+    val prefix = merges.substring(0, merges.lastIndexOf("SELECT rank"))
+    s"""$prefix
+    SELECT word, freq, trim(seq) AS segmented,
+      len(string_split(trim(seq), ' ')) AS n_subwords
+    FROM v$NumMerges"""
   }
 }

@@ -569,6 +569,20 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("bpe segment: subwords reconstruct the word, end-of-word marker kept") {
+    val rows = graft.ops.Bpe.segment(spark, Sf0001)
+      .select("word", "segmented", "n_subwords")
+      .as[(String, String, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, seg, n) =>
+      assert(seg.endsWith("</w>"), s"$w: segmentation keeps the marker")
+      assert(seg.replace(" ", "").stripSuffix("</w>") == w,
+        s"$w: concatenating subwords must reconstruct the word")
+      assert(n == seg.split(" ").length)
+      assert(n <= w.length + 1, s"$w: merging can only shorten")
+    }
+  }
+
   test("retention: diagonal equals cohort size, fractions bounded") {
     val rows = Events.retention(spark, Sf0001)
       .select(col("cohort_week").cast("string"),
