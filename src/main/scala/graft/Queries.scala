@@ -586,6 +586,13 @@ object Queries {
         .withColumnRenamed("count", "n_events"),
       "SELECT user_id, count(*) AS n_events FROM events GROUP BY 1"),
 
+    Spec("streaming_sessions",
+      Seq("user_id" -> L, "n_events" -> L, "start_ts_micros" -> L,
+        "end_ts_micros" -> L, "closed_by_timeout" -> P),
+      Seq("user_id", "start_ts_micros"),
+      (s, d) => streaming.StreamingOps.sessionsParity(s, d),
+      streaming.StreamingOps.sessionsParityOracle),
+
     Spec("streaming_windowed_parity",
       Seq("window_start" -> P, "event_type" -> P, "n_events" -> L,
         "total_value" -> P),

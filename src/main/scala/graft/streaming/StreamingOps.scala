@@ -342,6 +342,60 @@ object StreamingOps {
        WHERE ws_us + 600000000 <= wm_us
        GROUP BY 1, 2"""
 
+  /** Driver-checked streaming gap-sessionization parity: a REAL streaming
+    * execution of [[gapSessions]] (file source → watermark →
+    * flatMapGroupsWithState with event-time timeout → memory sink,
+    * Append mode) over the events table. Both close paths appear in the
+    * output: inline closes (a later event past the gap) and timeout
+    * closes (the watermark passed last_event + gap). Sessions the final
+    * watermark never reaches stay open — that withholding is the
+    * semantics, so the DuckDB twin computes it too: a user's
+    * NON-final sessions are always emitted (closed inline), and the
+    * final session is emitted iff its registered timeout
+    * (`end_us div 1000 + gap_ms`, the millisecond grid
+    * `setTimeoutTimestamp` uses) is strictly below the final watermark
+    * (`max_event_us div 1000 − delay_ms` — state times out when the
+    * watermark moves strictly past it). */
+  def sessionsParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = readEventsStream(spark, dir, glob = Some("events.parquet"))
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    runToMemory(spark, gapSessions(ev).toDF(), "graft_sessions_parity",
+      OutputMode.Append())
+  }
+
+  def sessionsParityOracle: String = {
+    val gapUs = graft.ops.Events.SessionGapMinutes * 60L * 1000000L
+    val gapMs = graft.ops.Events.SessionGapMinutes * 60L * 1000L
+    s"""WITH wm AS (
+      SELECT (max(epoch_us(ts)) // 1000) - 3600000 AS wm_ms FROM events),
+    e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+        lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev_us
+      FROM events),
+    flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > $gapUs
+                     THEN 1 ELSE 0 END AS is_new
+      FROM e),
+    numbered AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged),
+    sessions AS (
+      SELECT user_id, session_seq, count(*) AS n_events,
+        min(us) AS start_ts_micros, max(us) AS end_ts_micros,
+        max(session_seq) OVER (PARTITION BY user_id) AS last_seq
+      FROM numbered GROUP BY 1, 2)
+    SELECT user_id, n_events, start_ts_micros, end_ts_micros,
+      (session_seq = last_seq) AS closed_by_timeout
+    FROM sessions, wm
+    WHERE session_seq < last_seq
+       OR (end_ts_micros // 1000) + $gapMs < wm_ms"""
+  }
+
   /** Streaming exactly-once dedup: drop events whose `event_id` was
     * already seen within the watermark horizon
     * (`dropDuplicatesWithinWatermark`) — the at-least-once → exactly-once

@@ -178,6 +178,22 @@ class PlanSpec extends SparkSpec {
     assert(!plan(df).contains("CartesianProduct"))
   }
 
+  test("bpe: dictionary cap is TakeOrderedAndProject, not a corpus-wide sort") {
+    // the only corpus-sized work is the word-count aggregate; the top-V
+    // cap must be the per-partition-heap operator (vocab_top_terms rule)
+    val p = plan(graft.ops.Bpe.merges(spark, Sf0001))
+    assert(!p.contains("CartesianProduct"))
+    // merges() output is a driver-localized dataset; pin the cap on the
+    // training input instead, where the sort would hide
+    import org.apache.spark.sql.functions.{col, explode, split}
+    val dictPlan = graft.ops.TextOps.documents(spark, Sf0001)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").count()
+      .orderBy(col("count").desc, col("word")).limit(300)
+    assert(plan(dictPlan).contains("TakeOrderedAndProject"), plan(dictPlan))
+  }
+
   test("cc loop body: propagate is join+agg, shortcut is one self-join — pinned") {
     import spark.implicits._
     import graft.ops.Dedup
