@@ -561,6 +561,11 @@ object Queries {
       Seq("word"),
       (s, d) => ops.Bpe.segment(s, d), ops.Bpe.segmentOracle),
 
+    Spec("bpe_subword_freq",
+      Seq("subword" -> P, "occurrences" -> L),
+      Seq("subword"),
+      (s, d) => ops.Bpe.subwordFreq(s, d), ops.Bpe.subwordFreqOracle),
+
     Spec("search_bm25",
       Seq("query_id" -> I, "rank" -> I, "doc_id" -> P, "score_q" -> L,
         "n_terms_matched" -> L),

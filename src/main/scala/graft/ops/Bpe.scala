@@ -150,4 +150,51 @@ object Bpe {
       len(string_split(trim(seq), ' ')) AS n_subwords
     FROM v$NumMerges"""
   }
+
+  /** The tokenizer at corpus scale: apply the learned merge table to the
+    * FULL token stream (not just the dictionary) and count subword
+    * occurrences — the subword frequency table a trained tokenizer
+    * produces over its corpus (embedding-table sizing, UNK auditing,
+    * distribution drift). The learned merges are collected once (8 tiny
+    * rows — the broadcast-merge-table pattern) and baked into ONE
+    * codegen'd projection of 16 nested literal replaces, so the
+    * corpus-side pass is map-only ahead of the single subword-count
+    * shuffle; out-of-dictionary words still segment with the same
+    * merges, exactly like a served tokenizer. */
+  def subwordFreq(spark: SparkSession, dir: String): DataFrame = {
+    val ms = trainLoop(spark, dir)._1
+    val seq0 = "concat(' ', regexp_replace(word, '(.)', '$1 '), '</w> ')"
+    val applied = ms.foldLeft(seq0) { case (e, (_, a, b, m, _)) =>
+      s"replace(replace($e, ' $a $b ', ' $m '), ' $a $b ', ' $m ')"
+    }
+    TextOps.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .select(explode(split(trim(expr(applied)), " ")).as("subword"))
+      .groupBy("subword").agg(count(lit(1)).as("occurrences"))
+  }
+
+  /** Oracle for [[subwordFreq]]: the merge-learning chain, then the same
+    * 16 nested replaces applied to every corpus token via a cross join of
+    * the 8 one-row merge CTEs (the SQL form of the broadcast merge
+    * table). */
+  def subwordFreqOracle: String = {
+    val merges = mergesOracle
+    val prefix = merges.substring(0, merges.lastIndexOf("SELECT rank"))
+    val applied = (1 to NumMerges).foldLeft(
+      "' ' || regexp_replace(t.word, '(.)', '\\1 ', 'g') || '</w> '") {
+      case (e, i) =>
+        s"""replace(replace($e, ' ' || m$i.a || ' ' || m$i.b || ' ',
+             ' ' || m$i.merged || ' '),
+             ' ' || m$i.a || ' ' || m$i.b || ' ', ' ' || m$i.merged || ' ')"""
+    }
+    s"""$prefix,
+    toks AS (
+      SELECT word FROM words WHERE regexp_full_match(word, '[a-z]+')),
+    segmented AS (
+      SELECT unnest(string_split(trim($applied), ' ')) AS subword
+      FROM toks t, ${(1 to NumMerges).map(i => s"m$i").mkString(", ")})
+    SELECT subword, count(*) AS occurrences
+    FROM segmented GROUP BY 1"""
+  }
 }

@@ -583,6 +583,22 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("bpe subword freq: counts exactly conserve the segmented token stream") {
+    import graft.ops.Bpe
+    val total = Bpe.subwordFreq(spark, Sf0001)
+      .agg(sum("occurrences")).head().getLong(0)
+    val tokens = TextOps.documents(spark, Sf0001)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+    // at this corpus every distinct filtered word is inside the top-300
+    // dictionary, so the dict segmentation covers the whole stream and
+    // occurrence totals must match token-by-token subword counts exactly
+    val bySeg = tokens.join(Bpe.segment(spark, Sf0001), "word")
+      .agg(sum("n_subwords")).head().getLong(0)
+    assert(total == bySeg, "corpus apply must equal per-word segmentation")
+    assert(total >= tokens.count(), "every token yields at least one subword")
+  }
+
   test("retention: diagonal equals cohort size, fractions bounded") {
     val rows = Events.retention(spark, Sf0001)
       .select(col("cohort_week").cast("string"),
