@@ -110,13 +110,18 @@ class IvfIndexSpec extends SparkSpec {
     val wh = java.nio.file.Files.createTempDirectory("graft_ivf_reg2").toString
     val sink = new graft.pipeline.ParquetSink(wh)
     graft.pipeline.Registry.run(spark, Sf0001, sink,
-      all = Seq(IvfIndex.registryModel, IvfIndex.listsRegistryModel),
+      all = Seq(IvfIndex.registryModel, IvfIndex.listsRegistryModel,
+        IvfIndex.pqRegistryModel),
       registerViews = false)
     assert(sink.exists(spark, "ann", "ann_ivf_lists"))
     assert(sink.read(spark, "ann", "ann_ivf_lists").count() == 500L)
     assert(new java.io.File(s"$wh/ann/ann_ivf_lists").listFiles()
       .exists(_.getName.startsWith("centroid_id=")),
       "the Registry-materialized lists must honor the partition layout")
+    // the PQ codebooks land through the same run: m subspaces x k codes
+    assert(sink.exists(spark, "ann", "ann_pq_codebooks"))
+    assert(sink.read(spark, "ann", "ann_pq_codebooks").count() ==
+      Similarity.PqSubspaces.toLong * Similarity.PqK)
   }
 
   test("registry model materializes the centroid table through the run's sink") {
