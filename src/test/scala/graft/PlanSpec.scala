@@ -192,6 +192,12 @@ class PlanSpec extends SparkSpec {
       .groupBy("word").count()
       .orderBy(col("count").desc, col("word")).limit(300)
     assert(plan(dictPlan).contains("TakeOrderedAndProject"), plan(dictPlan))
+    // the corpus-scale apply is map-only ahead of ONE subword-count
+    // shuffle: merges bake into literal replaces (training ran driver-side
+    // before this plan exists), so the served plan is scan→project→
+    // explode→partial agg→exchange→final agg
+    val served = graft.ops.Bpe.subwordFreq(spark, Sf0001)
+    assert(shuffles(served) == 1, plan(served))
   }
 
   test("cc loop body: propagate is join+agg, shortcut is one self-join — pinned") {
