@@ -9,6 +9,7 @@ import org.apache.spark.sql.SparkSession
   *   sbt "runMain graft.Run <sourceDir> --catalog"                 # SQL databases
   *   sbt "runMain graft.Run <sourceDir> <wh> --select=silver_orders+"  # dbt graph selector
   *   sbt "runMain graft.Run <sourceDir> <wh> --full-refresh"       # rebuild incrementals
+  *   sbt "runMain graft.Run <sourceDir> <wh> --corpus --ann-index" # + corpus release + ANN index builds
   *
   * Materializes the nine-model DAG into the warehouse (bronze views,
   * silver/gold tables — path-routed parquet, or `--catalog` for the
@@ -25,6 +26,17 @@ object Run {
     }
     val catalogMode = args.contains("--catalog")
     val fullRefresh = args.contains("--full-refresh")
+    // opt-in DAG extensions: the corpus-release pipeline
+    // (clean → chunks/pack) and the ANN index builds (IVF quantizer +
+    // partitioned lists, PQ codebooks) join the run as ordinary models —
+    // selectors, threads, and sinks compose
+    val extraModels =
+      (if (args.contains("--corpus")) pipeline.CorpusPipeline.models
+       else Seq.empty) ++
+      (if (args.contains("--ann-index"))
+        Seq(ops.IvfIndex.registryModel, ops.IvfIndex.listsRegistryModel,
+          ops.IvfIndex.pqRegistryModel)
+       else Seq.empty)
     val select = args.collectFirst { case a if a.startsWith("--select=") =>
       a.stripPrefix("--select=") }
     val exclude = args.collectFirst { case a if a.startsWith("--exclude=") =>
@@ -65,14 +77,16 @@ object Run {
     exclude.foreach(s => println(s"==   --exclude $s"))
     state.foreach(s => println(s"==   --state $s"))
     val models = pipeline.Registry.run(spark, sourceDir, sink,
-      threads = threads, select = select, exclude = exclude,
+      threads = threads, all = pipeline.Registry.models ++ extraModels,
+      select = select, exclude = exclude,
       fullRefresh = fullRefresh, state = state,
       deferTo = deferWh.map(new pipeline.ParquetSink(_)))
     writeManifest.foreach { d =>
       pipeline.Registry.writeManifest(spark, sourceDir, d)
       println(s"==   manifest written to $d")
     }
-    pipeline.Registry.topoOrder.filter(m => models.contains(m.name)).foreach { m =>
+    pipeline.Registry.topoOrderOf(pipeline.Registry.models ++ extraModels)
+      .filter(m => models.contains(m.name)).foreach { m =>
       println(f"  ${m.name}%-24s ${m.materialization}%-6s ${models(m.name).count()}%8d rows")
     }
     println(f"== run completed in ${(System.nanoTime() - t0) / 1e9}%.1f s")
