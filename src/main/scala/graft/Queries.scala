@@ -544,6 +544,12 @@ object Queries {
       Seq("doc_id"),
       (s, d) => ops.TextOps.mixture(s, d), ops.TextOps.mixtureOracle),
 
+    Spec("docs_length_histogram",
+      Seq("bucket_digits" -> I, "n_docs" -> L, "total_words" -> L,
+        "min_words" -> L, "max_words" -> L),
+      Seq("bucket_digits"),
+      ops.TextOps.lengthHistogram, ops.TextOps.lengthHistogramOracle),
+
     Spec("token_counts",
       Seq("doc_id" -> P, "lang" -> P, "ws_tokens" -> L, "re_tokens" -> L,
         "est_tokens" -> L),

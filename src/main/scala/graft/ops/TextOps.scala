@@ -172,6 +172,41 @@ object TextOps {
         < 65536 * (g.target_docs % g.n_lang) THEN 1 ELSE 0 END AS n_copies
     FROM documents d JOIN g USING (lang)"""
 
+  /** Corpus length profile: documents bucketed by the decimal order of
+    * magnitude of their whitespace word count (1 digit = 1–9 words,
+    * 2 = 10–99, …) with per-bucket document counts, word mass, and
+    * min/max — the distribution report that picks length-filter
+    * thresholds and catches truncation/concatenation regressions between
+    * corpus versions. Decade bucketing by DIGIT COUNT of the integer
+    * (`length(cast(n AS string))`) is deliberately log-free: `log10` is
+    * not ulp-stable cross-engine at power boundaries, while the decimal
+    * rendering of an integer is identical everywhere. Map-only per-row
+    * profile ahead of one ~10-row hash aggregate. */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(expr(
+        "size(filter(split(text, ' '), w -> length(w) > 0))").as("n_words"))
+      .withColumn("bucket_digits",
+        length(col("n_words").cast("string")).cast("int"))
+      .groupBy("bucket_digits")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").cast("long").as("total_words"),
+        min("n_words").cast("long").as("min_words"),
+        max("n_words").cast("long").as("max_words"))
+
+  def lengthHistogramOracle: String =
+    """WITH w AS (
+      SELECT len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+        AS n_words
+      FROM documents)
+    SELECT CAST(length(CAST(n_words AS VARCHAR)) AS INTEGER)
+        AS bucket_digits,
+      count(*) AS n_docs,
+      CAST(sum(n_words) AS BIGINT) AS total_words,
+      CAST(min(n_words) AS BIGINT) AS min_words,
+      CAST(max(n_words) AS BIGINT) AS max_words
+    FROM w GROUP BY 1"""
+
   /** Vocabulary building: the corpus-wide token frequency table, ranked —
     * the aggregation that feeds tokenizer training (BPE seed vocab,
     * frequency cutoffs) and corpus drift monitoring. Shape: explode to
