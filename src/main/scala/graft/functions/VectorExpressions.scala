@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 
 /** Element accessors shared by the vector expressions: FLOAT and DOUBLE
   * arrays are both accepted natively, so callers feed parquet
@@ -93,6 +93,69 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native integer dot product over int8-quantization code arrays
+  * (`vec_dot_int(array<int>, array<int>) -> bigint`).
+  *
+  * The compressed ANN serving path scores every (query, candidate) pair by
+  * an integer dot product; the HOF form
+  * `aggregate(zip_with(a, b, (x, y) -> cast(x as bigint) * y), 0L, ...)`
+  * is CodegenFallback — interpreted, one zipped array allocation per pair —
+  * in the hottest loop of the scan. Same tight-primitive-loop treatment as
+  * [[VecDot]]; exactness is structural (int×int sums are order-free), so
+  * there is no fold-order discipline to preserve — any summation order
+  * matches the DuckDB oracle bit-for-bit.
+  *
+  * Null contract mirrors [[VecDot]]: null array → null; elements expected
+  * non-null (quantization codes). */
+case class VecDotInt(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  private def isIntVec(t: DataType): Boolean = t match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isIntVec(left.dataType) && isIntVec(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot_int requires array<int> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_dot_int"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += xs.getInt(i).toLong * ys.getInt(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        long $acc = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          $acc += (long) $a.getInt($i) * (long) $b.getInt($i);
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotInt =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Register `vec_dot` in the session's function registry so it is usable
     * from `expr(...)`/SQL. Idempotent. */
@@ -100,6 +163,8 @@ object VectorFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "vec_dot_int", exprs => VecDotInt(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(

@@ -192,6 +192,46 @@ object IvfIndex {
     sink.read(spark, layer, name)
   }
 
+  /** Compressed-code encode passes this JVM has run (int8 + PQ) — the
+    * test-visible proof that a warm compressed query path scans codes at
+    * rest and re-quantizes NOTHING. */
+  val codeBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Version of the int8 quantization recipe (scale = max|v|/127, round
+    * half-up codes, zero-vector scale 1.0) — bump on recipe changes so the
+    * persistent cache never serves codes built by older code. */
+  private val Int8Version = "c1"
+
+  /** The int8 code table `(vec_id, scale, q, qq)` for `dir`'s embeddings —
+    * quantize-on-write materialized once per corpus fingerprint, so the
+    * compressed serving path ([[Similarity.annInt8TopK]]) reads 4×-smaller
+    * codes at rest instead of re-quantizing the float corpus per query.
+    * At 100 TB this is the difference between the compressed index
+    * fitting in cluster RAM and every query re-paying a full float scan. */
+  def int8Codes(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val sink = new ParquetSink(cacheRoot)
+    val name = s"int8_codes_${Int8Version}_${fingerprint(spark, dir)}"
+    buildIfAbsent(spark, sink, name) {
+      codeBuilds.incrementAndGet()
+      Similarity.int8Codes(spark, dir)
+    }
+    sink.read(spark, layer, name)
+  }
+
+  /** The PQ code table `(vec_id, subspace, centroid_id)` — encode-on-write
+    * against the cached codebooks ([[pqCodebooks]]), materialized once per
+    * corpus fingerprint. ADC serving then touches only codes + broadcast
+    * lookup tables: the 128×-compressed scan PQ exists for. */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val sink = new ParquetSink(cacheRoot)
+    val name = s"pq_codes_${pqAlgoVersion}_${fingerprint(spark, dir)}"
+    buildIfAbsent(spark, sink, name) {
+      codeBuilds.incrementAndGet()
+      Similarity.pqAssignCodes(spark, dir, pqCodebooks(spark, dir))
+    }
+    sink.read(spark, layer, name)
+  }
+
   /** Drop every cached index under [[cacheRoot]] (tests; data migrations
     * would instead let fingerprints age out naturally). */
   def clearCache(spark: SparkSession): Unit = synchronized {
@@ -221,4 +261,17 @@ object IvfIndex {
   val pqRegistryModel: Registry.Model =
     Registry.Model("ann_pq_codebooks", layer, Registry.Table, Seq.empty,
       (s, dir, _) => Similarity.pqCodebooks(s, dir))
+
+  /** The int8 code table as a DAG node — quantize-on-write scheduled with
+    * the same cadence as the embedding refresh it compresses. */
+  val int8RegistryModel: Registry.Model =
+    Registry.Model("ann_int8_codes", layer, Registry.Table, Seq.empty,
+      (s, dir, _) => Similarity.int8Codes(s, dir))
+
+  /** The PQ code table as a DAG node downstream of the codebooks —
+    * `Registry.run` trains codebooks then encodes in dependency order. */
+  val pqCodesRegistryModel: Registry.Model =
+    Registry.Model("ann_pq_codes", layer, Registry.Table,
+      Seq("ann_pq_codebooks"),
+      (s, dir, up) => Similarity.pqAssignCodes(s, dir, up("ann_pq_codebooks")))
 }

@@ -786,30 +786,47 @@ object Similarity {
     * Ranking ties break on neighbor id. Same pinned query set and
     * O(Q·N·d) brute-force shape as [[annTopK]] — the bucketed variants
     * compose orthogonally (quantize the lists of the IVF index). */
-  def annInt8TopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val codes = embeddings(spark, dir)
+  /** The int8 code table `(vec_id, scale, q, qq)` — quantize-on-write: one
+    * map-only pass over the float embeddings producing, per vector, the
+    * scale, the int8 code array, and the exact integer squared code norm.
+    * This is the BUILD pass; [[IvfIndex.int8Codes]] materializes it once
+    * per corpus fingerprint and [[annInt8TopK]] serves from that table,
+    * so compressed queries scan codes AT REST (4× less IO than the floats)
+    * instead of re-paying quantization of the whole corpus per query.
+    * Every column round-trips parquet exactly (double / int array /
+    * bigint), so served codes are bit-identical to a fresh pass. */
+  def int8Codes(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
       .withColumn("max_abs", expr(
         "aggregate(vec, cast(0.0 as double), (a, x) -> greatest(a, abs(cast(x as double))))"))
       .withColumn("scale", expr(
         "CASE WHEN max_abs = 0.0 THEN 1.0 ELSE max_abs / 127.0 END"))
       .withColumn("q", expr(
         "transform(vec, x -> cast(round(cast(x as double) / scale) as int))"))
-      // integer self dot product = squared code norm (exact)
-      .withColumn("qq", expr(
-        "aggregate(zip_with(q, q, (a, b) -> cast(a as bigint) * b), 0L, (acc, x) -> acc + x)"))
+      // integer self dot product = squared code norm (exact, order-free)
+      .withColumn("qq", expr("vec_dot_int(q, q)"))
       .select("vec_id", "scale", "q", "qq")
-    val qside = codes.filter(annQueryFilter)
+
+  def annInt8TopK(spark: SparkSession, dir: String, k: Int = 5,
+      codes: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(spark)
+    // served from the materialized code table (built once per data
+    // fingerprint) — the whole query, both sides, touches only codes
+    val codeTab = codes.getOrElse(IvfIndex.int8Codes(spark, dir))
+    val qside = codeTab.filter(annQueryFilter)
       .select(col("vec_id").as("query_id"), col("q").as("qa"),
         col("scale").as("sa"), col("qq").as("qqa"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     qside.join(
-        codes.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
+        codeTab.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
           col("scale").as("sb"), col("qq").as("qqb")),
         col("query_id") =!= col("neighbor_id"))
-      .withColumn("dot_int", expr(
-        "aggregate(zip_with(qa, qb, (a, b) -> cast(a as bigint) * b), 0L, (acc, x) -> acc + x)"))
+      // native codegen'd integer dot — the old aggregate(zip_with(...))
+      // was an interpreted HOF allocating a zipped array per pair in the
+      // scan's hottest loop
+      .withColumn("dot_int", expr("vec_dot_int(qa, qb)"))
       // cosine of the DEQUANTIZED vectors: (sa·sb·dot)/(sa·|qa|·sb·|qb|)
       // — scales cancel, so it is the pure code-space cosine
       .withColumn("cosine",
@@ -870,16 +887,38 @@ object Similarity {
     * contributions are floor(·1e6)-quantized BIGINTs so the 4-way sum is
     * order-free exact (the BM25 discipline); ranking ties break on
     * neighbor id. */
+  /** The PQ code table `(vec_id, subspace, centroid_id)` — encode-on-write:
+    * one assignment pass per subspace against the (broadcast) trained
+    * codebooks. This is the BUILD pass; [[IvfIndex.pqCodes]] materializes
+    * it once per corpus fingerprint next to the cached codebooks, and
+    * [[annPqAdc]]'s database side serves from it — the 2-byte-per-subspace
+    * scan the 128× compression promises, instead of re-encoding the float
+    * corpus on every query. Longs round-trip parquet exactly. */
+  def pqAssignCodes(spark: SparkSession, dir: String,
+      books: DataFrame): DataFrame =
+    (0 until PqSubspaces).map { s =>
+      val book = books.filter(col("subspace") === s).drop("subspace")
+      assignToCentroids(pqBase(spark, dir, s), book)
+        .withColumn("subspace", lit(s))
+        .select("vec_id", "subspace", "centroid_id")
+    }.reduce(_ unionByName _)
+
   def annPqAdc(spark: SparkSession, dir: String, k: Int = 5,
       codebooks: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // train-once / serve-many: codebooks come from the materialized index
-    // cache (one Lloyd training per corpus fingerprint), not a per-query
-    // training pass — same lifecycle as IvfIndex.centroids
+    // train-once / serve-many: codebooks AND codes come from the
+    // materialized index cache (one Lloyd training + one encode pass per
+    // corpus fingerprint), not per-query passes — same lifecycle as
+    // IvfIndex.centroids. An explicit `codebooks` frame (tests) bypasses
+    // the cache entirely: codes are re-derived from it inline.
     val books = codebooks.getOrElse(IvfIndex.pqCodebooks(spark, dir))
+    val codeTab = codebooks match {
+      case Some(b) => pqAssignCodes(spark, dir, b)
+      case None => IvfIndex.pqCodes(spark, dir)
+    }
     val perSub = (0 until PqSubspaces).map { s =>
       val book = books.filter(col("subspace") === s).drop("subspace")
-      val codes = assignToCentroids(pqBase(spark, dir, s), book)
+      val codes = codeTab.filter(col("subspace") === s).drop("subspace")
         // carry the assigned centroid's squared norm (1e6-quantized so the
         // 4-way reconstruction-norm sum is order-free like the dot sum)
         .join(broadcast(book.select(col("centroid_id"),

@@ -53,6 +53,51 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("int8: cold query encodes once; warm serving scans codes at rest") {
+    withFreshCache {
+      val before = IvfIndex.codeBuilds.get
+      val served = Similarity.annInt8TopK(spark, Sf0001)
+      assert(served.count() > 0)
+      assert(IvfIndex.codeBuilds.get == before + 1,
+        "first compressed query against a cold cache quantizes exactly once")
+      val warm = Similarity.annInt8TopK(spark, Sf0001)
+      assert(warm.count() > 0)
+      assert(IvfIndex.codeBuilds.get == before + 1,
+        "warm compressed queries must serve from the materialized code " +
+          "table and re-quantize NOTHING")
+      // the whole point of int8 at scale is the 4×-smaller scan: the warm
+      // serve plan must read the code table, never embeddings.parquet
+      val scans = warm.queryExecution.executedPlan.collectLeaves().mkString("\n")
+      assert(!scans.contains("embeddings.parquet"),
+        s"warm int8 serving must not scan the float table:\n$scans")
+      assert(scans.contains("int8_codes_"),
+        s"warm int8 serving must scan the materialized code table:\n$scans")
+      // served codes are bit-identical to a fresh quantization pass
+      val fresh = Similarity.annInt8TopK(spark, Sf0001,
+        codes = Some(Similarity.int8Codes(spark, Sf0001)))
+        .collect().map(_.toSeq).toSet
+      assert(served.collect().map(_.toSeq).toSet == fresh,
+        "double/int/bigint round-trip parquet exactly; served codes must " +
+          "not perturb a single cosine or rank")
+    }
+  }
+
+  test("pq: codes materialize once; warm ADC database side scans codes only") {
+    withFreshCache {
+      val before = IvfIndex.codeBuilds.get
+      assert(Similarity.annPqAdc(spark, Sf0001).count() > 0)
+      assert(IvfIndex.codeBuilds.get == before + 1,
+        "cold cache encodes the PQ codes exactly once")
+      val warm = Similarity.annPqAdc(spark, Sf0001)
+      assert(warm.count() > 0)
+      assert(IvfIndex.codeBuilds.get == before + 1,
+        "warm ADC serving reads the materialized code table — zero encode passes")
+      val scans = warm.queryExecution.executedPlan.collectLeaves().mkString("\n")
+      assert(scans.contains("pq_codes_"),
+        s"warm ADC must serve the database side from the code table:\n$scans")
+    }
+  }
+
   test("served centroids are bit-identical to fresh training") {
     withFreshCache {
       val served = Similarity.annIvfTopK(spark, Sf0001)
