@@ -427,6 +427,12 @@ object Queries {
       (s, d) => ops.Similarity.annPqAdc(s, d),
       ops.Similarity.annPqAdcOracle()),
 
+    Spec("ann_ivf_rerank",
+      Seq("query_id" -> P, "neighbor_id" -> P, "rank" -> I, "cosine" -> P),
+      Seq("query_id", "rank"),
+      (s, d) => ops.Similarity.annIvfAdcRerank(s, d),
+      ops.Similarity.annIvfAdcRerankOracle()),
+
     Spec("ann_rrf_fusion",
       Seq("query_id" -> P, "rank" -> I, "neighbor_id" -> P, "rrf" -> P),
       Seq("query_id", "rank"),

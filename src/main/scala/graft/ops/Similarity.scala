@@ -1127,4 +1127,232 @@ object Similarity {
       FROM pairs)
     SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
     FROM ranked WHERE rank <= $k"""
+
+  // ---- Two-stage retrieval: IVF-ADC candidates + exact rerank ----
+
+  /** Probe count for the two-stage path: one rung BELOW the single-stage
+    * default ([[IvfNProbe]] = 8). Candidate-set recall@5 at sf0.001 is
+    * 0.90 at nprobe=7 (measured on the same ladder as AnnRecallSpec), and
+    * the exact rerank recovers everything the candidate set contains —
+    * so the two-stage path meets the 0.9 floor while its expensive
+    * full-precision stage touches only [[RerankC]] vectors per query
+    * instead of every vector in 8 probed lists. */
+  val IvfRerankNProbe = 7
+
+  /** Candidates kept past the ADC stage for exact rerank. At the verified
+    * SFs a probe set holds ~nprobe·N/k ≈ 440–875 candidates; keeping 50
+    * bounds the float-precision stage at Q×50 rows while losing nothing
+    * the coarse ADC ranking placed plausibly near the top (recall floor
+    * pinned in AnnRecallSpec). At production scale C stays fixed as
+    * N/k grows √N — the rerank stage's cost is O(Q·C·d) regardless of
+    * corpus size. */
+  val RerankC = 50
+
+  /** FAISS-style `IVF,PQ+refine` two-stage retrieval
+    * (Jégou/Douze/Schmid 2011 §V): the query probes its [[IvfRerankNProbe]]
+    * nearest inverted lists, every candidate in those lists is scored by
+    * ADC against the materialized PQ code table (2 bytes/subspace at
+    * rest — no float IO), the top-[[RerankC]] by ADC cosine survive, and
+    * only those C are re-scored with the exact sequential-fold cosine and
+    * ranked. Output is exact-cosine ranked, so the oracle's final stage is
+    * the same bit-exact fold as [[annTopK]].
+    *
+    * Scale shape: probe selection is Q×k against broadcast centroids;
+    * candidate generation reads only (vec_id, centroid_id) off the
+    * partitioned lists (column pruning — floats unread) against the
+    * broadcast Q×nprobe probe set; ADC scoring touches codes + broadcast
+    * lookup tables; the final float fetch is a broadcast semi-join of
+    * Q×C ids against the embeddings table. The full-precision read is
+    * thus C rows per query vs nprobe·N/k for the single-stage IVF path —
+    * at N=2²⁸, 50 rows instead of ~100k.
+    *
+    * Determinism: ADC scores are sums of floor(·1e6)-quantized BIGINTs
+    * (order-free), top-C ties break on neighbor id, and the rerank
+    * cosine is the cross-engine bit-exact fold — so the C-cut and the
+    * final ranking are stable across engines. */
+  def annIvfAdcRerank(spark: SparkSession, dir: String, k: Int = 5,
+      nprobe: Int = IvfRerankNProbe, c: Int = RerankC,
+      centroids: Option[DataFrame] = None,
+      codebooks: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = withNorm(spark, dir)
+    val cents = centroids.getOrElse(IvfIndex.centroids(spark, dir))
+    val lists = centroids match {
+      case Some(cs) => buildIvfLists(spark, dir, cs)
+      case None => IvfIndex.lists(spark, dir)
+    }
+    val books = codebooks.getOrElse(IvfIndex.pqCodebooks(spark, dir))
+    val codeTab = codebooks match {
+      case Some(b) => pqAssignCodes(spark, dir, b)
+      case None => IvfIndex.pqCodes(spark, dir)
+    }
+    // probe selection: Q queries × k broadcast centroids, keep nprobe
+    val pw = Window.partitionBy("vec_id")
+      .orderBy(col("dist"), col("centroid_id"))
+    val probes = base.filter(annQueryFilter)
+      .crossJoin(broadcast(cents))
+      .withColumn("dist",
+        col("nrm") - lit(2) * expr("vec_dot(vec, c_vec)") + col("c_nrm"))
+      .withColumn("probe", row_number().over(pw))
+      .filter(col("probe") <= nprobe)
+      .select(col("vec_id").as("query_id"),
+        col("centroid_id").as("ivf_centroid"))
+    // codes keyed by (vec_id, subspace, pq code) + the vector's IVF list:
+    // one vec_id-key join of two code-sized tables (at production scale
+    // this pair would be co-materialized by the index build)
+    val ivfAssign = lists
+      .select(col("vec_id"), col("centroid_id").as("ivf_centroid"))
+    val codesWithIvf = codeTab.join(ivfAssign, Seq("vec_id"))
+    // ADC scoring restricted to probed lists: broadcast the Q×nprobe
+    // probe set and the Q×PqK lookup tables; the big side stays codes
+    val perSub = (0 until PqSubspaces).map { s =>
+      val book = books.filter(col("subspace") === s).drop("subspace")
+      val codes = codesWithIvf.filter(col("subspace") === s).drop("subspace")
+        .join(broadcast(book.select(col("centroid_id"),
+          floor(col("c_nrm") * 1e6).cast("bigint").as("cn_q"))),
+          Seq("centroid_id"))
+      val qtab = pqBase(spark, dir, s).filter(annQueryFilter)
+        .select(col("vec_id").as("query_id"), col("vec").as("a_vec"))
+        .crossJoin(broadcast(
+          book.select(col("centroid_id"), col("c_vec").as("b_vec"))))
+        .select(col("query_id"), col("centroid_id"),
+          floor(expr(dotExpr) * 1e6).cast("bigint").as("dot_q"))
+      codes.join(broadcast(probes), Seq("ivf_centroid"))
+        .join(broadcast(qtab), Seq("query_id", "centroid_id"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("dot_q"), col("cn_q"))
+    }
+    val qn = base.filter(annQueryFilter)
+      .select(col("vec_id").as("query_id"), col("nrm").as("q_nrm"))
+    val cw = Window.partitionBy("query_id")
+      .orderBy(col("adc_cosine").desc, col("neighbor_id"))
+    val topc = perSub.reduce(_ unionByName _)
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("dot_q")).as("score_q"), sum(col("cn_q")).as("recon_q"))
+      .join(broadcast(qn), Seq("query_id"))
+      .withColumn("adc_cosine",
+        (col("score_q") / lit(1e6)) /
+          (sqrt(col("q_nrm")) * sqrt(col("recon_q") / lit(1e6))))
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= c)
+      .select("query_id", "neighbor_id")
+    // exact rerank: Q×C surviving ids broadcast against the float table
+    val qf = base.filter(annQueryFilter)
+      .select(col("vec_id").as("query_id"), col("vec").as("a_vec"),
+        col("nrm").as("na"))
+    val nf = base.select(col("vec_id").as("neighbor_id"),
+      col("vec").as("b_vec"), col("nrm").as("nb"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    nf.join(broadcast(topc), Seq("neighbor_id"))
+      .join(broadcast(qf), Seq("query_id"))
+      .withColumn("cosine", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** The composed oracle: IVF training/assignment CTEs (probe set at
+    * `nprobe`), PQ training/coding/lookup CTEs per subspace, candidate
+    * restriction, BIGINT ADC top-C, then the bit-exact sequential-fold
+    * rerank — each stage the same SQL already proven for the single-stage
+    * oracles it is composed from. */
+  def annIvfAdcRerankOracle(k: Int = 5, nprobe: Int = IvfRerankNProbe,
+      c: Int = RerankC): String = {
+    def sub(s: Int): String = {
+      val lo = s * PqSubDim + 1
+      val hi = (s + 1) * PqSubDim
+      s"""sub_p$s AS (
+      SELECT vec_id, fullvec[$lo:$hi] AS vec FROM pqbase),
+    normed_p$s AS (
+      SELECT vec_id, vec, $normSqlDuck AS nrm FROM sub_p$s),
+    train_p$s AS (
+      SELECT n.* FROM normed_p$s n, pqnn t
+      WHERE ${u16SqlDuck("n.vec_id")} * t.nn
+              < 65536 * ($IvfTrainPerCentroid * $PqK)),
+    cents0_p$s AS (
+      SELECT vec_id AS centroid_id, vec AS c_vec, nrm AS c_nrm FROM (
+        SELECT *, row_number() OVER (ORDER BY vec_id) AS rn FROM train_p$s)
+      WHERE rn <= $PqK),
+    ${(1 to IvfIters).map(i => pqIterCte(s, i)).mkString(",\n    ")},
+    ${assignCteDuck(s"codes_p$s", s"cents${IvfIters}_p$s", s"normed_p$s")},
+    qtab_p$s AS (
+      SELECT q.vec_id AS query_id, c.centroid_id,
+        CAST(floor(list_reduce(list_transform(range(1, len(q.vec) + 1),
+          i -> q.vec[i] * c.c_vec[i]), (x, y) -> x + y) * 1e6) AS BIGINT)
+          AS dot_q
+      FROM normed_p$s q CROSS JOIN cents${IvfIters}_p$s c
+      WHERE q.vec_id IN ($annQueryIdsSql)),
+    contrib_p$s AS (
+      SELECT t.query_id, d.vec_id AS neighbor_id, t.dot_q,
+        CAST(floor(c.c_nrm * 1e6) AS BIGINT) AS cn_q
+      FROM codes_p$s d
+      JOIN cents${IvfIters}_p$s c ON c.centroid_id = d.centroid_id
+      JOIN qtab_p$s t ON d.centroid_id = t.centroid_id
+      WHERE t.query_id != d.vec_id)"""
+    }
+    s"""WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    normed AS (
+      SELECT vec_id, vec, $normSqlDuck AS nrm FROM base),
+    params AS (
+      SELECT ${ivfKSqlDuck("count(*)")} AS k FROM embeddings),
+    $trainCtesDuck,
+    ${(1 to IvfIters).map(kmeansIterCteDuck).mkString(",\n    ")},
+    ${assignCteDuck("assigned", s"cents$IvfIters")},
+    probes AS (
+      SELECT vec_id AS query_id, centroid_id FROM (
+        SELECT n.vec_id, c.centroid_id,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            n.nrm - 2 * list_reduce(list_transform(range(1, len(n.vec) + 1),
+              i -> n.vec[i] * c.c_vec[i]), (x, y) -> x + y) + c.c_nrm,
+            c.centroid_id) AS probe
+        FROM normed n CROSS JOIN cents$IvfIters c
+        WHERE n.vec_id IN ($annQueryIdsSql)) WHERE probe <= $nprobe),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM assigned a JOIN probes p USING (centroid_id)
+      WHERE p.query_id != a.vec_id),
+    pqbase AS (
+      SELECT vec_id, embedding::DOUBLE[] AS fullvec FROM embeddings),
+    pqnn AS (SELECT count(*) AS nn FROM embeddings),
+    qn AS (
+      SELECT vec_id AS query_id,
+        list_reduce(list_transform(range(1, len(fullvec) + 1),
+          i -> fullvec[i] * fullvec[i]), (x, y) -> x + y) AS q_nrm
+      FROM pqbase WHERE vec_id IN ($annQueryIdsSql)),
+    ${(0 until PqSubspaces).map(sub).mkString(",\n    ")},
+    scored AS (
+      SELECT u.query_id, u.neighbor_id, sum(u.dot_q) AS score_q,
+        sum(u.cn_q) AS recon_q
+      FROM (${(0 until PqSubspaces).map(s => s"SELECT * FROM contrib_p$s")
+        .mkString(" UNION ALL ")}) u
+      JOIN cand USING (query_id, neighbor_id)
+      GROUP BY 1, 2),
+    topc AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT s.query_id, s.neighbor_id,
+          row_number() OVER (PARTITION BY s.query_id ORDER BY
+            (s.score_q / 1e6) / (sqrt(q.q_nrm) * sqrt(s.recon_q / 1e6))
+              DESC, s.neighbor_id) AS crank
+        FROM scored s JOIN qn q USING (query_id))
+      WHERE crank <= $c),
+    rrpairs AS (
+      SELECT t.query_id, t.neighbor_id, q.vec AS a_vec, q.nrm AS na,
+        n.vec AS b_vec, n.nrm AS nb
+      FROM topc t
+      JOIN normed q ON q.vec_id = t.query_id
+      JOIN normed n ON n.vec_id = t.neighbor_id),
+    rrscored AS (
+      SELECT query_id, neighbor_id,
+        $dotSqlDuck / (sqrt(na) * sqrt(nb)) AS cosine
+      FROM rrpairs),
+    rrranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM rrscored)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
+    FROM rrranked WHERE rank <= $k"""
+  }
 }

@@ -35,4 +35,24 @@ class AnnRecallSpec extends SparkSpec {
       f"shipped default nprobe=${Similarity.IvfNProbe} recall@5=" +
         f"${byNp(Similarity.IvfNProbe)}%.3f fell below its 0.9 target")
   }
+
+  test("two-stage rerank meets the 0.9 floor at a lower nprobe than " +
+      "the single-stage default") {
+    assert(Similarity.IvfRerankNProbe < Similarity.IvfNProbe,
+      "the rerank path must probe fewer lists than single-stage IVF — " +
+        "that cost saving is its reason to exist")
+    val exact = Similarity.annTopK(spark, Sf0001).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val reranked = Similarity.annIvfAdcRerank(spark, Sf0001).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val per = exact.map { case (q, ex) =>
+      reranked.getOrElse(q, Set.empty[Long]).count(ex).toDouble / ex.size
+    }
+    val recall = per.sum / per.size
+    info(f"nprobe=${Similarity.IvfRerankNProbe} C=${Similarity.RerankC} " +
+      f"recall@5=$recall%.3f")
+    assert(recall >= 0.899,
+      f"two-stage recall@5=$recall%.3f fell below the 0.9 floor — the ADC " +
+        "top-C cut is dropping true neighbors the probed lists contain")
+  }
 }
