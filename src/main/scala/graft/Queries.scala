@@ -571,17 +571,17 @@ object Queries {
       Seq("rank" -> I, "pair_a" -> P, "pair_b" -> P, "merged" -> P,
         "score" -> L),
       Seq("rank"),
-      (s, d) => ops.Bpe.merges(s, d), ops.Bpe.mergesOracle),
+      (s, d) => ops.Bpe.merges(s, d), ops.Bpe.mergesOracle()),
 
     Spec("bpe_segment",
       Seq("word" -> P, "freq" -> L, "segmented" -> P, "n_subwords" -> I),
       Seq("word"),
-      (s, d) => ops.Bpe.segment(s, d), ops.Bpe.segmentOracle),
+      (s, d) => ops.Bpe.segment(s, d), ops.Bpe.segmentOracle()),
 
     Spec("bpe_subword_freq",
       Seq("subword" -> P, "occurrences" -> L),
       Seq("subword"),
-      (s, d) => ops.Bpe.subwordFreq(s, d), ops.Bpe.subwordFreqOracle),
+      (s, d) => ops.Bpe.subwordFreq(s, d), ops.Bpe.subwordFreqOracle()),
 
     Spec("search_bm25",
       Seq("query_id" -> I, "rank" -> I, "doc_id" -> P, "score_q" -> L,
@@ -647,8 +647,8 @@ object Queries {
       ops.SetOps.propsMapStats, ops.SetOps.propsMapStatsOracle),
 
     Spec("multimodal_features",
-      Seq("doc_id" -> P, "media_type" -> P, "n_bytes" -> I, "first_byte" -> I,
-        "checksum" -> L, "stub_width" -> I, "stub_height" -> I),
+      Seq("doc_id" -> P, "media_type" -> P, "n_bytes" -> I,
+        "width" -> I, "height" -> I, "pixel_checksum" -> L),
       Seq("doc_id"), ops.Multimodal.features, ops.Multimodal.featuresOracle))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -41,8 +41,23 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  val NumMerges = 8
+  /** Pinned merge count for the driver rows. 8 was demo-sized; 32 shows
+    * the loop holds at a real (if small) vocabulary scale — per-iteration
+    * cost is dictionary-bounded (≤ [[VocabCap]] rows), so the merge count
+    * dials training depth without ever touching the corpus again. Every
+    * entry point also takes `numMerges` explicitly, with the oracle's CTE
+    * chain unrolled programmatically to the same depth. */
+  val NumMerges = 32
   val VocabCap = 300
+
+  /** Training memo: the merge loop is deterministic given (corpus,
+    * numMerges), and three driver rows (merges / segment / subword_freq)
+    * consume the same training run — memoizing the ~32 tiny sequential
+    * jobs keeps them from re-training per query. Keyed by session
+    * identity so a recycled session never serves another session's
+    * localCheckpoint'd dictionary. */
+  private val trainCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, Int), (Seq[(Int, String, String, String, Long)], DataFrame)]
 
   /** The capped word-frequency dictionary with initial symbol sequences:
     * one space-delimited character per symbol plus the `</w>` end-of-word
@@ -60,12 +75,18 @@ object Bpe {
 
   /** Run the greedy merge loop: returns the learned merge list and the
     * dictionary with fully-merged symbol sequences. */
-  private def trainLoop(spark: SparkSession, dir: String)
-      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+  private def trainLoop(spark: SparkSession, dir: String,
+      numMerges: Int): (Seq[(Int, String, String, String, Long)], DataFrame) =
+    trainCache.getOrElseUpdate(
+      (System.identityHashCode(spark), dir, numMerges),
+      trainLoopUncached(spark, dir, numMerges))
+
+  private def trainLoopUncached(spark: SparkSession, dir: String,
+      numMerges: Int): (Seq[(Int, String, String, String, Long)], DataFrame) = {
     import spark.implicits._
     var v = dict0(spark, dir).localCheckpoint()
     val out = Seq.newBuilder[(Int, String, String, String, Long)]
-    for (i <- 1 to NumMerges) {
+    for (i <- 1 to numMerges) {
       val pairs = v
         .withColumn("syms", split(trim(col("seq")), " "))
         .select(col("freq"), explode(expr(
@@ -86,9 +107,10 @@ object Bpe {
 
   /** The learned merge table: `NumMerges` rows of
     * (rank, pair_a, pair_b, merged, score). */
-  def merges(spark: SparkSession, dir: String): DataFrame = {
+  def merges(spark: SparkSession, dir: String,
+      numMerges: Int = NumMerges): DataFrame = {
     import spark.implicits._
-    spark.createDataset(trainLoop(spark, dir)._1)
+    spark.createDataset(trainLoop(spark, dir, numMerges)._1)
       .toDF("rank", "pair_a", "pair_b", "merged", "score")
   }
 
@@ -99,56 +121,64 @@ object Bpe {
     * map-only pass over the token stream with the merge table broadcast
     * (here it is baked into the expressions — 8 merges = 16 nested
     * literal replaces, one codegen'd projection). */
-  def segment(spark: SparkSession, dir: String): DataFrame =
-    trainLoop(spark, dir)._2
+  def segment(spark: SparkSession, dir: String,
+      numMerges: Int = NumMerges): DataFrame =
+    trainLoop(spark, dir, numMerges)._2
       .select(col("word"), col("freq"), trim(col("seq")).as("segmented"),
         size(split(trim(col("seq")), " ")).as("n_subwords"))
 
   /** The same loop in DuckDB SQL: the data-dependent iteration unrolls to
     * `NumMerges` chained (pairs → argmax → apply) CTE stages — the same
     * programmatic-CTE technique as the k-means training oracles. */
-  def mergesOracle: String = {
+  def mergesOracle(numMerges: Int = NumMerges): String = {
+    // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at each
+    // reference, and v$i is referenced twice by level i+1 — the unrolled
+    // chain would otherwise expand 2^numMerges scans of the corpus (the
+    // 32-merge oracle exhausted file handles before it exhausted time).
+    // Materializing pins each tiny (≤ VocabCap rows) stage to one
+    // evaluation, making the oracle linear in numMerges like the Spark
+    // loop it mirrors.
     def stage(i: Int): String =
-      s"""p$i AS (
+      s"""p$i AS MATERIALIZED (
       SELECT s.syms[t.i] AS a, s.syms[t.i + 1] AS b, sum(s.freq) AS score
       FROM (SELECT freq, string_split(trim(seq), ' ') AS syms FROM v${i - 1}) s,
            UNNEST(generate_series(1, len(s.syms) - 1)) AS t(i)
       GROUP BY 1, 2),
-    m$i AS (
+    m$i AS MATERIALIZED (
       SELECT $i AS rank, a, b, a || b AS merged, score
       FROM p$i ORDER BY score DESC, a, b LIMIT 1),
-    v$i AS (
+    v$i AS MATERIALIZED (
       SELECT word, freq,
         replace(replace(seq, ' ' || m.a || ' ' || m.b || ' ',
                         ' ' || m.merged || ' '),
                 ' ' || m.a || ' ' || m.b || ' ',
                 ' ' || m.merged || ' ') AS seq
       FROM v${i - 1}, m$i m)"""
-    s"""WITH words AS (
+    s"""WITH words AS MATERIALIZED (
       SELECT unnest(string_split(text, ' ')) AS word FROM documents),
     dict AS (
       SELECT word, count(*) AS freq FROM words
       WHERE regexp_full_match(word, '[a-z]+')
       GROUP BY 1 ORDER BY freq DESC, word LIMIT $VocabCap),
-    v0 AS (
+    v0 AS MATERIALIZED (
       SELECT word, freq,
         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' AS seq
       FROM dict),
-    ${(1 to NumMerges).map(stage).mkString(",\n    ")}
+    ${(1 to numMerges).map(stage).mkString(",\n    ")}
     SELECT rank, a AS pair_a, b AS pair_b, merged, score
-    FROM (${(1 to NumMerges).map(i => s"SELECT * FROM m$i")
+    FROM (${(1 to numMerges).map(i => s"SELECT * FROM m$i")
         .mkString(" UNION ALL ")})"""
   }
 
   /** Oracle for [[segment]]: the same unrolled chain, selecting the final
     * symbol state instead of the merge list. */
-  def segmentOracle: String = {
-    val merges = mergesOracle
+  def segmentOracle(numMerges: Int = NumMerges): String = {
+    val merges = mergesOracle(numMerges)
     val prefix = merges.substring(0, merges.lastIndexOf("SELECT rank"))
     s"""$prefix
     SELECT word, freq, trim(seq) AS segmented,
       len(string_split(trim(seq), ' ')) AS n_subwords
-    FROM v$NumMerges"""
+    FROM v$numMerges"""
   }
 
   /** The tokenizer at corpus scale: apply the learned merge table to the
@@ -161,8 +191,9 @@ object Bpe {
     * corpus-side pass is map-only ahead of the single subword-count
     * shuffle; out-of-dictionary words still segment with the same
     * merges, exactly like a served tokenizer. */
-  def subwordFreq(spark: SparkSession, dir: String): DataFrame = {
-    val ms = trainLoop(spark, dir)._1
+  def subwordFreq(spark: SparkSession, dir: String,
+      numMerges: Int = NumMerges): DataFrame = {
+    val ms = trainLoop(spark, dir, numMerges)._1
     val seq0 = "concat(' ', regexp_replace(word, '(.)', '$1 '), '</w> ')"
     val applied = ms.foldLeft(seq0) { case (e, (_, a, b, m, _)) =>
       s"replace(replace($e, ' $a $b ', ' $m '), ' $a $b ', ' $m ')"
@@ -178,10 +209,10 @@ object Bpe {
     * 16 nested replaces applied to every corpus token via a cross join of
     * the 8 one-row merge CTEs (the SQL form of the broadcast merge
     * table). */
-  def subwordFreqOracle: String = {
-    val merges = mergesOracle
+  def subwordFreqOracle(numMerges: Int = NumMerges): String = {
+    val merges = mergesOracle(numMerges)
     val prefix = merges.substring(0, merges.lastIndexOf("SELECT rank"))
-    val applied = (1 to NumMerges).foldLeft(
+    val applied = (1 to numMerges).foldLeft(
       "' ' || regexp_replace(t.word, '(.)', '\\1 ', 'g') || '</w> '") {
       case (e, i) =>
         s"""replace(replace($e, ' ' || m$i.a || ' ' || m$i.b || ' ',
@@ -193,7 +224,7 @@ object Bpe {
       SELECT word FROM words WHERE regexp_full_match(word, '[a-z]+')),
     segmented AS (
       SELECT unnest(string_split(trim($applied), ' ')) AS subword
-      FROM toks t, ${(1 to NumMerges).map(i => s"m$i").mkString(", ")})
+      FROM toks t, ${(1 to numMerges).map(i => s"m$i").mkString(", ")})
     SELECT subword, count(*) AS occurrences
     FROM segmented GROUP BY 1"""
   }

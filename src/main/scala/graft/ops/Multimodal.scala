@@ -7,25 +7,80 @@ import org.apache.spark.sql.functions._
   * metadata, processed in batches via typed `Dataset.mapPartitions` (the
   * Scala analogue of `mapInPandas` batch processing).
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * CLEARLY-MARKED deterministic fake decoder — it derives "dimensions" and
-  * a checksum from the payload bytes. Everything around it is the real
-  * production shape: binary column synthesis, case-class schema with an
-  * `Array[Byte]` payload, per-partition batch iteration (decoder init cost
-  * amortized once per partition, exactly where a codec handle would be
-  * opened), and a narrow no-shuffle plan that scales linearly.
+  * The payloads are REAL images — tiny 24-bit BMPs (54-byte header +
+  * bottom-up BGR pixel rows) synthesized deterministically from
+  * `md5(text)` — and the decoder is the REAL JDK codec
+  * (`javax.imageio.ImageIO`), not a stub: `features` round-trips every
+  * payload through an actual image decode and emits the decoded
+  * dimensions plus a channel-weighted pixel checksum. Because dimensions
+  * and pixel values derive arithmetically from the md5 seed, the DuckDB
+  * oracle PREDICTS what a correct decoder must return without decoding
+  * anything — a wrong stride, flipped row order, or swapped B/R channel
+  * on the Spark side fails the hash compare.
   *
-  * Payloads are synthesized as `unhex(md5(text))` so the DuckDB oracle can
-  * reproduce the identical 16 bytes arithmetically from the hex string.
+  * Scale shape: payload synthesis and decode are narrow per-row maps (no
+  * shuffle); the decode sits in `mapPartitions` so a codec with per-open
+  * cost initializes once per partition, exactly where an ffmpeg/turbojpeg
+  * handle would live in production. `media_type` demonstrates the typed
+  * routing column; this synthetic corpus is all-BMP so every row
+  * exercises the real decoder.
   */
 object Multimodal {
 
   final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
   final case class MediaFeatures(
-    doc_id: Long, media_type: String, n_bytes: Int, first_byte: Int,
-    checksum: Long, stub_width: Int, stub_height: Int)
+    doc_id: Long, media_type: String, n_bytes: Int,
+    width: Int, height: Int, pixel_checksum: Long)
 
-  /** Documents with a synthesized binary media payload + typed metadata. */
+  /** Decoded-image geometry derived from the 16 md5 seed bytes: width and
+    * height in 1..8 (so payloads stay tens-to-hundreds of bytes), pixel
+    * channel c of (x, y) = seed[(x + 7y + 3c) mod 16]. The y and c
+    * multipliers make row order and channel order observable: a
+    * bottom-up/top-down or BGR/RGB mistake changes the checksum. */
+  private def widthOf(seed: Array[Byte]): Int = 1 + (seed(1) & 0xff) % 8
+  private def heightOf(seed: Array[Byte]): Int = 1 + (seed(2) & 0xff) % 8
+  private def pix(seed: Array[Byte], x: Int, y: Int, c: Int): Int =
+    seed((x + 7 * y + 3 * c) % 16) & 0xff
+
+  /** A minimal valid 24bpp BI_RGB BMP: 14-byte file header, 40-byte
+    * BITMAPINFOHEADER, rows bottom-up, each padded to a 4-byte stride. */
+  private[ops] def buildBmp(seed: Array[Byte]): Array[Byte] = {
+    val w = widthOf(seed)
+    val h = heightOf(seed)
+    val stride = ((3 * w + 3) / 4) * 4
+    val size = 54 + stride * h
+    val out = new Array[Byte](size)
+    def le4(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le4(2, size)          // file size
+    le4(10, 54)           // pixel-data offset
+    le4(14, 40)           // BITMAPINFOHEADER size
+    le4(18, w); le4(22, h)
+    out(26) = 1           // planes
+    out(28) = 24          // bits per pixel
+    le4(34, stride * h)   // image size (BI_RGB: informational)
+    var y = h - 1         // bottom-up: first stored row is the last image row
+    var off = 54
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        out(off) = pix(seed, x, y, 2).toByte     // B
+        out(off + 1) = pix(seed, x, y, 1).toByte // G
+        out(off + 2) = pix(seed, x, y, 0).toByte // R
+        x += 1; off += 3
+      }
+      off += stride - 3 * w
+      y -= 1
+    }
+    out
+  }
+
+  /** Documents with a synthesized REAL BMP payload + typed metadata. */
   def media(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     TextOps.documents(spark, dir)
@@ -34,23 +89,34 @@ object Multimodal {
         element_at(
           array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-        unhex(md5(col("text"))).as("payload"))
-      .as[MediaRow]
+        unhex(md5(col("text"))).as("seed"))
+      .as[(Long, String, Array[Byte])]
+      .map { case (id, mt, seed) => MediaRow(id, mt, buildBmp(seed)) }
   }
 
-  /** STUB decoder — deterministic fake in place of a real codec (`???` in
-    * spirit): real deployments swap this body for e.g. javax.imageio /
-    * ffmpeg bindings; the signature and batch shape stay identical. */
-  def decodeStub(r: MediaRow): MediaFeatures = {
-    val b = r.payload.map(_ & 0xff)
-    MediaFeatures(
-      doc_id = r.doc_id,
-      media_type = r.media_type,
-      n_bytes = b.length,
-      first_byte = b(0),
-      checksum = b.map(_.toLong).sum % 997,
-      stub_width = 1 + b(1) % 64,
-      stub_height = 1 + b(2) % 64)
+  /** REAL decode: `javax.imageio` parses the BMP container and hands back
+    * the pixel raster; features are the decoded (not declared) geometry
+    * and a channel-weighted sum (r + 256g + 65536b per pixel — weights
+    * make channel swaps visible; ≤ 64 px × 2²⁴ keeps the exact sum far
+    * inside a long). */
+  def decode(r: MediaRow): MediaFeatures = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.payload))
+    require(img != null, s"payload of doc ${r.doc_id} is not a decodable image")
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sum += ((rgb >> 16) & 0xff) + 256L * ((rgb >> 8) & 0xff) +
+          65536L * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    MediaFeatures(r.doc_id, r.media_type, r.payload.length,
+      img.getWidth, img.getHeight, sum)
   }
 
   /** Batch feature extraction: one decoder "session" per partition. */
@@ -58,15 +124,18 @@ object Multimodal {
     import spark.implicits._
     media(spark, dir)
       .mapPartitions { batch =>
-        // decoder/codec init would happen here, once per partition
-        batch.map(decodeStub)
+        // codec init would happen here, once per partition (ImageIO's
+        // reader registry is static, so the JDK path needs none)
+        batch.map(decode)
       }
       .toDF()
-      .select("doc_id", "media_type", "n_bytes", "first_byte",
-        "checksum", "stub_width", "stub_height")
+      .select("doc_id", "media_type", "n_bytes", "width", "height",
+        "pixel_checksum")
   }
 
-  /** Oracle: reproduces the byte arithmetic from the md5 hex string. */
+  /** Oracle: predicts the decoder's output arithmetically from the md5
+    * hex — dimensions from seed bytes 2/3, payload size from the padded
+    * stride, checksum by regenerating every pixel channel. */
   def featuresOracle: String =
     """WITH h AS (
       SELECT doc_id, md5(text) AS hex,
@@ -78,12 +147,20 @@ object Multimodal {
         list_transform(range(1, 17),
           i -> (strpos('0123456789abcdef', substr(hex, 2*i - 1, 1)) - 1) * 16
              + (strpos('0123456789abcdef', substr(hex, 2*i, 1)) - 1)) AS bytes
-      FROM h)
+      FROM h),
+    g AS (
+      SELECT doc_id, media_type, bytes,
+        1 + bytes[2] % 8 AS w, 1 + bytes[3] % 8 AS h
+      FROM b)
     SELECT doc_id, media_type,
-      CAST(len(bytes) AS INTEGER) AS n_bytes,
-      CAST(bytes[1] AS INTEGER) AS first_byte,
-      CAST(list_sum(bytes) % 997 AS BIGINT) AS checksum,
-      CAST(1 + bytes[2] % 64 AS INTEGER) AS stub_width,
-      CAST(1 + bytes[3] % 64 AS INTEGER) AS stub_height
-    FROM b"""
+      CAST(54 + ((3*w + 3) // 4) * 4 * h AS INTEGER) AS n_bytes,
+      CAST(w AS INTEGER) AS width,
+      CAST(h AS INTEGER) AS height,
+      CAST(list_sum(flatten(list_transform(range(0, h), y ->
+        list_transform(range(0, w), x ->
+          bytes[(x + 7*y) % 16 + 1]
+          + 256 * bytes[(x + 7*y + 3) % 16 + 1]
+          + 65536 * bytes[(x + 7*y + 6) % 16 + 1]))))
+        AS BIGINT) AS pixel_checksum
+    FROM g"""
 }

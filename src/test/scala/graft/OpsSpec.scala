@@ -197,11 +197,19 @@ class OpsSpec extends SparkSpec {
     assert(sessions.filter(col("duration_secs") < 0).count() == 0)
   }
 
-  test("multimodal stub decode is deterministic and byte-derived") {
+  test("multimodal payloads are real BMPs and ImageIO decode matches " +
+      "the seed arithmetic") {
     val f = Multimodal.features(spark, Sf0001)
-    assert(f.filter(col("n_bytes") =!= 16).count() == 0)
-    assert(f.filter(col("stub_width") < 1 || col("stub_width") > 64).count() == 0)
+    // decoded (not declared) dimensions land in the synthesis range
+    assert(f.filter(col("width") < 1 || col("width") > 8).count() == 0)
+    assert(f.filter(col("height") < 1 || col("height") > 8).count() == 0)
+    // payload size includes header + 4-byte-padded stride rows
+    assert(f.filter(col("n_bytes") < 54 + 4).count() == 0)
     assert(f.select("media_type").distinct().count() == 3)
+    // a doctored payload (row order flipped by negating the height field
+    // would change the checksum) — prove the checksum really comes from
+    // decoded pixels: two docs with different texts must disagree
+    assert(f.select("pixel_checksum").distinct().count() > 1)
   }
 
   test("language id picks the profile with most function-word hits") {
