@@ -299,7 +299,7 @@ object Similarity {
     * term a deterministic sequential fold, tie-broken by centroid id via
     * struct-min — so assignment is bit-stable across engines. The centroid
     * side broadcasts (k rows); assignment is one map-side pass over N. */
-  private def assignToCentroids(base: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def assignToCentroids(base: DataFrame, cents: DataFrame): DataFrame =
     base.select(col("vec_id"), col("vec"), col("nrm"))
       .crossJoin(broadcast(cents))
       .withColumn("dist",
@@ -379,19 +379,13 @@ object Similarity {
 
   def ivfCentroids(spark: SparkSession, dir: String,
       numVectors: Option[Long] = None): DataFrame = {
-    IvfIndex.trainings.incrementAndGet()
     val base = withNorm(spark, dir)
     // k sized from metadata, not a count() job — same discipline as
     // cosineNearDup's banding
     val n = numVectors
       .orElse(graft.sources.ParquetStats.rowCount(spark, s"$dir/embeddings.parquet"))
       .getOrElse(base.count())
-    val k = ivfK(n)
-    // deterministic hash-capped training set (all rows at verified SFs)
-    val train = base.filter(
-      expr(u16Expr("vec_id")).cast("long") * lit(n) <
-        lit(65536L) * (IvfTrainPerCentroid.toLong * k))
-    deterministicKmeans(spark, train, k)
+    retrainFrom(spark, base, n)
   }
 
   /** IVF ANN: k-means coarse quantizer (trained once and served from the
@@ -406,11 +400,42 @@ object Similarity {
     * `centroid_id` — the on-disk layout IS the index: a probe of p
     * centroids reads p list directories and leaves the other k−p
     * untouched. */
-  private[ops] def buildIvfLists(spark: SparkSession, dir: String,
-      cents: DataFrame): DataFrame = {
-    val base = withNorm(spark, dir)
+  private[graft] def buildIvfLists(spark: SparkSession, dir: String,
+      cents: DataFrame): DataFrame =
+    buildListsFrom(withNorm(spark, dir), cents)
+
+  /** Inverted-list rows for an arbitrary `(vec_id, vec, nrm)` frame —
+    * the assignment seam shared by the full build above and the
+    * streaming maintenance path ([[graft.streaming.StreamingOps
+    * .streamIntoIvfLists]]), which assigns each micro-batch against the
+    * frozen quantizer. */
+  private[graft] def buildListsFrom(base: DataFrame,
+      cents: DataFrame): DataFrame =
     assignToCentroids(base, cents)
       .join(base.select(col("vec_id"), col("vec"), col("nrm")), Seq("vec_id"))
+
+  /** `(vec_id, vec, nrm)` from a raw `(vec_id, embedding)` batch — the
+    * norm pass a streaming ingest runs per micro-batch. */
+  private[graft] def normedBatch(batch: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(batch.sparkSession)
+    batch.withColumn("vec", col("embedding"))
+      .withColumn("nrm", expr(normExpr))
+      .select("vec_id", "vec", "nrm")
+  }
+
+  /** Retrain the coarse quantizer from an arbitrary `(vec_id, vec, nrm)`
+    * frame (the warehouse lists table, in the staleness-rebuild path) —
+    * same k sizing, hash-capped training sample, and deterministic Lloyd
+    * loop as [[ivfCentroids]], so a rebuild from warehouse rows is
+    * bit-identical to a fresh build from the source table. */
+  private[graft] def retrainFrom(spark: SparkSession, base: DataFrame,
+      n: Long): DataFrame = {
+    IvfIndex.trainings.incrementAndGet()
+    val k = ivfK(n)
+    val train = base.filter(
+      expr(u16Expr("vec_id")).cast("long") * lit(n) <
+        lit(65536L) * (IvfTrainPerCentroid.toLong * k))
+    deterministicKmeans(spark, train, k)
   }
 
   def annIvfTopK(spark: SparkSession, dir: String, k: Int = 5,

@@ -447,6 +447,79 @@ object StreamingOps {
     }
   }
 
+  /** Streaming ANN index maintenance: drive a file stream of raw
+    * `(vec_id, embedding)` vectors into the partitioned IVF lists table.
+    * Each micro-batch is assigned against the FROZEN coarse quantizer
+    * `cents` — a map-only pass (norms + argmin over k broadcast
+    * centroids) — and upserted by `vec_id` through the sink's merge, so
+    * redelivered vectors land exactly once and the on-disk
+    * `PARTITION BY centroid_id` layout (the index) stays probe-prunable
+    * throughout.
+    *
+    * Staleness bound: assignment quality degrades as the corpus drifts
+    * from the distribution the quantizer trained on, so the ingest
+    * counts vectors added under the frozen centroids and, past
+    * `staleLimit`, retrains the quantizer FROM THE WAREHOUSE TABLE
+    * (same k sizing, training sample, and deterministic Lloyd loop as a
+    * fresh build — [[graft.ops.Similarity.retrainFrom]]) and rewrites
+    * the assignments. Training inputs round-trip parquet exactly, so the
+    * rebuilt index is bit-identical to one built from the source table —
+    * StreamingSpec pins both paths against a fresh
+    * [[graft.ops.Similarity.buildIvfLists]].
+    *
+    * Scale: per batch the big side is the batch itself (centroids
+    * broadcast, k ≤ 16384); the merge is one equi-join against the
+    * target keyed on `vec_id`. The rebuild is the only corpus-sized step
+    * and runs at most once per `staleLimit` ingested vectors — the
+    * amortized maintenance cost production IVF systems accept (FAISS
+    * re-trains offline on the same cadence).
+    *
+    * Returns (final lists table, vectors ingested this run). */
+  def streamIntoIvfLists(spark: SparkSession, streamDir: String,
+      cents: DataFrame, sink: graft.pipeline.TableSink, layer: String,
+      name: String, staleLimit: Long = Long.MaxValue,
+      maxFilesPerTrigger: Int = 1): (DataFrame, Long) = {
+    import graft.ops.Similarity
+    val layout = graft.pipeline.TableLayout(partitionBy = Seq("centroid_id"))
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_ckpt_ivf_$name")
+    var ingested = 0L
+    try {
+      val schema = spark.read.parquet(streamDir).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(streamDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val assigned = Similarity.buildListsFrom(
+            Similarity.normedBatch(batch), cents)
+            .select("vec_id", "centroid_id", "vec", "nrm")
+          if (sink.exists(spark, layer, name))
+            sink.merge(spark, layer, name, assigned, "vec_id", layout)
+          else sink.overwrite(spark, layer, name, assigned, layout)
+          ingested += batch.count()
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      if (ingested > staleLimit) {
+        // the quantizer is past its drift budget: retrain from the
+        // warehouse rows and rewrite the assignments in place
+        val all = sink.read(spark, layer, name)
+          .select("vec_id", "vec", "nrm").localCheckpoint()
+        val fresh = Similarity.retrainFrom(spark, all, all.count())
+        sink.overwrite(spark, layer, name,
+          Similarity.buildListsFrom(all, fresh)
+            .select("vec_id", "centroid_id", "vec", "nrm"), layout)
+      }
+      (sink.read(spark, layer, name), ingested)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(ckpt.toUri)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
   /** Run a streaming query over `df` into an in-memory table and block
     * until the (file-bounded) stream drains. Returns the result table. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

@@ -416,6 +416,53 @@ class RegistrySpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS silver.drift_probe")
   }
 
+  test("registry two-run incremental widens through the MERGE branch " +
+      "(append_new_columns × merge-capable sink)") {
+    import spark.implicits._
+    // the last policy×sink cell: a REGISTRY-scheduled incremental model
+    // whose second run drifts wider, routed through the real-MERGE branch
+    // via the fake-mergeable seam (no Delta/Iceberg jar offline)
+    val M = ("""MERGE INTO (\S+) t USING (\S+) s ON t\.(\S+) = s\.(\S+)\n""" +
+      """WHEN MATCHED THEN UPDATE SET \*\nWHEN NOT MATCHED THEN INSERT \*""").r
+    var merges = 0
+    val sink = new graft.pipeline.CatalogSink("parquet",
+        mergeCapableOverride = Some(true)) {
+      override protected def executeMerge(s: org.apache.spark.sql.SparkSession,
+          statement: String): Unit = statement match {
+        case M(target, src, k1, _) =>
+          merges += 1
+          assert(s.table(src).columns.toSeq == s.table(target).columns.toSeq,
+            "source must be aligned to the (already-widened) target")
+          val merged = graft.pipeline.Incremental.merge(
+            s.table(target), s.table(src), k1)
+          val rows = merged.collect().toSeq
+          s.createDataFrame(
+            new java.util.ArrayList(scala.jdk.CollectionConverters
+              .SeqHasAsJava(rows).asJava), merged.schema)
+            .write.mode("overwrite").format("parquet").saveAsTable(target)
+        case other => fail(s"malformed MERGE statement:\n$other")
+      }
+    }
+    var src = Seq((1L, 1998, "a"), (2L, 1998, "b")).toDF("id", "yr", "v")
+    val mdl = Seq(Registry.Model("cat_inc_widen", "gold",
+      Registry.Incremental(Some("id"), "yr",
+        graft.pipeline.Incremental.AppendNewColumns),
+      Seq.empty, (_, _, _) => src))
+    Registry.run(spark, Sf0001, sink, all = mdl)
+    assert(merges == 0, "first run full-builds — no MERGE")
+    // run 2: the model's output drifts wider (a new upstream column)
+    src = Seq((2L, 1998, "B", "x2"), (3L, 1999, "c", "x3"))
+      .toDF("id", "yr", "v", "extra")
+    val out = Registry.run(spark, Sf0001, sink, all = mdl)("cat_inc_widen")
+    assert(merges == 1, "second run must route through the MERGE branch")
+    assert(out.columns.toSeq == Seq("id", "yr", "v", "extra"),
+      "append_new_columns must widen the catalog table via ALTER")
+    assert(out.as[(Long, Int, String, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, 1998, "a", null), (2L, 1998, "B", "x2"), (3L, 1999, "c", "x3")),
+      "pre-drift rows read NULL in the new column; merged rows carry it")
+    spark.sql("DROP TABLE IF EXISTS gold.cat_inc_widen")
+  }
+
   test("state:modified manifest — stable fingerprints, edit detection, defer") {
     import org.apache.spark.sql.functions._
     // fingerprints are deterministic across manifest() calls (canonicalized

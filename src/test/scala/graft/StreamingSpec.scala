@@ -257,4 +257,52 @@ class StreamingSpec extends SparkSpec {
       .filter(finalCounts("n") =!= batchCounts("n")).count()
     assert(mismatches == 0)
   }
+
+  test("streaming IVF maintenance equals a fresh rebuild after N micro-batches") {
+    import graft.ops.{IvfIndex, Similarity}
+    val feed = java.nio.file.Files.createTempDirectory("graft_ivf_feed").toString
+    spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .repartition(4).write.mode("overwrite").parquet(feed)
+    val cents = IvfIndex.centroids(spark, Sf0001)
+    val fresh = Similarity.buildIvfLists(spark, Sf0001, cents)
+      .select("vec_id", "centroid_id").collect().map(_.toSeq).toSet
+    val wh = new graft.pipeline.ParquetSink(
+      java.nio.file.Files.createTempDirectory("graft_ivf_wh").toString)
+    // 4 files, one per trigger: batches 2..4 exercise the merge path
+    val (streamed, n) = StreamingOps.streamIntoIvfLists(
+      spark, feed, cents, wh, "ann", "ivf_lists_stream")
+    assert(n == spark.read.parquet(feed).count(),
+      "every streamed vector must be ingested exactly once")
+    assert(streamed.select("vec_id", "centroid_id")
+      .collect().map(_.toSeq).toSet == fresh,
+      "incrementally-maintained lists must equal a fresh full build " +
+        "under the frozen quantizer")
+    // the on-disk layout must remain the index: one directory per list
+    val root = streamed.queryExecution.executedPlan.collectLeaves().mkString
+    assert(root.contains("ivf_lists_stream"))
+    assert(streamed.schema.fieldNames.contains("centroid_id"))
+  }
+
+  test("IVF maintenance past the staleness bound retrains from the warehouse") {
+    import graft.ops.{IvfIndex, Similarity}
+    val feed = java.nio.file.Files.createTempDirectory("graft_ivf_feed2").toString
+    spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .repartition(2).write.mode("overwrite").parquet(feed)
+    val cents = IvfIndex.centroids(spark, Sf0001)
+    val wh = new graft.pipeline.ParquetSink(
+      java.nio.file.Files.createTempDirectory("graft_ivf_wh2").toString)
+    val before = IvfIndex.trainings.get
+    // staleLimit 0: the drain itself exceeds the drift budget
+    val (rebuilt, _) = StreamingOps.streamIntoIvfLists(
+      spark, feed, cents, wh, "ann", "ivf_lists_stale", staleLimit = 0L)
+    assert(IvfIndex.trainings.get == before + 1,
+      "exceeding the staleness bound must retrain the quantizer once")
+    // warehouse rows round-trip parquet exactly, so the rebuild is
+    // bit-identical to training + assigning from the source table
+    val fresh = Similarity.buildIvfLists(spark, Sf0001,
+      Similarity.ivfCentroids(spark, Sf0001))
+      .select("vec_id", "centroid_id").collect().map(_.toSeq).toSet
+    assert(rebuilt.select("vec_id", "centroid_id")
+      .collect().map(_.toSeq).toSet == fresh)
+  }
 }
