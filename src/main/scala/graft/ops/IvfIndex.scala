@@ -199,37 +199,73 @@ object IvfIndex {
 
   /** Version of the int8 quantization recipe (scale = max|v|/127, round
     * half-up codes, zero-vector scale 1.0) — bump on recipe changes so the
-    * persistent cache never serves codes built by older code. */
-  private val Int8Version = "c1"
+    * persistent cache never serves codes built by older code. c2: codes
+    * carry their IVF list id at rest, partitioned by it. */
+  private val Int8Version = "c2"
 
-  /** The int8 code table `(vec_id, scale, q, qq)` for `dir`'s embeddings —
-    * quantize-on-write materialized once per corpus fingerprint, so the
-    * compressed serving path ([[Similarity.annInt8TopK]]) reads 4×-smaller
-    * codes at rest instead of re-quantizing the float corpus per query.
-    * At 100 TB this is the difference between the compressed index
-    * fitting in cluster RAM and every query re-paying a full float scan. */
+  /** Version of the PQ code-table shape (c2 = ivf_centroid co-materialized
+    * + partitioned) — orthogonal to [[pqAlgoVersion]], which tracks the
+    * training recipe the codes were encoded against. */
+  private val PqCodesVersion = "c2"
+
+  /** Each vector's IVF list id, `(vec_id, ivf_centroid)` — the assignment
+    * the code builds below co-materialize so candidate generation can
+    * restrict a code scan to probed lists WITHOUT a query-time join of two
+    * corpus-sized tables. Derived from the cached [[lists]] table (itself
+    * built once per corpus fingerprint). */
+  private def ivfAssignment(spark: SparkSession, dir: String): DataFrame =
+    lists(spark, dir).select(col("vec_id"),
+      col("centroid_id").as("ivf_centroid"))
+
+  /** The int8 code table `(vec_id, scale, q, qq, ivf_centroid)` for `dir`'s
+    * embeddings — quantize-on-write materialized once per corpus
+    * fingerprint, so the compressed serving path
+    * ([[Similarity.annInt8TopK]]) reads 4×-smaller codes at rest instead of
+    * re-quantizing the float corpus per query. The vector's IVF list id is
+    * joined ONCE here at build time and the table is PARTITIONED BY it, so
+    * a probe-restricted consumer prunes to nprobe directories via DPP —
+    * the join that would otherwise shuffle two corpus-sized tables per
+    * query batch happens exactly once per corpus refresh. At 100 TB this
+    * is the difference between the compressed index fitting in cluster RAM
+    * and every query re-paying a full float scan. */
   def int8Codes(spark: SparkSession, dir: String): DataFrame = synchronized {
     val sink = new ParquetSink(cacheRoot)
     val name = s"int8_codes_${Int8Version}_${fingerprint(spark, dir)}"
-    buildIfAbsent(spark, sink, name) {
+    buildIfAbsent(spark, sink, name,
+      TableLayout(partitionBy = Seq("ivf_centroid"))) {
       codeBuilds.incrementAndGet()
       Similarity.int8Codes(spark, dir)
+        .join(ivfAssignment(spark, dir), Seq("vec_id"))
+        .repartition(col("ivf_centroid"))
     }
+    // partition column comes back from directory names typed int and
+    // ordered last — normalize so serving matches the build shape
     sink.read(spark, layer, name)
+      .select(col("vec_id"), col("scale"), col("q"), col("qq"),
+        col("ivf_centroid").cast("long").as("ivf_centroid"))
   }
 
-  /** The PQ code table `(vec_id, subspace, centroid_id)` — encode-on-write
-    * against the cached codebooks ([[pqCodebooks]]), materialized once per
-    * corpus fingerprint. ADC serving then touches only codes + broadcast
-    * lookup tables: the 128×-compressed scan PQ exists for. */
+  /** The PQ code table `(vec_id, subspace, centroid_id, ivf_centroid)` —
+    * encode-on-write against the cached codebooks ([[pqCodebooks]]),
+    * materialized once per corpus fingerprint WITH each vector's IVF list
+    * id and PARTITIONED BY it (same rationale as [[int8Codes]]: the
+    * two-stage rerank's candidate generation prunes this scan to probed
+    * lists via DPP instead of joining the assignment per query). ADC
+    * serving then touches only codes + broadcast lookup tables: the
+    * 128×-compressed scan PQ exists for. */
   def pqCodes(spark: SparkSession, dir: String): DataFrame = synchronized {
     val sink = new ParquetSink(cacheRoot)
-    val name = s"pq_codes_${pqAlgoVersion}_${fingerprint(spark, dir)}"
-    buildIfAbsent(spark, sink, name) {
+    val name = s"pq_codes_${PqCodesVersion}_${pqAlgoVersion}_${fingerprint(spark, dir)}"
+    buildIfAbsent(spark, sink, name,
+      TableLayout(partitionBy = Seq("ivf_centroid"))) {
       codeBuilds.incrementAndGet()
       Similarity.pqAssignCodes(spark, dir, pqCodebooks(spark, dir))
+        .join(ivfAssignment(spark, dir), Seq("vec_id"))
+        .repartition(col("ivf_centroid"))
     }
     sink.read(spark, layer, name)
+      .select(col("vec_id"), col("subspace"), col("centroid_id"),
+        col("ivf_centroid").cast("long").as("ivf_centroid"))
   }
 
   /** Drop every cached index under [[cacheRoot]] (tests; data migrations
@@ -263,15 +299,27 @@ object IvfIndex {
       (s, dir, _) => Similarity.pqCodebooks(s, dir))
 
   /** The int8 code table as a DAG node — quantize-on-write scheduled with
-    * the same cadence as the embedding refresh it compresses. */
+    * the same cadence as the embedding refresh it compresses; downstream of
+    * the lists so each code row lands with its IVF list id, partitioned by
+    * it (the [[int8Codes]] shape). */
   val int8RegistryModel: Registry.Model =
-    Registry.Model("ann_int8_codes", layer, Registry.Table, Seq.empty,
-      (s, dir, _) => Similarity.int8Codes(s, dir))
+    Registry.Model("ann_int8_codes", layer, Registry.Table,
+      Seq("ann_ivf_lists"),
+      (s, dir, up) => Similarity.int8Codes(s, dir)
+        .join(up("ann_ivf_lists").select(col("vec_id"),
+          col("centroid_id").cast("long").as("ivf_centroid")), Seq("vec_id"))
+        .repartition(col("ivf_centroid")),
+      layout = TableLayout(partitionBy = Seq("ivf_centroid")))
 
-  /** The PQ code table as a DAG node downstream of the codebooks —
-    * `Registry.run` trains codebooks then encodes in dependency order. */
+  /** The PQ code table as a DAG node downstream of the codebooks AND the
+    * lists — `Registry.run` trains codebooks then encodes in dependency
+    * order, landing codes with their IVF list id like [[pqCodes]]. */
   val pqCodesRegistryModel: Registry.Model =
     Registry.Model("ann_pq_codes", layer, Registry.Table,
-      Seq("ann_pq_codebooks"),
-      (s, dir, up) => Similarity.pqAssignCodes(s, dir, up("ann_pq_codebooks")))
+      Seq("ann_pq_codebooks", "ann_ivf_lists"),
+      (s, dir, up) => Similarity.pqAssignCodes(s, dir, up("ann_pq_codebooks"))
+        .join(up("ann_ivf_lists").select(col("vec_id"),
+          col("centroid_id").cast("long").as("ivf_centroid")), Seq("vec_id"))
+        .repartition(col("ivf_centroid")),
+      layout = TableLayout(partitionBy = Seq("ivf_centroid")))
 }

@@ -1183,13 +1183,17 @@ object Similarity {
     * the same bit-exact fold as [[annTopK]].
     *
     * Scale shape: probe selection is Q×k against broadcast centroids;
-    * candidate generation reads only (vec_id, centroid_id) off the
-    * partitioned lists (column pruning — floats unread) against the
-    * broadcast Q×nprobe probe set; ADC scoring touches codes + broadcast
-    * lookup tables; the final float fetch is a broadcast semi-join of
-    * Q×C ids against the embeddings table. The full-precision read is
-    * thus C rows per query vs nprobe·N/k for the single-stage IVF path —
-    * at N=2²⁸, 50 rows instead of ~100k.
+    * candidate generation is ONE scan of the PQ code table — which carries
+    * each vector's IVF list id AT REST, partitioned by it
+    * ([[IvfIndex.pqCodes]]) — restricted to the probed lists by the
+    * broadcast probe join, so dynamic partition pruning reads nprobe
+    * directories and the corpus-sized assignment join happens at index
+    * build time, never per query. ADC scoring is then a chain of broadcast
+    * lookups (codebook norms, Q×m×k query tables) over the pruned
+    * candidates; the final float fetch is a broadcast semi-join of Q×C ids
+    * against the embeddings table. The full-precision read is thus C rows
+    * per query vs nprobe·N/k for the single-stage IVF path — at N=2²⁸,
+    * 50 rows instead of ~100k.
     *
     * Determinism: ADC scores are sums of floor(·1e6)-quantized BIGINTs
     * (order-free), top-C ties break on neighbor id, and the rerank
@@ -1202,14 +1206,22 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val base = withNorm(spark, dir)
     val cents = centroids.getOrElse(IvfIndex.centroids(spark, dir))
-    val lists = centroids match {
-      case Some(cs) => buildIvfLists(spark, dir, cs)
-      case None => IvfIndex.lists(spark, dir)
-    }
     val books = codebooks.getOrElse(IvfIndex.pqCodebooks(spark, dir))
-    val codeTab = codebooks match {
-      case Some(b) => pqAssignCodes(spark, dir, b)
-      case None => IvfIndex.pqCodes(spark, dir)
+    // codes WITH their IVF list id: the cached table carries ivf_centroid
+    // AT REST (co-materialized and partitioned by the index build —
+    // IvfIndex.pqCodes), so the default path never joins two corpus-sized
+    // tables at query time. The explicit-frames path (tests) re-derives
+    // the same shape inline.
+    val codesWithIvf = (centroids, codebooks) match {
+      case (None, None) => IvfIndex.pqCodes(spark, dir)
+      case _ =>
+        val lists = centroids match {
+          case Some(cs) => buildIvfLists(spark, dir, cs)
+          case None => IvfIndex.lists(spark, dir)
+        }
+        pqAssignCodes(spark, dir, books)
+          .join(lists.select(col("vec_id"),
+            col("centroid_id").as("ivf_centroid")), Seq("vec_id"))
     }
     // probe selection: Q queries × k broadcast centroids, keep nprobe
     val pw = Window.partitionBy("vec_id")
@@ -1222,37 +1234,36 @@ object Similarity {
       .filter(col("probe") <= nprobe)
       .select(col("vec_id").as("query_id"),
         col("centroid_id").as("ivf_centroid"))
-    // codes keyed by (vec_id, subspace, pq code) + the vector's IVF list:
-    // one vec_id-key join of two code-sized tables (at production scale
-    // this pair would be co-materialized by the index build)
-    val ivfAssign = lists
-      .select(col("vec_id"), col("centroid_id").as("ivf_centroid"))
-    val codesWithIvf = codeTab.join(ivfAssign, Seq("vec_id"))
-    // ADC scoring restricted to probed lists: broadcast the Q×nprobe
-    // probe set and the Q×PqK lookup tables; the big side stays codes
-    val perSub = (0 until PqSubspaces).map { s =>
+    // candidate generation: ONE scan of the partitioned code table,
+    // restricted FIRST — the broadcast probe join dynamic-partition-prunes
+    // the scan to the nprobe probed list directories
+    val cand = codesWithIvf.join(broadcast(probes), Seq("ivf_centroid"))
+      .filter(col("query_id") =!= col("vec_id"))
+    // ADC scoring over the pruned candidates is a chain of broadcast
+    // lookups: per-subspace codebook norms (m×k rows) and the Q×m×k query
+    // dot tables, joined once on (subspace, code) instead of a 4-way union
+    // of per-subspace corpus branches
+    val bookNorms = books.select(col("subspace"), col("centroid_id"),
+      floor(col("c_nrm") * 1e6).cast("bigint").as("cn_q"))
+    val qtab = (0 until PqSubspaces).map { s =>
       val book = books.filter(col("subspace") === s).drop("subspace")
-      val codes = codesWithIvf.filter(col("subspace") === s).drop("subspace")
-        .join(broadcast(book.select(col("centroid_id"),
-          floor(col("c_nrm") * 1e6).cast("bigint").as("cn_q"))),
-          Seq("centroid_id"))
-      val qtab = pqBase(spark, dir, s).filter(annQueryFilter)
+      pqBase(spark, dir, s).filter(annQueryFilter)
         .select(col("vec_id").as("query_id"), col("vec").as("a_vec"))
         .crossJoin(broadcast(
           book.select(col("centroid_id"), col("c_vec").as("b_vec"))))
-        .select(col("query_id"), col("centroid_id"),
+        .select(col("query_id"), lit(s).as("subspace"), col("centroid_id"),
           floor(expr(dotExpr) * 1e6).cast("bigint").as("dot_q"))
-      codes.join(broadcast(probes), Seq("ivf_centroid"))
-        .join(broadcast(qtab), Seq("query_id", "centroid_id"))
-        .filter(col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          col("dot_q"), col("cn_q"))
-    }
+    }.reduce(_ unionByName _)
+    val contrib = cand
+      .join(broadcast(bookNorms), Seq("subspace", "centroid_id"))
+      .join(broadcast(qtab), Seq("query_id", "subspace", "centroid_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("dot_q"), col("cn_q"))
     val qn = base.filter(annQueryFilter)
       .select(col("vec_id").as("query_id"), col("nrm").as("q_nrm"))
     val cw = Window.partitionBy("query_id")
       .orderBy(col("adc_cosine").desc, col("neighbor_id"))
-    val topc = perSub.reduce(_ unionByName _)
+    val topc = contrib
       .groupBy("query_id", "neighbor_id")
       .agg(sum(col("dot_q")).as("score_q"), sum(col("cn_q")).as("recon_q"))
       .join(broadcast(qn), Seq("query_id"))

@@ -36,10 +36,13 @@ class IvfIndexSpec extends SparkSpec {
     withFreshCache {
       val before = IvfIndex.trainings.get
       assert(Similarity.annPqAdc(spark, Sf0001).count() > 0)
-      assert(IvfIndex.trainings.get == before + 1,
-        "cold cache trains the product quantizer exactly once")
+      // cold = two trainings, each exactly once: the product quantizer,
+      // plus the IVF coarse quantizer whose assignment the code table
+      // co-materializes (codes land partitioned by ivf_centroid)
+      assert(IvfIndex.trainings.get == before + 2,
+        "cold cache trains PQ codebooks + coarse quantizer exactly once each")
       assert(Similarity.annPqAdc(spark, Sf0001).count() > 0)
-      assert(IvfIndex.trainings.get == before + 1,
+      assert(IvfIndex.trainings.get == before + 2,
         "warm ADC serving reads the materialized codebooks — zero Lloyd loops")
       // served codebooks are bit-identical to fresh training
       val served = Similarity.annPqAdc(spark, Sf0001)
@@ -95,6 +98,49 @@ class IvfIndexSpec extends SparkSpec {
       val scans = warm.queryExecution.executedPlan.collectLeaves().mkString("\n")
       assert(scans.contains("pq_codes_"),
         s"warm ADC must serve the database side from the code table:\n$scans")
+    }
+  }
+
+  test("rerank: codes carry ivf_centroid at rest; candidate scan DPP-prunes, no shuffle join") {
+    withFreshCache {
+      val before = IvfIndex.codeBuilds.get
+      assert(Similarity.annIvfAdcRerank(spark, Sf0001).count() > 0)
+      assert(IvfIndex.codeBuilds.get == before + 1,
+        "cold rerank encodes the code table exactly once")
+      val warm = Similarity.annIvfAdcRerank(spark, Sf0001)
+      assert(warm.count() > 0)
+      assert(IvfIndex.codeBuilds.get == before + 1,
+        "warm rerank serves codes at rest — zero encode passes")
+      // the on-disk layout IS the candidate index: one directory per IVF
+      // list, so a probe set is an nprobe-directory read
+      val annDir = new java.io.File(s"${IvfIndex.cacheRoot}/ann")
+      val codesDir = annDir.listFiles()
+        .find(_.getName.startsWith("pq_codes_"))
+        .getOrElse(fail("code table was not materialized"))
+      assert(codesDir.listFiles().exists(_.getName.startsWith("ivf_centroid=")),
+        "codes must land partitioned by their IVF list id")
+      // the code-table scan itself must carry the runtime pruning filter —
+      // candidate generation reads nprobe partitions, not the corpus
+      val codeScan = warm.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).filter(_.contains("pq_codes_"))
+      assert(codeScan.nonEmpty, "warm rerank must scan the cached code table")
+      assert(codeScan.forall(_.contains("dynamicpruning")),
+        s"the broadcast probe join must DPP-prune the code scan:\n" +
+          codeScan.mkString("\n").take(800))
+      // zero corpus-wide exchanges in candidate generation: with the
+      // broadcast fallback disabled, an unhinted corpus-sized join (the
+      // old per-query codes ⋈ assignment shape) would surface as a
+      // SortMergeJoin — every query-time join must be an explicit
+      // broadcast over the DPP-pruned candidates
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val p = Similarity.annIvfAdcRerank(spark, Sf0001)
+          .queryExecution.executedPlan.toString
+        assert(!p.contains("SortMergeJoin"),
+          "candidate generation must never shuffle-join corpus-sized tables")
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
   }
 
