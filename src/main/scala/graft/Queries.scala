@@ -393,6 +393,12 @@ object Queries {
       Seq("doc_a", "doc_b"),
       ops.IncrementalDedup.replay, ops.Dedup.winnowNearDupOracle),
 
+    Spec("dedup_incremental_delta",
+      Seq("doc_a" -> P, "doc_b" -> P, "shared_fps" -> L),
+      Seq("doc_a", "doc_b"),
+      ops.IncrementalDedup.replayDelta,
+      ops.IncrementalDedup.replayDeltaOracle),
+
     Spec("ann_lsh_topk",
       Seq("query_id" -> P, "neighbor_id" -> P, "rank" -> I, "cosine" -> P),
       Seq("query_id", "rank"),

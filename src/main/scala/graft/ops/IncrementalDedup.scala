@@ -10,31 +10,53 @@ import org.apache.spark.sql.functions._
   * and appended to an index; detection afterwards runs entirely over the
   * index, never re-reading earlier shards' raw text.
   *
-  * Store layout (append-only — immutable batch directories, so an ingest
-  * never rewrites or lazily-reads-while-overwriting existing data):
+  * Store layout (immutable committed directories; every write lands via
+  * stage-then-atomic-rename, so a crashed ingest or compaction leaves only
+  * ignorable staging garbage, never a half-written batch):
   * {{{
-  *   <root>/reps/batch=<i>/   (text_hash, doc_id)    one row per distinct
-  *                            text IN THE BATCH with its min doc id
-  *   <root>/fps/batch=<i>/    (text_hash, fingerprint) winnowing
-  *                            fingerprints of texts UNSEEN before batch i
+  *   <root>/batches/batch=<i>/reps/  (text_hash, doc_id)  one row per
+  *                                   distinct text IN THE BATCH, min doc id
+  *   <root>/batches/batch=<i>/fps/   (text_hash, fingerprint) winnowing
+  *                                   fingerprints of texts UNSEEN before i
+  *   <root>/compact/w=<k>/reps|fps/  all batches ≤ k folded into one
+  *                                   min-rep table + one fingerprint table
+  *   <root>/.staging/<uuid>/         in-flight writes (crash garbage)
   * }}}
+  * Both halves of a batch commit with ONE rename of the staging directory
+  * into `batches/batch=<i>` — there is no window where a batch's texts are
+  * marked seen (reps present) without their fingerprints, so a retry after
+  * any crash re-fingerprints at most one shard and the index never loses
+  * pairs.
+  *
   * A text's fingerprints depend only on the text, so a text already in
   * the store is never re-fingerprinted — its new doc ids only feed the
   * min-rep merge. At 100 TB this is the whole economics: per-crawl cost
   * is O(new shard) text processing plus joins over an index that is a few
-  * percent of corpus size (fingerprint density ~2/(w+1), 32-hex keys),
-  * while a from-scratch run would re-hash every byte ever crawled.
+  * percent of corpus size (fingerprint density ~2/(w+1), 32-hex keys).
+  *
+  * Compaction ([[compact]], auto-triggered every [[CompactEvery]] ingests)
+  * folds the per-batch directories into one generation: reps min-merge
+  * (min of mins = min, so generations compose), fps concatenate (disjoint
+  * by construction — only unseen texts are ever fingerprinted). Readers
+  * take the newest generation plus batches past its watermark, so after
+  * thousands of crawls detection lists O(CompactEvery) directories instead
+  * of thousands, and the min-rep merge re-aggregates one folded table
+  * instead of every batch ever ingested. The generation commits (atomic
+  * rename) BEFORE the folded inputs are deleted; a crash between the two
+  * leaves stale directories that readers ignore (watermark rule) and the
+  * next compaction sweeps.
   *
   * Detection ([[nearDupPairs]]) replays [[Dedup.winnowNearDupFrom]]'s
   * exact pipeline over the index — distinct-text representatives (min
   * doc id across ALL batches), document-frequency bounds, equi-join on
   * fingerprint, ≥ [[Dedup.MinSharedFingerprints]] shared — so its output
   * is bit-equal to the full-corpus operator no matter how the corpus was
-  * batched. The DF cutoff is corpus-global state that single-shard
-  * processing cannot know, which is exactly why detection joins the
-  * index instead of emitting pairs at ingest time: a fingerprint's
-  * posting list (and whether it is boilerplate) only settles once all
-  * shards contributed.
+  * batched or compacted. The DF cutoff is corpus-global state that
+  * single-shard processing cannot know, which is exactly why detection
+  * joins the index instead of emitting pairs at ingest time.
+  * [[nearDupPairsDelta]] is the serving-path twin: pairs touching ONE new
+  * shard, for the per-crawl cadence where re-listing every historic pair
+  * is wasted work.
   */
 object IncrementalDedup {
 
@@ -43,31 +65,94 @@ object IncrementalDedup {
     * only genuinely new texts. */
   val lastIngestFingerprinted = new AtomicLong(-1L)
 
-  private def repsRoot(root: String) = s"$root/reps"
-  private def fpsRoot(root: String) = s"$root/fps"
+  /** Compactions run JVM-wide (test-visible). */
+  val compactions = new AtomicLong(0L)
 
-  private def readIfExists(spark: SparkSession, path: String,
-      schemaDdl: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) spark.read.parquet(path)
-    else spark.createDataFrame(
+  /** Ingests between compactions: once this many batch directories sit
+    * past the newest generation's watermark, [[ingest]] folds them. Small
+    * enough that detection never lists more than a handful of directories;
+    * large enough that a crawl isn't paying a full-index rewrite per
+    * shard. */
+  val CompactEvery = 4
+
+  private def batchesRoot(root: String) = s"$root/batches"
+  private def compactRoot(root: String) = s"$root/compact"
+
+  private def hadoopFs(spark: SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Ids of committed batch directories (any generation). */
+  private def batchIds(spark: SparkSession, root: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(batchesRoot(root))
+    val fs = hadoopFs(spark, root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toInt)
+  }
+
+  /** Watermark of the newest compacted generation: the highest batch id it
+    * folded, or -1 when no generation exists. Stale older generations
+    * (crash leftovers) are ignored by taking the max. */
+  private def watermark(spark: SparkSession, root: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(compactRoot(root))
+    val fs = hadoopFs(spark, root)
+    if (!fs.exists(p)) -1
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("w=")).map(_.stripPrefix("w=").toInt)
+      .foldLeft(-1)(math.max)
+  }
+
+  private def emptyOf(spark: SparkSession, schemaDdl: String): DataFrame =
+    spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+
+  /** The store's logical view of `sub` (reps or fps): the newest
+    * generation plus every batch past its watermark — O([[CompactEvery]])
+    * directories regardless of how many crawls ever ran. */
+  private def storeView(spark: SparkSession, root: String, sub: String,
+      schemaDdl: String): DataFrame = {
+    val w = watermark(spark, root)
+    val gen =
+      if (w >= 0) Seq(spark.read.parquet(s"${compactRoot(root)}/w=$w/$sub"))
+      else Seq.empty
+    val batches = batchIds(spark, root).filter(_ > w).sorted
+      .map(i => spark.read.parquet(s"${batchesRoot(root)}/batch=$i/$sub"))
+    (gen ++ batches).reduceOption(_ unionByName _)
+      .getOrElse(emptyOf(spark, schemaDdl))
   }
 
   private def reps(spark: SparkSession, root: String): DataFrame =
-    readIfExists(spark, repsRoot(root), "text_hash STRING, doc_id BIGINT")
+    storeView(spark, root, "reps", "text_hash STRING, doc_id BIGINT")
 
   private def fps(spark: SparkSession, root: String): DataFrame =
-    readIfExists(spark, fpsRoot(root), "text_hash STRING, fingerprint STRING")
+    storeView(spark, root, "fps", "text_hash STRING, fingerprint STRING")
+
+  /** Stage `write` under `<root>/.staging/<uuid>` and commit it with one
+    * atomic rename to `dst` — [[IvfIndex.renameIfAbsent]] semantics (an
+    * existing `dst` wins; the staging directory is dropped). */
+  private def commitStaged(spark: SparkSession, root: String,
+      dst: String)(write: String => Unit): Boolean = {
+    val fs = hadoopFs(spark, root)
+    val staging =
+      s"$root/.staging/${java.util.UUID.randomUUID.toString.take(12)}"
+    write(staging)
+    val dstPath = new org.apache.hadoop.fs.Path(dst)
+    fs.mkdirs(dstPath.getParent)
+    IvfIndex.renameIfAbsent(fs, new org.apache.hadoop.fs.Path(staging), dstPath)
+  }
 
   /** Ingest one shard of `(doc_id, text)` rows into the store at `root`
-    * as batch `batchId`: appends the shard's per-text min doc ids, and
-    * fingerprints of texts no earlier batch contained. Returns the number
-    * of texts fingerprinted (the expensive work actually done). */
+    * as batch `batchId`: the shard's per-text min doc ids, plus winnowing
+    * fingerprints of texts no earlier batch contained, committed together
+    * atomically. Returns the number of texts fingerprinted (the expensive
+    * work actually done). Batch ids must be monotone: a generation's
+    * watermark fences everything at or below it. */
   def ingest(spark: SparkSession, root: String, batchId: Int,
       batch: DataFrame): Long = {
+    require(batchId > watermark(spark, root),
+      s"batch $batchId is at or below the compaction watermark")
     val newTexts = batch
       .select(col("doc_id"), col("text"), md5(col("text")).as("text_hash"))
       .groupBy("text_hash")
@@ -76,16 +161,52 @@ object IncrementalDedup {
     val unseen = newTexts.join(
       reps(spark, root).select("text_hash"), Seq("text_hash"), "left_anti")
       .localCheckpoint()
-    newTexts.select("text_hash", "doc_id")
-      .write.parquet(s"${repsRoot(root)}/batch=$batchId")
-    // the one text-processing pass of the ingest: winnow ONLY unseen texts
-    val newFps = TextOps.winnowFingerprints(
-        unseen.select(col("text_hash").as("doc_id"), col("text")))
-      .select(col("doc_id").as("text_hash"), col("fingerprint"))
-    newFps.write.parquet(s"${fpsRoot(root)}/batch=$batchId")
+    val committed = commitStaged(spark, root,
+      s"${batchesRoot(root)}/batch=$batchId") { staging =>
+      // the one text-processing pass of the ingest: winnow ONLY unseen
+      TextOps.winnowFingerprints(
+          unseen.select(col("text_hash").as("doc_id"), col("text")))
+        .select(col("doc_id").as("text_hash"), col("fingerprint"))
+        .write.parquet(s"$staging/fps")
+      newTexts.select("text_hash", "doc_id")
+        .write.parquet(s"$staging/reps")
+    }
+    require(committed, s"batch $batchId already committed")
     val n = unseen.count()
     lastIngestFingerprinted.set(n)
+    if (batchIds(spark, root).count(_ > watermark(spark, root)) >= CompactEvery)
+      compact(spark, root)
     n
+  }
+
+  /** Fold everything committed so far into one generation: one min-rep
+    * table (min of per-batch mins = global min, so generations compose)
+    * and one fingerprint table (per-batch fps are disjoint — only unseen
+    * texts are fingerprinted — so concatenation is exact). Commits the new
+    * generation atomically FIRST, then deletes the folded inputs; a crash
+    * between the two leaves stale directories readers already ignore. */
+  def compact(spark: SparkSession, root: String): Unit = {
+    val w = watermark(spark, root)
+    val pending = batchIds(spark, root).filter(_ > w)
+    if (pending.isEmpty) return
+    val newW = pending.max
+    val foldedReps = reps(spark, root).groupBy("text_hash")
+      .agg(min(col("doc_id")).as("doc_id"))
+    val foldedFps = fps(spark, root)
+    val committed = commitStaged(spark, root,
+      s"${compactRoot(root)}/w=$newW") { staging =>
+      foldedReps.write.parquet(s"$staging/reps")
+      foldedFps.write.parquet(s"$staging/fps")
+    }
+    if (committed) {
+      val fs = hadoopFs(spark, root)
+      pending.foreach(i => fs.delete(
+        new org.apache.hadoop.fs.Path(s"${batchesRoot(root)}/batch=$i"), true))
+      if (w >= 0) fs.delete(
+        new org.apache.hadoop.fs.Path(s"${compactRoot(root)}/w=$w"), true)
+      compactions.incrementAndGet()
+    }
+    ()
   }
 
   /** Near-dup pairs over everything ingested so far — reads ONLY the
@@ -105,6 +226,50 @@ object IncrementalDedup {
     f.as("a").join(f.as("b"), Seq("fingerprint"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= Dedup.MinSharedFingerprints)
+  }
+
+  /** Near-dup pairs TOUCHING one shard — the read-side twin of the
+    * unseen-only ingest: a crawl tick dedups its new shard against the
+    * whole store without re-listing every historic pair. Output equals
+    * [[nearDupPairs]] restricted to pairs where at least one endpoint is
+    * the global representative of a text delivered in `batchId`.
+    *
+    * The DF cutoff stays corpus-global (computed over the full fps index —
+    * index-sized, which compaction keeps true); only the PAIR join is
+    * restricted: one side is the shard's fingerprint rows, so the join is
+    * O(shard × posting-list) instead of O(index × index). Runs before the
+    * shard is folded (its batch directory must still exist — the natural
+    * per-crawl cadence: ingest, delta-detect, eventually compact). */
+  def nearDupPairsDelta(spark: SparkSession, root: String,
+      batchId: Int): DataFrame = {
+    val shardHashes = spark.read
+      .parquet(s"${batchesRoot(root)}/batch=$batchId/reps")
+      .select("text_hash").distinct()
+      .withColumn("in_shard", lit(true))
+    val rep = reps(spark, root).groupBy("text_hash")
+      .agg(min(col("doc_id")).as("doc_id"))
+    val fp = fps(spark, root).join(rep, Seq("text_hash"))
+      .select("text_hash", "doc_id", "fingerprint")
+    val keep = fp.groupBy("fingerprint").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, Dedup.MaxFingerprintDocFrequency))
+      .select("fingerprint")
+    val f = fp.join(keep, Seq("fingerprint"))
+      .join(shardHashes, Seq("text_hash"), "left")
+      .withColumn("in_shard", coalesce(col("in_shard"), lit(false)))
+    // shard side × full side; the (shard, shard) double-emit is removed by
+    // keeping the reversed orientation only when the other endpoint is
+    // OUTSIDE the shard, so every touching pair surfaces exactly once
+    val a = f.filter(col("in_shard"))
+      .select(col("fingerprint"), col("doc_id").as("da"))
+    val b = f.select(col("fingerprint"), col("doc_id").as("db"),
+      col("in_shard").as("b_in_shard"))
+    a.join(b, Seq("fingerprint"))
+      .filter(col("da") =!= col("db"))
+      .filter(col("da") < col("db") || !col("b_in_shard"))
+      .groupBy(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= Dedup.MinSharedFingerprints)
   }
@@ -129,4 +294,78 @@ object IncrementalDedup {
     }
     nearDupPairs(spark, root)
   }
+
+  /** Driver row: same replay, then [[nearDupPairsDelta]] for the LAST
+    * shard — the per-crawl serving query. The oracle restricts the
+    * full-corpus pairs to those touching the final shard's texts. */
+  def replayDelta(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_inc_dedup_d").toString
+    val docs = TextOps.documents(spark, dir)
+    (0 until ReplayMod).foreach { b =>
+      ingest(spark, root, b, docs.filter(pmod(col("doc_id"),
+        lit(ReplayMod.toLong)) === b))
+    }
+    nearDupPairsDelta(spark, root, ReplayMod - 1)
+  }
+
+  /** Full-corpus pairs restricted to pairs touching the last replay shard
+    * (odd doc ids): the same winnow/DF/pair SQL as
+    * [[Dedup.winnowNearDupOracle]], filtered to pairs whose endpoint set
+    * intersects the shard's representative docs. */
+  def replayDeltaOracle: String =
+    s"""WITH ${TextOps.winnowCte(
+        "(SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text)")},
+    fp AS (SELECT doc_id, unnest(fps) AS fingerprint FROM w),
+    keep AS (
+      SELECT fingerprint FROM fp GROUP BY 1
+      HAVING count(*) BETWEEN 2 AND ${Dedup.MaxFingerprintDocFrequency}),
+    f AS (SELECT fp.doc_id, fp.fingerprint FROM fp JOIN keep USING (fingerprint)),
+    shard AS (
+      SELECT r.doc_id FROM
+        (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text) r
+      JOIN (SELECT DISTINCT text FROM documents
+            WHERE doc_id % ${ReplayMod} = ${ReplayMod - 1}) s USING (text)),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+      FROM f a JOIN f b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= ${Dedup.MinSharedFingerprints})
+    SELECT doc_a, doc_b, shared_fps FROM pairs
+    WHERE doc_a IN (SELECT doc_id FROM shard)
+       OR doc_b IN (SELECT doc_id FROM shard)"""
+
+  /** Warehouse root for the DAG-scheduled store — same pattern as
+    * [[IvfIndex.cacheRoot]]: JVM-tmpdir default keeps the (spark, dir)
+    * query contract self-contained; a deployment points it at the real
+    * crawl store. */
+  @volatile var storeRoot: String =
+    sys.props.getOrElse("graft.dedup.store.root",
+      s"${sys.props("java.io.tmpdir")}/graft_dedup_store")
+
+  private def nextBatchId(spark: SparkSession, root: String): Int =
+    (batchIds(spark, root) :+ watermark(spark, root)).max + 1
+
+  /** One crawl tick as a schedulable DAG node: ingest the source's
+    * documents table as the next batch (unseen-only fingerprinting makes
+    * re-delivery cheap; compaction folds automatically every
+    * [[CompactEvery]] ingests), materializing a one-row ingest receipt. */
+  val ingestRegistryModel: graft.pipeline.Registry.Model =
+    graft.pipeline.Registry.Model("dedup_store_ingest", "dedup",
+      graft.pipeline.Registry.Table, Seq.empty,
+      (s, dir, _) => {
+        val next = nextBatchId(s, storeRoot)
+        val n = ingest(s, storeRoot, next, TextOps.documents(s, dir))
+        s.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(next, n)),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "batch_id INT, fingerprinted BIGINT"))
+      })
+
+  /** Detection over the store as a DAG node downstream of the tick —
+    * `Registry.run` lands the corpus-wide pair table with the same refresh
+    * cadence, selectors, and atomicity as any mart. */
+  val pairsRegistryModel: graft.pipeline.Registry.Model =
+    graft.pipeline.Registry.Model("dedup_store_pairs", "dedup",
+      graft.pipeline.Registry.Table, Seq("dedup_store_ingest"),
+      (s, _, _) => nearDupPairs(s, storeRoot))
 }

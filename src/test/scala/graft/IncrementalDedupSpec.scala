@@ -41,6 +41,119 @@ class IncrementalDedupSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet == full)
   }
 
+  test("8-batch replay compacts twice; pairs bit-equal; directory count bounded") {
+    val root = freshRoot()
+    val docs = TextOps.documents(spark, Sf0001)
+    val mod = 8L
+    val before = IncrementalDedup.compactions.get
+    (0 until mod.toInt).foreach { b =>
+      IncrementalDedup.ingest(spark, root, b,
+        docs.filter(pmod(col("doc_id"), lit(mod)) === b))
+    }
+    assert(IncrementalDedup.compactions.get == before + 2,
+      s"8 ingests at CompactEvery=${IncrementalDedup.CompactEvery} fold twice")
+    // bounded listing: after thousands of crawls the store is one
+    // generation + at most CompactEvery-1 uncompacted batches — here the
+    // 8th ingest just folded, so batches/ is empty and compact/ holds ONE
+    // generation (the previous one was swept)
+    def dirs(sub: String): Seq[String] = {
+      val d = new java.io.File(s"$root/$sub")
+      if (d.isDirectory) d.listFiles().map(_.getName).toSeq else Seq.empty
+    }
+    assert(dirs("compact") == Seq("w=7"), dirs("compact").toString)
+    assert(dirs("batches").isEmpty, dirs("batches").toString)
+    // folding must not change a single pair
+    val full = Dedup.winnowNearDup(spark, Sf0001).collect().map(_.toSeq).toSet
+    assert(IncrementalDedup.nearDupPairs(spark, root)
+      .collect().map(_.toSeq).toSet == full,
+      "compaction must be invisible to detection")
+    // the watermark fences re-delivery of folded batch ids
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.ingest(spark, root, 3, docs.limit(1))
+    }
+  }
+
+  test("delta detection equals the full pairs restricted to the new shard") {
+    val root = freshRoot()
+    val docs = TextOps.documents(spark, Sf0001)
+    IncrementalDedup.ingest(spark, root, 0,
+      docs.filter(pmod(col("doc_id"), lit(2L)) === 0))
+    IncrementalDedup.ingest(spark, root, 1,
+      docs.filter(pmod(col("doc_id"), lit(2L)) === 1))
+    val all = IncrementalDedup.nearDupPairs(spark, root).collect()
+      .map(_.toSeq).toSet
+    // shard = global representatives of texts delivered in batch 1
+    val shardDocs = docs.filter(pmod(col("doc_id"), lit(2L)) === 1)
+      .select(md5(col("text")).as("h")).distinct()
+      .join(docs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")), Seq("h"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = all.filter(r =>
+      shardDocs(r.head.asInstanceOf[Long]) ||
+        shardDocs(r(1).asInstanceOf[Long]))
+    val delta = IncrementalDedup.nearDupPairsDelta(spark, root, 1)
+      .collect().map(_.toSeq).toSet
+    assert(delta == expected,
+      "delta must be exactly the touching subset — no misses, no extras, " +
+        "no double-counted shard-shard pairs")
+    assert(delta.nonEmpty && delta != all,
+      "the restriction must be exercised (some pairs touch, some don't)")
+  }
+
+  test("ingest commits atomically: a crashed write leaves no half-batch") {
+    val root = freshRoot()
+    val docs = TextOps.documents(spark, Sf0001)
+    IncrementalDedup.ingest(spark, root, 0,
+      docs.filter(pmod(col("doc_id"), lit(2L)) === 0))
+    // simulate the crash the old two-write layout feared: an in-flight
+    // staging directory with reps written but the commit rename never run
+    val staging = new java.io.File(s"$root/.staging/deadc0de")
+    new java.io.File(staging, "reps").mkdirs()
+    // staging garbage is invisible: the half-store detects exactly what
+    // the from-scratch operator computes on the half corpus (reps and DF
+    // bounds are corpus-global, so this is the only valid mid-stream check)
+    val pairsBefore = IncrementalDedup.nearDupPairs(spark, root)
+      .collect().map(_.toSeq).toSet
+    assert(pairsBefore == Dedup
+      .winnowNearDupFrom(docs.filter(pmod(col("doc_id"), lit(2L)) === 0))
+      .collect().map(_.toSeq).toSet,
+      "the crashed staging dir must not leak into detection")
+    // readers never see staging garbage: texts are NOT marked seen, so a
+    // retry under a fresh batch id re-fingerprints and loses nothing
+    val n = IncrementalDedup.ingest(spark, root, 1,
+      docs.filter(pmod(col("doc_id"), lit(2L)) === 1))
+    assert(n > 0, "retry after crash must re-fingerprint the shard")
+    val full = Dedup.winnowNearDup(spark, Sf0001).collect().map(_.toSeq).toSet
+    assert(IncrementalDedup.nearDupPairs(spark, root)
+      .collect().map(_.toSeq).toSet == full,
+      "no pair may be lost to a crashed ingest")
+    // committing the same batch id twice is refused, not silently merged
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.ingest(spark, root, 1, docs.limit(1))
+    }
+  }
+
+  test("store ingest + detection run as registry DAG nodes") {
+    val prevRoot = IncrementalDedup.storeRoot
+    IncrementalDedup.storeRoot =
+      java.nio.file.Files.createTempDirectory("inc_dedup_dag").toString
+    try {
+      val wh = java.nio.file.Files.createTempDirectory("inc_dedup_wh").toString
+      val sink = new graft.pipeline.ParquetSink(wh)
+      graft.pipeline.Registry.run(spark, Sf0001, sink,
+        all = Seq(IncrementalDedup.ingestRegistryModel,
+          IncrementalDedup.pairsRegistryModel),
+        registerViews = false)
+      val receipt = sink.read(spark, "dedup", "dedup_store_ingest").collect()
+      assert(receipt.length == 1 && receipt(0).getLong(1) > 0,
+        "the tick materializes a one-row ingest receipt")
+      val full = Dedup.winnowNearDup(spark, Sf0001).collect().map(_.toSeq).toSet
+      assert(sink.read(spark, "dedup", "dedup_store_pairs").collect()
+        .map(_.toSeq).toSet == full,
+        "the DAG-landed pair table equals the from-scratch operator")
+    } finally IncrementalDedup.storeRoot = prevRoot
+  }
+
   test("detection reads only the index, never the raw corpus") {
     val root = freshRoot()
     val docs = TextOps.documents(spark, Sf0001)
