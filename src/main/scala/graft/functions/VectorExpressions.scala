@@ -40,9 +40,12 @@ private[functions] object VecType {
   * form and of DuckDB's `list_reduce` mirror, so oracle results stay
   * bit-identical (graft.ops.Similarity).
   *
-  * Null contract: null input array → null result; arrays are expected
-  * element-non-null (embedding vectors), mirroring the HOF behavior which
-  * would propagate null into the fold.
+  * Null contract: null input array → null result, and MISMATCHED LENGTHS
+  * → null result — exactly the HOF behavior, where `zip_with` pads the
+  * shorter array with nulls and the null poisons the fold. A
+  * dimensionality bug surfaces as a null cosine, never as a
+  * plausible-looking truncated score. Arrays are expected
+  * element-non-null (embedding vectors).
   */
 case class VecDot(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -54,6 +57,8 @@ case class VecDot(left: Expression, right: Expression)
       s"vec_dot requires array<double|float> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+  // nullable even over non-null inputs: length mismatch yields null
+  override def nullable: Boolean = true
 
   @transient private lazy val leftFloat = VecType.isFloat(left.dataType)
   @transient private lazy val rightFloat = VecType.isFloat(right.dataType)
@@ -61,7 +66,8 @@ case class VecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -79,12 +85,16 @@ case class VecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $acc += ${VecType.getter(leftFloat, a, i)} * ${VecType.getter(rightFloat, b, i)};
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $acc += ${VecType.getter(leftFloat, a, i)} * ${VecType.getter(rightFloat, b, i)};
+          }
+          ${ev.value} = $acc;
         }
-        ${ev.value} = $acc;
       """
     })
 
@@ -105,8 +115,10 @@ case class VecDot(left: Expression, right: Expression)
   * there is no fold-order discipline to preserve — any summation order
   * matches the DuckDB oracle bit-for-bit.
   *
-  * Null contract mirrors [[VecDot]]: null array → null; elements expected
-  * non-null (quantization codes). */
+  * Null contract mirrors [[VecDot]]: null array → null, mismatched
+  * lengths → null (the HOF's zip_with-pads-null behavior — a code-table
+  * dimensionality bug surfaces as a null score, never a truncated one);
+  * elements expected non-null (quantization codes). */
 case class VecDotInt(left: Expression, right: Expression)
   extends BinaryExpression {
 
@@ -122,11 +134,14 @@ case class VecDotInt(left: Expression, right: Expression)
       s"vec_dot_int requires array<int> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
   override def dataType: DataType = LongType
   override def prettyName: String = "vec_dot_int"
+  // nullable even over non-null inputs: length mismatch yields null
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -142,12 +157,16 @@ case class VecDotInt(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        long $acc = 0L;
-        for (int $i = 0; $i < $n; $i++) {
-          $acc += (long) $a.getInt($i) * (long) $b.getInt($i);
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          long $acc = 0L;
+          for (int $i = 0; $i < $n; $i++) {
+            $acc += (long) $a.getInt($i) * (long) $b.getInt($i);
+          }
+          ${ev.value} = $acc;
         }
-        ${ev.value} = $acc;
       """
     })
 

@@ -53,11 +53,18 @@ object Bpe {
   /** Training memo: the merge loop is deterministic given (corpus,
     * numMerges), and three driver rows (merges / segment / subword_freq)
     * consume the same training run — memoizing the ~32 tiny sequential
-    * jobs keeps them from re-training per query. Keyed by session
-    * identity so a recycled session never serves another session's
-    * localCheckpoint'd dictionary. */
+    * jobs keeps them from re-training per query. Keyed by the SESSION
+    * OBJECT (a recycled session never serves another session's
+    * localCheckpoint'd dictionary, with no identity-hash collisions) and
+    * the documents table's CONTENT FINGERPRINT (same discipline as
+    * [[IvfIndex.fingerprint]]) — if the corpus at `dir` changes
+    * mid-session, the stale dictionary is never served. */
   private val trainCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, Int), (Seq[(Int, String, String, String, Long)], DataFrame)]
+    .empty[(SparkSession, String, Int), (Seq[(Int, String, String, String, Long)], DataFrame)]
+
+  /** Drop every memoized dictionary (tests; executor loss invalidating a
+    * localCheckpoint; mirrors [[IvfIndex.clearCache]]). */
+  def clearCache(): Unit = trainCache.clear()
 
   /** The capped word-frequency dictionary with initial symbol sequences:
     * one space-delimited character per symbol plus the `</w>` end-of-word
@@ -78,7 +85,8 @@ object Bpe {
   private def trainLoop(spark: SparkSession, dir: String,
       numMerges: Int): (Seq[(Int, String, String, String, Long)], DataFrame) =
     trainCache.getOrElseUpdate(
-      (System.identityHashCode(spark), dir, numMerges),
+      (spark, IvfIndex.fingerprint(spark, dir, "documents.parquet"),
+        numMerges),
       trainLoopUncached(spark, dir, numMerges))
 
   private def trainLoopUncached(spark: SparkSession, dir: String,
@@ -119,8 +127,8 @@ object Bpe {
     * segmentation is the training loop's final symbol state, so train and
     * apply cannot drift; at corpus scale the same replace chain is a
     * map-only pass over the token stream with the merge table broadcast
-    * (here it is baked into the expressions — 8 merges = 16 nested
-    * literal replaces, one codegen'd projection). */
+    * (here it is baked into the expressions — `numMerges` merges =
+    * 2·numMerges nested literal replaces, one codegen'd projection). */
   def segment(spark: SparkSession, dir: String,
       numMerges: Int = NumMerges): DataFrame =
     trainLoop(spark, dir, numMerges)._2

@@ -56,14 +56,17 @@ object IvfIndex {
     s"a2i${Similarity.IvfIters}t${Similarity.IvfTrainPerCentroid}" +
       s"k${Similarity.IvfKMin}_${Similarity.IvfKMax}"
 
-  /** Content fingerprint of the embeddings table: md5 over the absolute
+  /** Content fingerprint of a source table (the embeddings by default —
+    * other content-keyed caches pass their own table, e.g. [[Bpe]]'s
+    * dictionary memo over the documents): md5 over the absolute
     * path plus every data file's (root-relative path, length, mtime),
     * directories walked recursively — the relative path (not the bare
     * name) so files swapped between partition subdirectories change the
     * fingerprint. Metadata-only — the same cost class as planning the
     * scan, never a job. */
-  def fingerprint(spark: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+  def fingerprint(spark: SparkSession, dir: String,
+      table: String = "embeddings.parquet"): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val rootUri = p.toUri.getPath
     def rel(st: org.apache.hadoop.fs.FileStatus): String =

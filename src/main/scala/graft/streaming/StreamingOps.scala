@@ -447,42 +447,78 @@ object StreamingOps {
     }
   }
 
+  /** Result of one [[streamIntoIvfLists]] run: the maintained lists
+    * table, the net vectors resident after the drain (distinct vec_ids —
+    * redeliveries upsert in place), and the quantizer the index is
+    * CURRENTLY assigned under — the initial frozen centroids, or the
+    * retrained ones if a staleness rebuild ran. Callers must query
+    * with `centroids` (probe selection against anything else reads the
+    * wrong lists). */
+  final case class IvfMaintenance(lists: DataFrame, ingested: Long,
+      centroids: DataFrame)
+
+  /** Row count of the just-written table from the written files' OWN
+    * parquet footers — a driver-side metadata read (listing +
+    * a few KB of footer per file), replacing the per-batch
+    * `batch.count()` Spark job the old ingest paid. The footer row count
+    * is written by the parquet writer itself, so it is exact. (The write
+    * command's `numOutputRows` metric is NOT usable here: executions
+    * inside foreachBatch are nested under the streaming query's root
+    * execution, and the per-session execution listener bus reports only
+    * root executions. A MERGE-capable lakehouse sink would take the same
+    * number from its commit stats instead of footers.) */
+  private def footerRows(spark: SparkSession, files: Seq[String]): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   /** Streaming ANN index maintenance: drive a file stream of raw
     * `(vec_id, embedding)` vectors into the partitioned IVF lists table.
-    * Each micro-batch is assigned against the FROZEN coarse quantizer
-    * `cents` — a map-only pass (norms + argmin over k broadcast
-    * centroids) — and upserted by `vec_id` through the sink's merge, so
-    * redelivered vectors land exactly once and the on-disk
-    * `PARTITION BY centroid_id` layout (the index) stays probe-prunable
-    * throughout.
+    * Each micro-batch is assigned against the CURRENT coarse quantizer —
+    * a map-only pass (norms + argmin over k broadcast centroids) — and
+    * upserted by `vec_id` through the sink's merge, so redelivered
+    * vectors land exactly once and the on-disk `PARTITION BY centroid_id`
+    * layout (the index) stays probe-prunable throughout.
     *
-    * Staleness bound: assignment quality degrades as the corpus drifts
-    * from the distribution the quantizer trained on, so the ingest
-    * counts vectors added under the frozen centroids and, past
-    * `staleLimit`, retrains the quantizer FROM THE WAREHOUSE TABLE
-    * (same k sizing, training sample, and deterministic Lloyd loop as a
-    * fresh build — [[graft.ops.Similarity.retrainFrom]]) and rewrites
-    * the assignments. Training inputs round-trip parquet exactly, so the
-    * rebuilt index is bit-identical to one built from the source table —
-    * StreamingSpec pins both paths against a fresh
-    * [[graft.ops.Similarity.buildIvfLists]].
+    * Staleness bound, enforced PER BATCH: assignment quality degrades as
+    * the corpus drifts from the distribution the quantizer trained on.
+    * Drift is counted as NET table growth since the quantizer was set
+    * (a redelivered vector upserts in place and adds no drift), read
+    * from the written files' parquet footers ([[footerRows]]) — driver-
+    * side metadata, no extra counting job per batch. Once drift
+    * exceeds `staleLimit` the batch that crossed it retrains
+    * the quantizer FROM THE WAREHOUSE TABLE (same k sizing, training
+    * sample, and deterministic Lloyd loop as a fresh build —
+    * [[graft.ops.Similarity.retrainFrom]]), rewrites the assignments,
+    * and SUBSEQUENT batches assign against the new quantizer — a retrain
+    * that comes due mid-stream takes effect mid-stream. The retrained
+    * centroids are returned ([[IvfMaintenance.centroids]]) so the query
+    * side probes the same quantizer the lists are assigned under;
+    * training inputs round-trip parquet exactly, so a rebuild over the
+    * full corpus is bit-identical to a fresh source-table build
+    * (StreamingSpec pins both).
     *
     * Scale: per batch the big side is the batch itself (centroids
     * broadcast, k ≤ 16384); the merge is one equi-join against the
     * target keyed on `vec_id`. The rebuild is the only corpus-sized step
-    * and runs at most once per `staleLimit` ingested vectors — the
+    * and runs at most once per `staleLimit` net new vectors — the
     * amortized maintenance cost production IVF systems accept (FAISS
-    * re-trains offline on the same cadence).
-    *
-    * Returns (final lists table, vectors ingested this run). */
+    * re-trains offline on the same cadence). */
   def streamIntoIvfLists(spark: SparkSession, streamDir: String,
       cents: DataFrame, sink: graft.pipeline.TableSink, layer: String,
       name: String, staleLimit: Long = Long.MaxValue,
-      maxFilesPerTrigger: Int = 1): (DataFrame, Long) = {
+      maxFilesPerTrigger: Int = 1): IvfMaintenance = {
     import graft.ops.Similarity
     val layout = graft.pipeline.TableLayout(partitionBy = Seq("centroid_id"))
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft_ckpt_ivf_$name")
-    var ingested = 0L
+    @volatile var curCents = cents
+    @volatile var tableRows = 0L
+    @volatile var rowsAtTrain = 0L
     try {
       val schema = spark.read.parquet(streamDir).schema
       val q = spark.readStream.schema(schema)
@@ -491,29 +527,33 @@ object StreamingOps {
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val assigned = Similarity.buildListsFrom(
-            Similarity.normedBatch(batch), cents)
+            Similarity.normedBatch(batch), curCents)
             .select("vec_id", "centroid_id", "vec", "nrm")
           if (sink.exists(spark, layer, name))
             sink.merge(spark, layer, name, assigned, "vec_id", layout)
           else sink.overwrite(spark, layer, name, assigned, layout)
-          ingested += batch.count()
+          tableRows = footerRows(spark,
+            sink.read(spark, layer, name).inputFiles.toSeq)
+          if (tableRows - rowsAtTrain > staleLimit) {
+            // past the drift budget mid-stream: retrain from the
+            // warehouse rows, rewrite the assignments, and hand the new
+            // quantizer to every batch after this one
+            val all = sink.read(spark, layer, name)
+              .select("vec_id", "vec", "nrm").localCheckpoint()
+            val fresh = Similarity.retrainFrom(spark, all, all.count())
+            sink.overwrite(spark, layer, name,
+              Similarity.buildListsFrom(all, fresh)
+                .select("vec_id", "centroid_id", "vec", "nrm"), layout)
+            curCents = fresh
+            rowsAtTrain = tableRows
+          }
           ()
         }
         .option("checkpointLocation", ckpt.toString)
         .start()
       q.processAllAvailable()
       q.stop()
-      if (ingested > staleLimit) {
-        // the quantizer is past its drift budget: retrain from the
-        // warehouse rows and rewrite the assignments in place
-        val all = sink.read(spark, layer, name)
-          .select("vec_id", "vec", "nrm").localCheckpoint()
-        val fresh = Similarity.retrainFrom(spark, all, all.count())
-        sink.overwrite(spark, layer, name,
-          Similarity.buildListsFrom(all, fresh)
-            .select("vec_id", "centroid_id", "vec", "nrm"), layout)
-      }
-      (sink.read(spark, layer, name), ingested)
+      IvfMaintenance(sink.read(spark, layer, name), tableRows, curCents)
     } finally {
       val p = new org.apache.hadoop.fs.Path(ckpt.toUri)
       p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)

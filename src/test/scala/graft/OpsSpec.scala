@@ -55,6 +55,37 @@ class OpsSpec extends SparkSpec {
     assert(cmp.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("vec_dot / vec_dot_int: mismatched lengths yield null, never a truncated score") {
+    graft.functions.VectorFunctions.register(spark)
+    // non-foldable inputs so the codegen path runs: row id drives the
+    // left array's length, the right side is fixed at 2 — only id=1
+    // produces equal lengths, everything else must surface as NULL (the
+    // HOF contract, where zip_with pads with null and poisons the fold)
+    val rows = spark.range(4).select(
+        expr("transform(sequence(0, cast(id as int)), x -> cast(x as double))").as("a"),
+        expr("array(1.0D, 2.0D)").as("b"),
+        expr("transform(sequence(0, cast(id as int)), x -> cast(x as int))").as("ai"),
+        expr("array(1, 2)").as("bi"))
+      .select(col("a"), expr("vec_dot(a, b)").as("d"),
+        expr("vec_dot_int(ai, bi)").as("di"))
+      .collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      if (r.getSeq[Double](0).length == 2) {
+        assert(r.getDouble(1) == 1.0 * 0 + 2.0 * 1, "matched lengths compute")
+        assert(r.getLong(2) == 2L)
+      } else {
+        assert(r.isNullAt(1), s"len ${r.getSeq[Double](0).length}: vec_dot must be null")
+        assert(r.isNullAt(2), s"len ${r.getSeq[Double](0).length}: vec_dot_int must be null")
+      }
+    }
+    // interpreted path (constant folding evals the expression driver-side)
+    val folded = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(1.0D, 2.0D)) AS d,
+                vec_dot_int(array(1, 2, 3), array(1, 2)) AS di""").head()
+    assert(folded.isNullAt(0) && folded.isNullAt(1))
+  }
+
   test("simhash: identical word multisets share all bands; hamming bounds hold") {
     val rows = Dedup.simhash(spark, Sf0001, maxHamming = 64)
       .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
@@ -605,6 +636,35 @@ class OpsSpec extends SparkSpec {
       .agg(sum("n_subwords")).head().getLong(0)
     assert(total == bySeg, "corpus apply must equal per-word segmentation")
     assert(total >= tokens.count(), "every token yields at least one subword")
+  }
+
+  test("bpe train memo: content-fingerprint keyed — corpus change invalidates") {
+    import graft.ops.{Bpe, IvfIndex}
+    val tmp = java.nio.file.Files.createTempDirectory("bpe_memo").toString
+    val dst = java.nio.file.Paths.get(tmp, "documents.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(Sf0001, "documents.parquet"), dst)
+    // the memo key is (session, fingerprint, numMerges): a stable
+    // fingerprint over an unchanged corpus IS the cache-hit guarantee
+    val fpA = IvfIndex.fingerprint(spark, tmp, "documents.parquet")
+    assert(IvfIndex.fingerprint(spark, tmp, "documents.parquet") == fpA,
+      "unchanged corpus must fingerprint stably (memo hit)")
+    val first = Bpe.merges(spark, tmp, numMerges = 4)
+      .collect().map(_.toSeq).toSeq
+    // swap the corpus under the same dir: different bytes, same schema —
+    // the identity-hash keying this replaced keyed on (session, dir) only
+    // and would have silently served the stale dictionary
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(Sf0001.replace("0.001", "0.01"),
+        "documents.parquet"),
+      dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    assert(IvfIndex.fingerprint(spark, tmp, "documents.parquet") != fpA,
+      "content change must change the fingerprint (memo miss)")
+    val retrained = Bpe.merges(spark, tmp, numMerges = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(retrained != first,
+      "the new corpus trains a new merge table, not the stale one")
+    Bpe.clearCache() // smoke: the invalidation hook exists and is callable
   }
 
   test("retention: diagonal equals cohort size, fractions bounded") {

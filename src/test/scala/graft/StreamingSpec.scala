@@ -269,18 +269,21 @@ class StreamingSpec extends SparkSpec {
     val wh = new graft.pipeline.ParquetSink(
       java.nio.file.Files.createTempDirectory("graft_ivf_wh").toString)
     // 4 files, one per trigger: batches 2..4 exercise the merge path
-    val (streamed, n) = StreamingOps.streamIntoIvfLists(
+    val r = StreamingOps.streamIntoIvfLists(
       spark, feed, cents, wh, "ann", "ivf_lists_stream")
-    assert(n == spark.read.parquet(feed).count(),
-      "every streamed vector must be ingested exactly once")
-    assert(streamed.select("vec_id", "centroid_id")
+    assert(r.ingested == spark.read.parquet(feed).count(),
+      "every streamed vector must land exactly once (count comes from " +
+        "the written files' parquet footers — no separate count job)")
+    assert(r.lists.select("vec_id", "centroid_id")
       .collect().map(_.toSeq).toSet == fresh,
       "incrementally-maintained lists must equal a fresh full build " +
         "under the frozen quantizer")
+    assert(r.centroids eq cents,
+      "with no retrain, the serving quantizer is the one passed in")
     // the on-disk layout must remain the index: one directory per list
-    val root = streamed.queryExecution.executedPlan.collectLeaves().mkString
+    val root = r.lists.queryExecution.executedPlan.collectLeaves().mkString
     assert(root.contains("ivf_lists_stream"))
-    assert(streamed.schema.fieldNames.contains("centroid_id"))
+    assert(r.lists.schema.fieldNames.contains("centroid_id"))
   }
 
   test("IVF maintenance past the staleness bound retrains from the warehouse") {
@@ -292,17 +295,52 @@ class StreamingSpec extends SparkSpec {
     val wh = new graft.pipeline.ParquetSink(
       java.nio.file.Files.createTempDirectory("graft_ivf_wh2").toString)
     val before = IvfIndex.trainings.get
-    // staleLimit 0: the drain itself exceeds the drift budget
-    val (rebuilt, _) = StreamingOps.streamIntoIvfLists(
+    // staleLimit 0: EVERY batch crosses the drift budget — per-batch
+    // enforcement retrains after each of the 2 micro-batches
+    val r = StreamingOps.streamIntoIvfLists(
       spark, feed, cents, wh, "ann", "ivf_lists_stale", staleLimit = 0L)
-    assert(IvfIndex.trainings.get == before + 1,
-      "exceeding the staleness bound must retrain the quantizer once")
-    // warehouse rows round-trip parquet exactly, so the rebuild is
+    assert(IvfIndex.trainings.get == before + 2,
+      "per-batch staleness: each crossing batch retrains the quantizer")
+    // the last retrain saw the full corpus; warehouse rows round-trip
+    // parquet exactly, so the rebuild AND the returned quantizer are
     // bit-identical to training + assigning from the source table
-    val fresh = Similarity.buildIvfLists(spark, Sf0001,
-      Similarity.ivfCentroids(spark, Sf0001))
+    val srcCents = Similarity.ivfCentroids(spark, Sf0001)
+    val fresh = Similarity.buildIvfLists(spark, Sf0001, srcCents)
       .select("vec_id", "centroid_id").collect().map(_.toSeq).toSet
-    assert(rebuilt.select("vec_id", "centroid_id")
+    assert(r.lists.select("vec_id", "centroid_id")
       .collect().map(_.toSeq).toSet == fresh)
+    assert(r.centroids.collect().map(_.toSeq).toSet ==
+      srcCents.collect().map(_.toSeq).toSet,
+      "the retrained quantizer must be returned, not discarded — probe " +
+        "selection against the stale centroids reads the wrong lists")
+  }
+
+  test("staleness crossed mid-stream: later batches assign under the retrained quantizer") {
+    import graft.ops.{IvfIndex, Similarity}
+    val feed = java.nio.file.Files.createTempDirectory("graft_ivf_feed3").toString
+    val n = spark.read.parquet(s"$Sf0001/embeddings.parquet").count()
+    spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .repartition(4).write.mode("overwrite").parquet(feed)
+    val cents = IvfIndex.centroids(spark, Sf0001)
+    val wh = new graft.pipeline.ParquetSink(
+      java.nio.file.Files.createTempDirectory("graft_ivf_wh3").toString)
+    val before = IvfIndex.trainings.get
+    // ~4 even files: growth crosses 0.6·n on batch 3 of 4 — the retrain
+    // comes due MID-stream, and batch 4 must use the new quantizer
+    val r = StreamingOps.streamIntoIvfLists(
+      spark, feed, cents, wh, "ann", "ivf_lists_midrun",
+      staleLimit = (n * 6) / 10)
+    assert(IvfIndex.trainings.get == before + 1,
+      "exactly one crossing -> exactly one mid-stream retrain")
+    assert(r.centroids.collect().map(_.toSeq).toSet !=
+      cents.collect().map(_.toSeq).toSet,
+      "the mid-stream retrain (on 3/4 of the corpus) must replace the quantizer")
+    // every vector — including batch 4, ingested AFTER the retrain — is
+    // assigned under the returned quantizer: index and probe side agree
+    val expected = Similarity.buildIvfLists(spark, Sf0001, r.centroids)
+      .select("vec_id", "centroid_id").collect().map(_.toSeq).toSet
+    assert(r.lists.select("vec_id", "centroid_id")
+      .collect().map(_.toSeq).toSet == expected,
+      "lists must be consistent with the RETURNED quantizer end-to-end")
   }
 }
