@@ -455,6 +455,18 @@ object Queries {
       Seq("doc_a", "doc_b"),
       (s, d) => ops.Similarity.cosineNearDup(s, d), ops.Similarity.cosineNearDupOracle()),
 
+    Spec("semdedup",
+      Seq("vec_id" -> P, "centroid_id" -> P, "keeper_id" -> P,
+        "cosine" -> P),
+      Seq("vec_id"),
+      (s, d) => ops.Similarity.semDedup(s, d), ops.Similarity.semDedupOracle()),
+
+    Spec("corpus_shard_manifest",
+      Seq("shard" -> I, "n_docs" -> L, "n_tokens" -> L, "n_chars" -> L,
+        "first_key" -> P, "last_key" -> P, "member_digest" -> L),
+      Seq("shard"),
+      (s, d) => ops.Corpus.shardManifest(s, d), ops.Corpus.shardManifestOracle()),
+
     Spec("corpus_clean",
       Seq("doc_id" -> P, "labeled_lang" -> P, "predicted_lang" -> P,
         "dup_count" -> L, "token_est" -> L, "quality_score" -> P),

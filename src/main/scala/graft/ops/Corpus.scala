@@ -60,4 +60,65 @@ object Corpus {
     JOIN stats ON stats.doc_id = k.doc_id
     JOIN lid ON lid.doc_id = k.doc_id
     WHERE nd.doc_id IS NULL AND stats.quality_score >= $qualityFloor"""
+
+  /** Shard fan-out of the training-export manifest. Small and fixed here
+    * so the oracle can inline it; a deployment sizes it from corpus bytes
+    * (shards ≈ bytes / target-shard-size) — the manifest query below is
+    * shard-count-agnostic: one hash-agg either way. */
+  val NumShards = 8
+
+  /** Deterministic training-export shard manifest — the release artifact a
+    * trainer consumes: every document is assigned a shard by content-stable
+    * hash (`u16(doc_id) % shards`, the same md5-derived integer used by the
+    * split/sample family, so membership survives resharding and re-runs),
+    * and each shard row carries its audit stats plus a MEMBERSHIP DIGEST —
+    * `bit_xor` of a 60-bit md5 of every member id. XOR is commutative and
+    * associative, so the digest is order-independent, map-side combinable,
+    * and overflow-free — an order-sensitive digest (hash chain) would force
+    * a per-shard total-order sort through one task per shard; within-shard
+    * read order is instead DERIVED deterministically by the consumer
+    * (sort by `sort_key` = md5 hex of the id — the "global shuffle" of
+    * training data, decorrelated from crawl order), and the manifest pins
+    * that order's endpoints (`first_key`/`last_key`) for cheap audit.
+    *
+    * Scale: one map pass (hash, token count) into one hash-agg keyed by
+    * shard — every aggregate (count/sum/min/max/xor) has a partial; no
+    * window, no sort, no collect. At 100 TB this is the same single
+    * shuffle it is at sf0.01. */
+  def shardManifest(spark: SparkSession, dir: String,
+      numShards: Int = NumShards): DataFrame =
+    TextOps.documents(spark, dir)
+      .withColumn("shard",
+        (expr(TextOps.md5U16Expr("doc_id")) % numShards).cast("int"))
+      .withColumn("sort_key", md5(col("doc_id").cast("string")))
+      .withColumn("member_h", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"))
+      .withColumn("ws_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("sort_key")).as("first_key"),
+        max(col("sort_key")).as("last_key"),
+        expr("bit_xor(member_h)").as("member_digest"))
+
+  /** Oracle for [[shardManifest]] — the 60-bit md5 prefix is rebuilt with
+    * nibble arithmetic (DuckDB has no base-conv builtin); both engines
+    * fold the same 15 hex chars, so the XOR digests match bit-for-bit. */
+  def shardManifestOracle(numShards: Int = NumShards): String = {
+    def nib(i: Int) =
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)::BIGINT"
+    val u60 = (1 to 15).map(i => s"${nib(i)} * ${1L << (4 * (15 - i))}").mkString(" + ")
+    s"""WITH d AS (
+      SELECT ${TextOps.md5U16SqlDuck("doc_id")} % $numShards AS shard,
+        md5(CAST(doc_id AS VARCHAR)) AS h,
+        len(string_split(text, ' ')) AS ws_tokens, n_chars
+      FROM documents)
+    SELECT shard, count(*) AS n_docs,
+      CAST(sum(ws_tokens) AS BIGINT) AS n_tokens,
+      CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      min(h) AS first_key, max(h) AS last_key,
+      bit_xor($u60) AS member_digest
+    FROM d GROUP BY 1"""
+  }
 }

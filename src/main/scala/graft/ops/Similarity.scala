@@ -752,6 +752,105 @@ object Similarity {
       FROM pairs)
     SELECT doc_a, doc_b, cosine FROM scored WHERE cosine >= $threshold"""
 
+  /** SemDeDup-style cluster count: OCCUPANCY-constant, not √N. The IVF
+    * serving index sizes k ≈ √(2N) ([[ivfK]]) because probe cost there is
+    * k + N/k; semantic dedup instead pays the WITHIN-cluster pair cost
+    * Σ|cluster|² ≈ N·(N/k), so k must grow linearly with N to keep the
+    * per-cluster pair fan-out — and therefore total candidate pairs per
+    * row — constant (the SemDeDup paper's regime: cluster count scales
+    * with corpus size, tens of thousands of clusters for 100M+ docs).
+    * k = 2^(bitlen(N) − 6) targets ~32–64 vectors per cluster. Integer
+    * bit-length arithmetic for the same oracle-desync reason as [[ivfK]];
+    * the [[IvfKMax]] cap bounds the broadcast centroid table — beyond it
+    * (N > 2^20) occupancy grows again and the cap is the knob to raise
+    * with executor memory, exactly as documented on [[IvfKMax]]. */
+  def semDedupK(n: Long): Int = {
+    val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L))
+    val shift = math.min(30, math.max(0, bitlen - 6))
+    math.min(IvfKMax, math.max(IvfKMin, 1 << shift))
+  }
+
+  /** [[semDedupK]] as DuckDB SQL over a BIGINT rowcount expression. */
+  private def semDedupKSqlDuck(nExpr: String): String =
+    s"""least($IvfKMax, greatest($IvfKMin,
+       1 << greatest(length(bin(greatest($nExpr, 1))) - 6, 0)))"""
+
+  /** Semantic deduplication, SemDeDup shape (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the same
+    * deterministic Lloyd quantizer the IVF index uses (occupancy-constant
+    * k, [[semDedupK]]), then mark every vector that has a LOWER-id
+    * in-cluster neighbor at cosine ≥ threshold as a semantic duplicate of
+    * the smallest such neighbor. Emits one row per dropped vector:
+    * (vec_id, centroid_id, keeper_id, cosine-to-keeper); the keep set is
+    * the complement. The dominated-by-earliest rule is the deterministic
+    * stand-in for the paper's keep-one-per-group choice — duplicate
+    * GROUPS (connected components) are already covered exactly by
+    * [[Dedup.duplicateClusters]]; this row is the cluster-scoped
+    * candidate-generation economics.
+    *
+    * Scale: training is bounded (≤ 256·k sample, [[IvfTrainPerCentroid]]);
+    * assignment is one broadcast map-pass; candidates are an equi-join on
+    * `centroid_id` — a single linear shuffle whose per-key fan-out is the
+    * constant cluster occupancy, never an all-pairs loop (total pair work
+    * ≈ N × occupancy). The final min-keeper aggregate is map-side
+    * combinable. This is the semantic twin of [[cosineNearDup]]'s banded
+    * LSH: hyperplane bands catch high-cosine pairs anywhere; cluster
+    * scoping catches the paper's "same region of embedding space" regime
+    * with a trained partition of the space. */
+  def semDedup(spark: SparkSession, dir: String, threshold: Double = 0.35,
+      numVectors: Option[Long] = None): DataFrame = {
+    val base = withNorm(spark, dir)
+    val n = numVectors
+      .orElse(graft.sources.ParquetStats.rowCount(spark, s"$dir/embeddings.parquet"))
+      .getOrElse(base.count())
+    val k = semDedupK(n)
+    val train = base.filter(
+      expr(u16Expr("vec_id")).cast("long") * lit(n) <
+        lit(65536L) * (IvfTrainPerCentroid.toLong * k))
+    val lists = buildListsFrom(base, deterministicKmeans(spark, train, k))
+    val a = lists.select(col("centroid_id"), col("vec_id").as("keeper_id"),
+      col("vec").as("a_vec"), col("nrm").as("na"))
+    val b = lists.select(col("centroid_id"), col("vec_id"),
+      col("vec").as("b_vec"), col("nrm").as("nb"))
+    a.join(b, Seq("centroid_id"))
+      .filter(col("keeper_id") < col("vec_id"))
+      .withColumn("cosine", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("vec_id"), col("centroid_id"))
+      .agg(min(struct(col("keeper_id"), col("cosine"))).as("m"))
+      .select(col("vec_id"), col("centroid_id"),
+        col("m.keeper_id").as("keeper_id"), col("m.cosine").as("cosine"))
+  }
+
+  /** Oracle for [[semDedup]] — replays the identical quantizer training
+    * (shared CTE builders, parameterized only by the `params.k` formula)
+    * and the dominated-by-earliest rule in SQL. */
+  def semDedupOracle(threshold: Double = 0.35): String =
+    s"""WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    normed AS (
+      SELECT vec_id, vec, $normSqlDuck AS nrm FROM base),
+    params AS (
+      SELECT ${semDedupKSqlDuck("count(*)")} AS k FROM embeddings),
+    $trainCtesDuck,
+    ${(1 to IvfIters).map(kmeansIterCteDuck).mkString(",\n    ")},
+    ${assignCteDuck("assigned", s"cents$IvfIters")},
+    lists AS (
+      SELECT a.vec_id, a.centroid_id, n.vec, n.nrm
+      FROM assigned a JOIN normed n ON a.vec_id = n.vec_id),
+    scored AS (
+      SELECT keeper_id, vec_id, centroid_id,
+        $dotSqlDuck / (sqrt(na) * sqrt(nb)) AS cosine
+      FROM (
+        SELECT a.vec_id AS keeper_id, b.vec_id AS vec_id, b.centroid_id,
+          a.vec AS a_vec, b.vec AS b_vec, a.nrm AS na, b.nrm AS nb
+        FROM lists a JOIN lists b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)),
+    dom AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY keeper_id) AS rn
+      FROM scored WHERE cosine >= $threshold)
+    SELECT vec_id, centroid_id, keeper_id, cosine FROM dom WHERE rn = 1"""
+
   /** Int8 scalar quantization of the embedding column — the standard
     * model-serving compression (4× smaller than float32, 8× than the
     * doubles they widen to): per-vector scale = max|component| / 127,

@@ -667,6 +667,60 @@ class OpsSpec extends SparkSpec {
     Bpe.clearCache() // smoke: the invalidation hook exists and is callable
   }
 
+  test("semdedup: occupancy-constant k — linear in N, not √N") {
+    import graft.ops.Similarity.{semDedupK, ivfK}
+    assert(semDedupK(500) == 16 && semDedupK(2000) == 32,
+      "test-SF cluster counts (floor-clamped region)")
+    // the property that makes within-cluster pairing linear: k doubles
+    // with N, so occupancy N/k stays in a constant band ~[32, 64]
+    for (b <- 10 to 19; n = 1L << b) {
+      val occ = n / semDedupK(n)
+      assert(occ >= 16 && occ <= 64, s"N=$n occupancy $occ drifted")
+    }
+    assert(semDedupK(1L << 28) == Similarity.IvfKMax, "broadcast cap binds")
+    // vs the serving index's √N rule: at probe-scale N they diverge —
+    // semdedup must cluster much finer than IVF probes
+    assert(semDedupK(1L << 18) > ivfK(1L << 18))
+  }
+
+  test("semdedup: drops are dominated by an earlier in-cluster keeper") {
+    val out = Similarity.semDedup(spark, Sf0001).collect()
+    assert(out.nonEmpty, "threshold must yield rows on the test corpus")
+    val dropped = out.map(_.getLong(0)).toSet
+    out.foreach { r =>
+      val (vecId, keeper, cos) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      assert(keeper < vecId, "keeper is always the earlier id")
+      assert(cos >= 0.35 - 1e-12, "dominating pair is above threshold")
+    }
+    // keep-set complement is what a pipeline consumes: dropped ∪ kept = N
+    val n = Similarity.embeddings(spark, Sf0001).count()
+    assert(dropped.size < n, "semantic dedup must never drop everything")
+  }
+
+  test("shard manifest: partitions the corpus, digest is membership-exact") {
+    import graft.ops.Corpus
+    val rows = Corpus.shardManifest(spark, Sf0001).collect()
+    assert(rows.map(_.getInt(0)).toSet == (0 until Corpus.NumShards).toSet)
+    val docs = TextOps.documents(spark, Sf0001)
+    assert(rows.map(_.getLong(1)).sum == docs.count(),
+      "shards partition the corpus exactly")
+    assert(rows.map(_.getLong(3)).sum ==
+      docs.agg(sum("n_chars")).head().getLong(0))
+    // membership sensitivity: the same corpus minus one doc must change
+    // exactly that doc's shard digest and count, and no other row
+    val tmp = java.nio.file.Files.createTempDirectory("shardman").toString
+    docs.filter(col("doc_id") =!= 7).coalesce(1)
+      .write.parquet(s"$tmp/documents.parquet")
+    val before = rows.map(r => r.getInt(0) -> (r.getLong(1), r.getLong(6))).toMap
+    val after = Corpus.shardManifest(spark, tmp).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(6))).toMap
+    val changed = before.keySet.filter(s => before(s) != after(s))
+    assert(changed.size == 1, "one doc lives in exactly one shard")
+    assert(before(changed.head)._1 - 1 == after(changed.head)._1)
+    assert(before(changed.head)._2 != after(changed.head)._2,
+      "the xor digest must see the missing member")
+  }
+
   test("retention: diagonal equals cohort size, fractions bounded") {
     val rows = Events.retention(spark, Sf0001)
       .select(col("cohort_week").cast("string"),

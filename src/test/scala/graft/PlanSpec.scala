@@ -47,6 +47,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("semdedup: cluster-scoped equi-join candidates, no all-pairs loop") {
+    val p = plan(graft.ops.Similarity.semDedup(spark, Sf0001))
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop joins allowed are the bounded k×N broadcast
+    // ASSIGNMENT passes against the trained centroids (k rows broadcast;
+    // one per Lloyd iteration + one final) — candidate pairing itself
+    // must join hash/merge-style on the cluster key
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= graft.ops.Similarity.IvfIters + 1,
+      s"$bnlj nested-loop joins: candidate pairing leaked into an all-pairs loop")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[centroid_id".r
+      .findFirstIn(p).isDefined,
+      "pairing must be an equi-join keyed on centroid_id")
+    assert(p.contains("partial_min"),
+      "min-keeper aggregate must have a map-side partial")
+  }
+
+  test("shard manifest: one hash-agg with partials, no sort, no window") {
+    val p = plan(graft.ops.Corpus.shardManifest(spark, Sf0001))
+    assert(!p.contains("Window"), "manifest must not rank/sort per shard")
+    assert(!p.toLowerCase.contains("sortexec"),
+      "order is derived by the consumer, never materialized here")
+    assert(p.contains("partial_"),
+      "count/sum/min/max/xor all combine map-side ahead of the one shuffle")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("ann exact baseline: pinned fixed-size query set, not a modulus") {
     assert(graft.ops.Similarity.AnnQueryIds.size == 20)
   }
