@@ -508,6 +508,24 @@ object Queries {
       Seq("rank"),
       (s, d) => ops.TextOps.vocabulary(s, d), ops.TextOps.vocabularyOracle()),
 
+    Spec("docs_tfidf_topk",
+      Seq("doc_id" -> P, "rank" -> I, "token" -> P, "tf" -> L, "df" -> L,
+        "score" -> P),
+      Seq("doc_id", "rank"),
+      ops.TextOps.tfidfTopK, ops.TextOps.tfidfTopKOracle),
+
+    Spec("dedup_span_profile",
+      Seq("doc_id" -> P, "n_spans" -> L, "n_shared_spans" -> L,
+        "shared_frac" -> P),
+      Seq("doc_id"),
+      ops.Dedup.spanProfile, ops.Dedup.spanProfileOracle),
+
+    Spec("sketch_kmv_distinct",
+      Seq("event_type" -> P, "n_kept" -> L, "kth_min" -> L,
+        "est_distinct" -> P, "exact_distinct" -> L, "rel_err" -> P),
+      Seq("event_type"),
+      ops.Sketch.kmvDistinct, ops.Sketch.kmvDistinctOracle),
+
     Spec("docs_redact",
       Seq("doc_id" -> P, "n_emails" -> L, "n_numbers" -> L,
         "redacted_len" -> L, "redacted_md5" -> P),

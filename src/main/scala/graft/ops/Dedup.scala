@@ -500,4 +500,49 @@ object Dedup {
     SELECT split_a, split_b, count(*) AS n_pairs,
       CAST(split_a != split_b AS INTEGER) AS is_leak
     FROM labeled GROUP BY 1, 2"""
+
+  /** Per-document duplicated-SPAN profile — the per-doc aggregate view of
+    * exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"): for each distinct-text representative,
+    * how many of its word 3-gram spans also occur in at least one OTHER
+    * representative, and what fraction of the doc that is. The pair
+    * operators ([[ngramJaccard]], [[winnowNearDup]]) answer "which docs
+    * overlap"; this answers "how much of THIS doc is boilerplate /
+    * copied" — the signal a training pipeline thresholds to drop or trim
+    * documents rather than whole-doc-dedup them.
+    *
+    * Unlike the pair joins there is NO quadratic risk and therefore no
+    * [[MaxShingleDocFrequency]] cutoff: a hot span inflates one posting
+    * count, not a pair fan-out. Shape: distinct (doc, span) → span
+    * doc-frequency (one shuffle, map-side partials) → join df back on the
+    * span (AQE handles the stopword-span skew) → per-doc count aggregate.
+    * Docs with fewer than 3 words have no spans and no row, mirrored by
+    * the oracle's inner join. */
+  def spanProfile(spark: SparkSession, dir: String): DataFrame = {
+    val sh = distinctDocs(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("sh", explode(expr(shingleExpr)))
+      .select("doc_id", "sh").distinct()
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared_spans"))
+      .withColumn("shared_frac",
+        col("n_shared_spans") * lit(1.0) / col("n_spans"))
+  }
+
+  def spanProfileOracle: String =
+    s"""WITH $distinctDocsCte,
+    sh0 AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM docs),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest($shingleSqlDuck) AS sh FROM sh0),
+    df AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
+    SELECT doc_id, count(*) AS n_spans,
+      sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS n_shared_spans,
+      sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*)
+        AS shared_frac
+    FROM sh JOIN df USING (sh)
+    GROUP BY 1"""
 }

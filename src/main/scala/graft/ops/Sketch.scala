@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distinct-count sketching via KMV (k-minimum values), the classic
+  * bottom-k estimator (Bar-Yossef et al., "Counting distinct elements in a
+  * data stream"): hash every element to a uniform fraction of the hash
+  * space, keep the k smallest DISTINCT hashes per group, and estimate
+  * |D| ≈ (k-1) / fraction(h_k). Reference analogue: the engine's
+  * approximate `count(distinct …)` family — re-expressed here as a
+  * deterministic sketch both engines can compute bit-identically, unlike
+  * HLL whose register layout is implementation-private.
+  *
+  * Determinism is the design driver (the same reason the split/sample
+  * family uses hash thresholds, TextOps.md5U16Expr): the hash is the first
+  * 24 bits of md5, extracted nibble-by-nibble with integer arithmetic
+  * because DuckDB has no hex→int conversion; every downstream step is
+  * integer or IEEE-correctly-rounded division, so Spark and the oracle
+  * agree exactly — the estimate itself is oracle-checkable, not just
+  * "close".
+  *
+  * Scale shape: the only corpus-sized work is the distinct on
+  * (group, hash) — one shuffle with map-side partial dedup. After it the
+  * relation is bounded by the HASH SPACE (≤ 2²⁴ rows per group however
+  * large the corpus), so the per-group k-smallest window never sees
+  * unbounded input — the property that makes bottom-k mergeable across
+  * shards: min-k of a union = min-k of per-shard min-k's. The exact
+  * countDistinct branch exists only to report the sketch's accuracy in the
+  * same row; a production pipeline emits the estimate alone and skips that
+  * second aggregate entirely.
+  */
+object Sketch {
+
+  /** Sketch size: estimates use the k-th smallest distinct hash. 64 gives
+    * ~1/√(k-2) ≈ 13% relative standard error — the textbook trade; the
+    * driver row pins the REALIZED error exactly, because the hash
+    * sequence is deterministic. */
+  val K = 64
+
+  /** Hash-space size: 24 bits = 6 md5 nibbles. Wide enough that the test
+    * corpora sit far from saturation (collisions fold into the estimate
+    * identically in both engines either way). */
+  val HashSpace: Long = 1L << 24
+
+  /** First 24 md5 bits of `idCol` as an integer in [0, 2²⁴) — Spark SQL
+    * dialect. Extends TextOps.md5U16Expr's nibble arithmetic to 6
+    * nibbles. */
+  private[ops] def md5U24Expr(idCol: String): String = {
+    def nib(i: Int) =
+      s"(instr('0123456789abcdef', substring(md5(cast($idCol as string)), $i, 1)) - 1)"
+    (1 to 6).map(i => s"${nib(i)} * ${1L << (4 * (6 - i))}").mkString("(", " + ", ")")
+  }
+
+  /** DuckDB twin of [[md5U24Expr]]. */
+  private[ops] def md5U24SqlDuck(idCol: String): String = {
+    def nib(i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5(CAST($idCol AS VARCHAR)), $i, 1)) - 1)"
+    (1 to 6).map(i => s"${nib(i)} * ${1L << (4 * (6 - i))}").mkString("(", " + ", ")")
+  }
+
+  /** Per-event-type distinct-user estimate: the KMV estimate next to the
+    * exact count and their ratio. `n_kept` < [[K]] means the sketch held
+    * every distinct hash and the "estimate" is exact-by-construction
+    * (modulo hash collisions, identical in both engines). */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val e = Events.events(spark, dir)
+      .select(col("event_type"),
+        col("user_id"),
+        expr(md5U24Expr("user_id")).cast("long").as("h"))
+    val hashes = e.select("event_type", "h").distinct()
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val sketch = hashes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_min"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < K, col("n_kept").cast("double"))
+          .otherwise((lit(K - 1) * lit(HashSpace.toDouble)) / col("kth_min")))
+    val exact = e.select("event_type", "user_id").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("exact_distinct"))
+    sketch.join(exact, Seq("event_type"))
+      .withColumn("rel_err", col("est_distinct") / col("exact_distinct"))
+      .select("event_type", "n_kept", "kth_min", "est_distinct",
+        "exact_distinct", "rel_err")
+  }
+
+  def kmvDistinctOracle: String =
+    s"""WITH e AS (
+      SELECT event_type, user_id, ${md5U24SqlDuck("user_id")} AS h
+      FROM events),
+    hashes AS (SELECT DISTINCT event_type, h FROM e),
+    ranked AS (
+      SELECT event_type, h,
+        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hashes),
+    sketch AS (
+      SELECT event_type, count(*) AS n_kept, max(h) AS kth_min
+      FROM ranked WHERE rn <= $K GROUP BY 1),
+    est AS (
+      SELECT event_type, n_kept, kth_min,
+        CASE WHEN n_kept < $K THEN CAST(n_kept AS DOUBLE)
+             ELSE (${K - 1} * ${HashSpace.toDouble}) / kth_min END
+          AS est_distinct
+      FROM sketch),
+    exact AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+      FROM e GROUP BY 1)
+    SELECT est.event_type, est.n_kept, est.kth_min, est.est_distinct,
+      exact.exact_distinct,
+      est.est_distinct / exact.exact_distinct AS rel_err
+    FROM est JOIN exact USING (event_type)"""
+}

@@ -730,4 +730,67 @@ object TextOps {
       CAST(split_part(greatest($padded), '|', 1) AS BIGINT) AS best_score
     FROM s"""
   }
+
+  /** Per-document top-[[TfidfTopK]] terms by TF-IDF — the keyword/feature
+    * extraction pass behind sparse retrieval and topic drift monitoring
+    * ([[vocabulary]] is the corpus-global view; this is the per-doc one).
+    *
+    * The score is the LOG-FREE tf-idf variant
+    * `tf · (N + 1) / (df + 1)`: same ordering semantics (monotone up in
+    * tf, down in df), but built only from integer counts and one IEEE
+    * division, which is correctly rounded identically in both engines —
+    * `ln`/`log` are NOT ulp-stable across libm implementations, and a
+    * 1-ulp score difference flips a top-k rank. Same cross-engine
+    * determinism rule as [[docsLengthHistogram]]'s log-free decades and
+    * [[mixture]]'s sqrt-only temperature.
+    *
+    * Shape: explode → per-(doc,term) count (one composite-key shuffle) →
+    * term doc-frequency (token-key shuffle, map-side partials) → df joined
+    * back on the term (the df side is vocabulary-sized, not corpus-sized;
+    * AQE splits the stopword hot keys) → per-doc top-k window (partition
+    * = doc_id, bounded by the doc's distinct-term count). N rides along as
+    * a broadcast 1-row aggregate, never a driver round-trip. Ties rank by
+    * token for cross-engine determinism. */
+  val TfidfTopK = 5
+
+  def tfidfTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(spark, dir)
+    val tokens = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * (col("n_docs") + lit(1.0)) / (col("df") + lit(1)))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TfidfTopK)
+      .select("doc_id", "rank", "token", "tf", "df", "score")
+  }
+
+  def tfidfTopKOracle: String =
+    s"""WITH tokens AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM tokens WHERE length(token) > 0
+      GROUP BY 1, 2),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        tf.tf * (n.n_docs + 1.0) / (df.df + 1) AS score
+      FROM tf JOIN df USING (token), n),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+        ORDER BY score DESC, token) AS rank
+      FROM scored)
+    SELECT doc_id, rank, token, tf, df, score
+    FROM ranked WHERE rank <= $TfidfTopK"""
 }

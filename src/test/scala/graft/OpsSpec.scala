@@ -740,4 +740,96 @@ class OpsSpec extends SparkSpec {
       assert(diag.get._4 == diag.get._5, "offset-0 activity IS the cohort size")
     }
   }
+
+  /** Writes a boutique documents.parquet into a fresh dir, returning the
+    * dir — lets operator tests construct exact overlap structure instead
+    * of asserting weaker invariants on the synthetic corpus. */
+  private def docsDir(texts: Seq[String]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("ops_docs").toString
+    texts.zipWithIndex
+      .map { case (t, i) =>
+        (i.toLong, t, "en", "unit", t.length.toLong)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("span profile counts exactly the cross-doc shared 3-gram spans") {
+    // doc0 and doc1 share the 4-word run "q w e r" => 2 shared 3-grams;
+    // doc2 is disjoint; doc3 is too short for any span (absent from out).
+    val dir = docsDir(Seq(
+      "q w e r a b", // spans: qwe wer era rab  (4)
+      "x q w e r y", // spans: xqw qwe wer ery  (4)
+      "m n o p",     // spans: mno nop          (2)
+      "t u"))        // no spans
+    val out = Dedup.spanProfile(spark, dir)
+      .select("doc_id", "n_spans", "n_shared_spans", "shared_frac")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(out(0) == ((0L, 4L, 2L, 0.5)))
+    assert(out(1) == ((1L, 4L, 2L, 0.5)))
+    assert(out(2) == ((2L, 2L, 0L, 0.0)))
+  }
+
+  test("span profile stages on distinct-text reps: twins add no shared spans") {
+    // an exact duplicate pair must NOT mark its own spans as shared
+    val dir = docsDir(Seq("a b c d e", "a b c d e"))
+    val out = Dedup.spanProfile(spark, dir)
+      .select("doc_id", "n_shared_spans").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((0L, 0L)),
+      "one rep per text; self-duplication is dedup_exact's finding")
+  }
+
+  test("tfidf ranks a doc's rare term above its shared term") {
+    val dir = docsDir(Seq(
+      "alpha common common", // alpha df=1 tf=1; common df=2 tf=2
+      "beta common"))
+    val rows = TextOps.tfidfTopK(spark, dir)
+      .select("doc_id", "rank", "token", "tf", "df", "score")
+      .as[(Long, Int, String, Long, Long, Double)].collect()
+    val doc0 = rows.filter(_._1 == 0L).sortBy(_._2)
+    // score(alpha) = 1*(2+1)/(1+1) = 1.5; score(common) = 2*3/3 = 2.0 —
+    // tf can outweigh idf; the ranking must follow the score exactly
+    assert(doc0.map(t => (t._3, t._6)).toSeq ==
+      Seq(("common", 2.0), ("alpha", 1.5)))
+    val doc1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    // beta: 1*3/2 = 1.5 beats common: 1*3/3 = 1.0
+    assert(doc1.map(_._3).toSeq == Seq("beta", "common"))
+    rows.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length))
+      assert(rs.sortBy(_._2).sliding(2).forall { pair =>
+        pair.length < 2 || {
+          val (a, b) = (pair(0), pair(1))
+          a._6 > b._6 || (a._6 == b._6 && a._3 < b._3)
+        }
+      }, "ranks follow (score desc, token) exactly")
+    }
+  }
+
+  test("kmv sketch: exact below k, bounded error above, deterministic") {
+    import graft.ops.Sketch
+    val out = Sketch.kmvDistinct(spark, Sf0001)
+      .select("event_type", "n_kept", "kth_min", "est_distinct",
+        "exact_distinct", "rel_err")
+      .as[(String, Long, Long, Double, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (et, kept, kth, est, exact, rel) =>
+      assert(kept <= Sketch.K)
+      assert(kth >= 0 && kth < Sketch.HashSpace)
+      if (kept < Sketch.K)
+        // below k the sketch saw every distinct hash; only hash
+        // collisions (identical in both engines) can shave the estimate
+        assert(est == kept.toDouble && kept <= exact,
+          s"$et: sub-k sketch must be the distinct-hash count")
+      else
+        assert(rel > 0.5 && rel < 2.0,
+          s"$et: realized error $rel outside the sane band for k=${Sketch.K}")
+    }
+    val again = Sketch.kmvDistinct(spark, Sf0001)
+      .select("event_type", "est_distinct").as[(String, Double)]
+      .collect().toMap
+    assert(out.map(r => r._1 -> r._4).toMap == again,
+      "hash-based sketches must be run-to-run identical")
+  }
 }
