@@ -514,6 +514,12 @@ object Queries {
       Seq("doc_id", "rank"),
       ops.TextOps.tfidfTopK, ops.TextOps.tfidfTopKOracle),
 
+    Spec("dedup_containment",
+      Seq("doc_a" -> P, "doc_b" -> P, "n_common" -> L,
+        "containment_a" -> P, "containment_b" -> P),
+      Seq("doc_a", "doc_b"),
+      ops.Dedup.containment, ops.Dedup.containmentOracle),
+
     Spec("dedup_span_profile",
       Seq("doc_id" -> P, "n_spans" -> L, "n_shared_spans" -> L,
         "shared_frac" -> P),
@@ -664,6 +670,13 @@ object Queries {
       Seq("window_start", "event_type"),
       streaming.StreamingOps.windowedParityAppend,
       streaming.StreamingOps.windowedParityAppendOracle),
+
+    Spec("streaming_dedup",
+      Seq("event_id" -> P, "ts" -> P, "user_id" -> P, "event_type" -> P,
+        "value" -> P, "props" -> P),
+      Seq("event_id"),
+      streaming.StreamingOps.dedupParity,
+      streaming.StreamingOps.dedupParityOracle),
 
     Spec("events_json",
       Seq("event_type" -> P, "n_events" -> L, "n_users" -> L, "k_sum" -> L,

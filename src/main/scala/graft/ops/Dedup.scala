@@ -123,6 +123,56 @@ object Dedup {
     JOIN sizes sb ON sb.doc_id = i.doc_b
     WHERE i.n_common * 1.0 / (sa.n_shingles + sb.n_shingles - i.n_common) >= $threshold"""
 
+  /** Containment threshold: a doc ≥ this contained in another is a
+    * near-SUBSET — the asymmetric signal. 0.8 of a doc's shingles ≈ the
+    * doc minus a header/footer's worth of novel grams. */
+  val ContainmentThreshold = 0.8
+
+  /** Asymmetric near-dup by shingle CONTAINMENT — |A∩B| / |A| per
+    * direction, flagged when either direction crosses
+    * [[ContainmentThreshold]]. Complements [[ngramJaccard]]: a short doc
+    * embedded whole inside a much longer one (quote farms, aggregator
+    * pages, doc+boilerplate re-publications) has Jaccard ≈ |A|/|B| → 0
+    * but containment_a ≈ 1 — symmetric measures structurally cannot see
+    * subset duplication. Broder's resemblance-vs-containment distinction,
+    * same inverted-index equi-join as Jaccard (the same
+    * [[MaxShingleDocFrequency]] posting-list bound applies; candidate
+    * pairs only ever come from shared shingles, never all-pairs), one
+    * extra `greatest` filter at the end. */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(spark, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val inter = sh.as("a").join(sh.as("b"), Seq("sh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("nb")), Seq("doc_b"))
+      .withColumn("containment_a", col("n_common") * 1.0 / col("na"))
+      .withColumn("containment_b", col("n_common") * 1.0 / col("nb"))
+      .filter(greatest(col("containment_a"), col("containment_b"))
+        >= ContainmentThreshold)
+      .select("doc_a", "doc_b", "n_common", "containment_a", "containment_b")
+  }
+
+  def containmentOracle: String =
+    s"""WITH $shingleCte,
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b, i.n_common,
+      i.n_common * 1.0 / sa.n_shingles AS containment_a,
+      i.n_common * 1.0 / sb.n_shingles AS containment_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE greatest(i.n_common * 1.0 / sa.n_shingles,
+                   i.n_common * 1.0 / sb.n_shingles)
+      >= $ContainmentThreshold"""
+
   /** 64-bit SimHash from md5-derived word-hash bits: bit j of word w is
     * bit (j-1)%4 of hex digit ceil(j/4) of md5(w); the simhash bit is the
     * sign of the +/-1 vote sum over all words. Integer arithmetic

@@ -764,23 +764,12 @@ object Similarity {
     * the [[IvfKMax]] cap bounds the broadcast centroid table — beyond it
     * (N > 2^20) occupancy grows again and the cap is the knob to raise
     * with executor memory, exactly as documented on [[IvfKMax]]. */
-  def semDedupK(n: Long): Int = {
-    val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L))
-    val shift = math.min(30, math.max(0, bitlen - 6))
-    math.min(IvfKMax, math.max(IvfKMin, 1 << shift))
-  }
-
-  /** [[semDedupK]] as DuckDB SQL over a BIGINT rowcount expression. */
-  private def semDedupKSqlDuck(nExpr: String): String =
-    s"""least($IvfKMax, greatest($IvfKMin,
-       1 << greatest(length(bin(greatest($nExpr, 1))) - 6, 0)))"""
-
   /** Semantic deduplication, SemDeDup shape (Abbas et al. 2023,
-    * arXiv:2303.09540): cluster the embedding space with the same
-    * deterministic Lloyd quantizer the IVF index uses (occupancy-constant
-    * k, [[semDedupK]]), then mark every vector that has a LOWER-id
-    * in-cluster neighbor at cosine ≥ threshold as a semantic duplicate of
-    * the smallest such neighbor. Emits one row per dropped vector:
+    * arXiv:2303.09540): mark every vector that has a LOWER-id in-cluster
+    * neighbor at cosine ≥ threshold as a semantic duplicate of the
+    * smallest such neighbor, clusters being the SERVING INDEX's inverted
+    * lists ([[IvfIndex.lists]] — the same deterministic Lloyd quantizer,
+    * [[ivfK]] sizing). Emits one row per dropped vector:
     * (vec_id, centroid_id, keeper_id, cosine-to-keeper); the keep set is
     * the complement. The dominated-by-earliest rule is the deterministic
     * stand-in for the paper's keep-one-per-group choice — duplicate
@@ -788,26 +777,26 @@ object Similarity {
     * [[Dedup.duplicateClusters]]; this row is the cluster-scoped
     * candidate-generation economics.
     *
-    * Scale: training is bounded (≤ 256·k sample, [[IvfTrainPerCentroid]]);
-    * assignment is one broadcast map-pass; candidates are an equi-join on
-    * `centroid_id` — a single linear shuffle whose per-key fan-out is the
-    * constant cluster occupancy, never an all-pairs loop (total pair work
-    * ≈ N × occupancy). The final min-keeper aggregate is map-side
-    * combinable. This is the semantic twin of [[cosineNearDup]]'s banded
-    * LSH: hyperplane bands catch high-cosine pairs anywhere; cluster
-    * scoping catches the paper's "same region of embedding space" regime
-    * with a trained partition of the space. */
-  def semDedup(spark: SparkSession, dir: String, threshold: Double = 0.35,
-      numVectors: Option[Long] = None): DataFrame = {
-    val base = withNorm(spark, dir)
-    val n = numVectors
-      .orElse(graft.sources.ParquetStats.rowCount(spark, s"$dir/embeddings.parquet"))
-      .getOrElse(base.count())
-    val k = semDedupK(n)
-    val train = base.filter(
-      expr(u16Expr("vec_id")).cast("long") * lit(n) <
-        lit(65536L) * (IvfTrainPerCentroid.toLong * k))
-    val lists = buildListsFrom(base, deterministicKmeans(spark, train, k))
+    * Sharing the index quantizer is the scale design, measured, not
+    * assumed: an earlier occupancy-constant sizing (k = N/64, its own
+    * training) kept pairing linear but paid N·k ≈ N²/64 quantizer
+    * assignment per call — 18× wall for 10× data at the probe, every
+    * run, cache-blind. With [[ivfK]] (k = √2N) assignment is N^1.5 — the
+    * SAME class as the index build it now shares, paid ONCE per corpus
+    * fingerprint through [[IvfIndex]]'s staged-rename cache — and a warm
+    * call is pairs-only: one `centroid_id` equi-join of the lists with
+    * themselves (exactly [[annIvfTopK]]'s serving join, un-restricted),
+    * N × √(N/2) candidate work, map-side-combinable min-keeper at the
+    * end. At the verified SFs the two sizings coincide (both clamp to
+    * k = 16/16/32 at N = 200/500/2 000), so the oracle results are
+    * unchanged — the formulas only diverge beyond oracle-verified scale,
+    * the same adaptivity discipline as [[NearDupBandPlanes]]. Beyond the
+    * [[IvfKMax]] cap occupancy grows again and the cap is the knob, as
+    * documented there. */
+  def semDedup(spark: SparkSession, dir: String,
+      threshold: Double = 0.35): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val lists = IvfIndex.lists(spark, dir)
     val a = lists.select(col("centroid_id"), col("vec_id").as("keeper_id"),
       col("vec").as("a_vec"), col("nrm").as("na"))
     val b = lists.select(col("centroid_id"), col("vec_id"),
@@ -822,8 +811,8 @@ object Similarity {
         col("m.keeper_id").as("keeper_id"), col("m.cosine").as("cosine"))
   }
 
-  /** Oracle for [[semDedup]] — replays the identical quantizer training
-    * (shared CTE builders, parameterized only by the `params.k` formula)
+  /** Oracle for [[semDedup]] — replays the index quantizer training
+    * (the same CTE builders and `params.k` as [[annIvfTopKOracle]])
     * and the dominated-by-earliest rule in SQL. */
   def semDedupOracle(threshold: Double = 0.35): String =
     s"""WITH base AS (
@@ -831,7 +820,7 @@ object Similarity {
     normed AS (
       SELECT vec_id, vec, $normSqlDuck AS nrm FROM base),
     params AS (
-      SELECT ${semDedupKSqlDuck("count(*)")} AS k FROM embeddings),
+      SELECT ${ivfKSqlDuck("count(*)")} AS k FROM embeddings),
     $trainCtesDuck,
     ${(1 to IvfIters).map(kmeansIterCteDuck).mkString(",\n    ")},
     ${assignCteDuck("assigned", s"cents$IvfIters")},

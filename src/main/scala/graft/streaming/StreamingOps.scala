@@ -410,6 +410,31 @@ object StreamingOps {
     events.withWatermark("ts", withinDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Oracle-checked parity drain of [[dedupStream]]: the events file
+    * stream is delivered with EVERY ROW DUPLICATED (a map-side fan-out
+    * synthesizing at-least-once redelivery), deduped by event_id within
+    * the watermark horizon, drained in Append mode. Exactly-once
+    * emerges: the oracle is simply the events table — every synthetic
+    * duplicate suppressed, every survivor's payload byte-identical.
+    * Unlike the windowed parities there is no window-close cutoff to
+    * mirror: dedup state EMITS on first sight and is only retained (not
+    * withheld) until the watermark passes, so nothing is held back at
+    * drain. */
+  def dedupParity(spark: SparkSession, dir: String): DataFrame = {
+    val doubled = readEventsStream(spark, dir, glob = Some("events.parquet"))
+      .withColumn("copy", explode(array(lit(0), lit(1))))
+      .drop("copy")
+    val out = dedupStream(doubled)
+      .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    runToMemory(spark, out, "graft_dedup_parity", OutputMode.Append())
+  }
+
+  def dedupParityOracle: String =
+    """SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id,
+         event_type, value, props
+       FROM events"""
+
   /** Streaming incremental ingestion: drive a micro-batched file stream
     * into a [[graft.pipeline.TableSink]] through `foreachBatch` — each
     * micro-batch upserts by `key` via the sink's merge (a real `MERGE

@@ -667,20 +667,25 @@ class OpsSpec extends SparkSpec {
     Bpe.clearCache() // smoke: the invalidation hook exists and is callable
   }
 
-  test("semdedup: occupancy-constant k — linear in N, not √N") {
-    import graft.ops.Similarity.{semDedupK, ivfK}
-    assert(semDedupK(500) == 16 && semDedupK(2000) == 32,
-      "test-SF cluster counts (floor-clamped region)")
-    // the property that makes within-cluster pairing linear: k doubles
-    // with N, so occupancy N/k stays in a constant band ~[32, 64]
-    for (b <- 10 to 19; n = 1L << b) {
-      val occ = n / semDedupK(n)
-      assert(occ >= 16 && occ <= 64, s"N=$n occupancy $occ drifted")
+  test("semdedup: shares the serving index's quantizer — warm calls train nothing") {
+    import graft.ops.{IvfIndex, Similarity}
+    // warm the fingerprint's index, then pin that semDedup adds no
+    // training work of its own — the N²-class per-call quantizer cost of
+    // the earlier self-trained sizing is exactly what this forbids
+    IvfIndex.lists(spark, Sf0001).count()
+    val before = IvfIndex.trainings.get()
+    val out = Similarity.semDedup(spark, Sf0001)
+    out.count()
+    assert(IvfIndex.trainings.get() == before,
+      "a warm semDedup call must serve from the cached index quantizer")
+    // and its clusters ARE the index's inverted lists
+    val idx = IvfIndex.lists(spark, Sf0001)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.select("vec_id", "centroid_id").collect().foreach { r =>
+      assert(idx(r.getLong(0)) == r.getLong(1),
+        "every dropped vector is scoped to its index list")
     }
-    assert(semDedupK(1L << 28) == Similarity.IvfKMax, "broadcast cap binds")
-    // vs the serving index's √N rule: at probe-scale N they diverge —
-    // semdedup must cluster much finer than IVF probes
-    assert(semDedupK(1L << 18) > ivfK(1L << 18))
   }
 
   test("semdedup: drops are dominated by an earlier in-cluster keeper") {
@@ -805,6 +810,23 @@ class OpsSpec extends SparkSpec {
         }
       }, "ranks follow (score desc, token) exactly")
     }
+  }
+
+  test("containment flags a near-subset doc that Jaccard structurally misses") {
+    val short = "a b c d e" // 3 shingles: abc bcd cde
+    val long = ("f1 f2 f3 f4 f5 f6 f7 " + short + " g1 g2 g3 g4 g5 g6 g7 g8")
+    val dir = docsDir(Seq(short, long))
+    val cont = Dedup.containment(spark, dir)
+      .select("doc_a", "doc_b", "n_common", "containment_a", "containment_b")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(cont.length == 1)
+    val (a, b, common, ca, cb) = cont.head
+    assert((a, b, common) == ((0L, 1L, 3L)))
+    assert(ca == 1.0, "every shingle of the short doc occurs in the long one")
+    assert(cb < 0.2, "the long doc is mostly novel")
+    // the symmetric measure cannot cross its threshold on this pair
+    assert(Dedup.ngramJaccard(spark, dir).count() == 0,
+      "subset duplication is invisible to Jaccard at its threshold")
   }
 
   test("kmv sketch: exact below k, bounded error above, deterministic") {

@@ -47,16 +47,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("semdedup: cluster-scoped equi-join candidates, no all-pairs loop") {
+  test("semdedup: serves the cached index, equi-join candidates, no all-pairs loop") {
     val p = plan(graft.ops.Similarity.semDedup(spark, Sf0001))
     assert(!p.contains("CartesianProduct"))
-    // the only nested-loop joins allowed are the bounded k×N broadcast
-    // ASSIGNMENT passes against the trained centroids (k rows broadcast;
-    // one per Lloyd iteration + one final) — candidate pairing itself
-    // must join hash/merge-style on the cluster key
-    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
-    assert(bnlj <= graft.ops.Similarity.IvfIters + 1,
-      s"$bnlj nested-loop joins: candidate pairing leaked into an all-pairs loop")
+    // serving reads the materialized inverted lists — NO quantizer
+    // assignment pass of any kind may appear in a semDedup plan (the
+    // earlier self-trained formulation paid IvfIters+1 broadcast
+    // nested-loop passes per call; that cost now lives in the index
+    // build, once per corpus fingerprint)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "a warm semDedup plan must contain zero assignment passes")
+    assert(p.contains("ivf_lists_"),
+      "candidates must come from the materialized index table")
     assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[centroid_id".r
       .findFirstIn(p).isDefined,
       "pairing must be an equi-join keyed on centroid_id")
