@@ -514,6 +514,12 @@ object Queries {
       Seq("doc_id", "rank"),
       ops.TextOps.tfidfTopK, ops.TextOps.tfidfTopKOracle),
 
+    Spec("docs_bigram_lm",
+      Seq("w1" -> P, "next_rank" -> I, "w2" -> P, "bigram_count" -> L,
+        "w1_count" -> L, "cond_prob" -> P),
+      Seq("w1", "next_rank"),
+      ops.TextOps.bigramLm, ops.TextOps.bigramLmOracle),
+
     Spec("dedup_containment",
       Seq("doc_a" -> P, "doc_b" -> P, "n_common" -> L,
         "containment_a" -> P, "containment_b" -> P),
@@ -698,7 +704,14 @@ object Queries {
     Spec("multimodal_features",
       Seq("doc_id" -> P, "media_type" -> P, "n_bytes" -> I,
         "width" -> I, "height" -> I, "pixel_checksum" -> L),
-      Seq("doc_id"), ops.Multimodal.features, ops.Multimodal.featuresOracle))
+      Seq("doc_id"), ops.Multimodal.features, ops.Multimodal.featuresOracle),
+
+    Spec("multimodal_resize",
+      Seq("doc_id" -> P, "media_type" -> P, "src_w" -> I, "src_h" -> I,
+        "out_w" -> I, "out_h" -> I, "resized_checksum" -> L,
+        "luma_sum" -> L),
+      Seq("doc_id"), ops.Multimodal.resizeFeatures,
+      ops.Multimodal.resizeFeaturesOracle))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     specs.map { s =>

@@ -133,6 +133,97 @@ object Multimodal {
         "pixel_checksum")
   }
 
+  /** Output grid of [[resized]] — the fixed-size thumbnail/frame-sample
+    * geometry every vision preprocessor normalizes to. */
+  val OutW = 4
+  val OutH = 4
+
+  final case class MediaResized(
+    doc_id: Long, media_type: String, src_w: Int, src_h: Int,
+    out_w: Int, out_h: Int, resized_checksum: Long, luma_sum: Long)
+
+  /** Decode + nearest-neighbor RESIZE to a fixed [[OutW]]×[[OutH]] grid —
+    * the second rung of the media ladder (decode → resize/frame-sample →
+    * feature-extract): every payload, whatever its native geometry, comes
+    * out as the same fixed-shape grid, exactly what a vision encoder's
+    * preprocessor does. Nearest-neighbor (src = ⌊out·src_dim/out_dim⌋) is
+    * chosen over interpolation deliberately: it is pure integer index
+    * arithmetic on the DECODED raster, so the oracle can predict the
+    * resampled checksum without decoding — keeping the whole resize
+    * under the same arithmetic-prediction contract as [[features]] (a
+    * wrong index map, row order, or channel swap fails the compare).
+    * Same `mapPartitions` batch shape: decode and resample share the
+    * per-partition codec session, no shuffle anywhere. */
+  def resized(r: MediaRow): MediaResized = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.payload))
+    require(img != null, s"payload of doc ${r.doc_id} is not a decodable image")
+    var checksum = 0L
+    var luma = 0L
+    var yo = 0
+    while (yo < OutH) {
+      val sy = yo * img.getHeight / OutH
+      var xo = 0
+      while (xo < OutW) {
+        val sx = xo * img.getWidth / OutW
+        val rgb = img.getRGB(sx, sy)
+        val (rr, gg, bb) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+        checksum += rr + 256L * gg + 65536L * bb
+        luma += rr + gg + bb
+        xo += 1
+      }
+      yo += 1
+    }
+    MediaResized(r.doc_id, r.media_type, img.getWidth, img.getHeight,
+      OutW, OutH, checksum, luma)
+  }
+
+  def resizeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    media(spark, dir)
+      .mapPartitions(_.map(resized))
+      .toDF()
+      .select("doc_id", "media_type", "src_w", "src_h", "out_w", "out_h",
+        "resized_checksum", "luma_sum")
+  }
+
+  /** Oracle twin of [[resizeFeatures]]: regenerates the nearest-neighbor
+    * index map (`sx = xo·w // 4`, `sy = yo·h // 4`) and the seed-pixel
+    * arithmetic — no decoding, pure prediction. */
+  def resizeFeaturesOracle: String =
+    s"""WITH h AS (
+      SELECT doc_id, md5(text) AS hex,
+        CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+             WHEN 1 THEN 'audio' ELSE 'video' END AS media_type
+      FROM documents),
+    b AS (
+      SELECT doc_id, media_type,
+        list_transform(range(1, 17),
+          i -> (strpos('0123456789abcdef', substr(hex, 2*i - 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(hex, 2*i, 1)) - 1)) AS bytes
+      FROM h),
+    g AS (
+      SELECT doc_id, media_type, bytes,
+        1 + bytes[2] % 8 AS w, 1 + bytes[3] % 8 AS h
+      FROM b),
+    px AS (
+      SELECT doc_id, media_type, w, h,
+        flatten(list_transform(range(0, $OutH), yo ->
+          list_transform(range(0, $OutW), xo ->
+            [bytes[((xo * w // $OutW) + 7 * (yo * h // $OutH)) % 16 + 1],
+             bytes[((xo * w // $OutW) + 7 * (yo * h // $OutH) + 3) % 16 + 1],
+             bytes[((xo * w // $OutW) + 7 * (yo * h // $OutH) + 6) % 16 + 1]])))
+          AS cells
+      FROM g)
+    SELECT doc_id, media_type,
+      CAST(w AS INTEGER) AS src_w, CAST(h AS INTEGER) AS src_h,
+      CAST($OutW AS INTEGER) AS out_w, CAST($OutH AS INTEGER) AS out_h,
+      CAST(list_sum(list_transform(cells,
+        c -> c[1] + 256 * c[2] + 65536 * c[3])) AS BIGINT) AS resized_checksum,
+      CAST(list_sum(list_transform(cells,
+        c -> c[1] + c[2] + c[3])) AS BIGINT) AS luma_sum
+    FROM px"""
+
   /** Oracle: predicts the decoder's output arithmetically from the md5
     * hex — dimensions from seed bytes 2/3, payload size from the padded
     * stride, checksum by regenerating every pixel channel. */

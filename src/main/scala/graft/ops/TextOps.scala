@@ -773,6 +773,66 @@ object TextOps {
       .select("doc_id", "rank", "token", "tf", "df", "score")
   }
 
+  /** Next-token candidates kept per context word. */
+  val BigramTopK = 3
+
+  /** Bigram language-model table: adjacent-token pair counts with the
+    * MLE conditional `count(w1 w2) / count(w1 ·)`, top-[[BigramTopK]]
+    * continuations per context — the classic count-based next-token
+    * baseline (and the smoke test a tokenizer/corpus pipeline runs to
+    * see distributional drift between corpus versions). Probabilities
+    * are exact integer rationals through one correctly-rounded division,
+    * so both engines agree bit-for-bit — no smoothing constant to
+    * desync.
+    *
+    * Shape: the pair explode is map-side off the scan; one (w1, w2)
+    * shuffle with map-side partials; the per-context total and top-k
+    * ride ONE window partitioning on w1 (vocabulary-keyed, not
+    * corpus-keyed — the hot stopword contexts are bounded by distinct
+    * continuations, and AQE splits any residual skew). */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(words) - 1),
+             i -> struct(element_at(words, i) AS w1,
+                         element_at(words, i + 1) AS w2))""")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val counts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("bigram_count"))
+    val byW1 = Window.partitionBy("w1")
+    counts
+      .withColumn("w1_count", sum(col("bigram_count")).over(byW1))
+      .withColumn("next_rank", row_number().over(
+        byW1.orderBy(col("bigram_count").desc, col("w2"))))
+      .filter(col("next_rank") <= BigramTopK)
+      .withColumn("cond_prob",
+        col("bigram_count") * lit(1.0) / col("w1_count"))
+      .select("w1", "next_rank", "w2", "bigram_count", "w1_count",
+        "cond_prob")
+  }
+
+  def bigramLmOracle: String =
+    s"""WITH d AS (
+      SELECT string_split(text, ' ') AS words FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(words)),
+        i -> [words[i], words[i + 1]])) AS p
+      FROM d WHERE len(words) >= 2),
+    c AS (
+      SELECT p[1] AS w1, p[2] AS w2, count(*) AS bigram_count
+      FROM bg GROUP BY 1, 2),
+    r AS (
+      SELECT *,
+        sum(bigram_count) OVER (PARTITION BY w1) AS w1_count,
+        row_number() OVER (PARTITION BY w1
+          ORDER BY bigram_count DESC, w2) AS next_rank
+      FROM c)
+    SELECT w1, next_rank, w2, bigram_count, w1_count,
+      bigram_count * 1.0 / w1_count AS cond_prob
+    FROM r WHERE next_rank <= $BigramTopK"""
+
   def tfidfTopKOracle: String =
     s"""WITH tokens AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS token

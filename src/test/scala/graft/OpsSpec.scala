@@ -812,6 +812,40 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("bigram LM: exact MLE conditionals, ranked continuations per context") {
+    val dir = docsDir(Seq("a b a b c"))
+    // pairs: (a,b) (b,a) (a,b) (b,c) → a→b:2 of 2; b→{a:1, c:1} of 2
+    val rows = TextOps.bigramLm(spark, dir)
+      .select("w1", "next_rank", "w2", "bigram_count", "w1_count", "cond_prob")
+      .as[(String, Int, String, Long, Long, Double)].collect().sorted
+    assert(rows.toSeq == Seq(
+      ("a", 1, "b", 2L, 2L, 1.0),
+      ("b", 1, "a", 1L, 2L, 0.5), // count tie: w2 ascending breaks it
+      ("b", 2, "c", 1L, 2L, 0.5)))
+  }
+
+  test("multimodal resize: nearest-neighbor index map on a hand-built raster") {
+    import graft.ops.Multimodal
+    // hand-assemble a 2×1 24bpp BMP: pixel0 = (R=10,G=20,B=30),
+    // pixel1 = (R=40,G=50,B=60); stride pads 6 → 8 bytes
+    val bmp = new Array[Byte](54 + 8)
+    def le4(off: Int, v: Int): Unit = (0 to 3).foreach(i =>
+      bmp(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+    bmp(0) = 'B'; bmp(1) = 'M'; le4(2, bmp.length); le4(10, 54); le4(14, 40)
+    le4(18, 2); le4(22, 1); bmp(26) = 1; bmp(28) = 24; le4(34, 8)
+    // bottom-up row: B G R per pixel
+    bmp(54) = 30; bmp(55) = 20; bmp(56) = 10
+    bmp(57) = 60; bmp(58) = 50; bmp(59) = 40
+    val out = Multimodal.resized(Multimodal.MediaRow(7L, "image", bmp))
+    assert((out.src_w, out.src_h, out.out_w, out.out_h) == ((2, 1, 4, 4)))
+    // sx for xo=0..3 is 0,0,1,1 and sy is always 0 → each source pixel
+    // sampled 8 times across the 4×4 grid
+    val w0 = 10 + 256L * 20 + 65536L * 30
+    val w1 = 40 + 256L * 50 + 65536L * 60
+    assert(out.resized_checksum == 8 * w0 + 8 * w1)
+    assert(out.luma_sum == 8 * (10 + 20 + 30) + 8 * (40 + 50 + 60))
+  }
+
   test("containment flags a near-subset doc that Jaccard structurally misses") {
     val short = "a b c d e" // 3 shingles: abc bcd cde
     val long = ("f1 f2 f3 f4 f5 f6 f7 " + short + " g1 g2 g3 g4 g5 g6 g7 g8")
