@@ -684,6 +684,12 @@ object Queries {
       streaming.StreamingOps.dedupParity,
       streaming.StreamingOps.dedupParityOracle),
 
+    Spec("events_outliers",
+      Seq("event_id" -> P, "event_type" -> P, "value" -> P, "n" -> L,
+        "side" -> P),
+      Seq("event_id"),
+      ops.Events.outliers, ops.Events.outliersOracle),
+
     Spec("events_json",
       Seq("event_type" -> P, "n_events" -> L, "n_users" -> L, "k_sum" -> L,
         "k_min" -> L, "k_max" -> L, "value_sum" -> P),

@@ -256,6 +256,62 @@ object Events {
       AND c.click_ts <= p.purchase_ts
       AND c.click_ts >= p.purchase_ts - INTERVAL $AttributionWindowMinutes MINUTE"""
 
+  /** |z| threshold for [[outliers]] — compared as z² > 9 in exact
+    * integer arithmetic. */
+  val OutlierZ = 3
+
+  /** Per-type z-score outliers in EXACT integer arithmetic: flag event x
+    * iff (n·x − S)² · (n−1) > z²·n·(n·S2 − S²) over cents-quantized
+    * values — algebraically identical to |x − μ| > z·σ (sample σ) but
+    * with no float mean/stddev anywhere. The reason is cross-engine
+    * determinism at the BOUNDARY: Spark's stddev (Welford) and DuckDB's
+    * differ in rounding, and one ulp around the threshold flips
+    * membership; integer cross-multiplication cannot. Decimal(38)/
+    * HUGEINT intermediates are exact up to n ≈ 10⁹ rows per group
+    * (d²·n ≲ 10³⁸); beyond that the comparison needs a two-word split —
+    * the documented knob, same spirit as [[graft.ops.Similarity.IvfKMax]].
+    *
+    * Shape: one per-type aggregate (count/sum/sum-of-squares, all
+    * map-side partial) broadcast back over the scan — the corpus-side
+    * pass is map-only, no shuffle of the events. */
+  def outliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        cents(col("value")).as("xc"))
+    val st = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("xc").cast("decimal(38,0)")).as("s"),
+      sum((col("xc") * col("xc")).cast("decimal(38,0)")).as("s2"))
+    val d = col("n").cast("decimal(38,0)") * col("xc") - col("s")
+    val lhs = d * d * (col("n") - 1).cast("decimal(38,0)")
+    val rhs = lit(OutlierZ * OutlierZ) * col("n").cast("decimal(38,0)") *
+      (col("n").cast("decimal(38,0)") * col("s2") - col("s") * col("s"))
+    e.join(broadcast(st), Seq("event_type"))
+      .filter(lhs > rhs)
+      .withColumn("side", when(d > 0, "high").otherwise("low"))
+      .select("event_id", "event_type", "value", "n", "side")
+  }
+
+  def outliersOracle: String =
+    s"""WITH e AS (
+      SELECT event_id, event_type, value,
+        CAST(round(value * 100) AS BIGINT) AS xc
+      FROM events),
+    st AS (
+      SELECT event_type, count(*) AS n,
+        sum(CAST(xc AS HUGEINT)) AS s,
+        sum(CAST(xc AS HUGEINT) * xc) AS s2
+      FROM e GROUP BY 1)
+    SELECT e.event_id, e.event_type, e.value, st.n,
+      CASE WHEN CAST(st.n AS HUGEINT) * e.xc - st.s > 0
+           THEN 'high' ELSE 'low' END AS side
+    FROM e JOIN st USING (event_type)
+    WHERE (CAST(st.n AS HUGEINT) * e.xc - st.s)
+        * (CAST(st.n AS HUGEINT) * e.xc - st.s)
+        * (st.n - 1)
+      > ${OutlierZ * OutlierZ} * CAST(st.n AS HUGEINT)
+        * (CAST(st.n AS HUGEINT) * st.s2 - st.s * st.s)"""
+
   /** JSON property extraction + per-type rollup: `props` is a JSON string
     * column ({"k": int}). */
   def jsonStats(spark: SparkSession, dir: String): DataFrame =

@@ -812,6 +812,27 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("outliers: integer cross-multiplication equals the BigInt z-sq definition") {
+    val vals = Events.events(spark, Sf0001)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("xc"))
+      .as[(Long, String, Long)].collect()
+    val expected = vals.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val n = BigInt(rows.length)
+      val s = rows.map(r => BigInt(r._3)).sum
+      val s2 = rows.map(r => BigInt(r._3) * r._3).sum
+      rows.filter { r =>
+        val d = n * r._3 - s
+        d * d * (n - 1) > 9 * n * (n * s2 - s * s)
+      }.map(_._1)
+    }.toSet
+    val got = Events.outliers(spark, Sf0001)
+      .select("event_id").as[Long].collect().toSet
+    assert(got == expected, "flag set must match the exact BigInt replay")
+    assert(got.nonEmpty && got.size < vals.length / 10,
+      "outliers exist and are rare")
+  }
+
   test("bigram LM: exact MLE conditionals, ranked continuations per context") {
     val dir = docsDir(Seq("a b a b c"))
     // pairs: (a,b) (b,a) (a,b) (b,c) → a→b:2 of 2; b→{a:1, c:1} of 2
