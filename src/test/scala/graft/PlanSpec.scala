@@ -47,6 +47,55 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("events_outliers: stats broadcast back, corpus side never shuffles") {
+    val p = plan(graft.ops.Events.outliers(spark, Sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      "the 5-row per-type stats table must broadcast")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "count/sum/sum-of-squares must combine map-side")
+    // exactly one exchange family: the stats aggregate's. The events
+    // scan feeding the filter must reach the join unshuffled.
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "a shuffled join here would move the whole event stream")
+  }
+
+  test("tfidf: vocabulary-sized df join, doc-scoped window, broadcast corpus count") {
+    val p = plan(TextOps.tfidfTopK(spark, Sf0001))
+    assert(!p.contains("CartesianProduct"))
+    // the 1-row corpus count rides a broadcast nested loop — bounded —
+    // but the token-keyed tf⋈df join must be a real equi-join
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findFirstIn(p).isDefined)
+    assert(p.contains("Window"), "top-k is per-doc rank")
+    assert(p.contains("partial_count"), "tf/df counts combine map-side")
+  }
+
+  test("bigram LM: one pair shuffle with partials, one w1-keyed window") {
+    val p = plan(TextOps.bigramLm(spark, Sf0001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_count"),
+      "bigram counts must combine map-side before the one shuffle")
+    assert("Window.*w1".r.findFirstIn(p).isDefined,
+      "total and rank share the w1 partitioning")
+  }
+
+  test("kmv sketch: distinct with partial aggregation ahead of the window") {
+    val p = plan(graft.ops.Sketch.kmvDistinct(spark, Sf0001))
+    assert(p.contains("partial_"),
+      "the (group, hash) distinct must dedup map-side — the only corpus-sized step")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("span profile: per-doc aggregate over an equi-join, no pair fan-out") {
+    val p = plan(graft.ops.Dedup.spanProfile(spark, Sf0001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findFirstIn(p).isDefined,
+      "df joins back on the span key — an equi-join, never all-pairs")
+  }
+
   test("semdedup: serves the cached index, equi-join candidates, no all-pairs loop") {
     val p = plan(graft.ops.Similarity.semDedup(spark, Sf0001))
     assert(!p.contains("CartesianProduct"))
