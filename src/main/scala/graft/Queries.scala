@@ -444,6 +444,12 @@ object Queries {
       (s, d) => ops.Similarity.annIvfAdcRerank(s, d),
       ops.Similarity.annIvfAdcRerankOracle()),
 
+    Spec("ann_recall_report",
+      Seq("variant" -> P, "hits" -> L, "exact_pairs" -> L, "recall" -> P),
+      Seq("variant"),
+      (s, d) => ops.Similarity.annRecallReport(s, d),
+      ops.Similarity.annRecallReportOracle),
+
     Spec("ann_rrf_fusion",
       Seq("query_id" -> P, "rank" -> I, "neighbor_id" -> P, "rrf" -> P),
       Seq("query_id", "rank"),

@@ -1169,6 +1169,52 @@ object Similarity {
     * no quantization needed. Scale: a full-outer equi-join of two
     * (Q·k)-row lists + one rank window — negligible next to the rankers
     * themselves. */
+  /** Index-quality audit: overlap@k of each TRAINING-FREE approximate
+    * ranker against the exact baseline, as an oracle-checked table —
+    * the recall report a retrieval deployment watches after every index
+    * rebuild, here exact-by-construction because every ranker is
+    * deterministic. Scope is the rankers whose oracles replay without a
+    * Lloyd loop (LSH single/multi-probe, int8): the IVF family's recall
+    * is pinned by AnnRecallSpec instead, keeping this row's DuckDB twin
+    * free of 4+ k-means replays. Shape: each ranker's (query, neighbor)
+    * list is Q·k rows; the audit is three tiny equi-joins + one-row
+    * aggregates unioned — negligible next to the rankers themselves. */
+  def annRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Seq("query_id", "neighbor_id")
+    val exact = annTopK(spark, dir).select(keys.map(col): _*)
+    val exactPairs = exact.agg(count(lit(1)).as("exact_pairs"))
+    val variants = Seq(
+      "int8" -> annInt8TopK(spark, dir),
+      "lsh" -> annLshTopK(spark, dir),
+      "lsh_multiprobe" -> annLshMultiProbeTopK(spark, dir))
+    variants.map { case (name, df) =>
+      df.select(keys.map(col): _*).join(exact, keys)
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("variant"), col("hits"))
+    }.reduce(_.unionByName(_))
+      .crossJoin(broadcast(exactPairs))
+      .withColumn("recall", col("hits") * lit(1.0) / col("exact_pairs"))
+      .select("variant", "hits", "exact_pairs", "recall")
+  }
+
+  def annRecallReportOracle: String =
+    s"""WITH exact AS (
+      SELECT query_id, neighbor_id FROM (${annTopKOracle()}) e),
+    ep AS (SELECT count(*) AS exact_pairs FROM exact),
+    v AS (
+      SELECT 'int8' AS variant, count(*) AS hits
+      FROM (${annInt8TopKOracle()}) a JOIN exact USING (query_id, neighbor_id)
+      UNION ALL
+      SELECT 'lsh', count(*)
+      FROM (${annLshTopKOracle()}) a JOIN exact USING (query_id, neighbor_id)
+      UNION ALL
+      SELECT 'lsh_multiprobe', count(*)
+      FROM (${annLshMultiProbeTopKOracle()}) a
+        JOIN exact USING (query_id, neighbor_id))
+    SELECT v.variant, v.hits, ep.exact_pairs,
+      v.hits * 1.0 / ep.exact_pairs AS recall
+    FROM v, ep"""
+
   def annRrfFusion(spark: SparkSession, dir: String,
       inputK: Int = 10, k: Int = 5, rrfK: Int = 60): DataFrame = {
     import org.apache.spark.sql.expressions.Window

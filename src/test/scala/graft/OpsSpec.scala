@@ -812,6 +812,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("recall report: sane bounds and multiprobe dominance, as a table") {
+    val r = Similarity.annRecallReport(spark, Sf0001)
+      .select("variant", "hits", "exact_pairs", "recall")
+      .as[(String, Long, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r.keySet == Set("int8", "lsh", "lsh_multiprobe"))
+    r.values.foreach { case (v, hits, ep, rec) =>
+      assert(hits <= ep && rec > 0.0 && rec <= 1.0, s"$v recall $rec")
+    }
+    assert(r("lsh_multiprobe")._4 >= r("lsh")._4,
+      "multi-probe recall dominates single-probe (same property OpsSpec pins on the rankers)")
+    assert(r("int8")._4 >= 0.9,
+      "int8 quantization must barely perturb the ranking")
+  }
+
   test("outliers: integer cross-multiplication equals the BigInt z-sq definition") {
     val vals = Events.events(spark, Sf0001)
       .select(col("event_id"), col("event_type"),
