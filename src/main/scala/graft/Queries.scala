@@ -690,6 +690,11 @@ object Queries {
       streaming.StreamingOps.dedupParity,
       streaming.StreamingOps.dedupParityOracle),
 
+    Spec("events_top_paths",
+      Seq("path_rank" -> I, "path" -> P, "n_sessions" -> L),
+      Seq("path_rank"),
+      ops.Events.topPaths, ops.Events.topPathsOracle),
+
     Spec("events_outliers",
       Seq("event_id" -> P, "event_type" -> P, "value" -> P, "n" -> L,
         "side" -> P),

@@ -256,6 +256,80 @@ object Events {
       AND c.click_ts <= p.purchase_ts
       AND c.click_ts >= p.purchase_ts - INTERVAL $AttributionWindowMinutes MINUTE"""
 
+  /** Path length cap and paths kept for [[topPaths]]. */
+  val PathLen = 5
+  val TopPaths = 20
+
+  /** Top session paths — journey analysis: the first [[PathLen]] event
+    * types of every gap session joined into a path string, the
+    * [[TopPaths]] most common paths ranked. The cap is what makes the
+    * row scale-safe: a session's path is bounded regardless of its
+    * event count, so the path aggregate's keys are short strings and
+    * the per-session state is [[PathLen]] rows of the session window —
+    * never the whole session. Top-k is orderBy+limit
+    * (TakeOrderedAndProject: per-partition heap + driver merge, the
+    * [[graft.ops.TextOps.vocabulary]] discipline), rank assigned over
+    * the already-bounded rows; ties rank by path string. */
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = SessionGapMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val prevUs = lag(us, 1).over(w)
+    val sessions = events(spark, dir)
+      .withColumn("is_new",
+        when(prevUs.isNull || (us - prevUs) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(cum))
+    val sw = Window.partitionBy("user_id", "session_seq")
+      .orderBy("ts", "event_id")
+    val paths = sessions
+      .withColumn("rn", row_number().over(sw))
+      .filter(col("rn") <= PathLen)
+      .groupBy("user_id", "session_seq")
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        x => x.getField("event_type"))).as("path"))
+    val counts = paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+    val top = counts.orderBy(col("n_sessions").desc, col("path")).limit(TopPaths)
+    top.withColumn("path_rank", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path"))))
+      .select("path_rank", "path", "n_sessions")
+  }
+
+  def topPathsOracle: String = {
+    val gapUs = SessionGapMinutes * 60L * 1000000L
+    s"""WITH e AS (
+      SELECT *, epoch_us(ts) AS us,
+        lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events),
+    flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > $gapUs
+                     THEN 1 ELSE 0 END AS is_new
+      FROM e),
+    sessions AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged),
+    numbered AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
+        ORDER BY ts, event_id) AS rn
+      FROM sessions),
+    paths AS (
+      SELECT user_id, session_seq,
+        string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM numbered WHERE rn <= $PathLen
+      GROUP BY 1, 2),
+    counts AS (
+      SELECT path, count(*) AS n_sessions FROM paths GROUP BY 1),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path)
+        AS path_rank
+      FROM counts)
+    SELECT CAST(path_rank AS INTEGER) AS path_rank, path, n_sessions
+    FROM ranked WHERE path_rank <= $TopPaths"""
+  }
+
   /** |z| threshold for [[outliers]] — compared as z² > 9 in exact
     * integer arithmetic. */
   val OutlierZ = 3

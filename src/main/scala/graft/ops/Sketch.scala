@@ -47,14 +47,14 @@ object Sketch {
   /** First 24 md5 bits of `idCol` as an integer in [0, 2²⁴) — Spark SQL
     * dialect. Extends TextOps.md5U16Expr's nibble arithmetic to 6
     * nibbles. */
-  private[ops] def md5U24Expr(idCol: String): String = {
+  private[graft] def md5U24Expr(idCol: String): String = {
     def nib(i: Int) =
       s"(instr('0123456789abcdef', substring(md5(cast($idCol as string)), $i, 1)) - 1)"
     (1 to 6).map(i => s"${nib(i)} * ${1L << (4 * (6 - i))}").mkString("(", " + ", ")")
   }
 
   /** DuckDB twin of [[md5U24Expr]]. */
-  private[ops] def md5U24SqlDuck(idCol: String): String = {
+  private[graft] def md5U24SqlDuck(idCol: String): String = {
     def nib(i: Int) =
       s"(strpos('0123456789abcdef', substr(md5(CAST($idCol AS VARCHAR)), $i, 1)) - 1)"
     (1 to 6).map(i => s"${nib(i)} * ${1L << (4 * (6 - i))}").mkString("(", " + ", ")")

@@ -812,6 +812,42 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("kmv sketch is mergeable: bottom-k of shard bottom-k's equals global bottom-k") {
+    import graft.ops.Sketch
+    // the property that makes the sketch shard-composable at 100 TB:
+    // min-k(A ∪ B) = min-k(min-k(A) ∪ min-k(B)), replayed on the real
+    // hash population of the test corpus
+    val hashes = Events.events(spark, Sf0001)
+      .select(col("user_id"), expr(Sketch.md5U24Expr("user_id")).cast("long").as("h"))
+      .distinct().as[(Long, Long)].collect()
+    val (a, b) = hashes.partition(_._1 % 2 == 0)
+    def bottomK(hs: Iterable[Long]) = hs.toSeq.distinct.sorted.take(Sketch.K)
+    val merged = bottomK(bottomK(a.map(_._2)) ++ bottomK(b.map(_._2)))
+    assert(merged == bottomK(hashes.map(_._2)),
+      "per-shard sketches must merge losslessly into the global sketch")
+  }
+
+  test("top paths: ranked prefix-capped session journeys") {
+    val rows = Events.topPaths(spark, Sf0001)
+      .select("path_rank", "path", "n_sessions")
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty && rows.length <= Events.TopPaths)
+    assert(rows.map(_._1).toSeq == (1 to rows.length))
+    rows.foreach { case (_, path, n) =>
+      assert(path.split(">").length <= Events.PathLen, s"path $path over cap")
+      assert(n >= 1)
+    }
+    // counts are non-increasing in rank; ties broken by path string
+    rows.sliding(2).foreach {
+      case Array(x, y) =>
+        assert(x._3 > y._3 || (x._3 == y._3 && x._2 < y._2))
+      case _ =>
+    }
+    // total sessions covered by paths ≤ total sessions
+    val totalSessions = Events.sessionize(spark, Sf0001).count()
+    assert(rows.map(_._3).sum <= totalSessions)
+  }
+
   test("recall report: sane bounds and multiprobe dominance, as a table") {
     val r = Similarity.annRecallReport(spark, Sf0001)
       .select("variant", "hits", "exact_pairs", "recall")
