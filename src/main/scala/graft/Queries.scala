@@ -723,6 +723,12 @@ object Queries {
         "width" -> I, "height" -> I, "pixel_checksum" -> L),
       Seq("doc_id"), ops.Multimodal.features, ops.Multimodal.featuresOracle),
 
+    Spec("multimodal_frames",
+      Seq("doc_id" -> P, "media_type" -> P, "n_frames" -> I,
+        "n_sampled" -> I, "container_bytes" -> I, "frames_checksum" -> L),
+      Seq("doc_id"), ops.Multimodal.frameFeatures,
+      ops.Multimodal.frameFeaturesOracle),
+
     Spec("multimodal_resize",
       Seq("doc_id" -> P, "media_type" -> P, "src_w" -> I, "src_h" -> I,
         "out_w" -> I, "out_h" -> I, "resized_checksum" -> L,

@@ -44,7 +44,7 @@ object Multimodal {
 
   /** A minimal valid 24bpp BI_RGB BMP: 14-byte file header, 40-byte
     * BITMAPINFOHEADER, rows bottom-up, each padded to a 4-byte stride. */
-  private[ops] def buildBmp(seed: Array[Byte]): Array[Byte] = {
+  private[graft] def buildBmp(seed: Array[Byte]): Array[Byte] = {
     val w = widthOf(seed)
     val h = heightOf(seed)
     val stride = ((3 * w + 3) / 4) * 4
@@ -132,6 +132,131 @@ object Multimodal {
       .select("doc_id", "media_type", "n_bytes", "width", "height",
         "pixel_checksum")
   }
+
+  /** Frame-sampling stride for [[frameSample]] — every 2nd frame. */
+  val FrameStride = 2
+
+  final case class FrameFeatures(
+    doc_id: Long, media_type: String, n_frames: Int, n_sampled: Int,
+    container_bytes: Int, frames_checksum: Long)
+
+  /** A minimal multi-frame "video" container: `GFV1` magic, LE frame
+    * count, then length-prefixed frames — frame f is a real BMP whose
+    * seed is the doc seed rotated by 5f bytes, so every frame differs
+    * and the rotation is replayable arithmetic. Frame count
+    * 2 + seed[0] mod 5 ∈ [2, 6]. */
+  private[graft] def buildContainer(seed: Array[Byte]): Array[Byte] = {
+    val n = 2 + (seed(0) & 0xff) % 5
+    val frames = (0 until n).map { f =>
+      val r = (5 * f) % 16
+      buildBmp((seed.drop(r) ++ seed.take(r)).toArray)
+    }
+    val out = java.nio.ByteBuffer
+      .allocate(8 + frames.map(4 + _.length).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("GFV1".getBytes("US-ASCII")).putInt(n)
+    frames.foreach(fr => out.putInt(fr.length).put(fr))
+    out.array()
+  }
+
+  def videos(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    TextOps.documents(spark, dir)
+      .select(col("doc_id"), lit("video").as("media_type"),
+        unhex(md5(col("text"))).as("seed"))
+      .as[(Long, String, Array[Byte])]
+      .map { case (id, mt, seed) => MediaRow(id, mt, buildContainer(seed)) }
+  }
+
+  /** Frame sampling — the video rung of the media ladder (decode →
+    * resize → FRAME-SAMPLE): parse the container, decode every
+    * [[FrameStride]]-th frame with the real codec, skip the rest
+    * UNREAD (the point of sampling: IO and decode cost scale with
+    * sampled frames, not stored frames — the container's length
+    * prefixes are the seek table). Features: frame counts, container
+    * size, and the channel-weighted checksum over sampled frames only —
+    * all predicted arithmetically by the oracle, so a wrong stride,
+    * frame offset, or seed rotation fails the hash compare. Same
+    * `mapPartitions` batch shape as the other rungs. */
+  def frameSample(r: MediaRow): FrameFeatures = {
+    val buf = java.nio.ByteBuffer.wrap(r.payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = new Array[Byte](4); buf.get(magic)
+    require(new String(magic, "US-ASCII") == "GFV1",
+      s"doc ${r.doc_id}: not a GFV1 container")
+    val n = buf.getInt
+    var checksum = 0L
+    var sampled = 0
+    var f = 0
+    while (f < n) {
+      val len = buf.getInt
+      if (f % FrameStride == 0) {
+        val frame = new Array[Byte](len); buf.get(frame)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(frame))
+        require(img != null, s"doc ${r.doc_id} frame $f: undecodable")
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            checksum += ((rgb >> 16) & 0xff) + 256L * ((rgb >> 8) & 0xff) +
+              65536L * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        sampled += 1
+      } else buf.position(buf.position() + len) // skip unread
+      f += 1
+    }
+    FrameFeatures(r.doc_id, r.media_type, n, sampled, r.payload.length,
+      checksum)
+  }
+
+  def frameFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    videos(spark, dir)
+      .mapPartitions(_.map(frameSample))
+      .toDF()
+      .select("doc_id", "media_type", "n_frames", "n_sampled",
+        "container_bytes", "frames_checksum")
+  }
+
+  /** Oracle twin of [[frameFeatures]]: frame f's pixel (x,y,c) is
+    * seed[(x + 7y + 3c + 5f) mod 16] and its geometry comes from the
+    * rotated seed's bytes 2/3 — pure index arithmetic, no decoding. */
+  def frameFeaturesOracle: String =
+    s"""WITH h AS (
+      SELECT doc_id, md5(text) AS hex FROM documents),
+    b AS (
+      SELECT doc_id,
+        list_transform(range(1, 17),
+          i -> (strpos('0123456789abcdef', substr(hex, 2*i - 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(hex, 2*i, 1)) - 1)) AS bytes
+      FROM h),
+    n AS (
+      SELECT doc_id, bytes, 2 + bytes[1] % 5 AS n_frames FROM b),
+    fr AS (
+      SELECT doc_id, n_frames, f,
+        1 + bytes[(1 + 5*f) % 16 + 1] % 8 AS w,
+        1 + bytes[(2 + 5*f) % 16 + 1] % 8 AS h,
+        CASE WHEN f % $FrameStride = 0 THEN
+          list_sum(flatten(list_transform(range(0, 1 + bytes[(2 + 5*f) % 16 + 1] % 8), y ->
+            list_transform(range(0, 1 + bytes[(1 + 5*f) % 16 + 1] % 8), x ->
+              bytes[(x + 7*y + 5*f) % 16 + 1]
+              + 256 * bytes[(x + 7*y + 3 + 5*f) % 16 + 1]
+              + 65536 * bytes[(x + 7*y + 6 + 5*f) % 16 + 1]))))
+        ELSE 0 END AS fsum
+      FROM n, range(0, 6) t(f) WHERE f < n_frames)
+    SELECT doc_id, 'video' AS media_type,
+      CAST(any_value(n_frames) AS INTEGER) AS n_frames,
+      CAST(sum(CASE WHEN f % $FrameStride = 0 THEN 1 ELSE 0 END) AS INTEGER)
+        AS n_sampled,
+      CAST(8 + sum(4 + 54 + ((3*w + 3) // 4) * 4 * h) AS INTEGER)
+        AS container_bytes,
+      CAST(sum(fsum) AS BIGINT) AS frames_checksum
+    FROM fr GROUP BY 1"""
 
   /** Output grid of [[resized]] — the fixed-size thumbnail/frame-sample
     * geometry every vision preprocessor normalizes to. */

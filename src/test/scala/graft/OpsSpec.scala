@@ -918,6 +918,27 @@ class OpsSpec extends SparkSpec {
     assert(out.luma_sum == 8 * (10 + 20 + 30) + 8 * (40 + 50 + 60))
   }
 
+  test("frame sampling decodes exactly the strided frames, skips the rest") {
+    import graft.ops.Multimodal
+    val seed = Array.tabulate[Byte](16)(i => ((i * 37 + 11) & 0xff).toByte)
+    val row = Multimodal.MediaRow(42L, "video", Multimodal.buildContainer(seed))
+    val out = Multimodal.frameSample(row)
+    val n = 2 + (seed(0) & 0xff) % 5
+    assert(out.n_frames == n)
+    assert(out.n_sampled == (n + 1) / 2, "every 2nd frame, starting at 0")
+    assert(out.container_bytes == row.payload.length)
+    // cross-check against the independently-verified single-frame
+    // decoder: the container checksum is the sum of the SAMPLED frames'
+    // standalone checksums under the 5f seed rotation
+    val expected = (0 until n by Multimodal.FrameStride).map { f =>
+      val r = (5 * f) % 16
+      val frameSeed = (seed.drop(r) ++ seed.take(r)).toArray
+      Multimodal.decode(Multimodal.MediaRow(42L, "image",
+        graft.ops.Multimodal.buildBmp(frameSeed))).pixel_checksum
+    }.foldLeft(0L)(_ + _)
+    assert(out.frames_checksum == expected)
+  }
+
   test("containment flags a near-subset doc that Jaccard structurally misses") {
     val short = "a b c d e" // 3 shingles: abc bcd cde
     val long = ("f1 f2 f3 f4 f5 f6 f7 " + short + " g1 g2 g3 g4 g5 g6 g7 g8")
