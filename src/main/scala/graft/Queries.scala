@@ -444,6 +444,12 @@ object Queries {
       (s, d) => ops.Similarity.annIvfAdcRerank(s, d),
       ops.Similarity.annIvfAdcRerankOracle()),
 
+    Spec("ann_negatives",
+      Seq("query_id" -> P, "kind" -> P, "rank" -> I, "neighbor_id" -> P),
+      Seq("query_id", "kind", "rank"),
+      (s, d) => ops.Similarity.annNegatives(s, d),
+      ops.Similarity.annNegativesOracle),
+
     Spec("ann_recall_report",
       Seq("variant" -> P, "hits" -> L, "exact_pairs" -> L, "recall" -> P),
       Seq("variant"),

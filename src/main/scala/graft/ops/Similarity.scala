@@ -1169,6 +1169,72 @@ object Similarity {
     * no quantization needed. Scale: a full-outer equi-join of two
     * (Q·k)-row lists + one rank window — negligible next to the rankers
     * themselves. */
+  /** Positives per query / hard-negative depth / random negatives for
+    * [[annNegatives]]. */
+  val NegPosK = 5
+  val NegHardK = 15
+  val NegRandK = 5
+
+  /** Contrastive training-set generation — the (anchor, positive,
+    * negative) table an embedding/reranker fine-tune consumes: per
+    * pinned query, the exact top-[[NegPosK]] as positives, ranks
+    * [[NegPosK]]+1..[[NegHardK]] as HARD negatives (the near-misses
+    * that carry the gradient signal), and [[NegRandK]] RANDOM negatives
+    * chosen by per-(query, candidate) md5 order over everything outside
+    * the top-[[NegHardK]] — deterministic "randomness", so the sampled
+    * training set is reproducible run-to-run and reshard-stable, the
+    * same discipline as the split/sample family. Scale: the candidate
+    * pool is Q·N with CONSTANT pinned Q (the exact-baseline economics),
+    * one anti-join against the Q·[[NegHardK]]-row top table, and a
+    * per-query bottom-k window. */
+  def annNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = annTopK(spark, dir, NegHardK)
+      .select("query_id", "neighbor_id", "rank")
+    val pos = top.filter(col("rank") <= NegPosK).withColumn("kind", lit("pos"))
+    val hard = top.filter(col("rank") > NegPosK).withColumn("kind", lit("hard"))
+    val ids = embeddings(spark, dir).select("vec_id")
+    val cand = ids.filter(annQueryFilter)
+      .select(col("vec_id").as("query_id"))
+      .crossJoin(ids.select(col("vec_id").as("neighbor_id")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(top.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      .withColumn("h", md5(concat(col("query_id").cast("string"), lit(":"),
+        col("neighbor_id").cast("string"))))
+    val w = Window.partitionBy("query_id").orderBy("h", "neighbor_id")
+    val rand = cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= NegRandK)
+      .withColumn("kind", lit("rand"))
+      .select("query_id", "neighbor_id", "rank", "kind")
+    pos.unionByName(hard).unionByName(rand)
+      .select("query_id", "kind", "rank", "neighbor_id")
+  }
+
+  def annNegativesOracle: String =
+    s"""WITH top AS (
+      SELECT query_id, neighbor_id, rank FROM (${annTopKOracle(NegHardK)}) t),
+    ids AS (SELECT vec_id FROM embeddings),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        md5(CAST(q.vec_id AS VARCHAR) || ':' || CAST(c.vec_id AS VARCHAR)) AS h
+      FROM ids q, ids c
+      WHERE q.vec_id IN ($annQueryIdsSql) AND q.vec_id != c.vec_id
+        AND NOT EXISTS (SELECT 1 FROM top t
+          WHERE t.query_id = q.vec_id AND t.neighbor_id = c.vec_id)),
+    rand AS (
+      SELECT query_id, 'rand' AS kind, rank, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY h, neighbor_id)
+            AS rank
+        FROM cand) r WHERE rank <= $NegRandK)
+    SELECT query_id, 'pos' AS kind, rank, neighbor_id FROM top
+    WHERE rank <= $NegPosK
+    UNION ALL
+    SELECT query_id, 'hard', rank, neighbor_id FROM top WHERE rank > $NegPosK
+    UNION ALL
+    SELECT query_id, kind, rank, neighbor_id FROM rand"""
+
   /** Index-quality audit: overlap@k of each TRAINING-FREE approximate
     * ranker against the exact baseline, as an oracle-checked table —
     * the recall report a retrieval deployment watches after every index

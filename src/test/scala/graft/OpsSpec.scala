@@ -848,6 +848,30 @@ class OpsSpec extends SparkSpec {
     assert(rows.map(_._3).sum <= totalSessions)
   }
 
+  test("ann negatives: kinds disjoint, counts exact, sampling reproducible") {
+    import graft.ops.Similarity
+    val rows = Similarity.annNegatives(spark, Sf0001)
+      .select("query_id", "kind", "rank", "neighbor_id")
+      .as[(Long, String, Int, Long)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      val byKind = rs.groupBy(_._2).view.mapValues(_.map(_._4).toSet).toMap
+      assert(byKind("pos").size == Similarity.NegPosK)
+      assert(byKind("hard").size == Similarity.NegHardK - Similarity.NegPosK)
+      assert(byKind("rand").size == Similarity.NegRandK)
+      // a random negative must never be a positive, a hard negative, or
+      // the anchor itself — the contract that makes the labels trainable
+      assert((byKind("rand") & (byKind("pos") ++ byKind("hard"))).isEmpty)
+      assert(!byKind("rand").contains(q))
+    }
+    val again = Similarity.annNegatives(spark, Sf0001)
+      .select("query_id", "kind", "rank", "neighbor_id")
+      .as[(Long, String, Int, Long)].collect()
+    assert(rows.toSet == again.toSet,
+      "hash-order sampling must be run-to-run identical")
+  }
+
   test("recall report: sane bounds and multiprobe dominance, as a table") {
     val r = Similarity.annRecallReport(spark, Sf0001)
       .select("variant", "hits", "exact_pairs", "recall")
