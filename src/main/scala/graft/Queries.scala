@@ -462,6 +462,12 @@ object Queries {
       (s, d) => ops.Similarity.annRrfFusion(s, d),
       ops.Similarity.annRrfFusionOracle()),
 
+    Spec("emb_dedup_exact",
+      Seq("keeper_id" -> P, "dup_count" -> L),
+      Seq("keeper_id"),
+      (s, d) => ops.Similarity.exactVecDedup(s, d),
+      ops.Similarity.exactVecDedupOracle),
+
     Spec("emb_near_dup",
       Seq("doc_a" -> P, "doc_b" -> P, "cosine" -> P),
       Seq("doc_a", "doc_b"),

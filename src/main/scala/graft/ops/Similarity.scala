@@ -683,10 +683,26 @@ object Similarity {
     * has no true near-dups — yields rows at all) recall is ~0.28, while at
     * a production dedup threshold of 0.9 (θ≈26°) the same banding gives
     * ~0.87 and stays cheap. The oracle runs the identical banded
-    * algorithm, so results stay bit-matched. */
+    * algorithm, so results stay bit-matched.
+    *
+    * Staged on one representative (min vec_id) per DISTINCT vector —
+    * the same discipline as every text near-dup operator
+    * ([[Dedup]] "distinctDocs"), arrived at the same way: the round-7
+    * 100× probe measured 210 s here because the replica's sign-flip
+    * pattern cycles mod 3, giving every vector ~33 byte-identical
+    * twins — and twins share EVERY band, so each twin group pays
+    * all-pairs inside its buckets. Exact duplicates are
+    * [[exactVecDedup]]'s finding; the banded join only ever sees
+    * distinct vectors, whose bucket occupancy the adaptive planes
+    * actually control. Banding stays sized to the RAW corpus count
+    * (footer stats — reps ≤ N, so occupancy only shrinks), keeping the
+    * params CTE identical in both engines. */
   def cosineNearDup(spark: SparkSession, dir: String, threshold: Double = 0.35,
       numVectors: Option[Long] = None): DataFrame = {
     val base = withNorm(spark, dir)
+      .groupBy(col("vec"))
+      .agg(min(col("vec_id")).as("vec_id"), min(col("nrm")).as("nrm"))
+      .select("vec_id", "vec", "nrm")
     // N to size the banding: an explicit parameter (callers that just
     // materialized the table know it), else parquet footer statistics
     // (driver-side metadata read — zero Spark jobs, see
@@ -726,7 +742,9 @@ object Similarity {
     s"""WITH params AS (
       SELECT ${nearDupBandPlanesSqlDuck("count(*)")} AS planes FROM embeddings),
     base AS (
-      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      SELECT min(vec_id) AS vec_id, vec FROM
+        (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+      GROUP BY vec),
     normed AS (
       SELECT vec_id, vec, $normSqlDuck AS nrm FROM base),
     sigs AS (
@@ -752,18 +770,22 @@ object Similarity {
       FROM pairs)
     SELECT doc_a, doc_b, cosine FROM scored WHERE cosine >= $threshold"""
 
-  /** SemDeDup-style cluster count: OCCUPANCY-constant, not √N. The IVF
-    * serving index sizes k ≈ √(2N) ([[ivfK]]) because probe cost there is
-    * k + N/k; semantic dedup instead pays the WITHIN-cluster pair cost
-    * Σ|cluster|² ≈ N·(N/k), so k must grow linearly with N to keep the
-    * per-cluster pair fan-out — and therefore total candidate pairs per
-    * row — constant (the SemDeDup paper's regime: cluster count scales
-    * with corpus size, tens of thousands of clusters for 100M+ docs).
-    * k = 2^(bitlen(N) − 6) targets ~32–64 vectors per cluster. Integer
-    * bit-length arithmetic for the same oracle-desync reason as [[ivfK]];
-    * the [[IvfKMax]] cap bounds the broadcast centroid table — beyond it
-    * (N > 2^20) occupancy grows again and the cap is the knob to raise
-    * with executor memory, exactly as documented on [[IvfKMax]]. */
+  /** Exact-duplicate vectors: one row per distinct embedding with the
+    * kept id (min) and the multiplicity — the embedding-side twin of
+    * [[Dedup.exact]], and the staging that keeps [[cosineNearDup]]
+    * linear on duplicate-heavy corpora (see there). One hash-aggregate
+    * on the vector bytes; float equality is exact, so both engines
+    * group identically. */
+  def exactVecDedup(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .groupBy(col("vec"))
+      .agg(min(col("vec_id")).as("keeper_id"), count(lit(1)).as("dup_count"))
+      .select("keeper_id", "dup_count")
+
+  def exactVecDedupOracle: String =
+    """SELECT min(vec_id) AS keeper_id, count(*) AS dup_count
+       FROM embeddings GROUP BY embedding"""
+
   /** Semantic deduplication, SemDeDup shape (Abbas et al. 2023,
     * arXiv:2303.09540): mark every vector that has a LOWER-id in-cluster
     * neighbor at cosine ≥ threshold as a semantic duplicate of the

@@ -848,6 +848,31 @@ class OpsSpec extends SparkSpec {
     assert(rows.map(_._3).sum <= totalSessions)
   }
 
+  test("emb near-dup stages on distinct vectors: twins collapse to one rep") {
+    import graft.ops.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("emb_reps").toString
+    // v0 == v1 (exact twins), v2 close to both, v3 orthogonal
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.95f, 0.3f, 0.0f), 0),
+      (3L, Array(0.0f, 0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val exact = Similarity.exactVecDedup(spark, dir)
+      .select("keeper_id", "dup_count").as[(Long, Long)].collect().toSet
+    assert(exact == Set((0L, 2L), (2L, 1L), (3L, 1L)),
+      "twin group collapses under its min id")
+    val pairs = Similarity.cosineNearDup(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!pairs.exists(p => p._1 == 1L || p._2 == 1L),
+      "the non-keeper twin must never appear in near-dup pairs — " +
+        "exact duplication is emb_dedup_exact's finding")
+    // the keeper still participates normally
+    assert(pairs.contains((0L, 2L)),
+      "rep-staged banding must still find the true near-dup")
+  }
+
   test("ann negatives: kinds disjoint, counts exact, sampling reproducible") {
     import graft.ops.Similarity
     val rows = Similarity.annNegatives(spark, Sf0001)
