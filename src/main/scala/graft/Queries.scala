@@ -450,6 +450,12 @@ object Queries {
       (s, d) => ops.Similarity.annNegatives(s, d),
       ops.Similarity.annNegativesOracle),
 
+    Spec("ann_negatives_indexed",
+      Seq("query_id" -> P, "kind" -> P, "rank" -> I, "neighbor_id" -> P),
+      Seq("query_id", "kind", "rank"),
+      (s, d) => ops.Similarity.annNegativesIndexed(s, d),
+      ops.Similarity.annNegativesIndexedOracle),
+
     Spec("ann_recall_report",
       Seq("variant" -> P, "hits" -> L, "exact_pairs" -> L, "recall" -> P),
       Seq("variant"),

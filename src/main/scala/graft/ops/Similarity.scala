@@ -1257,6 +1257,110 @@ object Similarity {
     UNION ALL
     SELECT query_id, kind, rank, neighbor_id FROM rand"""
 
+  /** Target expected size of the shared random-negative candidate pool
+    * behind [[annNegativesIndexed]] — the threshold adapts ∝ 1/N, so the
+    * pool stays ~this size at any corpus cardinality. */
+  val NegRandPool = 64
+
+  /** Shared random-negative candidate pool: ~[[NegRandPool]] vector ids
+    * chosen by a single-id integer md5 threshold that ADAPTS to N
+    * (`u16(md5(vec_id)) · N < 65536 · pool` — the all-integer
+    * reshard-stable discipline of [[TextOps.stratifiedSample]]). ONE
+    * map-only scan of the corpus computing one hash per row — no
+    * per-(query, candidate) work, so sampler cost is O(N) total no matter
+    * how many anchors consume the pool. Sharing one pool across anchors
+    * is the in-batch-negatives economics of contrastive training (the
+    * batch's negatives are shared by every anchor in it); per-anchor
+    * variety comes from the per-pair ordering hash downstream. */
+  private[graft] def annNegativePool(spark: SparkSession, dir: String): DataFrame = {
+    val nn = embeddings(spark, dir)
+      .agg(count(lit(1)).cast("long").as("nn"))
+    embeddings(spark, dir).select(col("vec_id").as("neighbor_id"))
+      .withColumn("hk", expr(u16Expr("neighbor_id")).cast("long"))
+      .crossJoin(broadcast(nn))
+      .filter(col("hk") * col("nn") < lit(65536L) * NegRandPool)
+      .select("neighbor_id")
+  }
+
+  /** Index-served contrastive training-set generation — the PRODUCTION
+    * form of [[annNegatives]], whose brute-force ranker and Q·N candidate
+    * enumeration are the exact-baseline economics, not a pipeline shape.
+    * Here every stage is the one you'd run at corpus scale:
+    *
+    *   - positives (rank ≤ [[NegPosK]]) and hard negatives (ranks
+    *     [[NegPosK]]+1..[[NegHardK]]) come from [[annIvfAdcRerank]] — the
+    *     serving index's two-stage DPP-pruned candidate path, recall-pinned
+    *     by AnnRecallSpec, zero corpus-wide exchanges per query;
+    *   - random negatives are drawn from the shared [[annNegativePool]]
+    *     (one O(N) map-only scan, threshold ∝ 1/N) by per-(anchor, cand)
+    *     md5 order, anti-joined against the anchor's top list — per-anchor
+    *     cost is O(pool), so anchors can scale to the corpus without the
+    *     Q·N blowup.
+    *
+    * Determinism: the pool membership and the per-pair ordering hash are
+    * integer md5 arithmetic; ties break on neighbor id. Output schema is
+    * identical to [[annNegatives]] (the exact twin kept as the baseline
+    * this row's recall economics are measured against). */
+  def annNegativesIndexed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = annIvfAdcRerank(spark, dir, k = NegHardK)
+      .select("query_id", "neighbor_id", "rank")
+    val pos = top.filter(col("rank") <= NegPosK).withColumn("kind", lit("pos"))
+    val hard = top.filter(col("rank") > NegPosK).withColumn("kind", lit("hard"))
+    val queries = embeddings(spark, dir).filter(annQueryFilter)
+      .select(col("vec_id").as("query_id"))
+    val cand = queries
+      .join(broadcast(annNegativePool(spark, dir)),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("h", expr(u16Expr(
+        "concat(cast(query_id as string), ':', cast(neighbor_id as string))"))
+        .cast("long"))
+      .join(broadcast(top.select("query_id", "neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+    val w = Window.partitionBy("query_id").orderBy("h", "neighbor_id")
+    val rand = cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= NegRandK)
+      .withColumn("kind", lit("rand"))
+      .select("query_id", "neighbor_id", "rank", "kind")
+    pos.unionByName(hard).unionByName(rand)
+      .select("query_id", "kind", "rank", "neighbor_id")
+  }
+
+  /** Oracle: the [[annIvfAdcRerankOracle]] composition (nested WITH
+    * subquery, the recall-report pattern) for the pos/hard ranks, plus the
+    * same integer-threshold pool and per-pair md5 ordering in DuckDB. */
+  def annNegativesIndexedOracle: String =
+    s"""WITH itop AS (
+      SELECT query_id, neighbor_id, rank
+      FROM (${annIvfAdcRerankOracle(NegHardK)}) t),
+    nn AS (SELECT count(*) AS nn FROM embeddings),
+    pool AS (
+      SELECT e.vec_id AS neighbor_id FROM embeddings e, nn
+      WHERE ${u16SqlDuck("e.vec_id")} * nn.nn < 65536 * $NegRandPool),
+    qs AS (
+      SELECT vec_id AS query_id FROM embeddings
+      WHERE vec_id IN ($annQueryIdsSql)),
+    cand AS (
+      SELECT q.query_id, p.neighbor_id,
+        ${u16SqlDuck(
+          "CAST(q.query_id AS VARCHAR) || ':' || CAST(p.neighbor_id AS VARCHAR)")} AS h
+      FROM qs q CROSS JOIN pool p
+      WHERE q.query_id != p.neighbor_id
+        AND NOT EXISTS (SELECT 1 FROM itop t
+          WHERE t.query_id = q.query_id AND t.neighbor_id = p.neighbor_id)),
+    rnd AS (
+      SELECT query_id, 'rand' AS kind, rank, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY h, neighbor_id)
+            AS rank
+        FROM cand) r WHERE rank <= $NegRandK)
+    SELECT query_id, 'pos' AS kind, rank, neighbor_id FROM itop
+    WHERE rank <= $NegPosK
+    UNION ALL
+    SELECT query_id, 'hard', rank, neighbor_id FROM itop WHERE rank > $NegPosK
+    UNION ALL
+    SELECT query_id, kind, rank, neighbor_id FROM rnd"""
+
   /** Index-quality audit: overlap@k of each TRAINING-FREE approximate
     * ranker against the exact baseline, as an oracle-checked table —
     * the recall report a retrieval deployment watches after every index

@@ -897,6 +897,38 @@ class OpsSpec extends SparkSpec {
       "hash-order sampling must be run-to-run identical")
   }
 
+  test("ann negatives (indexed): pool-drawn rand, exact counts, pool near target") {
+    import graft.ops.Similarity
+    val pool = Similarity.annNegativePool(spark, Sf0001)
+      .as[Long].collect().toSet
+    // adaptive integer threshold: the pool must sit near its target at any
+    // N (80 of 500 ids clear u16·N < 65536·64 at this SF — deterministic)
+    assert(pool.size >= Similarity.NegRandPool / 2 &&
+      pool.size <= 2 * Similarity.NegRandPool,
+      s"pool size ${pool.size} strayed from target ${Similarity.NegRandPool}")
+    val rows = Similarity.annNegativesIndexed(spark, Sf0001)
+      .select("query_id", "kind", "rank", "neighbor_id")
+      .as[(Long, String, Int, Long)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      val byKind = rs.groupBy(_._2).view.mapValues(_.map(_._4).toSet).toMap
+      assert(byKind("pos").size == Similarity.NegPosK)
+      assert(byKind("hard").size == Similarity.NegHardK - Similarity.NegPosK)
+      assert(byKind("rand").size == Similarity.NegRandK)
+      // trainability contract: rand ∩ (pos ∪ hard) = ∅, anchor excluded
+      assert((byKind("rand") & (byKind("pos") ++ byKind("hard"))).isEmpty)
+      assert(!byKind("rand").contains(q))
+      assert(byKind("rand").subsetOf(pool),
+        "random negatives must draw from the shared pool only")
+    }
+    val again = Similarity.annNegativesIndexed(spark, Sf0001)
+      .select("query_id", "kind", "rank", "neighbor_id")
+      .as[(Long, String, Int, Long)].collect()
+    assert(rows.toSet == again.toSet,
+      "hash-order sampling must be run-to-run identical")
+  }
+
   test("recall report: sane bounds and multiprobe dominance, as a table") {
     val r = Similarity.annRecallReport(spark, Sf0001)
       .select("variant", "hits", "exact_pairs", "recall")

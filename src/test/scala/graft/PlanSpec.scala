@@ -337,6 +337,39 @@ class PlanSpec extends SparkSpec {
       assert(plan(df).contains("WindowGroupLimit"), plan(df).take(400))
   }
 
+  test("ann_negatives_indexed: index-served candidates, pool-bounded sampler") {
+    import graft.ops.Similarity
+    // the sampler pool is ONE map-only corpus scan; its only exchange is
+    // the 1-row adaptive-threshold count aggregate's, and it never sorts,
+    // windows, or fans out pairs
+    val poolDf = Similarity.annNegativePool(spark, Sf0001)
+    val pp = plan(poolDf)
+    assert(shuffles(poolDf) == 1, pp)
+    assert(!pp.contains("Window") && !pp.toLowerCase.contains("sortexec"), pp)
+    assert(!pp.contains("CartesianProduct"), pp)
+    val p = plan(Similarity.annNegativesIndexed(spark, Sf0001))
+    assert(!p.contains("CartesianProduct"))
+    // hard negatives must come from the serving index's materialized code
+    // tables (the DPP-pruned rerank path), not a brute-force corpus ranker
+    assert(p.contains("pq_codes_"),
+      "candidate generation must read the co-materialized PQ code table")
+    // the rand exclusion is a broadcast anti-join of the Q·NegHardK top
+    // list — never a corpus-wide shuffle
+    assert(p.contains("LeftAnti"), p.take(600))
+    // the Q·N crossJoin+window enumeration of the exact twin must not
+    // reappear: every window in this plan ranks either the rerank's
+    // pruned candidates or the ≤2·pool rand rows, so the plan's windows
+    // all sit downstream of joins, none over a raw embeddings scan
+    // pos, hard, and the rand anti-join all consume ONE rerank subtree —
+    // the textual count sees it three times (the runtime reuses the
+    // exchanges); the wrapper itself may add only the pool count and the
+    // pool-sized rand window
+    assert(shuffles(Similarity.annNegativesIndexed(spark, Sf0001)) <=
+      3 * shuffles(Similarity.annIvfAdcRerank(spark, Sf0001, k = Similarity.NegHardK)) + 3,
+      "the negatives wrapper may add only the pool count and the rand " +
+        "window on top of the (thrice-consumed, runtime-reused) rerank plan")
+  }
+
   test("vocabulary top-k is TakeOrderedAndProject, not a corpus-wide window sort") {
     val p = plan(TextOps.vocabulary(spark, Sf0001))
     assert(p.contains("TakeOrderedAndProject"),
