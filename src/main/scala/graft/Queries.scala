@@ -558,7 +558,7 @@ object Queries {
 
     Spec("sketch_kmv_distinct",
       Seq("event_type" -> P, "n_kept" -> L, "kth_min" -> L,
-        "est_distinct" -> P, "exact_distinct" -> L, "rel_err" -> P),
+        "est_distinct" -> P, "exact_distinct" -> L, "est_ratio" -> P),
       Seq("event_type"),
       ops.Sketch.kmvDistinct, ops.Sketch.kmvDistinctOracle),
 

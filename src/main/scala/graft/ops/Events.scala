@@ -355,7 +355,12 @@ object Events {
     val st = e.groupBy("event_type").agg(
       count(lit(1)).as("n"),
       sum(col("xc").cast("decimal(38,0)")).as("s"),
-      sum((col("xc") * col("xc")).cast("decimal(38,0)")).as("s2"))
+      // square AFTER the decimal(38,0) widen: a Long×Long square wraps
+      // silently for |xc| > ~3.0e9 cents (single values ≳ $30M) while the
+      // oracle squares in HUGEINT. Note the residual asymmetry past the
+      // documented 10³⁸ bound: non-ANSI Spark decimal overflow yields NULL
+      // (row silently unflagged) where DuckDB HUGEINT overflow errors.
+      sum(col("xc").cast("decimal(38,0)") * col("xc")).as("s2"))
     val d = col("n").cast("decimal(38,0)") * col("xc") - col("s")
     val lhs = d * d * (col("n") - 1).cast("decimal(38,0)")
     val rhs = lit(OutlierZ * OutlierZ) * col("n").cast("decimal(38,0)") *

@@ -140,13 +140,21 @@ object Multimodal {
     doc_id: Long, media_type: String, n_frames: Int, n_sampled: Int,
     container_bytes: Int, frames_checksum: Long)
 
+  /** Frame-count formula constants, shared by [[buildContainer]] and the
+    * oracle's frame-index generator (which iterates `range(0, MaxFrames)`
+    * — deriving the bound here keeps a future formula change from
+    * silently truncating frames in the oracle only). */
+  val MinFrames = 2
+  val FrameCountMod = 5
+  val MaxFrames: Int = MinFrames + FrameCountMod - 1
+
   /** A minimal multi-frame "video" container: `GFV1` magic, LE frame
     * count, then length-prefixed frames — frame f is a real BMP whose
     * seed is the doc seed rotated by 5f bytes, so every frame differs
     * and the rotation is replayable arithmetic. Frame count
-    * 2 + seed[0] mod 5 ∈ [2, 6]. */
+    * [[MinFrames]] + seed[0] mod [[FrameCountMod]] ∈ [2, 6]. */
   private[graft] def buildContainer(seed: Array[Byte]): Array[Byte] = {
-    val n = 2 + (seed(0) & 0xff) % 5
+    val n = MinFrames + (seed(0) & 0xff) % FrameCountMod
     val frames = (0 until n).map { f =>
       val r = (5 * f) % 16
       buildBmp((seed.drop(r) ++ seed.take(r)).toArray)
@@ -236,7 +244,8 @@ object Multimodal {
              + (strpos('0123456789abcdef', substr(hex, 2*i, 1)) - 1)) AS bytes
       FROM h),
     n AS (
-      SELECT doc_id, bytes, 2 + bytes[1] % 5 AS n_frames FROM b),
+      SELECT doc_id, bytes, $MinFrames + bytes[1] % $FrameCountMod
+        AS n_frames FROM b),
     fr AS (
       SELECT doc_id, n_frames, f,
         1 + bytes[(1 + 5*f) % 16 + 1] % 8 AS w,
@@ -248,7 +257,7 @@ object Multimodal {
               + 256 * bytes[(x + 7*y + 3 + 5*f) % 16 + 1]
               + 65536 * bytes[(x + 7*y + 6 + 5*f) % 16 + 1]))))
         ELSE 0 END AS fsum
-      FROM n, range(0, 6) t(f) WHERE f < n_frames)
+      FROM n, range(0, $MaxFrames) t(f) WHERE f < n_frames)
     SELECT doc_id, 'video' AS media_type,
       CAST(any_value(n_frames) AS INTEGER) AS n_frames,
       CAST(sum(CASE WHEN f % $FrameStride = 0 THEN 1 ELSE 0 END) AS INTEGER)

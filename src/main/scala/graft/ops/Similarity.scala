@@ -696,7 +696,13 @@ object Similarity {
     * distinct vectors, whose bucket occupancy the adaptive planes
     * actually control. Banding stays sized to the RAW corpus count
     * (footer stats — reps ≤ N, so occupancy only shrinks), keeping the
-    * params CTE identical in both engines. */
+    * params CTE identical in both engines.
+    *
+    * OUTPUT CONTRACT (since the rep staging): pairs involving a
+    * non-keeper exact twin — including the keeper–twin pair at cosine
+    * 1.0 — are NOT emitted here; full duplicate coverage is this row
+    * COMPOSED with [[exactVecDedup]] (`emb_dedup_exact`), whose keeper
+    * mapping expands each rep pair to its twin group. */
   def cosineNearDup(spark: SparkSession, dir: String, threshold: Double = 0.35,
       numVectors: Option[Long] = None): DataFrame = {
     val base = withNorm(spark, dir)

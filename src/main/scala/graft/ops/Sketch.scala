@@ -81,10 +81,12 @@ object Sketch {
           .otherwise((lit(K - 1) * lit(HashSpace.toDouble)) / col("kth_min")))
     val exact = e.select("event_type", "user_id").distinct()
       .groupBy("event_type").agg(count(lit(1)).as("exact_distinct"))
+    // est_ratio is est/exact (1.0 = perfect) — deliberately NOT named a
+    // "relative error", which would read as |est-exact|/exact
     sketch.join(exact, Seq("event_type"))
-      .withColumn("rel_err", col("est_distinct") / col("exact_distinct"))
+      .withColumn("est_ratio", col("est_distinct") / col("exact_distinct"))
       .select("event_type", "n_kept", "kth_min", "est_distinct",
-        "exact_distinct", "rel_err")
+        "exact_distinct", "est_ratio")
   }
 
   def kmvDistinctOracle: String =
@@ -110,6 +112,6 @@ object Sketch {
       FROM e GROUP BY 1)
     SELECT est.event_type, est.n_kept, est.kth_min, est.est_distinct,
       exact.exact_distinct,
-      est.est_distinct / exact.exact_distinct AS rel_err
+      est.est_distinct / exact.exact_distinct AS est_ratio
     FROM est JOIN exact USING (event_type)"""
 }

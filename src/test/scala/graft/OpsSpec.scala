@@ -1041,10 +1041,10 @@ class OpsSpec extends SparkSpec {
     import graft.ops.Sketch
     val out = Sketch.kmvDistinct(spark, Sf0001)
       .select("event_type", "n_kept", "kth_min", "est_distinct",
-        "exact_distinct", "rel_err")
+        "exact_distinct", "est_ratio")
       .as[(String, Long, Long, Double, Long, Double)].collect()
     assert(out.nonEmpty)
-    out.foreach { case (et, kept, kth, est, exact, rel) =>
+    out.foreach { case (et, kept, kth, est, exact, ratio) =>
       assert(kept <= Sketch.K)
       assert(kth >= 0 && kth < Sketch.HashSpace)
       if (kept < Sketch.K)
@@ -1053,8 +1053,8 @@ class OpsSpec extends SparkSpec {
         assert(est == kept.toDouble && kept <= exact,
           s"$et: sub-k sketch must be the distinct-hash count")
       else
-        assert(rel > 0.5 && rel < 2.0,
-          s"$et: realized error $rel outside the sane band for k=${Sketch.K}")
+        assert(ratio > 0.5 && ratio < 2.0,
+          s"$et: est/exact ratio $ratio outside the sane band for k=${Sketch.K}")
     }
     val again = Sketch.kmvDistinct(spark, Sf0001)
       .select("event_type", "est_distinct").as[(String, Double)]
