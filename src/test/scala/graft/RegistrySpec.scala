@@ -36,6 +36,38 @@ class RegistrySpec extends SparkSpec {
       out("silver_payments"), "order_key", out("silver_orders"), "order_key").isEmpty)
   }
 
+  test("SQL-file models (models/**/*.sql) materialize bit-equal to the Scala builders") {
+    import graft.pipeline.{ParquetSink, SqlModels}
+    val sqlModels = SqlModels.load(new java.io.File("models"))
+    // same surface: names, layers, DAG edges, materializations
+    assert(sqlModels.map(_.name).toSet == Registry.models.map(_.name).toSet)
+    val byName = Registry.models.map(m => m.name -> m).toMap
+    sqlModels.foreach { m =>
+      assert(m.layer == byName(m.name).layer, s"${m.name}: layer")
+      assert(m.deps.toSet == byName(m.name).deps.toSet, s"${m.name}: deps")
+      assert(m.materialization == byName(m.name).materialization,
+        s"${m.name}: materialization")
+      assert(m.layout == byName(m.name).layout, s"${m.name}: layout")
+    }
+    val a = Registry.run(spark, Sf0001,
+      new ParquetSink(Files.createTempDirectory("graft_wh_sql_a").toString))
+    val b = Registry.run(spark, Sf0001,
+      new ParquetSink(Files.createTempDirectory("graft_wh_sql_b").toString),
+      all = sqlModels, registerViews = false)
+    def canon(df: org.apache.spark.sql.DataFrame): Array[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("")).sorted
+    Registry.models.map(_.name).foreach { n =>
+      assert(a(n).schema.map(f => (f.name, f.dataType)) ==
+        b(n).schema.map(f => (f.name, f.dataType)), s"$n: schema")
+      val (ra, rb) = (canon(a(n)), canon(b(n)))
+      assert(ra.nonEmpty, s"$n: empty")
+      assert(ra.sameElements(rb),
+        s"$n: SQL-authored rows diverge from the Scala builder; first diff: " +
+          ra.zip(rb).find { case (x, y) => x != y }.orElse(
+            Some((s"counts ${ra.length}", s"${rb.length}"))).get)
+    }
+  }
+
   test("generate_database_name: custom uppercased, else target default") {
     assert(Registry.databaseName(Some("silver"), "analytics") == "SILVER")
     assert(Registry.databaseName(None, "analytics") == "analytics")
