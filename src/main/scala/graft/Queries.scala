@@ -399,6 +399,12 @@ object Queries {
       ops.IncrementalDedup.replayDelta,
       ops.IncrementalDedup.replayDeltaOracle),
 
+    Spec("dedup_store_delete",
+      Seq("doc_a" -> P, "doc_b" -> P, "shared_fps" -> L),
+      Seq("doc_a", "doc_b"),
+      ops.IncrementalDedup.replayDelete,
+      ops.IncrementalDedup.replayDeleteOracle),
+
     Spec("ann_lsh_topk",
       Seq("query_id" -> P, "neighbor_id" -> P, "rank" -> I, "cosine" -> P),
       Seq("query_id", "rank"),
@@ -414,6 +420,12 @@ object Queries {
       Seq("query_id" -> P, "neighbor_id" -> P, "rank" -> I, "cosine" -> P),
       Seq("query_id", "rank"),
       (s, d) => ops.Similarity.annIvfTopK(s, d), ops.Similarity.annIvfTopKOracle()),
+
+    Spec("ann_delete_topk",
+      Seq("query_id" -> P, "neighbor_id" -> P, "rank" -> I, "cosine" -> P),
+      Seq("query_id", "rank"),
+      (s, d) => ops.Similarity.annIvfTopKDeleted(s, d),
+      ops.Similarity.annIvfTopKDeletedOracle()),
 
     Spec("ann_ivf_multiprobe",
       Seq("query_id" -> P, "neighbor_id" -> P, "rank" -> I, "cosine" -> P),

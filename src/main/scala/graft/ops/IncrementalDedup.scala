@@ -14,14 +14,24 @@ import org.apache.spark.sql.functions._
   * stage-then-atomic-rename, so a crashed ingest or compaction leaves only
   * ignorable staging garbage, never a half-written batch):
   * {{{
-  *   <root>/batches/batch=<i>/reps/  (text_hash, doc_id)  one row per
-  *                                   distinct text IN THE BATCH, min doc id
+  *   <root>/batches/batch=<i>/reps/  (text_hash, doc_id)  every distinct
+  *                                   (text, doc) pair IN THE BATCH
   *   <root>/batches/batch=<i>/fps/   (text_hash, fingerprint) winnowing
   *                                   fingerprints of texts UNSEEN before i
-  *   <root>/compact/w=<k>/reps|fps/  all batches ≤ k folded into one
-  *                                   min-rep table + one fingerprint table
+  *   <root>/compact/w=<k>[r<t>]/reps|fps/  all batches ≤ k (and all
+  *                                   tombstones seen at fold time) folded;
+  *                                   r<t> = tombstone-only rewrite tick
+  *   <root>/tombstones/t=<n>/        (doc_id) pending deletions, applied
+  *                                   by readers until the next fold
   *   <root>/.staging/<uuid>/         in-flight writes (crash garbage)
   * }}}
+  * The member table carries EVERY (text_hash, doc_id) pair — not just a
+  * per-batch min — precisely so a doc-level [[delete]] is exact: when a
+  * text's representative (min surviving doc id) is deleted, the next
+  * surviving member takes over, and when every member of a text is
+  * deleted the text (and, at the next fold, its fingerprints) vanish as
+  * if never ingested. One row per document is the honest floor for an
+  * index that must support per-document takedown.
   * Both halves of a batch commit with ONE rename of the staging directory
   * into `batches/batch=<i>` — there is no window where a batch's texts are
   * marked seen (reps present) without their fingerprints, so a retry after
@@ -91,17 +101,37 @@ object IncrementalDedup {
       .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toInt)
   }
 
-  /** Watermark of the newest compacted generation: the highest batch id it
-    * folded, or -1 when no generation exists. Stale older generations
-    * (crash leftovers) are ignored by taking the max. */
-  private def watermark(spark: SparkSession, root: String): Int = {
+  /** Committed generations as (watermark, rewriteTick): `w=<k>` parses as
+    * (k, 0), `w=<k>r<t>` as (k, t). The tick exists so a TOMBSTONE-ONLY
+    * compaction (no new batches, so the watermark cannot advance) can
+    * still commit a physically-rewritten generation under a fresh name —
+    * staged-rename immutability is preserved, nothing is rewritten in
+    * place. */
+  private def generations(spark: SparkSession, root: String): Seq[(Int, Int)] = {
     val p = new org.apache.hadoop.fs.Path(compactRoot(root))
     val fs = hadoopFs(spark, root)
-    if (!fs.exists(p)) -1
+    if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("w=")).map(_.stripPrefix("w=").toInt)
-      .foldLeft(-1)(math.max)
+      .filter(_.startsWith("w=")).map { n =>
+        n.stripPrefix("w=").split('r') match {
+          case Array(k) => (k.toInt, 0)
+          case Array(k, t) => (k.toInt, t.toInt)
+        }
+      }
   }
+
+  private def genName(k: Int, t: Int): String =
+    if (t == 0) s"w=$k" else s"w=${k}r$t"
+
+  /** The newest generation — max by (watermark, tick); stale older
+    * generations (crash leftovers) are ignored. */
+  private def newestGen(spark: SparkSession, root: String): Option[(Int, Int)] =
+    generations(spark, root).sorted.lastOption
+
+  /** Watermark of the newest compacted generation: the highest batch id it
+    * folded, or -1 when no generation exists. */
+  private def watermark(spark: SparkSession, root: String): Int =
+    newestGen(spark, root).map(_._1).getOrElse(-1)
 
   private def emptyOf(spark: SparkSession, schemaDdl: String): DataFrame =
     spark.createDataFrame(
@@ -113,21 +143,58 @@ object IncrementalDedup {
     * directories regardless of how many crawls ever ran. */
   private def storeView(spark: SparkSession, root: String, sub: String,
       schemaDdl: String): DataFrame = {
+    val gen = newestGen(spark, root).map { case (k, t) =>
+      spark.read.parquet(s"${compactRoot(root)}/${genName(k, t)}/$sub")
+    }.toSeq
     val w = watermark(spark, root)
-    val gen =
-      if (w >= 0) Seq(spark.read.parquet(s"${compactRoot(root)}/w=$w/$sub"))
-      else Seq.empty
     val batches = batchIds(spark, root).filter(_ > w).sorted
       .map(i => spark.read.parquet(s"${batchesRoot(root)}/batch=$i/$sub"))
     (gen ++ batches).reduceOption(_ unionByName _)
       .getOrElse(emptyOf(spark, schemaDdl))
   }
 
-  private def reps(spark: SparkSession, root: String): DataFrame =
+  /** RAW physical membership — every committed (text_hash, doc_id) pair,
+    * tombstones NOT applied. This is the seen-text check's view: a text
+    * whose fingerprints are still physically present (even when every one
+    * of its docs is tombstoned but not yet folded) must NOT be
+    * re-fingerprinted — its fps simply revive if the text returns. */
+  private def members(spark: SparkSession, root: String): DataFrame =
     storeView(spark, root, "reps", "text_hash STRING, doc_id BIGINT")
+
+  /** LOGICAL membership — raw members minus pending tombstones. Every
+    * detection read goes through here, so a delete is visible immediately
+    * (long before the fold makes it physical). The tombstone side is a
+    * takedown/opt-out ledger — orders of magnitude smaller than the
+    * corpus — so the anti-join broadcasts it. */
+  private def reps(spark: SparkSession, root: String): DataFrame =
+    tombstones(spark, root) match {
+      case Some(t) => members(spark, root)
+        .join(broadcast(t), Seq("doc_id"), "left_anti")
+      case None => members(spark, root)
+    }
 
   private def fps(spark: SparkSession, root: String): DataFrame =
     storeView(spark, root, "fps", "text_hash STRING, fingerprint STRING")
+
+  private def tombRoot(root: String) = s"$root/tombstones"
+
+  private def tombDirIds(spark: SparkSession, root: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(tombRoot(root))
+    val fs = hadoopFs(spark, root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("t=")).map(_.stripPrefix("t=").toInt)
+  }
+
+  /** Pending deleted doc ids (distinct), or None when no tombstone dir
+    * exists — the None fast path keeps the zero-deletion plans (and their
+    * PlanSpec pins) bit-identical to the pre-deletion engine. */
+  private def tombstones(spark: SparkSession, root: String): Option[DataFrame] = {
+    val ids = tombDirIds(spark, root).sorted
+    if (ids.isEmpty) None
+    else Some(ids.map(n => spark.read.parquet(s"${tombRoot(root)}/t=$n"))
+      .reduce(_ unionByName _).select("doc_id").distinct())
+  }
 
   /** Stage `write` under `<root>/.staging/<uuid>` and commit it with one
     * atomic rename to `dst` — [[IvfIndex.renameIfAbsent]] semantics (an
@@ -144,11 +211,11 @@ object IncrementalDedup {
   }
 
   /** Ingest one shard of `(doc_id, text)` rows into the store at `root`
-    * as batch `batchId`: the shard's per-text min doc ids, plus winnowing
-    * fingerprints of texts no earlier batch contained, committed together
-    * atomically. Returns the number of texts fingerprinted (the expensive
-    * work actually done). Batch ids must be monotone: a generation's
-    * watermark fences everything at or below it. */
+    * as batch `batchId`: the shard's distinct (text, doc) pairs, plus
+    * winnowing fingerprints of texts no earlier batch contained, committed
+    * together atomically. Returns the number of texts fingerprinted (the
+    * expensive work actually done). Batch ids must be monotone: a
+    * generation's watermark fences everything at or below it. */
   def ingest(spark: SparkSession, root: String, batchId: Int,
       batch: DataFrame): Long = {
     require(batchId > watermark(spark, root),
@@ -157,9 +224,11 @@ object IncrementalDedup {
       .select(col("doc_id"), col("text"), md5(col("text")).as("text_hash"))
       .groupBy("text_hash")
       .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
-    // seen-before check touches only the index's key column (pruned scan)
+    // seen-before check touches only the index's key column (pruned scan);
+    // RAW members, not the tombstone-filtered view — a text whose fps are
+    // still physically present must not be re-fingerprinted (see [[members]])
     val unseen = newTexts.join(
-      reps(spark, root).select("text_hash"), Seq("text_hash"), "left_anti")
+      members(spark, root).select("text_hash"), Seq("text_hash"), "left_anti")
       .localCheckpoint()
     val committed = commitStaged(spark, root,
       s"${batchesRoot(root)}/batch=$batchId") { staging =>
@@ -168,7 +237,8 @@ object IncrementalDedup {
           unseen.select(col("text_hash").as("doc_id"), col("text")))
         .select(col("doc_id").as("text_hash"), col("fingerprint"))
         .write.parquet(s"$staging/fps")
-      newTexts.select("text_hash", "doc_id")
+      batch.select(md5(col("text")).as("text_hash"), col("doc_id"))
+        .distinct()
         .write.parquet(s"$staging/reps")
     }
     require(committed, s"batch $batchId already committed")
@@ -179,31 +249,74 @@ object IncrementalDedup {
     n
   }
 
-  /** Fold everything committed so far into one generation: one min-rep
-    * table (min of per-batch mins = global min, so generations compose)
-    * and one fingerprint table (per-batch fps are disjoint — only unseen
-    * texts are fingerprinted — so concatenation is exact). Commits the new
-    * generation atomically FIRST, then deletes the folded inputs; a crash
-    * between the two leaves stale directories readers already ignore. */
+  /** Delete documents from the store: commits `docIds` (a `doc_id`
+    * column) as a tombstone directory — one atomic rename, same staging
+    * discipline as ingest. The delete is visible to every read
+    * immediately (readers anti-join pending tombstones) and becomes
+    * PHYSICAL at the next [[compact]], which folds surviving members
+    * only and drops the fingerprints of texts left with no member — at
+    * which point the store is bit-identical to one that never ingested
+    * those docs. A tombstone applies to every copy of the doc id present
+    * at fold time; re-ingesting the id (or its text) after the fold
+    * revives it — the takedown-then-resubmit cycle. Auto-folds once
+    * [[CompactEvery]] tombstone directories accumulate, so a delete-heavy
+    * store stays bounded without ingests. */
+  def delete(spark: SparkSession, root: String, docIds: DataFrame): Unit = {
+    val n = (tombDirIds(spark, root) :+ -1).max + 1
+    val committed = commitStaged(spark, root, s"${tombRoot(root)}/t=$n") {
+      staging =>
+        docIds.select(col("doc_id").cast("long").as("doc_id")).distinct()
+          .write.parquet(staging)
+    }
+    require(committed, s"tombstone $n already committed")
+    if (tombDirIds(spark, root).size >= CompactEvery) compact(spark, root)
+  }
+
+  /** Fold everything committed so far into one generation: one member
+    * table (distinct surviving (text_hash, doc_id) pairs — pending
+    * tombstones applied HERE, making deletions physical) and one
+    * fingerprint table (per-batch fps are disjoint — only unseen texts
+    * are fingerprinted — so concatenation restricted to texts that still
+    * have a surviving member is exact; a fully-deleted text's fps are
+    * dropped, so a later re-ingest re-fingerprints it like a fresh
+    * store). Commits the new generation atomically FIRST, then deletes
+    * the folded inputs (batches, the old generation, and the tombstone
+    * directories applied); a crash between the two leaves stale
+    * directories readers already ignore — and re-applying an
+    * already-folded tombstone is a no-op anti-join, so the fold is
+    * idempotent. With no new batches a pending delete still folds, under
+    * a bumped rewrite tick ([[generations]]). */
   def compact(spark: SparkSession, root: String): Unit = {
-    val w = watermark(spark, root)
+    val cur = newestGen(spark, root)
+    val w = cur.map(_._1).getOrElse(-1)
     val pending = batchIds(spark, root).filter(_ > w)
-    if (pending.isEmpty) return
-    val newW = pending.max
-    val foldedReps = reps(spark, root).groupBy("text_hash")
-      .agg(min(col("doc_id")).as("doc_id"))
-    val foldedFps = fps(spark, root)
+    val tombs = tombDirIds(spark, root)
+    if (pending.isEmpty && tombs.isEmpty) return
+    val fs = hadoopFs(spark, root)
+    if (pending.isEmpty && cur.isEmpty) {
+      // tombstones against an empty store: nothing to fold them into
+      tombs.foreach(n => fs.delete(
+        new org.apache.hadoop.fs.Path(s"${tombRoot(root)}/t=$n"), true))
+      return
+    }
+    val (newK, newT) =
+      if (pending.nonEmpty) (pending.max, 0) else (w, cur.get._2 + 1)
+    val foldedReps = reps(spark, root).distinct()
+    val foldedFps = fps(spark, root).join(
+      foldedReps.select("text_hash").distinct(), Seq("text_hash"), "left_semi")
     val committed = commitStaged(spark, root,
-      s"${compactRoot(root)}/w=$newW") { staging =>
+      s"${compactRoot(root)}/${genName(newK, newT)}") { staging =>
       foldedReps.write.parquet(s"$staging/reps")
       foldedFps.write.parquet(s"$staging/fps")
     }
     if (committed) {
-      val fs = hadoopFs(spark, root)
       pending.foreach(i => fs.delete(
         new org.apache.hadoop.fs.Path(s"${batchesRoot(root)}/batch=$i"), true))
-      if (w >= 0) fs.delete(
-        new org.apache.hadoop.fs.Path(s"${compactRoot(root)}/w=$w"), true)
+      cur.foreach { case (k, t) => fs.delete(
+        new org.apache.hadoop.fs.Path(s"${compactRoot(root)}/${genName(k, t)}"),
+        true) }
+      tombs.foreach(n => fs.delete(
+        new org.apache.hadoop.fs.Path(s"${tombRoot(root)}/t=$n"), true))
       compactions.incrementAndGet()
     }
     ()
@@ -333,6 +446,51 @@ object IncrementalDedup {
     SELECT doc_a, doc_b, shared_fps FROM pairs
     WHERE doc_a IN (SELECT doc_id FROM shard)
        OR doc_b IN (SELECT doc_id FROM shard)"""
+
+  /** Modulus for the deletion replay: doc_id % 7 == [[DeleteResidue]]
+    * interleaves deleted docs across both replay shards and exercises
+    * both rep re-assignment (a text's min doc deleted, the next surviving
+    * member takes over) and full-text removal (every copy deleted, the
+    * text and its fingerprints vanish at the fold). */
+  val DeleteMod = 7
+  val DeleteResidue = 3
+
+  /** Driver row: replay the corpus as [[ReplayMod]] crawl shards, DELETE
+    * every doc with `doc_id % `[[DeleteMod]]` == `[[DeleteResidue]],
+    * fold the tombstones with an explicit [[compact]], then detect. The
+    * oracle is the full-corpus near-dup SQL over `documents` WITH THE
+    * DELETED DOCS FILTERED OUT — passing means the
+    * ingest → delete → compact lifecycle is bit-equal to never having
+    * ingested the deleted documents at all. */
+  def replayDelete(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_inc_dedup_x").toString
+    val docs = TextOps.documents(spark, dir)
+    (0 until ReplayMod).foreach { b =>
+      ingest(spark, root, b, docs.filter(pmod(col("doc_id"),
+        lit(ReplayMod.toLong)) === b))
+    }
+    delete(spark, root, docs.filter(pmod(col("doc_id"),
+      lit(DeleteMod.toLong)) === DeleteResidue).select("doc_id"))
+    compact(spark, root)
+    nearDupPairs(spark, root)
+  }
+
+  /** [[Dedup.winnowNearDupOracle]] over the corpus minus the deleted
+    * docs: representatives are the min SURVIVING doc per distinct text,
+    * and texts all of whose docs were deleted contribute nothing. */
+  def replayDeleteOracle: String =
+    s"""WITH ${TextOps.winnowCte(
+        s"""(SELECT min(doc_id) AS doc_id, text FROM documents
+            WHERE doc_id % $DeleteMod <> $DeleteResidue GROUP BY text)""")},
+    fp AS (SELECT doc_id, unnest(fps) AS fingerprint FROM w),
+    keep AS (
+      SELECT fingerprint FROM fp GROUP BY 1
+      HAVING count(*) BETWEEN 2 AND ${Dedup.MaxFingerprintDocFrequency}),
+    f AS (SELECT fp.doc_id, fp.fingerprint FROM fp JOIN keep USING (fingerprint))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+    FROM f a JOIN f b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= ${Dedup.MinSharedFingerprints}"""
 
   /** Warehouse root for the DAG-scheduled store — same pattern as
     * [[IvfIndex.cacheRoot]]: JVM-tmpdir default keeps the (spark, dir)

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, col}
 import graft.pipeline.{ParquetSink, Registry, TableLayout}
 
 /** Train-once / serve-many lifecycle for the IVF coarse quantizer.
@@ -133,14 +133,171 @@ object IvfIndex {
     } else true
   }
 
+  // ---- Deletion lifecycle (takedown/opt-out) ----
+  //
+  // A deletion ledger per corpus fingerprint: tombstone directories
+  // `t=<n>/` of vec_id, committed by [[deleteVectors]] with the same
+  // staged-rename discipline as every other write. Readers of the
+  // row-level index tables (lists, int8/PQ codes, LSH signatures)
+  // anti-join the ledger — a delete is visible immediately, at the cost
+  // of one tiny broadcast join. [[compactIndex]] then makes deletions
+  // PHYSICAL: it snapshots the surviving corpus, deterministically
+  // retrains + rebuilds every index table from it (so the folded index
+  // is bit-identical to one built on a corpus that never contained the
+  // deleted vectors — the same Lloyd determinism the streaming rebuild
+  // path pins), and sweeps the previous generation's tables from disk.
+  // Between a delete and its fold the TRAINED models (centroids, PQ
+  // codebooks) are served stale — correct (they are approximation
+  // parameters, not data rows; no serving path can return a deleted id)
+  // and exactly the FAISS-style economics: cheap logical delete at
+  // takedown cadence, one corpus-priced rebuild at compaction cadence.
+  // The ledger itself (a few longs per takedown) is retained as the
+  // audit trail until the corpus fingerprint changes.
+
+  /** The deletion ledger root for `dir`'s corpus. */
+  def defaultLedger(spark: SparkSession, dir: String): String =
+    s"$cacheRoot/$layer/del_${fingerprint(spark, dir)}"
+
+  private def resolveLedger(spark: SparkSession, dir: String,
+      ledger: Option[String]): String =
+    ledger.getOrElse(defaultLedger(spark, dir))
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def tombDirIds(spark: SparkSession, led: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(led)
+    val fs = fsOf(spark, led)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("t=")).map(_.stripPrefix("t=").toInt)
+  }
+
+  /** Highest tombstone id already folded into a survivor-corpus
+    * generation (marker dirs `folded_<m>`), or -1. */
+  private def foldedMark(spark: SparkSession, led: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(led)
+    val fs = fsOf(spark, led)
+    if (!fs.exists(p)) -1
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("folded_")).map(_.stripPrefix("folded_").toInt)
+      .foldLeft(-1)(math.max)
+  }
+
+  /** EVERY deleted vec_id (folded or pending), distinct — or None when
+    * the ledger is empty, the fast path that keeps zero-deletion plans
+    * (and their DPP/broadcast pins) bit-identical to the pre-deletion
+    * engine. Anti-joining an already-folded id is a no-op, so readers
+    * apply the whole ledger and never need the folded/pending split. */
+  def deletedIds(spark: SparkSession, led: String): Option[DataFrame] = {
+    val ids = tombDirIds(spark, led).sorted
+    if (ids.isEmpty) None
+    else Some(ids.map(n => spark.read.parquet(s"$led/t=$n"))
+      .reduce(_ unionByName _).select("vec_id").distinct())
+  }
+
+  /** Delete vectors from the index: commits `vecIds` (a `vec_id` column)
+    * as a tombstone directory in the ledger — one atomic rename. Visible
+    * to every row-level serving path immediately; physical after the
+    * next [[compactIndex]]. */
+  def deleteVectors(spark: SparkSession, led: String,
+      vecIds: DataFrame): Unit = {
+    val fs = fsOf(spark, led)
+    val n = (tombDirIds(spark, led) :+ foldedMark(spark, led) :+ -1).max + 1
+    val staging = s"$led/.staging/${java.util.UUID.randomUUID.toString.take(12)}"
+    vecIds.select(col("vec_id").cast("long").as("vec_id")).distinct()
+      .write.parquet(staging)
+    val dst = new org.apache.hadoop.fs.Path(s"$led/t=$n")
+    fs.mkdirs(dst.getParent)
+    require(renameIfAbsent(fs, new org.apache.hadoop.fs.Path(staging), dst),
+      s"tombstone $n already committed")
+  }
+
+  /** The physical corpus a generation's tables are built from: the raw
+    * `dir` until a fold has happened, afterwards the newest survivor
+    * snapshot under the ledger. Cache keys are fingerprints of THIS
+    * directory, so a fold re-keys (and therefore rebuilds) every table
+    * exactly once. */
+  def effectiveDir(spark: SparkSession, dir: String,
+      ledger: Option[String] = None): String = {
+    val led = resolveLedger(spark, dir, ledger)
+    val m = foldedMark(spark, led)
+    if (m < 0) dir else s"$led/corpus_d$m"
+  }
+
+  /** Anti-join the deletion ledger onto a served row-level table — the
+    * read-side half of the lifecycle. The ledger is takedown-sized
+    * (orders of magnitude below the corpus), so it broadcasts. */
+  private[ops] def minusDeleted(spark: SparkSession, df: DataFrame,
+      led: String): DataFrame =
+    deletedIds(spark, led) match {
+      case Some(d) => df.join(broadcast(d), Seq("vec_id"), "left_anti")
+      case None => df
+    }
+
+  /** Fold pending deletions into a new physical generation: snapshot the
+    * surviving corpus, retrain + rebuild every index table from it
+    * (deterministic, so the result is bit-identical to a fresh build on
+    * a corpus that never held the deleted vectors), and sweep the
+    * previous generation's tables. Crash-safe: the survivor snapshot
+    * commits by atomic rename, the `folded_<m>` marker flips readers
+    * atomically, and a crash in between just re-runs idempotently. */
+  def compactIndex(spark: SparkSession, dir: String,
+      ledger: Option[String] = None): Unit = synchronized {
+    val led = resolveLedger(spark, dir, ledger)
+    val m = foldedMark(spark, led)
+    val pending = tombDirIds(spark, led).filter(_ > m)
+    if (pending.isEmpty) return
+    val newM = pending.max
+    val prevEff = effectiveDir(spark, dir, ledger)
+    val prevFp = fingerprint(spark, prevEff)
+    val fs = fsOf(spark, led)
+    // 1. survivor snapshot: generation-m corpus minus the whole ledger
+    val del = deletedIds(spark, led).get
+    val staging = s"$led/.staging/${java.util.UUID.randomUUID.toString.take(12)}"
+    spark.read.parquet(s"$prevEff/embeddings.parquet")
+      .join(broadcast(del), Seq("vec_id"), "left_anti")
+      .write.parquet(s"$staging/embeddings.parquet")
+    val snapDst = new org.apache.hadoop.fs.Path(s"$led/corpus_d$newM")
+    renameIfAbsent(fs, new org.apache.hadoop.fs.Path(staging), snapDst)
+    require(fs.exists(snapDst), "survivor snapshot failed to commit")
+    // 2. flip readers to the new generation
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$led/folded_$newM"))
+    // 3. warm the generation eagerly — the fold IS the rebuild, so
+    //    queries never pay a cold build mid-serving
+    centroids(spark, dir, ledger)
+    lists(spark, dir, ledger)
+    pqCodebooks(spark, dir, ledger)
+    int8Codes(spark, dir, ledger)
+    pqCodes(spark, dir, ledger)
+    // 4. sweep the previous generation: every cached table keyed by the
+    //    old corpus fingerprint (they still carry deleted rows at rest),
+    //    plus the old survivor snapshot
+    val tables = new org.apache.hadoop.fs.Path(s"$cacheRoot/$layer")
+    if (fs.exists(tables)) fs.listStatus(tables).toSeq.foreach { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(s"_$prevFp") && !n.startsWith("del_") &&
+          !n.startsWith("corpus_"))
+        fs.delete(st.getPath, true)
+    }
+    if (m >= 0)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$led/corpus_d$m"), true)
+  }
+
   /** The trained centroid table for `dir`'s embeddings: read from the
     * index warehouse when present, trained-and-materialized once when not.
     * Serialized JVM-wide so concurrent queries share one build;
-    * cross-process races resolve via [[buildIfAbsent]]. */
-  def centroids(spark: SparkSession, dir: String): DataFrame = synchronized {
+    * cross-process races resolve via [[buildIfAbsent]]. Trained on the
+    * deletion ledger's current GENERATION (stale toward pending deletes
+    * until [[compactIndex]] folds them — approximation parameters, not
+    * data rows). */
+  def centroids(spark: SparkSession, dir: String,
+      ledger: Option[String] = None): DataFrame = synchronized {
+    val eff = effectiveDir(spark, dir, ledger)
     val sink = new ParquetSink(cacheRoot)
-    val name = s"ivf_${algoVersion}_${fingerprint(spark, dir)}"
-    buildIfAbsent(spark, sink, name)(Similarity.ivfCentroids(spark, dir))
+    val name = s"ivf_${algoVersion}_${fingerprint(spark, eff)}"
+    buildIfAbsent(spark, sink, name)(Similarity.ivfCentroids(spark, eff))
     sink.read(spark, layer, name)
   }
 
@@ -156,16 +313,28 @@ object IvfIndex {
     * The partition column comes back from parquet directory names typed
     * int and ordered last — normalized here so serving is
     * indistinguishable from the inline build. */
-  def lists(spark: SparkSession, dir: String): DataFrame = synchronized {
+  def lists(spark: SparkSession, dir: String,
+      ledger: Option[String] = None): DataFrame = synchronized {
+    minusDeleted(spark, listsRaw(spark, dir, ledger),
+      resolveLedger(spark, dir, ledger))
+  }
+
+  /** The generation's list table WITHOUT the ledger anti-join — the
+    * build seam: tables derived from the lists (int8/PQ codes) must bake
+    * in only the GENERATION (their cache key), never the pending ledger,
+    * or a later delete would silently poison a fingerprint-keyed cache. */
+  private def listsRaw(spark: SparkSession, dir: String,
+      ledger: Option[String]): DataFrame = synchronized {
+    val eff = effectiveDir(spark, dir, ledger)
     val sink = new ParquetSink(cacheRoot)
-    val name = s"ivf_lists_${algoVersion}_${fingerprint(spark, dir)}"
+    val name = s"ivf_lists_${algoVersion}_${fingerprint(spark, eff)}"
     // repartition on the partition key so each list directory gets one
     // file instead of one-per-writing-task — without it a k-way
     // partitionBy from t tasks can write t×k small files (measured: the
     // 10× cold build was dominated by exactly that)
     buildIfAbsent(spark, sink, name,
       TableLayout(partitionBy = Seq("centroid_id")))(
-      Similarity.buildIvfLists(spark, dir, centroids(spark, dir))
+      Similarity.buildIvfLists(spark, eff, centroids(spark, dir, ledger))
         .repartition(col("centroid_id")))
     sink.read(spark, layer, name)
       .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"),
@@ -188,10 +357,12 @@ object IvfIndex {
     * Doubles round-trip parquet exactly, so served codebooks are
     * bit-identical to freshly-trained ones and the oracle's SQL replay
     * still hash-matches. */
-  def pqCodebooks(spark: SparkSession, dir: String): DataFrame = synchronized {
+  def pqCodebooks(spark: SparkSession, dir: String,
+      ledger: Option[String] = None): DataFrame = synchronized {
+    val eff = effectiveDir(spark, dir, ledger)
     val sink = new ParquetSink(cacheRoot)
-    val name = s"pq_${pqAlgoVersion}_${fingerprint(spark, dir)}"
-    buildIfAbsent(spark, sink, name)(Similarity.pqCodebooks(spark, dir))
+    val name = s"pq_${pqAlgoVersion}_${fingerprint(spark, eff)}"
+    buildIfAbsent(spark, sink, name)(Similarity.pqCodebooks(spark, eff))
     sink.read(spark, layer, name)
   }
 
@@ -216,8 +387,9 @@ object IvfIndex {
     * restrict a code scan to probed lists WITHOUT a query-time join of two
     * corpus-sized tables. Derived from the cached [[lists]] table (itself
     * built once per corpus fingerprint). */
-  private def ivfAssignment(spark: SparkSession, dir: String): DataFrame =
-    lists(spark, dir).select(col("vec_id"),
+  private def ivfAssignment(spark: SparkSession, dir: String,
+      ledger: Option[String]): DataFrame =
+    listsRaw(spark, dir, ledger).select(col("vec_id"),
       col("centroid_id").as("ivf_centroid"))
 
   /** The int8 code table `(vec_id, scale, q, qq, ivf_centroid)` for `dir`'s
@@ -231,21 +403,24 @@ object IvfIndex {
     * query batch happens exactly once per corpus refresh. At 100 TB this
     * is the difference between the compressed index fitting in cluster RAM
     * and every query re-paying a full float scan. */
-  def int8Codes(spark: SparkSession, dir: String): DataFrame = synchronized {
+  def int8Codes(spark: SparkSession, dir: String,
+      ledger: Option[String] = None): DataFrame = synchronized {
+    val led = resolveLedger(spark, dir, ledger)
+    val eff = effectiveDir(spark, dir, ledger)
     val sink = new ParquetSink(cacheRoot)
-    val name = s"int8_codes_${Int8Version}_${fingerprint(spark, dir)}"
+    val name = s"int8_codes_${Int8Version}_${fingerprint(spark, eff)}"
     buildIfAbsent(spark, sink, name,
       TableLayout(partitionBy = Seq("ivf_centroid"))) {
       codeBuilds.incrementAndGet()
-      Similarity.int8Codes(spark, dir)
-        .join(ivfAssignment(spark, dir), Seq("vec_id"))
+      Similarity.int8Codes(spark, eff)
+        .join(ivfAssignment(spark, dir, ledger), Seq("vec_id"))
         .repartition(col("ivf_centroid"))
     }
     // partition column comes back from directory names typed int and
     // ordered last — normalize so serving matches the build shape
-    sink.read(spark, layer, name)
+    minusDeleted(spark, sink.read(spark, layer, name)
       .select(col("vec_id"), col("scale"), col("q"), col("qq"),
-        col("ivf_centroid").cast("long").as("ivf_centroid"))
+        col("ivf_centroid").cast("long").as("ivf_centroid")), led)
   }
 
   /** The PQ code table `(vec_id, subspace, centroid_id, ivf_centroid)` —
@@ -256,19 +431,22 @@ object IvfIndex {
     * lists via DPP instead of joining the assignment per query). ADC
     * serving then touches only codes + broadcast lookup tables: the
     * 128×-compressed scan PQ exists for. */
-  def pqCodes(spark: SparkSession, dir: String): DataFrame = synchronized {
+  def pqCodes(spark: SparkSession, dir: String,
+      ledger: Option[String] = None): DataFrame = synchronized {
+    val led = resolveLedger(spark, dir, ledger)
+    val eff = effectiveDir(spark, dir, ledger)
     val sink = new ParquetSink(cacheRoot)
-    val name = s"pq_codes_${PqCodesVersion}_${pqAlgoVersion}_${fingerprint(spark, dir)}"
+    val name = s"pq_codes_${PqCodesVersion}_${pqAlgoVersion}_${fingerprint(spark, eff)}"
     buildIfAbsent(spark, sink, name,
       TableLayout(partitionBy = Seq("ivf_centroid"))) {
       codeBuilds.incrementAndGet()
-      Similarity.pqAssignCodes(spark, dir, pqCodebooks(spark, dir))
-        .join(ivfAssignment(spark, dir), Seq("vec_id"))
+      Similarity.pqAssignCodes(spark, eff, pqCodebooks(spark, dir, ledger))
+        .join(ivfAssignment(spark, dir, ledger), Seq("vec_id"))
         .repartition(col("ivf_centroid"))
     }
-    sink.read(spark, layer, name)
+    minusDeleted(spark, sink.read(spark, layer, name)
       .select(col("vec_id"), col("subspace"), col("centroid_id"),
-        col("ivf_centroid").cast("long").as("ivf_centroid"))
+        col("ivf_centroid").cast("long").as("ivf_centroid")), led)
   }
 
   /** Drop every cached index under [[cacheRoot]] (tests; data migrations

@@ -35,26 +35,37 @@ object LshIndex {
 
   /** The signature table for `dir`'s embeddings (with `planes` sign bits)
     * served from the index warehouse, built once per data fingerprint.
-    * Returns columns (vec_id, vec, nrm, bucket, bucket_prefix). */
+    * Returns columns (vec_id, vec, nrm, bucket, bucket_prefix).
+    *
+    * Deletion-aware like every row-level index table ([[IvfIndex]]'s
+    * ledger): `build` is a function of the SOURCE DIRECTORY so the
+    * signatures are computed over the deletion ledger's current survivor
+    * generation (a fold purges deleted vectors from the table at rest),
+    * and serving anti-joins the pending ledger. `planes` stays derived
+    * from the pre-deletion row count by the callers — a recall
+    * parameter, not a correctness input, and takedown volumes never move
+    * log₂N. */
   /** Version of the signature derivation (SignBits md5 coefficient
     * scheme + prefix layout) — bumped on recipe changes so a persistent
     * cache never serves signatures built by older code. */
   private val SigVersion = "s1"
 
   def signatures(spark: SparkSession, dir: String, planes: Int,
-      build: => DataFrame): DataFrame = synchronized {
+      build: String => DataFrame): DataFrame = synchronized {
+    val led = IvfIndex.defaultLedger(spark, dir)
+    val eff = IvfIndex.effectiveDir(spark, dir)
     val sink = new ParquetSink(IvfIndex.cacheRoot)
     val name =
-      s"lsh_sigs_${SigVersion}p${planes}_${IvfIndex.fingerprint(spark, dir)}"
+      s"lsh_sigs_${SigVersion}p${planes}_${IvfIndex.fingerprint(spark, eff)}"
     // one file per prefix directory (see IvfIndex.lists: a p-way
     // partitionBy from t tasks otherwise writes t×p small files);
     // build-if-absent races resolve via the UUID-staged rename
     IvfIndex.buildIfAbsent(spark, sink, name,
       TableLayout(partitionBy = Seq("bucket_prefix")))(
-      build.withColumn("bucket_prefix", prefixCol(col("bucket"), planes))
+      build(eff).withColumn("bucket_prefix", prefixCol(col("bucket"), planes))
         .repartition(col("bucket_prefix")))
-    sink.read(spark, layer, name)
+    IvfIndex.minusDeleted(spark, sink.read(spark, layer, name)
       .select(col("vec_id"), col("vec"), col("nrm"), col("bucket"),
-        col("bucket_prefix"))
+        col("bucket_prefix")), led)
   }
 }

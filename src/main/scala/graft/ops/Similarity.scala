@@ -148,7 +148,7 @@ object Similarity {
     // fingerprint); joining on (bucket_prefix, bucket) — the prefix is a
     // function of the bucket — lets DPP prune the prefix directories
     val base = LshIndex.signatures(spark, dir, planes,
-      withNorm(spark, dir).withColumn("bucket", expr(signBitsExpr("vec", planes))))
+      d => withNorm(spark, d).withColumn("bucket", expr(signBitsExpr("vec", planes))))
     val q = base.filter(annQueryFilter)
       .select(col("vec_id").as("query_id"), col("vec").as("a_vec"),
         col("nrm").as("na"), col("bucket"), col("bucket_prefix"))
@@ -204,7 +204,7 @@ object Similarity {
       .orElse(graft.sources.ParquetStats.rowCount(spark, s"$dir/embeddings.parquet"))
       .getOrElse(embeddings(spark, dir).count()))
     val base = LshIndex.signatures(spark, dir, planes,
-      withNorm(spark, dir).withColumn("bucket", expr(signBitsExpr("vec", planes))))
+      d => withNorm(spark, d).withColumn("bucket", expr(signBitsExpr("vec", planes))))
     val flip =
       s"""CASE WHEN p = 0 THEN bucket
           ELSE concat(substring(bucket, 1, p - 1),
@@ -439,11 +439,12 @@ object Similarity {
   }
 
   def annIvfTopK(spark: SparkSession, dir: String, k: Int = 5,
-      centroids: Option[DataFrame] = None): DataFrame = {
+      centroids: Option[DataFrame] = None,
+      ledger: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lists = centroids match {
       case Some(c) => buildIvfLists(spark, dir, c)
-      case None => IvfIndex.lists(spark, dir)
+      case None => IvfIndex.lists(spark, dir, ledger)
     }
     val q = lists.filter(annQueryFilter)
       .select(col("vec_id").as("query_id"), col("vec").as("a_vec"),
@@ -616,6 +617,69 @@ object Similarity {
     lists AS (
       SELECT a.vec_id, a.centroid_id, n.vec, n.nrm
       FROM assigned a JOIN normed n ON a.vec_id = n.vec_id),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        q.vec AS a_vec, c.vec AS b_vec, q.nrm AS na, c.nrm AS nb
+      FROM lists q JOIN lists c
+        ON q.centroid_id = c.centroid_id AND q.vec_id != c.vec_id
+      WHERE q.vec_id IN ($annQueryIdsSql)),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        $dotSqlDuck / (sqrt(na) * sqrt(nb)) AS cosine
+      FROM pairs),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
+    FROM ranked WHERE rank <= $k"""
+
+  /** Deleted-id predicate for the [[annIvfTopKDeleted]] driver row:
+    * `vec_id % 7 == 3`, explicitly excluding the pinned query ids
+    * (multiples of 250 — 500 ≡ 3 mod 7 would otherwise delete a query).
+    * Queries are the CALLER's input to an ANN lookup — deleting a query
+    * id means you stop asking it, which is the caller's choice, not the
+    * index's; the lifecycle contract covers the candidate/database side. */
+  private val annDeletePred =
+    pmod(col("vec_id"), lit(7L)) === 3L && pmod(col("vec_id"), lit(250L)) =!= 0L
+  private val annDeletePredSql = "(vec_id % 7 = 3 AND vec_id % 250 <> 0)"
+
+  /** Driver row for the index deletion lifecycle's SERVING phase: commit
+    * a tombstone set through [[IvfIndex.deleteVectors]] (an isolated
+    * throwaway ledger, so the suite's shared warm index is untouched),
+    * then run the standard IVF top-k — the same warm partition-pruned
+    * list scan, now anti-joined against the ledger. The oracle replays
+    * full-corpus training (pre-fold serving uses the stale quantizer —
+    * that is the documented contract) and excludes deleted ids from the
+    * candidate side only. The fold half of the lifecycle
+    * ([[IvfIndex.compactIndex]] — retrain on survivors, bit-equal to a
+    * fresh build) is pinned by AnnDeleteSpec, where the cold rebuild
+    * cost belongs. */
+  def annIvfTopKDeleted(spark: SparkSession, dir: String): DataFrame = {
+    val ledger = java.nio.file.Files
+      .createTempDirectory("graft_ann_del").toString
+    IvfIndex.deleteVectors(spark, ledger,
+      embeddings(spark, dir).filter(annDeletePred).select("vec_id"))
+    annIvfTopK(spark, dir, ledger = Some(ledger))
+  }
+
+  /** [[annIvfTopKOracle]] with the deleted ids excluded from the
+    * candidate side — training replayed over the FULL corpus, matching
+    * the pre-fold stale-quantizer serving contract. */
+  def annIvfTopKDeletedOracle(k: Int = 5): String =
+    s"""WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    normed AS (
+      SELECT vec_id, vec, $normSqlDuck AS nrm FROM base),
+    params AS (
+      SELECT ${ivfKSqlDuck("count(*)")} AS k FROM embeddings),
+    $trainCtesDuck,
+    ${(1 to IvfIters).map(kmeansIterCteDuck).mkString(",\n    ")},
+    ${assignCteDuck("assigned", s"cents$IvfIters")},
+    lists AS (
+      SELECT a.vec_id, a.centroid_id, n.vec, n.nrm
+      FROM assigned a JOIN normed n ON a.vec_id = n.vec_id
+      WHERE NOT ${annDeletePredSql.replace("vec_id", "a.vec_id")}),
     pairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         q.vec AS a_vec, c.vec AS b_vec, q.nrm AS na, c.nrm AS nb

@@ -154,6 +154,112 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally IncrementalDedup.storeRoot = prevRoot
   }
 
+  test("delete: tombstones are visible immediately and fold to bit-equality " +
+      "with never having ingested") {
+    val root = freshRoot()
+    val docs = TextOps.documents(spark, Sf0001)
+    (0 until 2).foreach { b =>
+      IncrementalDedup.ingest(spark, root, b,
+        docs.filter(pmod(col("doc_id"), lit(2L)) === b))
+    }
+    val survivors = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 3)
+    val expected = Dedup.winnowNearDupFrom(survivors)
+      .collect().map(_.toSeq).toSet
+    IncrementalDedup.delete(spark, root,
+      docs.filter(pmod(col("doc_id"), lit(7L)) === 3).select("doc_id"))
+    // BEFORE the fold: readers anti-join the pending tombstones, so the
+    // delete is already bit-equal to a store that never saw those docs
+    assert(IncrementalDedup.nearDupPairs(spark, root)
+      .collect().map(_.toSeq).toSet == expected,
+      "a pending delete must already be invisible to detection")
+    IncrementalDedup.compact(spark, root)
+    // AFTER the fold: same pairs, deletions now physical, ledger swept
+    assert(IncrementalDedup.nearDupPairs(spark, root)
+      .collect().map(_.toSeq).toSet == expected,
+      "folding tombstones must not change a single pair")
+    assert(!new java.io.File(s"$root/tombstones").exists() ||
+      new java.io.File(s"$root/tombstones").listFiles().isEmpty,
+      "folded tombstone directories must be swept")
+    def genDirs = new java.io.File(s"$root/compact").listFiles().map(_.getName)
+    assert(genDirs.length == 1, genDirs.mkString(","))
+    // the folded member table physically contains no deleted doc
+    val deleted = docs.filter(pmod(col("doc_id"), lit(7L)) === 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val stored = spark.read.parquet(s"$root/compact/${genDirs.head}/reps")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stored.intersect(deleted).isEmpty,
+      "compaction must remove deleted docs from disk, not just from view")
+    // tombstone-only compaction (no new batches) folds under a bumped
+    // rewrite tick — immutable staged-rename, nothing rewritten in place
+    IncrementalDedup.delete(spark, root,
+      docs.filter(pmod(col("doc_id"), lit(7L)) === 5).select("doc_id"))
+    IncrementalDedup.compact(spark, root)
+    assert(new java.io.File(s"$root/compact").listFiles()
+      .map(_.getName).exists(_.contains("r1")),
+      "a tombstone-only fold commits a new generation under a rewrite tick")
+    val expected2 = Dedup.winnowNearDupFrom(docs.filter(
+      pmod(col("doc_id"), lit(7L)) =!= 3 &&
+        pmod(col("doc_id"), lit(7L)) =!= 5)).collect().map(_.toSeq).toSet
+    assert(IncrementalDedup.nearDupPairs(spark, root)
+      .collect().map(_.toSeq).toSet == expected2)
+  }
+
+  test("delete every copy of a text: fps vanish at the fold; re-ingest " +
+      "re-fingerprints like a fresh store") {
+    val root = freshRoot()
+    val docs = TextOps.documents(spark, Sf0001)
+    // the corpus has no exact-duplicate texts, so synthesize a second
+    // copy of every doc under shifted ids — texts genuinely have two
+    // members, making rep reassignment and full removal both real
+    val corpus = docs.unionByName(
+      docs.withColumn("doc_id", col("doc_id") + 10000L))
+    IncrementalDedup.ingest(spark, root, 0, corpus)
+    // rep reassignment: delete the MIN member of one text; its twin
+    // (id+10000) takes over as the representative in every pair
+    IncrementalDedup.delete(spark, root,
+      spark.range(1).select(lit(0L).as("doc_id")))
+    assert(IncrementalDedup.nearDupPairs(spark, root)
+      .collect().map(_.toSeq).toSet ==
+      Dedup.winnowNearDupFrom(corpus.filter(col("doc_id") =!= 0L))
+        .collect().map(_.toSeq).toSet,
+      "deleting a representative must promote the next surviving member")
+    // full removal: delete the twin too, then fold
+    IncrementalDedup.delete(spark, root,
+      spark.range(1).select(lit(10000L).as("doc_id")))
+    IncrementalDedup.compact(spark, root)
+    // physically gone: no fingerprint row for the text survives the fold
+    val h = docs.filter(col("doc_id") === 0L)
+      .select(md5(col("text"))).collect()(0).getString(0)
+    val gen = new java.io.File(s"$root/compact").listFiles()(0).getName
+    assert(spark.read.parquet(s"$root/compact/$gen/fps")
+      .filter(col("text_hash") === h).count() == 0,
+      "a fully-deleted text's fingerprints must be dropped at the fold")
+    // re-ingest both copies: the store treats the text as brand new
+    val n = IncrementalDedup.ingest(spark, root, 1,
+      corpus.filter(col("doc_id") === 0L || col("doc_id") === 10000L))
+    assert(n == 1,
+      s"re-ingesting a purged text must re-fingerprint it (got $n)")
+    assert(IncrementalDedup.nearDupPairs(spark, root)
+      .collect().map(_.toSeq).toSet ==
+      Dedup.winnowNearDupFrom(corpus).collect().map(_.toSeq).toSet,
+      "takedown-then-resubmit must restore full-corpus detection")
+  }
+
+  test("deletes auto-fold once CompactEvery tombstone directories accumulate") {
+    val root = freshRoot()
+    val docs = TextOps.documents(spark, Sf0001)
+    IncrementalDedup.ingest(spark, root, 0, docs)
+    IncrementalDedup.compact(spark, root)
+    val before = IncrementalDedup.compactions.get
+    (0 until IncrementalDedup.CompactEvery).foreach { i =>
+      IncrementalDedup.delete(spark, root,
+        docs.filter(col("doc_id") === i.toLong).select("doc_id"))
+    }
+    assert(IncrementalDedup.compactions.get == before + 1,
+      "a delete-only workload must stay bounded by auto-folding")
+    assert(new java.io.File(s"$root/tombstones").listFiles().isEmpty)
+  }
+
   test("detection reads only the index, never the raw corpus") {
     val root = freshRoot()
     val docs = TextOps.documents(spark, Sf0001)
