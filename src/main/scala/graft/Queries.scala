@@ -533,6 +533,13 @@ object Queries {
       Seq("purchase_id", "click_id"),
       ops.Events.attribution, ops.Events.attributionOracle),
 
+    Spec("events_attribution_last_k",
+      Seq("purchase_id" -> P, "click_id" -> P, "user_id" -> P,
+        "purchase_ts" -> P, "click_ts" -> P, "value" -> P, "recency" -> I),
+      Seq("purchase_id", "recency"),
+      (s, d) => ops.Events.attributionLastK(s, d),
+      ops.Events.attributionLastKOracle()),
+
     Spec("events_asof",
       Seq("purchase_id" -> P, "user_id" -> P, "purchase_ts" -> P,
         "click_id" -> P, "click_ts" -> P, "value" -> P),

@@ -89,6 +89,18 @@ object Bpe {
         numMerges),
       trainLoopUncached(spark, dir, numMerges))
 
+  /** DRIVER-SYNCHRONIZATION BOUND: greedy BPE is inherently sequential —
+    * merge i+1's pair statistics depend on merge i having been applied —
+    * so this loop runs exactly `numMerges` driver-synchronized Spark jobs
+    * (32 at the default), each returning ONE argmax row to the driver.
+    * The per-job cost is bounded by the dictionary, not the corpus: the
+    * input is the [[VocabCap]]-row word-frequency table, localCheckpointed
+    * once up front so no iteration ever re-scans raw text, and the pair
+    * aggregation per job touches ≤ VocabCap × max_word_len symbol
+    * bigrams. At 100 TB the corpus scan happens once (dict0); the loop's
+    * wall time is numMerges × (scheduler latency + a sub-second job) and
+    * does not grow with data. Driver state: the merge list
+    * (numMerges × ~4 short strings) — bytes. */
   private def trainLoopUncached(spark: SparkSession, dir: String,
       numMerges: Int): (Seq[(Int, String, String, String, Long)], DataFrame) = {
     import spark.implicits._

@@ -140,6 +140,93 @@ object Events {
         "click_ts", "value")
   }
 
+  /** Recency cap for [[attributionLastK]]. */
+  val AttributionLastK = 3
+
+  /** Capped attribution: each purchase joined to its [[AttributionLastK]]
+    * MOST RECENT preceding clicks (still inside the
+    * [[AttributionWindowMinutes]] window) — the bounded-output production
+    * form of [[attribution]], whose output is inherently per-user
+    * quadratic (every in-window click × every purchase).
+    *
+    * The shape matters as much as the cap: a naive join-then-rank would
+    * still materialize the quadratic candidate set before filtering.
+    * Instead clicks get a per-user sequence number, each purchase learns
+    * its as-of click_seq with the one-shuffle union+window trick of
+    * [[asofAttribution]] (k=1 generalized), and the purchase explodes
+    * exactly k (purchase, seq) probes equi-joined on (user_id,
+    * click_seq) — fan-out is EXACTLY ≤ k per purchase at the join
+    * operator, never per-user clicks × purchases. Three linear user_id
+    * shuffles total. In-window clicks form a contiguous suffix of the
+    * per-user sequence (a more recent click than an in-window one is
+    * also in-window), so capping by sequence then filtering by window is
+    * exact. `recency` = 1 for the latest click. */
+  def attributionLastK(spark: SparkSession, dir: String,
+      k: Int = AttributionLastK): DataFrame =
+    attributionLastKFrom(events(spark, dir), k)
+
+  private[graft] def attributionLastKFrom(e: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seqW = Window.partitionBy("user_id")
+      .orderBy(col("click_ts"), col("click_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withColumn("click_seq", row_number().over(seqW))
+    val tagged = e.filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"),
+        when(col("event_type") === "click", 0).otherwise(1).as("kind"),
+        col("event_id"), col("value"))
+    val asofW = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withSeq = tagged
+      .withColumn("ckind_seq", when(col("kind") === 0,
+        row_number().over(Window.partitionBy("user_id", "kind")
+          .orderBy(col("ts"), col("event_id")))))
+      .withColumn("last_seq",
+        last(col("ckind_seq"), ignoreNulls = true).over(asofW))
+    withSeq.filter(col("kind") === 1 && col("last_seq").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value"), col("last_seq"))
+      .withColumn("click_seq", explode(expr(
+        s"sequence(greatest(1L, last_seq - ${k - 1}), last_seq)")))
+      .join(clicks, Seq("user_id", "click_seq"))
+      .filter(col("click_ts") >= col("purchase_ts")
+        - expr(s"INTERVAL $AttributionWindowMinutes MINUTES"))
+      .withColumn("recency",
+        (col("last_seq") - col("click_seq") + 1).cast("int"))
+      .select("purchase_id", "click_id", "user_id", "purchase_ts",
+        "click_ts", "value", "recency")
+  }
+
+  /** The quadratic-form mirror (rank over the windowed join, rank ≤ k) —
+    * exact because in-window clicks are a recency-contiguous suffix. */
+  def attributionLastKOracle(k: Int = AttributionLastK): String =
+    s"""WITH e AS (
+      SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id,
+        event_type, value
+      FROM events),
+    clicks AS (
+      SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM e WHERE event_type = 'click'),
+    purchases AS (
+      SELECT user_id, ts AS purchase_ts, event_id AS purchase_id, value
+      FROM e WHERE event_type = 'purchase'),
+    ranked AS (
+      SELECT p.purchase_id, c.click_id, p.user_id, p.purchase_ts,
+        c.click_ts, p.value,
+        row_number() OVER (PARTITION BY p.purchase_id
+          ORDER BY c.click_ts DESC, c.click_id DESC) AS recency
+      FROM purchases p JOIN clicks c ON c.user_id = p.user_id
+        AND c.click_ts <= p.purchase_ts
+        AND c.click_ts >= p.purchase_ts
+          - INTERVAL $AttributionWindowMinutes MINUTE)
+    SELECT purchase_id, click_id, user_id, purchase_ts, click_ts, value,
+      CAST(recency AS INTEGER) AS recency
+    FROM ranked WHERE recency <= $k"""
+
   /** Native gap sessionization via Spark's `session_window` operator —
     * the built-in dynamic-window form of [[sessionize]]'s lag/cumsum
     * formulation, included as its own driver row because the two differ

@@ -347,8 +347,19 @@ object Similarity {
     * k×dim doubles live driver-side between iterations (like MLlib's
     * KMeansModel): each Lloyd step is one distributed job whose plan
     * reads the input once, instead of a lineage that re-derives every
-    * earlier iteration recursively. */
-  private[ops] def deterministicKmeans(spark: SparkSession, train: DataFrame,
+    * earlier iteration recursively.
+    *
+    * DRIVER-MEMORY CEILING, at the clamp: the localization holds
+    * k × (dim + 2) doubles per iteration — at k = [[IvfKMax]] (16384)
+    * and a 512-dim embedding that is 16384 × 514 × 8 B ≈ 67 MB, held
+    * [[IvfIters]]+1 times transiently ≈ 135 MB peak, far under any
+    * driver sized for Spark work (MLlib's KMeansModel carries the same
+    * footprint). The bound is k-clamped by construction — [[ivfK]] can
+    * never exceed [[IvfKMax]] no matter how large N grows — so raising
+    * the clamp is the ONLY way this grows, and [[IvfKMax]]'s doc ties
+    * that decision to the memory budget. Pinned by OpsSpec's
+    * "kmeans at the k clamp" boundary spec. */
+  private[graft] def deterministicKmeans(spark: SparkSession, train: DataFrame,
       k: Int): DataFrame = {
     import spark.implicits._
     def localized(cents: DataFrame): DataFrame = {

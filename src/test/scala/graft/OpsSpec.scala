@@ -1062,4 +1062,75 @@ class OpsSpec extends SparkSpec {
     assert(out.map(r => r._1 -> r._4).toMap == again,
       "hash-based sketches must be run-to-run identical")
   }
+
+  test("kmeans at the k clamp: ivfK saturates, driver footprint bounded, " +
+      "training deterministic") {
+    import graft.ops.Similarity
+    graft.functions.VectorFunctions.register(spark)
+    // the clamp engages and the Int-shift guard holds at extreme N
+    assert(Similarity.ivfK(1L) == Similarity.IvfKMin)
+    assert(Similarity.ivfK(1L << 40) == Similarity.IvfKMax)
+    assert(Similarity.ivfK(Long.MaxValue) == Similarity.IvfKMax,
+      "the 30-bit shift guard must pin k at the cap, not wrap negative")
+    // the documented per-iteration driver ceiling at the clamp: k×(dim+2)
+    // doubles — ~67 MB at 512 dims. This arithmetic IS the scaladoc bound;
+    // if IvfKMax moves, this pin forces the memory-budget conversation.
+    val bytesAtClamp = Similarity.IvfKMax.toLong * (512 + 2) * 8
+    assert(bytesAtClamp < 128L * 1024 * 1024,
+      s"raising IvfKMax past the driver budget needs a design change " +
+        s"($bytesAtClamp B at the clamp)")
+    // exercise the clamp-k invocation path: k larger than the training
+    // set degrades to one centroid per vector, localized and stable
+    val tiny = (0 until 100).map(i =>
+        (i.toLong, Seq(i.toDouble, (i % 7).toDouble), 0.0))
+      .toDF("vec_id", "vec", "nrm")
+      .withColumn("nrm", expr("vec_dot(vec, vec)"))
+    val atClamp = Similarity.deterministicKmeans(spark, tiny,
+      Similarity.IvfKMax)
+    assert(atClamp.count() == 100, "k > N trains one centroid per vector")
+    // a genuinely multi-hundred-centroid localization round-trips the
+    // driver deterministically: same ids, same doubles, run to run
+    val train = (0 until 1024).map { i =>
+      (i.toLong, Seq(math.sin(i * 1.7), math.cos(i * 0.3),
+        (i % 13).toDouble, (i % 5).toDouble), 0.0)
+    }.toDF("vec_id", "vec", "nrm")
+      .withColumn("nrm", expr("vec_dot(vec, vec)")).localCheckpoint()
+    val a = Similarity.deterministicKmeans(spark, train, 512)
+      .collect().map(_.toSeq)
+    val b = Similarity.deterministicKmeans(spark, train, 512)
+      .collect().map(_.toSeq)
+    assert(a.length == 512 && a.toSeq == b.toSeq,
+      "the driver-localized Lloyd loop must be bit-deterministic")
+  }
+
+  test("attribution last-k: cap binds, recency ordered, window excluded, " +
+      "plan fan-out bounded") {
+    import graft.ops.Events
+    // user 1: 5 clicks then a purchase — cap must keep the 3 most recent;
+    // user 2: a click 45 min before its purchase — outside the window;
+    // user 3: click AT the purchase timestamp — at-or-before includes it
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val rows = Seq(
+      (1L, ts(0), 1L, "click", 0.0), (2L, ts(5), 1L, "click", 0.0),
+      (3L, ts(10), 1L, "click", 0.0), (4L, ts(15), 1L, "click", 0.0),
+      (5L, ts(20), 1L, "click", 0.0), (6L, ts(25), 1L, "purchase", 9.0),
+      (7L, ts(0), 2L, "click", 0.0), (8L, ts(45), 2L, "purchase", 5.0),
+      (9L, ts(30), 3L, "click", 0.0), (10L, ts(30), 3L, "purchase", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.attributionLastKFrom(rows, Events.AttributionLastK)
+      .select("purchase_id", "click_id", "recency")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out == Set((6L, 5L, 1), (6L, 4L, 2), (6L, 3L, 3), (10L, 9L, 1)),
+      s"cap=3 keeps the newest clicks, the 45-min click is outside the " +
+        s"window, the same-ts click attributes: $out")
+    // the bounded shape: the only join is an equi-join on
+    // (user_id, click_seq) fed by an exploded <= k probe list — no
+    // non-equi candidate fan-out anywhere in the plan
+    val p = Events.attributionLastKFrom(rows, 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the capped form must never build the quadratic candidate set:\n" +
+        p.take(600))
+  }
 }

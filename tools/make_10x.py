@@ -51,9 +51,14 @@ rep("lineitem", """
          l_returnflag, l_linestatus, l_shipdate
   FROM read_parquet('{src}')""".replace("{ks}", str(KEY_SHIFT)))
 
+# user_id shifts per copy too: real event growth adds USERS (which the
+# user_id shuffles partition linearly), it does not densify each user's
+# stream N-fold. Without the shift the 100x probe overstated per-user
+# state everywhere and inflated the inherently per-user-quadratic
+# events_attribution 100x past its real shape.
 rep("events", """
   SELECT event_id + {c} * {ks} AS event_id, ts::TIMESTAMP_NS AS ts,
-         user_id, event_type, value, props
+         user_id + {c} * {ks} AS user_id, event_type, value, props
   FROM read_parquet('{src}')""".replace("{ks}", str(KEY_SHIFT)))
 
 rep("documents", """
