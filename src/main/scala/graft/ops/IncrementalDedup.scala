@@ -526,4 +526,24 @@ object IncrementalDedup {
     graft.pipeline.Registry.Model("dedup_store_pairs", "dedup",
       graft.pipeline.Registry.Table, Seq("dedup_store_ingest"),
       (s, _, _) => nearDupPairs(s, storeRoot))
+
+  /** The fold as a schedulable DAG node (downstream of the tick, so a
+    * `Registry.run` lands ingest → fold in order): compacts batches AND
+    * pending tombstones, then materializes a one-row metadata receipt —
+    * the operational cadence knob for deletions beyond the
+    * [[CompactEvery]] auto-fold. */
+  val compactRegistryModel: graft.pipeline.Registry.Model =
+    graft.pipeline.Registry.Model("dedup_store_compact", "dedup",
+      graft.pipeline.Registry.Table, Seq("dedup_store_ingest"),
+      (s, _, _) => {
+        compact(s, storeRoot)
+        val gen = newestGen(s, storeRoot)
+          .map { case (k, t) => genName(k, t) }.getOrElse("")
+        s.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(gen,
+            batchIds(s, storeRoot).count(_ > watermark(s, storeRoot)),
+            tombDirIds(s, storeRoot).size)),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "generation STRING, pending_batches INT, pending_tombstones INT"))
+      })
 }

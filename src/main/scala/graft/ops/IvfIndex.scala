@@ -492,6 +492,24 @@ object IvfIndex {
         .repartition(col("ivf_centroid")),
       layout = TableLayout(partitionBy = Seq("ivf_centroid")))
 
+  /** The deletion fold as a schedulable DAG node: applies
+    * [[compactIndex]] to the default ledger and materializes a one-row
+    * receipt — takedowns accumulate cheaply via [[deleteVectors]] between
+    * runs, and the pipeline's own cadence (daily, weekly) decides when
+    * the corpus-priced physical rebuild happens. */
+  val compactRegistryModel: Registry.Model =
+    Registry.Model("ann_index_compact", layer, Registry.Table, Seq.empty,
+      (s, dir, _) => {
+        compactIndex(s, dir)
+        val led = defaultLedger(s, dir)
+        val nDeleted = deletedIds(s, led).map(_.count()).getOrElse(0L)
+        s.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(
+            foldedMark(s, led), nDeleted)),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "folded_mark INT, deleted_ids BIGINT"))
+      })
+
   /** The PQ code table as a DAG node downstream of the codebooks AND the
     * lists — `Registry.run` trains codebooks then encodes in dependency
     * order, landing codes with their IVF list id like [[pqCodes]]. */

@@ -105,6 +105,27 @@ class AnnDeleteSpec extends SparkSpec {
     }
   }
 
+  test("the fold runs as a registry DAG node and lands a receipt") {
+    withFreshCache {
+      assert(Similarity.annIvfTopK(spark, Sf0001).count() > 0)
+      IvfIndex.deleteVectors(spark,
+        IvfIndex.defaultLedger(spark, Sf0001), victimIds)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_ann_compact_dag").toString
+      val sink = new graft.pipeline.ParquetSink(wh)
+      graft.pipeline.Registry.run(spark, Sf0001, sink,
+        all = Seq(IvfIndex.compactRegistryModel), registerViews = false)
+      val r = sink.read(spark, "ann", "ann_index_compact").collect()
+      assert(r.length == 1 && r(0).getInt(0) >= 0 &&
+        r(0).getLong(1) == victimIds.count(),
+        s"the receipt reports the folded mark and ledger size: ${r.mkString}")
+      val victims = victimIds.collect().map(_.getLong(0)).toSet
+      assert(Similarity.annIvfTopK(spark, Sf0001).collect()
+        .forall(row => !victims(row.getAs[Long]("neighbor_id"))),
+        "post-fold serving excludes the deleted vectors physically")
+    }
+  }
+
   test("the ann_delete_topk driver row uses an isolated ledger: the shared " +
       "index keeps serving the full corpus") {
     withFreshCache {

@@ -151,6 +151,20 @@ class IncrementalDedupSpec extends SparkSpec {
       assert(sink.read(spark, "dedup", "dedup_store_pairs").collect()
         .map(_.toSeq).toSet == full,
         "the DAG-landed pair table equals the from-scratch operator")
+      // the fold runs as a DAG node too: a pending delete is applied and
+      // the receipt reports a clean store
+      IncrementalDedup.delete(spark, IncrementalDedup.storeRoot,
+        TextOps.documents(spark, Sf0001).limit(1).select("doc_id"))
+      graft.pipeline.Registry.run(spark, Sf0001, sink,
+        all = Seq(IncrementalDedup.ingestRegistryModel,
+          IncrementalDedup.compactRegistryModel),
+        registerViews = false)
+      val foldReceipt = sink.read(spark, "dedup", "dedup_store_compact")
+        .collect()
+      assert(foldReceipt.length == 1 &&
+        foldReceipt(0).getInt(1) == 0 && foldReceipt(0).getInt(2) == 0,
+        s"the scheduled fold leaves no pending batches or tombstones: " +
+          foldReceipt.mkString)
     } finally IncrementalDedup.storeRoot = prevRoot
   }
 
