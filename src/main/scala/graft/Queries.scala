@@ -563,6 +563,12 @@ object Queries {
       Seq("w1", "next_rank"),
       ops.TextOps.bigramLm, ops.TextOps.bigramLmOracle),
 
+    Spec("docs_lm_surprisal",
+      Seq("doc_id" -> P, "n_bigrams" -> L, "n_rare" -> L,
+        "rare_frac" -> P, "min_cond_prob" -> P),
+      Seq("doc_id"),
+      ops.TextOps.lmSurprisal, ops.TextOps.lmSurprisalOracle),
+
     Spec("dedup_containment",
       Seq("doc_a" -> P, "doc_b" -> P, "n_common" -> L,
         "containment_a" -> P, "containment_b" -> P),
@@ -575,11 +581,30 @@ object Queries {
       Seq("doc_id"),
       ops.Dedup.spanProfile, ops.Dedup.spanProfileOracle),
 
+    Spec("dedup_cut_spans",
+      Seq("doc_id" -> P, "span_start" -> I, "span_end" -> I,
+        "n_words" -> I),
+      Seq("doc_id", "span_start"),
+      ops.Dedup.cutSpans, ops.Dedup.cutSpansOracle),
+
+    Spec("docs_trim_spans",
+      Seq("doc_id" -> P, "n_words_before" -> L, "n_words_after" -> L,
+        "trimmed_text" -> P),
+      Seq("doc_id"),
+      ops.Dedup.trimSpans, ops.Dedup.trimSpansOracle),
+
     Spec("sketch_kmv_distinct",
       Seq("event_type" -> P, "n_kept" -> L, "kth_min" -> L,
         "est_distinct" -> P, "exact_distinct" -> L, "est_ratio" -> P),
       Seq("event_type"),
       ops.Sketch.kmvDistinct, ops.Sketch.kmvDistinctOracle),
+
+    Spec("sketch_kmv_merge",
+      Seq("event_type" -> P, "n_shards" -> L, "merged_n_kept" -> L,
+        "merged_kth_min" -> L, "merged_est" -> P,
+        "global_kth_min" -> L, "sketch_agrees" -> I),
+      Seq("event_type"),
+      ops.Sketch.kmvMergeShards, ops.Sketch.kmvMergeShardsOracle),
 
     Spec("docs_redact",
       Seq("doc_id" -> P, "n_emails" -> L, "n_numbers" -> L,

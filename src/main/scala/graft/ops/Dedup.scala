@@ -595,4 +595,133 @@ object Dedup {
         AS shared_frac
     FROM sh JOIN df USING (sh)
     GROUP BY 1"""
+
+  /** Positioned 3-gram span occurrences over the distinct-text
+    * representatives: one row per (doc, start position p, span text),
+    * p 1-based, covering words p..p+2. The shared base of the
+    * REMEDIATION half of exact-substring dedup ([[cutSpans]],
+    * [[trimSpans]]). */
+  private def spanOccurrences(spark: SparkSession, dir: String): DataFrame =
+    distinctDocs(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(shingleExpr)))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("sh"))
+
+  private val spanOccCte =
+    s"""$distinctDocsCte,
+    sh0 AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM docs),
+    occ AS (
+      SELECT doc_id, unnest(range(1, len(words) - 1)) AS p,
+        unnest($shingleSqlDuck) AS sh
+      FROM sh0 WHERE len(words) >= 3),
+    keeper AS (SELECT sh, min(doc_id) AS keeper FROM occ GROUP BY 1),
+    cuts AS (
+      SELECT o.doc_id, o.p FROM occ o JOIN keeper k USING (sh)
+      WHERE o.doc_id != k.keeper)"""
+
+  /** Cross-document duplicated-span CUT-LISTS — the remediation step of
+    * exact-substring dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better": remove duplicated substrings, keep
+    * one global copy). [[spanProfile]] measures how much of a doc is
+    * duplicated; this says exactly WHICH words to drop: for every word
+    * 3-gram span occurring in ≥2 representatives, the min-doc_id
+    * representative keeps its copy and every other doc cuts its
+    * occurrences, with overlapping/adjacent cut 3-grams merged into
+    * maximal word intervals [span_start, span_end] (1-based, inclusive)
+    * via a per-doc gaps-and-islands window.
+    *
+    * Scale: occurrence rows are token-linear (no pair join, so no
+    * [[MaxShingleDocFrequency]] cutoff needed — a hot span joins its
+    * keeper row back per occurrence, not per pair; AQE absorbs the
+    * stopword-span skew exactly as in [[spanProfile]]); one span-keyed
+    * aggregation, one join back, one doc-partitioned window. */
+  def cutSpans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = spanOccurrences(spark, dir)
+    val keeper = occ.groupBy("sh").agg(min(col("doc_id")).as("keeper"))
+    val cuts = occ.join(keeper, Seq("sh"))
+      .filter(col("doc_id") =!= col("keeper")).select("doc_id", "p")
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val prevEnd = max(col("p") + 2)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    cuts
+      .withColumn("new_island",
+        when(prevEnd.isNull || col("p") > prevEnd + 1, 1).otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(w))
+      .groupBy("doc_id", "island")
+      .agg(min(col("p")).as("s"), (max(col("p")) + 2).as("e"))
+      .select(col("doc_id"), col("s").cast("int").as("span_start"),
+        col("e").cast("int").as("span_end"),
+        (col("e") - col("s") + 1).cast("int").as("n_words"))
+  }
+
+  def cutSpansOracle: String =
+    s"""WITH $spanOccCte,
+    isl AS (
+      SELECT doc_id, p,
+        CASE WHEN max(p + 2) OVER (PARTITION BY doc_id ORDER BY p
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+          OR p > max(p + 2) OVER (PARTITION BY doc_id ORDER BY p
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+          THEN 1 ELSE 0 END AS new_island
+      FROM cuts),
+    isl2 AS (
+      SELECT doc_id, p, sum(new_island)
+        OVER (PARTITION BY doc_id ORDER BY p) AS island
+      FROM isl)
+    SELECT doc_id, CAST(min(p) AS INTEGER) AS span_start,
+      CAST(max(p) + 2 AS INTEGER) AS span_end,
+      CAST(max(p) + 2 - min(p) + 1 AS INTEGER) AS n_words
+    FROM isl2 GROUP BY doc_id, island"""
+
+  /** The remediated corpus: every distinct-text representative with its
+    * [[cutSpans]] intervals physically removed and the survivors
+    * re-joined on single spaces. Docs with no cuts pass their text
+    * through VERBATIM (no split/rejoin round-trip) — only docs that
+    * actually lose words are reassembled, and both engines reassemble
+    * identically (split on ' ' / join with ' '). A fully-boilerplate doc
+    * trims to the empty string with `n_words_after` 0. */
+  def trimSpans(spark: SparkSession, dir: String): DataFrame = {
+    val cutPos = cutSpans(spark, dir)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("i"))
+      .groupBy("doc_id").agg(collect_set(col("i")).as("cut"))
+    distinctDocs(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .join(cutPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_words_before"),
+        when(col("cut").isNull, size(col("words")))
+          .otherwise(size(col("words")) - size(col("cut")))
+          .cast("long").as("n_words_after"),
+        when(col("cut").isNull, col("text"))
+          .otherwise(array_join(
+            expr("filter(words, (w, i) -> NOT array_contains(cut, i + 1))"),
+            " "))
+          .as("trimmed_text"))
+  }
+
+  def trimSpansOracle: String =
+    s"""WITH $spanOccCte,
+    cutpos AS (
+      SELECT DISTINCT doc_id, unnest(range(p, p + 3)) AS i FROM cuts),
+    cutagg AS (SELECT doc_id, count(*) AS n_cut FROM cutpos GROUP BY 1),
+    wp AS (
+      SELECT doc_id, unnest(words) AS w,
+        unnest(range(1, len(words) + 1)) AS i
+      FROM sh0),
+    kept AS (
+      SELECT wp.doc_id, string_agg(wp.w, ' ' ORDER BY wp.i) AS t
+      FROM wp LEFT JOIN cutpos c ON wp.doc_id = c.doc_id AND wp.i = c.i
+      WHERE c.i IS NULL GROUP BY wp.doc_id)
+    SELECT d.doc_id,
+      CAST(len(s.words) AS BIGINT) AS n_words_before,
+      CAST(len(s.words) - coalesce(a.n_cut, 0) AS BIGINT) AS n_words_after,
+      CASE WHEN a.doc_id IS NULL THEN d.text
+        ELSE coalesce(k.t, '') END AS trimmed_text
+    FROM docs d
+    JOIN sh0 s ON d.doc_id = s.doc_id
+    LEFT JOIN cutagg a ON d.doc_id = a.doc_id
+    LEFT JOIN kept k ON d.doc_id = k.doc_id"""
 }

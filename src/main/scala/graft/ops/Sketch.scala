@@ -89,6 +89,103 @@ object Sketch {
         "exact_distinct", "est_ratio")
   }
 
+  /** Shards for the merge demonstration row. */
+  val MergeShards = 8
+
+  /** The property that makes KMV a 100-TB sketch, exercised end-to-end:
+    * bottom-k of a union equals bottom-k of the per-shard bottom-k's. The
+    * corpus is split into [[MergeShards]] deterministic shards
+    * (`user_id % 8` — a stand-in for physical table shards), each shard
+    * builds its own K-minimum sketch, the shard sketches are UNIONED and
+    * re-bottom-k'd, and the row reports the merged estimate next to the
+    * direct whole-corpus sketch with `sketch_agrees` pinning their
+    * bit-equality. At warehouse scale the per-shard pass is the map-side
+    * partial (each shard's sketch is ≤ K rows per group — the only thing
+    * that ever crosses the wire) and the merge is the reduce; no global
+    * distinct over raw ids is ever needed. The same fold works
+    * incrementally: yesterday's sketch ∪ today's shard = today's sketch.
+    *
+    * A same-`h` hash can reach two shards only via a cross-user md5
+    * collision, so the merge re-distincts on (group, h) exactly like the
+    * union semantics require; both engines fold collisions identically. */
+  def kmvMergeShards(spark: SparkSession, dir: String): DataFrame = {
+    val e = Events.events(spark, dir)
+      .select(col("event_type"),
+        pmod(col("user_id"), lit(MergeShards)).as("shard"),
+        expr(md5U24Expr("user_id")).cast("long").as("h"))
+    val perShard = e.select("event_type", "shard", "h").distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type", "shard").orderBy("h")))
+      .filter(col("rn") <= K)
+    val nShards = perShard.groupBy("event_type")
+      .agg(countDistinct(col("shard")).as("n_shards"))
+    val merged = perShard.select("event_type", "h").distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("h")))
+      .filter(col("rn") <= K)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("merged_n_kept"),
+        max(col("h")).as("merged_kth_min"))
+      .withColumn("merged_est",
+        when(col("merged_n_kept") < K, col("merged_n_kept").cast("double"))
+          .otherwise(
+            (lit(K - 1) * lit(HashSpace.toDouble)) / col("merged_kth_min")))
+    val global = e.select("event_type", "h").distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("h")))
+      .filter(col("rn") <= K)
+      .groupBy("event_type")
+      .agg(max(col("h")).as("global_kth_min"))
+    merged.join(global, Seq("event_type")).join(nShards, Seq("event_type"))
+      .withColumn("sketch_agrees",
+        (col("merged_kth_min") === col("global_kth_min")).cast("int"))
+      .select("event_type", "n_shards", "merged_n_kept", "merged_kth_min",
+        "merged_est", "global_kth_min", "sketch_agrees")
+  }
+
+  def kmvMergeShardsOracle: String =
+    s"""WITH e AS (
+      SELECT event_type, user_id % $MergeShards AS shard,
+        ${md5U24SqlDuck("user_id")} AS h
+      FROM events),
+    per_shard AS (
+      SELECT event_type, shard, h FROM (
+        SELECT event_type, shard, h,
+          row_number() OVER (PARTITION BY event_type, shard ORDER BY h)
+            AS rn
+        FROM (SELECT DISTINCT event_type, shard, h FROM e))
+      WHERE rn <= $K),
+    n_sh AS (
+      SELECT event_type, count(DISTINCT shard) AS n_shards
+      FROM per_shard GROUP BY 1),
+    merged AS (
+      SELECT event_type, count(*) AS merged_n_kept,
+        max(h) AS merged_kth_min
+      FROM (
+        SELECT event_type, h,
+          row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM (SELECT DISTINCT event_type, h FROM per_shard))
+      WHERE rn <= $K GROUP BY 1),
+    m_est AS (
+      SELECT event_type, merged_n_kept, merged_kth_min,
+        CASE WHEN merged_n_kept < $K THEN CAST(merged_n_kept AS DOUBLE)
+          ELSE (${K - 1} * ${HashSpace.toDouble}) / merged_kth_min END
+          AS merged_est
+      FROM merged),
+    gsk AS (
+      SELECT event_type, max(h) AS global_kth_min
+      FROM (
+        SELECT event_type, h,
+          row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM (SELECT DISTINCT event_type, h FROM e))
+      WHERE rn <= $K GROUP BY 1)
+    SELECT m.event_type, n_sh.n_shards, m.merged_n_kept, m.merged_kth_min,
+      m.merged_est, gsk.global_kth_min,
+      CAST(m.merged_kth_min = gsk.global_kth_min AS INTEGER)
+        AS sketch_agrees
+    FROM m_est m JOIN gsk USING (event_type)
+    JOIN n_sh USING (event_type)"""
+
   def kmvDistinctOracle: String =
     s"""WITH e AS (
       SELECT event_type, user_id, ${md5U24SqlDuck("user_id")} AS h

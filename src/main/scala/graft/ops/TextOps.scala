@@ -833,6 +833,72 @@ object TextOps {
       bigram_count * 1.0 / w1_count AS cond_prob
     FROM r WHERE next_rank <= $BigramTopK"""
 
+  /** Rarity threshold for [[lmSurprisal]]: a bigram is "rare" when its
+    * MLE conditional is below 1/[[LmRareDenom]] — compared by integer
+    * cross-multiplication, never by a float threshold. */
+  val LmRareDenom = 1000
+
+  /** Per-document scoring under the corpus-trained bigram LM — the
+    * count-based form of the LM quality filter (CCNet-style: train a LM
+    * on a corpus, rank documents by how surprising the LM finds them,
+    * drop the tail). Perplexity needs logs, and logs desync engines in
+    * the last ulp; the log-free equivalents carried here rank the same
+    * tail: `n_rare` (bigrams whose conditional is < 1/[[LmRareDenom]],
+    * counted via integer cross-multiplication), `rare_frac` (one exact
+    * division), and `min_cond_prob` (per-pair division of identical
+    * integer operands — correctly rounded identically in both engines,
+    * min is order-free). Docs with < 2 words have no bigrams and no row.
+    *
+    * Shape: occurrence explode is map-side; the (w1,w2) count and w1
+    * totals are the [[bigramLm]] aggregations; scoring joins occurrences
+    * back on (w1,w2) — occurrence-linear, never pairwise — then ONE
+    * doc-keyed aggregate. Stopword-pair heat is a hot JOIN key (AQE
+    * splits it), not a fan-out. */
+  def lmSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val occ = documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(words) - 1),
+             i -> struct(element_at(words, i) AS w1,
+                         element_at(words, i + 1) AS w2))""")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val counts = occ.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("bigram_count"))
+    val totals = counts.groupBy("w1")
+      .agg(sum(col("bigram_count")).as("w1_count"))
+    occ.join(counts, Seq("w1", "w2")).join(totals, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("bigram_count") * LmRareDenom < col("w1_count"), 1L)
+          .otherwise(0L)).as("n_rare"),
+        min(col("bigram_count") * lit(1.0) / col("w1_count"))
+          .as("min_cond_prob"))
+      .withColumn("rare_frac",
+        col("n_rare") * lit(1.0) / col("n_bigrams"))
+      .select("doc_id", "n_bigrams", "n_rare", "rare_frac",
+        "min_cond_prob")
+  }
+
+  def lmSurprisalOracle: String =
+    s"""WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    occ0 AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(words)),
+        i -> [words[i], words[i + 1]])) AS p
+      FROM d WHERE len(words) >= 2),
+    occ AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM occ0),
+    c AS (SELECT w1, w2, count(*) AS bigram_count FROM occ GROUP BY 1, 2),
+    t AS (SELECT w1, sum(bigram_count) AS w1_count FROM c GROUP BY 1)
+    SELECT doc_id, count(*) AS n_bigrams,
+      sum(CASE WHEN bigram_count * $LmRareDenom < w1_count
+        THEN 1 ELSE 0 END) AS n_rare,
+      sum(CASE WHEN bigram_count * $LmRareDenom < w1_count
+        THEN 1 ELSE 0 END) * 1.0 / count(*) AS rare_frac,
+      min(bigram_count * 1.0 / w1_count) AS min_cond_prob
+    FROM occ JOIN c USING (w1, w2) JOIN t USING (w1)
+    GROUP BY 1"""
+
   def tfidfTopKOracle: String =
     s"""WITH tokens AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS token

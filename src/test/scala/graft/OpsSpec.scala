@@ -786,6 +786,61 @@ class OpsSpec extends SparkSpec {
       "one rep per text; self-duplication is dedup_exact's finding")
   }
 
+  test("cut spans: non-keeper docs cut shared spans, overlaps merge into " +
+      "maximal islands, the keeper is untouched") {
+    // "q w e" and "w e r" are shared; doc0 (min id) keeps, doc1 cuts at
+    // p=2 and p=3 — overlapping 3-grams merge into ONE island [2,5]
+    val dir = docsDir(Seq(
+      "q w e r a b",
+      "x q w e r y",
+      "m n o p"))
+    val out = Dedup.cutSpans(spark, dir)
+      .select("doc_id", "span_start", "span_end", "n_words")
+      .as[(Long, Int, Int, Int)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq((1L, 2, 5, 4)),
+      "exactly one merged island on the non-keeper; keeper has no row")
+  }
+
+  test("cut spans: non-adjacent shared spans stay separate islands and " +
+      "within-doc repeats cut every occurrence") {
+    val dir = docsDir(Seq(
+      "u v w z",         // keeper of "u v w"
+      "u v w x u v w"))  // shared at p=1 AND p=5
+    val out = Dedup.cutSpans(spark, dir)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Int, Int)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq((1L, 1, 3), (1L, 5, 7)),
+      "two islands with the middle word surviving")
+  }
+
+  test("trim spans: remediated text drops exactly the cut islands; " +
+      "uncut docs pass text through verbatim") {
+    val dir = docsDir(Seq(
+      "q w e r a b",
+      "x q w e r y",
+      "m n o p"))
+    val out = Dedup.trimSpans(spark, dir)
+      .select("doc_id", "n_words_before", "n_words_after", "trimmed_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, 6L, 6L, "q w e r a b"),
+      (1L, 6L, 2L, "x y"),
+      (2L, 4L, 4L, "m n o p")))
+  }
+
+  test("lm surprisal scores docs under the corpus bigram LM with exact " +
+      "rational conditionals") {
+    // corpus counts: (a,b)=3, (b,a)=1, (b,c)=1; totals a=3, b=2
+    // cond: p(b|a)=1.0, p(a|b)=0.5, p(c|b)=0.5 — nothing under 1/1000
+    val dir = docsDir(Seq("a b a b", "a b c"))
+    val out = TextOps.lmSurprisal(spark, dir)
+      .select("doc_id", "n_bigrams", "n_rare", "rare_frac", "min_cond_prob")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, 3L, 0L, 0.0, 0.5),
+      (1L, 2L, 0L, 0.0, 0.5)))
+  }
+
   test("tfidf ranks a doc's rare term above its shared term") {
     val dir = docsDir(Seq(
       "alpha common common", // alpha df=1 tf=1; common df=2 tf=2
@@ -825,6 +880,19 @@ class OpsSpec extends SparkSpec {
     val merged = bottomK(bottomK(a.map(_._2)) ++ bottomK(b.map(_._2)))
     assert(merged == bottomK(hashes.map(_._2)),
       "per-shard sketches must merge losslessly into the global sketch")
+  }
+
+  test("kmv merge row: every group's merged sketch bit-equals the direct " +
+      "global sketch") {
+    import graft.ops.Sketch
+    val rows = Sketch.kmvMergeShards(spark, Sf0001)
+      .select("event_type", "n_shards", "sketch_agrees")
+      .as[(String, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, nSh, agrees) =>
+      assert(agrees == 1, s"$et: merged sketch diverged from global")
+      assert(nSh >= 1 && nSh <= Sketch.MergeShards)
+    }
   }
 
   test("top paths: ranked prefix-capped session journeys") {
