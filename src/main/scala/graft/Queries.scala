@@ -433,6 +433,13 @@ object Queries {
       (s, d) => ops.Similarity.annIvfMultiProbeTopK(s, d),
       ops.Similarity.annIvfMultiProbeTopKOracle()),
 
+    Spec("ann_filtered_topk",
+      Seq("query_id" -> P, "label" -> I, "neighbor_id" -> P, "rank" -> I,
+        "cosine" -> P),
+      Seq("query_id", "rank"),
+      (s, d) => ops.Similarity.annIvfTopKFiltered(s, d),
+      ops.Similarity.annIvfTopKFilteredOracle()),
+
     Spec("ann_topk",
       Seq("query_id" -> P, "neighbor_id" -> P, "rank" -> I, "cosine" -> P),
       Seq("query_id", "rank"),
@@ -598,6 +605,12 @@ object Queries {
         "est_distinct" -> P, "exact_distinct" -> L, "est_ratio" -> P),
       Seq("event_type"),
       ops.Sketch.kmvDistinct, ops.Sketch.kmvDistinctOracle),
+
+    Spec("sketch_cms_heavy",
+      Seq("rank" -> I, "token" -> P, "exact_count" -> L,
+        "cms_estimate" -> L, "over_ratio" -> P),
+      Seq("rank"),
+      ops.Sketch.cmsHeavyHitters, ops.Sketch.cmsHeavyHittersOracle),
 
     Spec("sketch_kmv_merge",
       Seq("event_type" -> P, "n_shards" -> L, "merged_n_kept" -> L,

@@ -565,6 +565,96 @@ object Similarity {
     SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
     FROM ranked WHERE rank <= $k"""
 
+  /** FILTERED ANN — metadata-constrained retrieval, the "hybrid search"
+    * shape every production vector store serves (top-k among candidates
+    * matching an attribute predicate; here: the query's own `label`,
+    * i.e. within-class nearest neighbors). The predicate is part of the
+    * JOIN KEY — `(centroid_id, label)` — so non-matching candidates are
+    * dropped during candidate generation, never scored: pre-filtering,
+    * not post-filtering, which is what keeps k results per query instead
+    * of `k × selectivity`. Runs multi-probe ([[IvfNProbe]]) because a
+    * selective filter thins each list and probing more lists is the
+    * standard recall compensation.
+    *
+    * The filter column rides a `vec_id` equi-join from the source table
+    * (linear, the payload-join fallback); a production index serves hot
+    * filter attributes co-materialized IN the lists exactly as the code
+    * tables carry `ivf_centroid` at rest ([[IvfIndex.int8Codes]]) — the
+    * join then disappears entirely. */
+  def annIvfTopKFiltered(spark: SparkSession, dir: String, k: Int = 5,
+      nprobe: Int = IvfNProbe): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val base = withNorm(spark, dir)
+    val cents = IvfIndex.centroids(spark, dir)
+    val lists = IvfIndex.lists(spark, dir)
+    val pw = Window.partitionBy("vec_id")
+      .orderBy(col("dist"), col("centroid_id"))
+    val q = base.filter(annQueryFilter).join(labels, Seq("vec_id"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist",
+        col("nrm") - lit(2) * expr("vec_dot(vec, c_vec)") + col("c_nrm"))
+      .withColumn("probe", row_number().over(pw))
+      .filter(col("probe") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("vec").as("a_vec"),
+        col("nrm").as("na"), col("centroid_id"), col("label"))
+    val c = lists.join(labels, Seq("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("vec").as("b_vec"),
+        col("nrm").as("nb"), col("centroid_id"), col("label"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    q.join(c, Seq("centroid_id", "label"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "label", "neighbor_id", "rank", "cosine")
+  }
+
+  def annIvfTopKFilteredOracle(k: Int = 5, nprobe: Int = IvfNProbe): String =
+    s"""WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    normed AS (
+      SELECT vec_id, vec, $normSqlDuck AS nrm FROM base),
+    params AS (
+      SELECT ${ivfKSqlDuck("count(*)")} AS k FROM embeddings),
+    $trainCtesDuck,
+    ${(1 to IvfIters).map(kmeansIterCteDuck).mkString(",\n    ")},
+    ${assignCteDuck("assigned", s"cents$IvfIters")},
+    lists AS (
+      SELECT a.vec_id, a.centroid_id, n.vec, n.nrm, l.label
+      FROM assigned a JOIN normed n ON a.vec_id = n.vec_id
+      JOIN lab l ON a.vec_id = l.vec_id),
+    probes AS (
+      SELECT vec_id AS query_id, vec AS a_vec, nrm AS na, centroid_id,
+        label FROM (
+        SELECT n.vec_id, n.vec, n.nrm, l.label, c.centroid_id,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            n.nrm - 2 * list_reduce(list_transform(range(1, len(n.vec) + 1),
+              i -> n.vec[i] * c.c_vec[i]), (x, y) -> x + y) + c.c_nrm,
+            c.centroid_id) AS probe
+        FROM normed n JOIN lab l ON n.vec_id = l.vec_id
+        CROSS JOIN cents$IvfIters c
+        WHERE n.vec_id IN ($annQueryIdsSql)) WHERE probe <= $nprobe),
+    pairs AS (
+      SELECT q.query_id, q.label, c.vec_id AS neighbor_id,
+        q.a_vec, c.vec AS b_vec, q.na, c.nrm AS nb
+      FROM probes q JOIN lists c
+        ON q.centroid_id = c.centroid_id AND q.label = c.label
+          AND q.query_id != c.vec_id),
+    scored AS (
+      SELECT query_id, label, neighbor_id,
+        $dotSqlDuck / (sqrt(na) * sqrt(nb)) AS cosine
+      FROM pairs),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, label, neighbor_id, CAST(rank AS INTEGER) AS rank,
+      cosine
+    FROM ranked WHERE rank <= $k"""
+
   /** DuckDB assignment CTE vs a given centroid CTE — the row_number
     * formulation of the same (dist, centroid_id) argmin. `over` is the
     * vector set being assigned (training subset vs the whole table). */

@@ -186,6 +186,96 @@ object Sketch {
     FROM m_est m JOIN gsk USING (event_type)
     JOIN n_sh USING (event_type)"""
 
+  /** Count-min sketch geometry: [[CmsDepth]] independent hash rows ×
+    * [[CmsWidth]] counter buckets = 1024 cells TOTAL, whatever the corpus
+    * size — that bound is the whole point. Row seeds are folded into the
+    * md5 input (`"r~token"`), the same seeded-hash discipline as the
+    * split/sample family. */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  /** Heavy hitters reported by the accuracy row. */
+  val CmsTopK = 20
+
+  /** Token heavy-hitters through a count-min sketch (Cormode &
+    * Muthukrishnan, "An improved data stream summary: the count-min
+    * sketch"): every token increments one counter per hash row; a term's
+    * estimate is the MIN over its [[CmsDepth]] counters, which
+    * overestimates (collisions only ever add) and never underestimates —
+    * `over_ratio >= 1` by construction, pinned in the spec. Like
+    * [[kmvDistinct]], the row reports the estimate NEXT TO the exact
+    * count so the realized accuracy is itself oracle-checked; a
+    * production pipeline keeps only the counter table.
+    *
+    * Scale shape: the corpus-sized work is one map-side-combined
+    * aggregation into [[CmsDepth]]×[[CmsWidth]] counter cells — the
+    * sketch state is O(1) in corpus size, and two shard counter tables
+    * MERGE by cell-wise addition (spec-pinned), which is what replaces a
+    * full vocabulary shuffle at 100 TB. Estimation joins the top terms
+    * against the counter table as a broadcast (1024 rows). */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    def rowBuckets = array((0 until CmsDepth).map { r =>
+      struct(lit(r).as("r"),
+        (expr(TextOps.md5U16Expr(s"concat('$r~', token)")) % CmsWidth)
+          .as("bucket"))
+    }: _*)
+    val counters = toks.select(explode(rowBuckets).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("exact_count"))
+    val top = exact
+      .orderBy(col("exact_count").desc, col("token")).limit(CmsTopK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("exact_count").desc, col("token"))))
+    top
+      .select(col("rank"), col("token"), col("exact_count"),
+        explode(rowBuckets).as("rb"))
+      .select(col("rank"), col("token"), col("exact_count"),
+        col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .join(broadcast(counters), Seq("r", "bucket"))
+      .groupBy("rank", "token", "exact_count")
+      .agg(min(col("cnt")).as("cms_estimate"))
+      .withColumn("over_ratio",
+        col("cms_estimate") * lit(1.0) / col("exact_count"))
+      .select("rank", "token", "exact_count", "cms_estimate", "over_ratio")
+  }
+
+  def cmsHeavyHittersOracle: String = {
+    def hList(src: String) = (0 until CmsDepth)
+      .map(r => TextOps.md5U16SqlDuck(s"'$r~' || $src"))
+      .mkString("[", ", ", "]")
+    val rList = (0 until CmsDepth).mkString("[", ", ", "]")
+    s"""WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    t AS (SELECT token FROM toks WHERE length(token) > 0),
+    hashed AS (
+      SELECT r, h % $CmsWidth AS bucket FROM (
+        SELECT unnest($rList) AS r, unnest(${hList("token")}) AS h
+        FROM t)),
+    counters AS (
+      SELECT r, bucket, count(*) AS cnt FROM hashed GROUP BY 1, 2),
+    exact AS (
+      SELECT token, count(*) AS exact_count FROM t GROUP BY 1),
+    top AS (
+      SELECT token, exact_count, rank FROM (
+        SELECT token, exact_count, row_number() OVER (
+          ORDER BY exact_count DESC, token) AS rank
+        FROM exact) WHERE rank <= $CmsTopK),
+    th AS (
+      SELECT rank, token, exact_count, r, h % $CmsWidth AS bucket FROM (
+        SELECT rank, token, exact_count, unnest($rList) AS r,
+          unnest(${hList("token")}) AS h
+        FROM top))
+    SELECT CAST(rank AS INTEGER) AS rank, token, exact_count,
+      min(cnt) AS cms_estimate,
+      min(cnt) * 1.0 / exact_count AS over_ratio
+    FROM th JOIN counters USING (r, bucket)
+    GROUP BY rank, token, exact_count"""
+  }
+
   def kmvDistinctOracle: String =
     s"""WITH e AS (
       SELECT event_type, user_id, ${md5U24SqlDuck("user_id")} AS h

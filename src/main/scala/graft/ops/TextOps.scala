@@ -61,7 +61,7 @@ object TextOps {
   /** First 16 md5 bits of the id as an integer in [0, 65536) — the
     * deterministic uniform variate behind hash splits and sampling.
     * Nibble-by-nibble arithmetic because DuckDB has no hex→int conv. */
-  private[ops] def md5U16Expr(idCol: String): String = {
+  private[graft] def md5U16Expr(idCol: String): String = {
     def nib(i: Int) =
       s"(instr('0123456789abcdef', substring(md5(cast($idCol as string)), $i, 1)) - 1)"
     s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"

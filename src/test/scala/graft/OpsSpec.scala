@@ -895,6 +895,57 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("cms heavy hitters: never underestimates, ranks dense, estimates " +
+      "exact when a term's counters are collision-free") {
+    import graft.ops.Sketch
+    val rows = Sketch.cmsHeavyHitters(spark, Sf0001)
+      .select("rank", "token", "exact_count", "cms_estimate", "over_ratio")
+      .as[(Int, String, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.length == Sketch.CmsTopK)
+    assert(rows.map(_._1).toSeq == (1 to rows.length))
+    rows.foreach { case (_, tok, exact, est, ratio) =>
+      assert(est >= exact,
+        s"$tok: count-min must only ever OVERestimate ($est < $exact)")
+      assert(ratio >= 1.0 - 1e-12)
+    }
+    // exact counts are non-increasing in rank (ties by token)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2))
+      case _ =>
+    }
+  }
+
+  test("cms counter tables merge by cell-wise addition across shards") {
+    // the property that lets shard sketches roll up without a vocabulary
+    // shuffle: count(A ∪ B) per cell = count(A) + count(B) per cell —
+    // trivially true of counts, pinned here against the REAL hash layout
+    // so a change to the bucket derivation can't silently break merges
+    import graft.ops.Sketch
+    val toks = TextOps.documents(spark, Sf0001)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    def cells(df: org.apache.spark.sql.DataFrame): Map[(Int, Int), Long] = {
+      val hashed = df.select((0 until Sketch.CmsDepth).map { r =>
+        (expr(graft.ops.TextOps.md5U16Expr(s"concat('$r~', token)"))
+          % Sketch.CmsWidth).as(s"b$r")
+      }: _*)
+      (0 until Sketch.CmsDepth).flatMap { r =>
+        hashed.groupBy(col(s"b$r")).count().collect()
+          .map(x => (r, x.getInt(0)) -> x.getLong(1))
+      }.toMap
+    }
+    val a = cells(toks.filter(col("doc_id") % 2 === 0))
+    val b = cells(toks.filter(col("doc_id") % 2 =!= 0))
+    val global = cells(toks)
+    val mergedKeys = a.keySet ++ b.keySet
+    assert(mergedKeys == global.keySet)
+    mergedKeys.foreach { k =>
+      assert(a.getOrElse(k, 0L) + b.getOrElse(k, 0L) == global(k),
+        s"cell $k: shard counters must sum to the global counter")
+    }
+  }
+
   test("top paths: ranked prefix-capped session journeys") {
     val rows = Events.topPaths(spark, Sf0001)
       .select("path_rank", "path", "n_sessions")

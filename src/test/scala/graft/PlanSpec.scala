@@ -96,6 +96,43 @@ class PlanSpec extends SparkSpec {
       "df joins back on the span key — an equi-join, never all-pairs")
   }
 
+  test("cut spans: keeper join on the span key, doc-keyed window, no pair fan-out") {
+    val p = plan(graft.ops.Dedup.cutSpans(spark, Sf0001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "cut-lists are occurrence-linear — all-pairs anywhere is a regression")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findFirstIn(p).isDefined,
+      "keeper resolution joins back on the span key as an equi-join")
+    assert(p.contains("partial_min"),
+      "the per-span keeper argmin must combine map-side")
+    assert("Window.*doc_id".r.findFirstIn(p).isDefined,
+      "island merging is a per-doc window, never a global sort")
+  }
+
+  test("lm surprisal: occurrence-linear equi-joins, one doc-keyed aggregate") {
+    val p = plan(TextOps.lmSurprisal(spark, Sf0001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_count"),
+      "bigram counts must combine map-side before the shuffle")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findFirstIn(p).isDefined,
+      "scoring joins occurrences back on (w1,w2) — an equi-join")
+  }
+
+  test("filtered ANN: label is a join key (pre-filter), index served, no all-pairs") {
+    val p = plan(graft.ops.Similarity.annIvfTopKFiltered(spark, Sf0001))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("ivf_lists_"),
+      "candidates must come from the materialized index table")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[centroid_id#?\\d*L?, label"
+      .r.findFirstIn(p).isDefined ||
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[centroid_id".r
+        .findFirstIn(p).isDefined,
+      "the filter must live in the candidate equi-join key, not a post-rank filter")
+  }
+
   test("semdedup: serves the cached index, equi-join candidates, no all-pairs loop") {
     val p = plan(graft.ops.Similarity.semDedup(spark, Sf0001))
     assert(!p.contains("CartesianProduct"))
