@@ -367,6 +367,12 @@ object Queries {
       Seq("doc_id" -> P, "cluster_id" -> P, "cluster_size" -> L),
       Seq("doc_id"), ops.Dedup.dedupClusters, ops.Dedup.dedupClustersOracle),
 
+    Spec("dedup_pagerank",
+      Seq("doc_id" -> P, "degree" -> L, "pagerank" -> P),
+      Seq("doc_id"),
+      (s, d) => ops.Dedup.dedupPagerank(s, d),
+      ops.Dedup.dedupPagerankOracle()),
+
     Spec("dedup_simhash",
       Seq("doc_a" -> P, "doc_b" -> P, "hamming" -> I),
       Seq("doc_a", "doc_b"),
@@ -765,6 +771,13 @@ object Queries {
       streaming.StreamingOps.dedupParity,
       streaming.StreamingOps.dedupParityOracle),
 
+    Spec("streaming_attribution",
+      Seq("purchase_id" -> P, "click_id" -> P, "user_id" -> P,
+        "purchase_ts" -> P, "click_ts" -> P, "value" -> P),
+      Seq("purchase_id", "click_id"),
+      streaming.StreamingOps.attributionParity,
+      streaming.StreamingOps.attributionParityOracle),
+
     Spec("events_top_paths",
       Seq("path_rank" -> I, "path" -> P, "n_sessions" -> L),
       Seq("path_rank"),
@@ -792,6 +805,13 @@ object Queries {
         "value_min" -> L, "value_max" -> L),
       Seq("event_type", "prop_key"),
       ops.SetOps.propsMapStats, ops.SetOps.propsMapStatsOracle),
+
+    Spec("multimodal_audio",
+      Seq("doc_id" -> P, "media_type" -> P, "n_bytes" -> I,
+        "sample_rate" -> I, "n_samples" -> I, "peak_abs" -> I,
+        "zero_crossings" -> I, "energy" -> L),
+      Seq("doc_id"), ops.Multimodal.audioFeatures,
+      ops.Multimodal.audioFeaturesOracle),
 
     Spec("multimodal_features",
       Seq("doc_id" -> P, "media_type" -> P, "n_bytes" -> I,

@@ -471,6 +471,93 @@ object Dedup {
     SELECT doc_id, cluster_id, cluster_size
     FROM labels JOIN sizes USING (cluster_id)"""
 
+  /** Power-iteration rounds / damping for [[dedupPagerank]] — fixed (not
+    * convergence-tested) so the oracle can unroll the same count. */
+  val PagerankIters = 5
+  val PagerankDamping = 0.85
+
+  /** PageRank over the [[minhashLsh]] near-dup graph — graph centrality
+    * as a CANONICAL-DOCUMENT score: within a duplicate cluster, the doc
+    * connected to the most (and most-connected) near-dups is the natural
+    * keeper, a principled upgrade over keep-smallest-id. Standard damped
+    * power iteration (Page et al., "The PageRank citation ranking"),
+    * [[PagerankIters]] rounds at [[PagerankDamping]], uniform teleport
+    * over the pair graph's nodes; undirected edges walked both ways, so
+    * there are no dangling nodes and the per-round mass update is exactly
+    * `pr' = (1−d)/n + d·Σ pr/deg` over in-neighbors.
+    *
+    * Scale shape: the edge list (the expensive LSH subplan) is
+    * localCheckpoint'ed ONCE and each round is one equi-join on `src`
+    * plus one map-side-combined aggregate on `dst` — the Pregel shape,
+    * shuffle-partitioned by node id; nothing is all-pairs and no round
+    * rescans the corpus. Driver-side state: one scalar (the node count)
+    * per run. */
+  def dedupPagerank(spark: SparkSession, dir: String,
+      iters: Int = PagerankIters,
+      damping: Double = PagerankDamping): DataFrame =
+    pagerankFrom(minhashLsh(spark, dir).select("doc_a", "doc_b"),
+      iters, damping)
+
+  /** [[dedupPagerank]] over an explicit undirected pair list. */
+  private[graft] def pagerankFrom(pairs: DataFrame,
+      iters: Int = PagerankIters,
+      damping: Double = PagerankDamping): DataFrame = {
+    val ab = pairs.toDF("doc_a", "doc_b").localCheckpoint()
+    val edges = ab.union(ab.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val n = deg.count()
+    val teleport = (1.0 - damping) / n
+    var ranks = deg.select(col("src").as("doc_id"),
+      lit(1.0 / n).as("pr"))
+    (1 to iters).foreach { _ =>
+      val contribs = edges
+        .join(ranks.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("doc_id"), (col("pr") / col("deg")).as("c"))
+        .groupBy("doc_id").agg(sum(col("c")).as("csum"))
+      ranks = deg.select(col("src").as("doc_id"), col("deg"))
+        .join(contribs, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(teleport) + lit(damping) * coalesce(col("csum"), lit(0.0)))
+            .as("pr"))
+    }
+    deg.select(col("src").as("doc_id"), col("deg").as("degree"))
+      .join(ranks, Seq("doc_id"))
+      .select(col("doc_id"), col("degree"), col("pr").as("pagerank"))
+  }
+
+  /** Oracle twin of [[dedupPagerank]]: the same [[PagerankIters]] rounds
+    * unrolled as chained CTEs (the [[graft.ops.Similarity]] k-means
+    * oracle's discipline). Double-typed literals keep the constant
+    * arithmetic bit-identical to Spark's. */
+  def dedupPagerankOracle(iters: Int = PagerankIters): String = {
+    val d = s"CAST($PagerankDamping AS DOUBLE)"
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (
+      SELECT e.dst AS doc_id, sum(p.pr / dg.deg) AS csum
+      FROM edges e JOIN pr${i - 1} p ON p.doc_id = e.src
+        JOIN deg dg ON dg.src = e.src
+      GROUP BY 1),
+    pr$i AS (
+      SELECT dg.src AS doc_id,
+        (1 - $d) / nn.n + $d * coalesce(c.csum, CAST(0 AS DOUBLE)) AS pr
+      FROM deg dg CROSS JOIN nn LEFT JOIN c$i c ON c.doc_id = dg.src)"""
+    }.mkString(",\n    ")
+    s"""WITH pairs AS (
+      SELECT doc_a, doc_b FROM ($minhashLshOracle)),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+    pr0 AS (SELECT src AS doc_id, 1.0 / nn.n AS pr FROM deg CROSS JOIN nn),
+    $rounds
+    SELECT dg.src AS doc_id, dg.deg AS degree, p.pr AS pagerank
+    FROM deg dg JOIN pr$iters p ON p.doc_id = dg.src"""
+  }
+
   def minhashLshOracle: String =
     s"""WITH $shingleCte,
     seeded AS (

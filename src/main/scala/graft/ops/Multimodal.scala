@@ -358,6 +358,134 @@ object Multimodal {
         c -> c[1] + c[2] + c[3])) AS BIGINT) AS luma_sum
     FROM px"""
 
+  /** Audio geometry constants, shared by [[buildWav]] and the oracle:
+    * sample count ∈ [32, 128], rate ∈ {8000..15000 by 1000}. */
+  val AudioMinSamples = 32
+  val AudioSampleMod = 97
+  val AudioBaseRate = 8000
+
+  final case class AudioFeatures(
+    doc_id: Long, media_type: String, n_bytes: Int, sample_rate: Int,
+    n_samples: Int, peak_abs: Int, zero_crossings: Int, energy: Long)
+
+  private def nSamplesOf(seed: Array[Byte]): Int =
+    AudioMinSamples + (seed(5) & 0xff) % AudioSampleMod
+  private def rateOf(seed: Array[Byte]): Int =
+    AudioBaseRate + ((seed(6) & 0xff) % 8) * 1000
+  /** Sample i = (seed[(7i+5) mod 16] − 128) · 256 — a 16-bit PCM value;
+    * the ×7 walk (coprime with 16) cycles all seed bytes, so the wave
+    * crosses zero and the crossing count is seed-dependent. */
+  private def sampleOf(seed: Array[Byte], i: Int): Int =
+    ((seed((7 * i + 5) % 16) & 0xff) - 128) * 256
+
+  /** A minimal valid PCM WAV: 12-byte RIFF header, 24-byte `fmt ` chunk
+    * (PCM, mono, 16-bit LE), `data` chunk of [[nSamplesOf]] samples. */
+  private[graft] def buildWav(seed: Array[Byte]): Array[Byte] = {
+    val n = nSamplesOf(seed)
+    val rate = rateOf(seed)
+    val dataLen = 2 * n
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)               // PCM
+      .putShort(1)               // mono
+      .putInt(rate)
+      .putInt(rate * 2)          // byte rate
+      .putShort(2)               // block align
+      .putShort(16)              // bits per sample
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) { out.putShort(sampleOf(seed, i).toShort); i += 1 }
+    out.array()
+  }
+
+  /** Documents with a synthesized REAL WAV payload. */
+  def audio(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    TextOps.documents(spark, dir)
+      .select(col("doc_id"), lit("audio").as("media_type"),
+        unhex(md5(col("text"))).as("seed"))
+      .as[(Long, String, Array[Byte])]
+      .map { case (id, mt, seed) => MediaRow(id, mt, buildWav(seed)) }
+  }
+
+  /** REAL decode: `javax.sound.sampled.AudioSystem` parses the RIFF
+    * container and hands back the PCM frame stream; features are the
+    * decoded (not declared) format plus the classic waveform summary —
+    * peak amplitude, zero-crossing count (sign flips between adjacent
+    * samples), and energy (sum of squared samples; 128 samples × 2¹⁵·²
+    * stays far inside a long). A wrong endianness, a header-length
+    * mistake, or an off-by-one in the sample walk fails the compare. */
+  def decodeAudio(r: MediaRow): AudioFeatures = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(r.payload))
+    val fmt = in.getFormat
+    require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+      fmt.getChannels == 1, s"doc ${r.doc_id}: unexpected decoded format $fmt")
+    val bytes = in.readAllBytes()
+    val n = bytes.length / 2
+    var peak = 0; var zc = 0; var energy = 0L
+    var prevNeg = false
+    var i = 0
+    while (i < n) {
+      val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+      val neg = s < 0
+      if (i > 0 && neg != prevNeg) zc += 1
+      prevNeg = neg
+      if (math.abs(s) > peak) peak = math.abs(s)
+      energy += s.toLong * s
+      i += 1
+    }
+    AudioFeatures(r.doc_id, r.media_type, r.payload.length,
+      fmt.getSampleRate.toInt, n, peak, zc, energy)
+  }
+
+  /** Batch audio feature extraction — same per-partition codec-session
+    * shape as the image/video rungs. */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audio(spark, dir)
+      .mapPartitions(_.map(decodeAudio))
+      .toDF()
+      .select("doc_id", "media_type", "n_bytes", "sample_rate",
+        "n_samples", "peak_abs", "zero_crossings", "energy")
+  }
+
+  /** Oracle twin of [[audioFeatures]]: regenerates every sample from the
+    * md5 bytes (`(seed[(7i+5) mod 16] − 128) · 256`) and predicts the
+    * decoder's waveform summary — no decoding, pure arithmetic. */
+  def audioFeaturesOracle: String =
+    s"""WITH h AS (
+      SELECT doc_id, md5(text) AS hex FROM documents),
+    b AS (
+      SELECT doc_id,
+        list_transform(range(1, 17),
+          i -> (strpos('0123456789abcdef', substr(hex, 2*i - 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(hex, 2*i, 1)) - 1)) AS bytes
+      FROM h),
+    p AS (
+      SELECT doc_id,
+        $AudioMinSamples + bytes[6] % $AudioSampleMod AS n_samples,
+        $AudioBaseRate + (bytes[7] % 8) * 1000 AS sample_rate, bytes
+      FROM b),
+    s AS (
+      SELECT doc_id, n_samples, sample_rate,
+        list_transform(range(0, n_samples),
+          i -> (bytes[(7*i + 5) % 16 + 1] - 128) * 256) AS smp
+      FROM p)
+    SELECT doc_id, 'audio' AS media_type,
+      CAST(44 + 2 * n_samples AS INTEGER) AS n_bytes,
+      CAST(sample_rate AS INTEGER) AS sample_rate,
+      CAST(n_samples AS INTEGER) AS n_samples,
+      CAST(list_max(list_transform(smp, x -> abs(x))) AS INTEGER) AS peak_abs,
+      CAST(len(list_filter(range(1, n_samples),
+        i -> (smp[i] < 0) != (smp[i + 1] < 0))) AS INTEGER)
+        AS zero_crossings,
+      CAST(list_sum(list_transform(smp, x -> x * x)) AS BIGINT) AS energy
+    FROM s"""
+
   /** Oracle: predicts the decoder's output arithmetically from the md5
     * hex — dimensions from seed bytes 2/3, payload size from the padded
     * stride, checksum by regenerating every pixel channel. */

@@ -435,6 +435,28 @@ object StreamingOps {
          event_type, value, props
        FROM events"""
 
+  /** Oracle-checked parity drain of [[attributionStream]] — a REAL
+    * streaming execution of the stream-stream interval join (file source
+    * → dual watermarks → inner interval join → memory sink, Append
+    * mode). Unlike the windowed parities there is no watermark cutoff to
+    * mirror in the oracle: an INNER stream-stream join emits a pair the
+    * moment both sides have arrived (withholding until the watermark is
+    * an outer-join concern — only NULL-extended unmatched rows wait), so
+    * at drain the output is exactly the batch join and the oracle is the
+    * batch twin's SQL unchanged. The watermarks still matter at scale:
+    * they are what lets Spark EVICT click-side state older than
+    * watermark − window instead of retaining every click forever. */
+  def attributionParity(spark: SparkSession, dir: String): DataFrame = {
+    val out = attributionStream(
+      readEventsStream(spark, dir, glob = Some("events.parquet")))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+        col("click_ts").cast("timestamp_ntz").as("click_ts"), col("value"))
+    runToMemory(spark, out, "graft_attribution_parity", OutputMode.Append())
+  }
+
+  def attributionParityOracle: String = graft.ops.Events.attributionOracle
+
   /** Streaming incremental ingestion: drive a micro-batched file stream
     * into a [[graft.pipeline.TableSink]] through `foreachBatch` — each
     * micro-batch upserts by `key` via the sink's merge (a real `MERGE

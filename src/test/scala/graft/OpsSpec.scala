@@ -1139,6 +1139,70 @@ class OpsSpec extends SparkSpec {
     assert(out.frames_checksum == expected)
   }
 
+  test("pagerank: mass conserved, hub outranks leaves on a star, " +
+      "symmetric nodes tie exactly") {
+    // star 1–2, 1–3, 1–4 plus the symmetric pair 5–6
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val rows = graft.ops.Dedup.pagerankFrom(pairs)
+      .select("doc_id", "degree", "pagerank")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // no dangling nodes → each round redistributes all mass: Σpr = 1
+    assert(math.abs(rows.values.map(_._3).sum - 1.0) < 1e-12)
+    assert(rows(1L)._2 == 3 && rows(2L)._2 == 1)
+    assert(rows(1L)._3 > rows(2L)._3,
+      "the hub must outrank its leaves — that ordering IS the canonical-" +
+        "doc selection signal")
+    // structurally identical nodes get bit-identical scores
+    assert(rows(2L)._3 == rows(3L)._3 && rows(3L)._3 == rows(4L)._3)
+    assert(rows(5L)._3 == rows(6L)._3)
+    // leaves of the hub rank below the 2-cycle's nodes (their neighbor
+    // splits its mass 3 ways; the cycle returns everything)
+    assert(rows(5L)._3 > rows(2L)._3)
+  }
+
+  test("audio: real WAV decode recovers the declared format and the " +
+      "seed-formula waveform summary") {
+    import graft.ops.Multimodal
+    val seed = Array.tabulate[Byte](16)(i => ((i * 53 + 7) & 0xff).toByte)
+    val out = Multimodal.decodeAudio(
+      Multimodal.MediaRow(9L, "audio", Multimodal.buildWav(seed)))
+    val n = Multimodal.AudioMinSamples +
+      (seed(5) & 0xff) % Multimodal.AudioSampleMod
+    val rate = Multimodal.AudioBaseRate + ((seed(6) & 0xff) % 8) * 1000
+    val smp = (0 until n).map(i => ((seed((7 * i + 5) % 16) & 0xff) - 128) * 256)
+    assert(out.n_samples == n)
+    assert(out.sample_rate == rate,
+      "rate must come from the DECODED format, not an assumption")
+    assert(out.n_bytes == 44 + 2 * n)
+    assert(out.peak_abs == smp.map(math.abs).max)
+    assert(out.zero_crossings ==
+      smp.sliding(2).count { case Seq(a, b) => (a < 0) != (b < 0) })
+    assert(out.energy == smp.map(s => s.toLong * s).sum)
+  }
+
+  test("audio: hand-built 3-sample WAV decodes to known values") {
+    import graft.ops.Multimodal
+    // samples +1000, -2000, +32767 at 8000 Hz: peak 32767, 2 crossings,
+    // energy 10⁶ + 4·10⁶ + 32767²
+    val samples = Seq(1000, -2000, 32767)
+    val buf = java.nio.ByteBuffer.allocate(44 + 6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + 6)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2)
+      .putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(6)
+    samples.foreach(s => buf.putShort(s.toShort))
+    val out = Multimodal.decodeAudio(
+      Multimodal.MediaRow(1L, "audio", buf.array()))
+    assert(out.n_samples == 3 && out.sample_rate == 8000)
+    assert(out.peak_abs == 32767 && out.zero_crossings == 2)
+    assert(out.energy == 1000L * 1000 + 2000L * 2000 + 32767L * 32767)
+  }
+
   test("containment flags a near-subset doc that Jaccard structurally misses") {
     val short = "a b c d e" // 3 shingles: abc bcd cde
     val long = ("f1 f2 f3 f4 f5 f6 f7 " + short + " g1 g2 g3 g4 g5 g6 g7 g8")

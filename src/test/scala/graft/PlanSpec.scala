@@ -133,6 +133,22 @@ class PlanSpec extends SparkSpec {
       "the filter must live in the candidate equi-join key, not a post-rank filter")
   }
 
+  test("pagerank: Pregel-shaped rounds — equi-joins, map-side partial " +
+      "sums, no all-pairs") {
+    val p = plan(graft.ops.Dedup.dedupPagerank(spark, Sf0001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "every round's contribution step joins on src — all-pairs anywhere " +
+        "is a regression")
+    assert(p.contains("partial_sum"),
+      "per-node contribution sums must combine map-side before the shuffle")
+    assert(p.contains("Scan ExistingRDD"),
+      "the edge list must be served from the localCheckpoint, not " +
+        "recomputed through the LSH subplan each round")
+    assert(!p.toLowerCase.contains("minhash"),
+      "no round may re-derive signatures — the checkpoint owns the pairs")
+  }
+
   test("semdedup: serves the cached index, equi-join candidates, no all-pairs loop") {
     val p = plan(graft.ops.Similarity.semDedup(spark, Sf0001))
     assert(!p.contains("CartesianProduct"))
