@@ -158,6 +158,13 @@ object Queries {
       pipeline.IncrementalQueries.incrementalAppend,
       pipeline.IncrementalQueries.incrementalAppendOracle),
 
+    Spec("scd2_temporal_join",
+      Seq("order_id" -> P, "customer_id" -> P, "event_ts" -> P,
+        "email" -> P, "version_from" -> P, "matched" -> P),
+      Seq("order_id"),
+      pipeline.IncrementalQueries.scd2TemporalJoin,
+      pipeline.IncrementalQueries.scd2TemporalJoinOracle),
+
     Spec("scd2_snapshot",
       Seq("customer_id" -> P, "email" -> P, "_valid_from" -> P,
         "_valid_to" -> P, "_is_current" -> P),
@@ -642,6 +649,13 @@ object Queries {
       Seq("doc_id"),
       (s, d) => ops.TextOps.stratifiedSample(s, d),
       ops.TextOps.stratifiedSampleOracle()),
+
+    Spec("docs_sample_weighted",
+      Seq("doc_id" -> P, "n_tokens" -> L, "sample_key" -> L,
+        "total_tokens" -> L),
+      Seq("doc_id"),
+      (s, d) => ops.TextOps.weightedSample(s, d),
+      ops.TextOps.weightedSampleOracle()),
 
     Spec("docs_split",
       Seq("split" -> P, "n_docs" -> L, "n_chars_total" -> L, "n_langs" -> L),

@@ -109,6 +109,49 @@ object TextOps {
     FROM u JOIN c USING (lang)
     WHERE u.sample_key * c.n_lang < 65536 * $targetPerStratum"""
 
+  /** Expected sample size of [[weightedSample]]. */
+  val WeightedSampleTarget = 100
+
+  /** Weight-proportional (Poisson PPS) sampling: each document kept with
+    * probability ∝ its token count — the sampling design behind
+    * token-budgeted corpus draws, where sampling DOCUMENTS uniformly
+    * under-represents long documents' tokens. Inclusion is the same
+    * reshard-stable all-integer hash-threshold discipline as
+    * [[stratifiedSample]]: keep iff `u16(doc_id) · W < 65536 · k · w`
+    * (W = Σw, k = [[WeightedSampleTarget]]), i.e. P(keep) =
+    * min(1, k·w/W), expectation ≈ k docs with E[tokens] ∝ k·W/n — and
+    * membership can never change under resharding or re-runs. Documents
+    * heavy enough that `k·w ≥ W` are always kept (the threshold
+    * saturates), exactly the certainty-stratum rule of classical PPS
+    * designs.
+    *
+    * Scale: one tiny total-weight aggregate broadcast back; the
+    * corpus-side pass is a map-only filter — no shuffle of the data,
+    * no global sort, no prefix sum (systematic PPS would need one;
+    * Poisson PPS is the shape that parallelizes). */
+  def weightedSample(spark: SparkSession, dir: String,
+      target: Int = WeightedSampleTarget): DataFrame = {
+    val d = documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("sample_key", expr(md5U16Expr("doc_id")).cast("long"))
+    val total = d.agg(sum("n_tokens").as("total_tokens"))
+    d.crossJoin(broadcast(total))
+      .filter(col("sample_key") * col("total_tokens") <
+        lit(65536L) * target * col("n_tokens"))
+      .select("doc_id", "n_tokens", "sample_key", "total_tokens")
+  }
+
+  def weightedSampleOracle(target: Int = WeightedSampleTarget): String =
+    s"""WITH d AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(${md5U16SqlDuck("doc_id")} AS BIGINT) AS sample_key
+      FROM documents),
+    t AS (SELECT sum(n_tokens) AS total_tokens FROM d)
+    SELECT doc_id, n_tokens, sample_key, total_tokens
+    FROM d CROSS JOIN t
+    WHERE sample_key * total_tokens < 65536 * $target * n_tokens"""
+
   /** Temperature-weighted mixture resampling: rebalance the corpus across
     * language strata with the multilingual-pretraining sampling rule
     * p_l ∝ n_l^(1/T) at T = 2 — i.e. weight = sqrt(n_l), the standard

@@ -101,6 +101,57 @@ object IncrementalQueries {
       expr(s"TIMESTAMP_NTZ '$Scd2T1'"))
   }
 
+  /** Point-in-time (temporal) join: each fact joined to the SCD2
+    * dimension version VALID AT its event time — `_valid_from ≤ ts <
+    * _valid_to` (open versions have NULL `_valid_to`) — the canonical
+    * "what did the customer look like when they ordered" lakehouse query
+    * that plain current-version joins get wrong. Facts are the bronze
+    * orders with a deterministic synthetic event time alternating
+    * between the snapshot's two version boundaries (`T0 + (order_id % 2)
+    * days` lands exactly on [[Scd2T0]] or [[Scd2T1]]), so both the
+    * closed and the open version are exercised, and day-1-only customers
+    * probed at T0 exercise the no-version-yet NULL path (LEFT join — a
+    * fact with no valid version surfaces with NULLs, it does not
+    * silently drop).
+    *
+    * SCD2 versions are non-overlapping by construction, so each fact
+    * matches AT MOST one version: the join stays row-linear. Scale
+    * shape: one equi-shuffle on the dimension key with the validity
+    * range as a join-time filter — the same single-shuffle shape as
+    * [[graft.ops.Events.attribution]]; at 100 TB the dimension side is
+    * the small one and broadcasts. */
+  def scd2TemporalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = scd2Snapshot(spark, dir).select(
+      col("customer_id").as("dim_customer_id"), col("email"),
+      col("_valid_from"), col("_valid_to"))
+    val facts = Bronze.orders(spark, dir).select(
+      col("order_id"), col("customer_id"),
+      expr(s"timestampadd(DAY, cast(order_id % 2 AS INT), " +
+        s"TIMESTAMP_NTZ '$Scd2T0')").as("event_ts"))
+    facts.join(dim,
+      col("dim_customer_id") === col("customer_id") &&
+        col("_valid_from") <= col("event_ts") &&
+        (col("_valid_to").isNull || col("event_ts") < col("_valid_to")),
+      "left")
+      .select(col("order_id"), col("customer_id"), col("event_ts"),
+        col("email"), col("_valid_from").as("version_from"),
+        col("dim_customer_id").isNotNull.as("matched"))
+  }
+
+  def scd2TemporalJoinOracle: String =
+    s"""${OracleSql.prelude},
+    snap AS (SELECT * FROM ($scd2SnapshotOracle) s),
+    facts AS (
+      SELECT order_id, customer_id,
+        TIMESTAMP '$Scd2T0' + INTERVAL 1 DAY * (order_id % 2) AS event_ts
+      FROM bronze_orders)
+    SELECT f.order_id, f.customer_id, f.event_ts, s.email,
+      s._valid_from AS version_from,
+      (s.customer_id IS NOT NULL) AS matched
+    FROM facts f LEFT JOIN snap s ON s.customer_id = f.customer_id
+      AND s._valid_from <= f.event_ts
+      AND (s._valid_to IS NULL OR f.event_ts < s._valid_to)"""
+
   def scd2SnapshotOracle: String =
     s"""${OracleSql.prelude},
     cust AS (SELECT customer_id, email FROM bronze_customers),

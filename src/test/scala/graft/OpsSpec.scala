@@ -1139,6 +1139,68 @@ class OpsSpec extends SparkSpec {
     assert(out.frames_checksum == expected)
   }
 
+  test("scd2 temporal join: at most one version per fact, day-1-only " +
+      "keys unmatched at T0, changed emails only visible at T1") {
+    import graft.pipeline.IncrementalQueries
+    val rows = IncrementalQueries.scd2TemporalJoin(spark, Sf0001)
+      .select("order_id", "customer_id", "event_ts", "email", "matched")
+      .collect()
+    val facts = rows.map(_.getLong(0)).toSeq
+    assert(facts.distinct.size == facts.size,
+      "SCD2 versions are non-overlapping — a fact matching two versions " +
+        "means the validity ranges broke")
+    val byMatch = rows.groupBy(_.getBoolean(4))
+    // unmatched facts exist (day-1-only customers probed at T0) and every
+    // one of them is a T0 probe of a NewKeyMod customer
+    assert(byMatch.contains(false))
+    byMatch(false).foreach { r =>
+      assert(r.getLong(1) % IncrementalQueries.Scd2NewKeyMod == 0 &&
+        r.getLong(0) % 2 == 0,
+        "only T0 probes of day-1-only customers may go unmatched")
+      assert(r.isNullAt(3), "unmatched facts carry NULL dimension columns")
+    }
+    // a changed customer's T1 probe sees the updated email; its T0 probe
+    // must still see the original — that's the point of the PIT join
+    val changed = rows.filter(r => !r.isNullAt(3) &&
+      r.getLong(1) % IncrementalQueries.Scd2ChangeMod == 0 &&
+      r.getLong(1) % IncrementalQueries.Scd2NewKeyMod != 0)
+    val (t1, t0) = changed.partition(_.getLong(0) % 2 == 1)
+    assert(t0.nonEmpty && t1.nonEmpty)
+    assert(t1.forall(_.getString(3).startsWith("updated_")))
+    assert(t0.forall(!_.getString(3).startsWith("updated_")))
+  }
+
+  test("weighted sample: threshold law holds row-exactly, certainty " +
+      "stratum always kept, expectation near target") {
+    val kept = TextOps.weightedSample(spark, Sf0001)
+      .select("doc_id", "n_tokens", "sample_key", "total_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(kept.nonEmpty)
+    val total = kept.head._4
+    val k = TextOps.WeightedSampleTarget
+    kept.foreach { case (_, w, u, t) =>
+      assert(t == total)
+      assert(u * t < 65536L * k * w, "every kept row must satisfy the law")
+    }
+    // recompute the universe to check the complement and the expectation
+    val all = TextOps.documents(spark, Sf0001)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        expr(graft.ops.TextOps.md5U16Expr("doc_id")).cast("long").as("u"))
+      .as[(Long, Long, Long)].collect()
+    val keptIds = kept.map(_._1).toSet
+    all.foreach { case (id, w, u) =>
+      assert(keptIds.contains(id) == (u * total < 65536L * k * w),
+        s"doc $id: membership must BE the threshold law — nothing else")
+      if (k * w >= total)
+        assert(keptIds.contains(id), "certainty stratum must always be kept")
+    }
+    val expected = all.map { case (_, w, _) =>
+      math.min(1.0, k.toDouble * w / total) }.sum
+    assert(math.abs(kept.size - expected) < 4 * math.sqrt(expected),
+      s"sample size ${kept.size} strayed from its design expectation $expected")
+  }
+
   test("pagerank: mass conserved, hub outranks leaves on a star, " +
       "symmetric nodes tie exactly") {
     // star 1–2, 1–3, 1–4 plus the symmetric pair 5–6
