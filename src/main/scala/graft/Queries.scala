@@ -820,6 +820,13 @@ object Queries {
       Seq("event_type", "prop_key"),
       ops.SetOps.propsMapStats, ops.SetOps.propsMapStatsOracle),
 
+    Spec("model_logreg",
+      Seq("n_docs" -> L, "n_correct" -> L, "w_bias" -> P, "w_len" -> P,
+        "w_stop" -> P),
+      Seq("n_docs"),
+      (s, d) => ops.Learn.logregQuality(s, d),
+      ops.Learn.logregQualityOracle()),
+
     Spec("multimodal_audio",
       Seq("doc_id" -> P, "media_type" -> P, "n_bytes" -> I,
         "sample_rate" -> I, "n_samples" -> I, "peak_abs" -> I,

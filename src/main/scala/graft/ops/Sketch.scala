@@ -186,13 +186,30 @@ object Sketch {
     FROM m_est m JOIN gsk USING (event_type)
     JOIN n_sh USING (event_type)"""
 
-  /** Count-min sketch geometry: [[CmsDepth]] independent hash rows ×
-    * [[CmsWidth]] counter buckets = 1024 cells TOTAL, whatever the corpus
-    * size — that bound is the whole point. Row seeds are folded into the
-    * md5 input (`"r~token"`), the same seeded-hash discipline as the
-    * split/sample family. */
+  /** Count-min sketch geometry: [[CmsDepth]] hash rows × [[CmsWidth]]
+    * counter buckets = 1024 cells TOTAL, whatever the corpus size — that
+    * bound is the whole point. Row r's 8-bit bucket is nibbles
+    * [2r, 2r+2) of ONE md5 of the token — the production CMS layout
+    * (one hash evaluation per update, the d row indices sliced from its
+    * bit ranges); the first cut hashed `"r~token"` separately per row,
+    * i.e. [[CmsDepth]] md5s per token occurrence, and the 100× probe
+    * priced that at 154 s — the single-digest slicing is ~d× cheaper on
+    * the only corpus-sized pass the sketch has. */
   val CmsDepth = 4
   val CmsWidth = 256
+
+  /** Spark-SQL expression for row r's bucket from a hex-digest column. */
+  private[graft] def cmsBucketExpr(hCol: String, r: Int): String = {
+    def nib(i: Int) =
+      s"(instr('0123456789abcdef', substring($hCol, $i, 1)) - 1)"
+    s"(${nib(2 * r + 1)} * 16 + ${nib(2 * r + 2)})"
+  }
+
+  private def cmsBucketSqlDuck(hCol: String, r: Int): String = {
+    def nib(i: Int) =
+      s"(strpos('0123456789abcdef', substr($hCol, $i, 1)) - 1)"
+    s"(${nib(2 * r + 1)} * 16 + ${nib(2 * r + 2)})"
+  }
 
   /** Heavy hitters reported by the accuracy row. */
   val CmsTopK = 20
@@ -217,10 +234,9 @@ object Sketch {
     val toks = TextOps.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
+      .withColumn("h", md5(col("token")))
     def rowBuckets = array((0 until CmsDepth).map { r =>
-      struct(lit(r).as("r"),
-        (expr(TextOps.md5U16Expr(s"concat('$r~', token)")) % CmsWidth)
-          .as("bucket"))
+      struct(lit(r).as("r"), expr(cmsBucketExpr("h", r)).as("bucket"))
     }: _*)
     val counters = toks.select(explode(rowBuckets).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
@@ -231,6 +247,7 @@ object Sketch {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("exact_count").desc, col("token"))))
     top
+      .withColumn("h", md5(col("token")))
       .select(col("rank"), col("token"), col("exact_count"),
         explode(rowBuckets).as("rb"))
       .select(col("rank"), col("token"), col("exact_count"),
@@ -244,31 +261,28 @@ object Sketch {
   }
 
   def cmsHeavyHittersOracle: String = {
-    def hList(src: String) = (0 until CmsDepth)
-      .map(r => TextOps.md5U16SqlDuck(s"'$r~' || $src"))
-      .mkString("[", ", ", "]")
+    def bList = (0 until CmsDepth)
+      .map(r => cmsBucketSqlDuck("h", r)).mkString("[", ", ", "]")
     val rList = (0 until CmsDepth).mkString("[", ", ", "]")
     s"""WITH toks AS (
       SELECT unnest(string_split(text, ' ')) AS token FROM documents),
-    t AS (SELECT token FROM toks WHERE length(token) > 0),
+    t AS (SELECT token, md5(token) AS h FROM toks
+      WHERE length(token) > 0),
     hashed AS (
-      SELECT r, h % $CmsWidth AS bucket FROM (
-        SELECT unnest($rList) AS r, unnest(${hList("token")}) AS h
-        FROM t)),
+      SELECT unnest($rList) AS r, unnest($bList) AS bucket FROM t),
     counters AS (
       SELECT r, bucket, count(*) AS cnt FROM hashed GROUP BY 1, 2),
     exact AS (
       SELECT token, count(*) AS exact_count FROM t GROUP BY 1),
     top AS (
-      SELECT token, exact_count, rank FROM (
+      SELECT token, exact_count, rank, md5(token) AS h FROM (
         SELECT token, exact_count, row_number() OVER (
           ORDER BY exact_count DESC, token) AS rank
         FROM exact) WHERE rank <= $CmsTopK),
     th AS (
-      SELECT rank, token, exact_count, r, h % $CmsWidth AS bucket FROM (
-        SELECT rank, token, exact_count, unnest($rList) AS r,
-          unnest(${hList("token")}) AS h
-        FROM top))
+      SELECT rank, token, exact_count, unnest($rList) AS r,
+        unnest($bList) AS bucket
+      FROM top)
     SELECT CAST(rank AS INTEGER) AS rank, token, exact_count,
       min(cnt) AS cms_estimate,
       min(cnt) * 1.0 / exact_count AS over_ratio

@@ -47,7 +47,7 @@ object TextOps {
     if (df.rdd.getNumPartitions <= par) df.repartition(par) else df
   }
 
-  private def inList(vals: Seq[String]) = vals.map(v => s"'$v'").mkString("(", ",", ")")
+  private[ops] def inList(vals: Seq[String]) = vals.map(v => s"'$v'").mkString("(", ",", ")")
 
   /** Deterministic hash-based train/val/test split (80/10/10): the
     * document's bucket is 16 bits of md5(doc_id) mod 100, computed with

@@ -926,10 +926,10 @@ class OpsSpec extends SparkSpec {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
     def cells(df: org.apache.spark.sql.DataFrame): Map[(Int, Int), Long] = {
-      val hashed = df.select((0 until Sketch.CmsDepth).map { r =>
-        (expr(graft.ops.TextOps.md5U16Expr(s"concat('$r~', token)"))
-          % Sketch.CmsWidth).as(s"b$r")
-      }: _*)
+      val hashed = df.withColumn("h", md5(col("token")))
+        .select((0 until Sketch.CmsDepth).map { r =>
+          expr(Sketch.cmsBucketExpr("h", r)).as(s"b$r")
+        }: _*)
       (0 until Sketch.CmsDepth).flatMap { r =>
         hashed.groupBy(col(s"b$r")).count().collect()
           .map(x => (r, x.getInt(0)) -> x.getLong(1))
@@ -1137,6 +1137,48 @@ class OpsSpec extends SparkSpec {
         graft.ops.Multimodal.buildBmp(frameSeed))).pixel_checksum
     }.foldLeft(0L)(_ + _)
     assert(out.frames_checksum == expected)
+  }
+
+  test("logreg distillation: beats majority class and matches an " +
+      "independent local replica of the descent") {
+    import graft.ops.Learn
+    val row = Learn.logregQuality(spark, Sf0001).head()
+    val (n, correct) = (row.getLong(0), row.getLong(1))
+    val w = Array(row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    // replicate features + descent locally from the raw table
+    val feats = TextOps.documents(spark, Sf0001)
+      .select(col("text")).as[String].collect().map { text =>
+        val words = text.split(" ", -1)
+        val wc = words.length.toDouble
+        val x1 = math.min(wc / 100.0, 1.0)
+        val x2 = words.count(TextOps.StopwordsEn.contains) / wc
+        val awl = text.replace(" ", "").length / wc
+        val qs = x1 * 0.4 + math.min(x2 * 4.0, 1.0) * 0.3 +
+          (if (awl >= 3 && awl <= 8) 0.3 else 0.0)
+        (x1, x2, if (qs > Learn.QualityGate) 1.0 else 0.0)
+      }
+    assert(n == feats.length)
+    var lw = Array(0.0, 0.0, 0.0)
+    def sig(z: Double) = 0.5 + z / (2.0 * (1.0 + math.abs(z)))
+    (1 to Learn.LogRegIters).foreach { _ =>
+      val g = Array(0.0, 0.0, 0.0)
+      feats.foreach { case (x1, x2, y) =>
+        val e = sig(lw(0) + lw(1) * x1 + lw(2) * x2) - y
+        g(0) += e; g(1) += e * x1; g(2) += e * x2
+      }
+      lw = Array(lw(0) - Learn.LogRegLr * g(0) / n,
+        lw(1) - Learn.LogRegLr * g(1) / n,
+        lw(2) - Learn.LogRegLr * g(2) / n)
+    }
+    w.zip(lw).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9,
+        s"engine weights $a must replay the reference descent $b " +
+          "(sum-order float noise only)")
+    }
+    val base = math.max(feats.count(_._3 == 1.0), feats.count(_._3 == 0.0))
+    assert(correct > base,
+      s"a fit ($correct/$n) that cannot beat majority-class ($base/$n) " +
+        "distilled nothing")
   }
 
   test("scd2 temporal join: at most one version per fact, day-1-only " +
