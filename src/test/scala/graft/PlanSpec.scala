@@ -133,6 +133,31 @@ class PlanSpec extends SparkSpec {
       "the filter must live in the candidate equi-join key, not a post-rank filter")
   }
 
+  test("scd2 temporal join: hash equi-join with the validity range as a " +
+      "join-time filter, never a nested loop") {
+    val p = plan(graft.pipeline.IncrementalQueries.scd2TemporalJoin(spark, Sf0001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the PIT join must key on customer_id; a range-only join plans as " +
+        "a nested loop")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findFirstIn(p).isDefined)
+  }
+
+  test("weighted sample: map-only corpus pass — one scalar-total " +
+      "broadcast, no shuffle of the documents") {
+    val p = plan(TextOps.weightedSample(spark, Sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      "the 1-row total must broadcast, not shuffle the corpus against it")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "nothing about Poisson PPS needs a corpus shuffle")
+    // the only exchange allowed is the scalar aggregate's own 1-row one
+    // (plus the broadcast); the documents scan side must not repartition
+    assert(!"Exchange hashpartitioning\\(doc_id".r.findFirstIn(p).isDefined,
+      "the corpus-side pass is a filter over the scan — no doc_id shuffle")
+  }
+
   test("pagerank: Pregel-shaped rounds — equi-joins, map-side partial " +
       "sums, no all-pairs") {
     val p = plan(graft.ops.Dedup.dedupPagerank(spark, Sf0001))
