@@ -744,6 +744,13 @@ object Queries {
       Seq("doc_id", "bench_id"),
       (s, d) => ops.Decontam.overlap(s, d), ops.Decontam.overlapOracle()),
 
+    Spec("decontam_bloom",
+      Seq("doc_id" -> P, "n_grams" -> L, "n_bloom_hits" -> L,
+        "n_exact_hits" -> L, "n_false_pos" -> L),
+      Seq("doc_id"),
+      (s, d) => ops.Decontam.bloomScreen(s, d),
+      ops.Decontam.bloomScreenOracle()),
+
     Spec("range_join_promos",
       Seq("promo" -> P, "n_orders" -> L, "revenue" -> Money),
       Seq("promo"),

@@ -1139,6 +1139,30 @@ class OpsSpec extends SparkSpec {
     assert(out.frames_checksum == expected)
   }
 
+  test("bloom screen: never misses — every exactly-contaminated doc is " +
+      "flagged, and bloom hits dominate exact hits row-wise") {
+    import graft.ops.Decontam
+    val screen = Decontam.bloomScreen(spark, Sf0001)
+      .select("doc_id", "n_grams", "n_bloom_hits", "n_exact_hits",
+        "n_false_pos")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(screen.nonEmpty)
+    screen.foreach { case (id, grams, bloom, exact, fp) =>
+      assert(bloom >= exact,
+        s"doc $id: a Bloom filter can only ADD hits — bloom $bloom < " +
+          s"exact $exact means a probe derivation diverged")
+      assert(fp == bloom - exact && bloom <= grams)
+    }
+    // the screen's reason to exist: nothing the exact join would flag
+    // may be lost (FPs cost a wasted exact check; FNs cost a shipped leak)
+    val exactFlagged = Decontam.overlap(spark, Sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    val screened = screen.map(_._1).toSet
+    exactFlagged.foreach(id => assert(screened.contains(id),
+      s"doc $id passes the exact overlap threshold but the screen " +
+        "missed it — a Bloom pre-screen must be a superset"))
+  }
+
   test("logreg distillation: beats majority class and matches an " +
       "independent local replica of the descent") {
     import graft.ops.Learn
