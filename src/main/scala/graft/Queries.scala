@@ -453,6 +453,13 @@ object Queries {
       (s, d) => ops.Similarity.annIvfTopKFiltered(s, d),
       ops.Similarity.annIvfTopKFilteredOracle()),
 
+    Spec("ann_mmr_topk",
+      Seq("query_id" -> P, "neighbor_id" -> P, "mmr_rank" -> I,
+        "relevance" -> P, "mmr_score" -> P),
+      Seq("query_id", "mmr_rank"),
+      (s, d) => ops.Similarity.annMmrTopK(s, d),
+      ops.Similarity.annMmrTopKOracle()),
+
     Spec("ann_topk",
       Seq("query_id" -> P, "neighbor_id" -> P, "rank" -> I, "cosine" -> P),
       Seq("query_id", "rank"),

@@ -735,6 +735,137 @@ object Similarity {
     SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
     FROM ranked WHERE rank <= $k"""
 
+  /** MMR geometry: select [[MmrK]] of [[MmrCandidates]] IVF-served
+    * candidates at relevance weight [[MmrLambda]]. */
+  val MmrK = 5
+  val MmrCandidates = 20
+  val MmrLambda = 0.7
+
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein,
+    * "The use of MMR, diversity-based reranking") — the serving-side
+    * rerank that stops a result page from being k near-copies of the
+    * same hit (after dedup, the #1 retrieval complaint): greedily pick
+    * `argmax λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s)` for [[MmrK]]
+    * rounds over the [[MmrCandidates]] IVF-served candidates.
+    *
+    * Scale shape: candidates come from the index ([[annIvfTopK]] —
+    * DPP-pruned lists), are localCheckpoint'ed once, and everything
+    * after is bounded per query: the pairwise-cosine table is
+    * ≤ nCand² rows per query (the candidate POOL is the unit of work,
+    * never the corpus), and each greedy round is one anti-join + one
+    * grouped max + one per-query window over ≤ nCand rows. Selected
+    * sets are localCheckpoint'ed per round so the 5-round loop plans
+    * flat instead of exponentially nesting.
+    *
+    * Round 1 has an empty selected set, so its score is `λ·cos` (the
+    * uniform formula with the diversity term at 0) and the pick equals
+    * the relevance argmax. */
+  def annMmrTopK(spark: SparkSession, dir: String, k: Int = MmrK,
+      nCand: Int = MmrCandidates, lam: Double = MmrLambda): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(spark)
+    val cand = annIvfTopK(spark, dir, nCand).localCheckpoint()
+    val v = withNorm(spark, dir)
+    val a = cand.select(col("query_id"), col("neighbor_id").as("id_a"))
+      .join(v.select(col("vec_id").as("id_a"), col("vec").as("a_vec"),
+        col("nrm").as("na")), Seq("id_a"))
+    val b = cand.select(col("query_id"), col("neighbor_id").as("id_b"))
+      .join(v.select(col("vec_id").as("id_b"), col("vec").as("b_vec"),
+        col("nrm").as("nb")), Seq("id_b"))
+    val pairs = a.join(b, Seq("query_id"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("pcos", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
+      .select("query_id", "id_a", "id_b", "pcos").localCheckpoint()
+    var selected = cand.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"),
+        lit(1).as("mmr_rank"), col("cosine").as("relevance"),
+        (lit(lam) * col("cosine")).as("mmr_score"))
+      .localCheckpoint()
+    (2 to k).foreach { r =>
+      val selIds = selected.select(col("query_id"),
+        col("neighbor_id").as("id_b"))
+      val divers = pairs.join(selIds, Seq("query_id", "id_b"))
+        .groupBy(col("query_id"), col("id_a").as("neighbor_id"))
+        .agg(max(col("pcos")).as("max_sel"))
+      val rem = cand.join(
+        selected.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("mmr").desc, col("neighbor_id"))
+      selected = selected.union(
+        rem.join(divers, Seq("query_id", "neighbor_id"))
+          .withColumn("mmr",
+            lit(lam) * col("cosine") - lit(1 - lam) * col("max_sel"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("query_id"), col("neighbor_id"),
+            lit(r).as("mmr_rank"), col("cosine").as("relevance"),
+            col("mmr").as("mmr_score")))
+        .localCheckpoint()
+    }
+    selected
+  }
+
+  /** Oracle twin of [[annMmrTopK]]: the IVF candidate oracle nested as a
+    * subquery, then the same greedy rounds unrolled — every sel CTE is
+    * MATERIALIZED (referenced three times per round; plain CTEs inline
+    * per reference, the [[graft.ops.Learn]] lesson). The `(1 − λ)`
+    * literal is written as double arithmetic so it lands on the same
+    * bits as Spark's `lit(1 - lam)`. */
+  def annMmrTopKOracle(k: Int = MmrK, nCand: Int = MmrCandidates,
+      lam: Double = MmrLambda): String = {
+    val l = s"CAST($lam AS DOUBLE)"
+    val mmrExpr =
+      s"$l * c.cosine - (1 - $l) * m.max_sel"
+    val rounds = (2 to k).map { r =>
+      val prev = s"sel${r - 1}"
+      s"""sel$r AS MATERIALIZED (
+      SELECT query_id, neighbor_id, mmr_rank, relevance, mmr_score
+      FROM $prev
+      UNION ALL
+      SELECT query_id, neighbor_id, $r AS mmr_rank, relevance,
+        mmr AS mmr_score FROM (
+        SELECT c.query_id, c.neighbor_id, c.cosine AS relevance,
+          $mmrExpr AS mmr,
+          row_number() OVER (PARTITION BY c.query_id
+            ORDER BY $mmrExpr DESC, c.neighbor_id) AS rn
+        FROM cand c
+        JOIN (SELECT p.query_id, p.id_a, max(p.pcos) AS max_sel
+              FROM mmr_pairs p JOIN $prev s
+                ON s.query_id = p.query_id AND s.neighbor_id = p.id_b
+              GROUP BY 1, 2) m
+          ON m.query_id = c.query_id AND m.id_a = c.neighbor_id
+        WHERE NOT EXISTS (SELECT 1 FROM $prev s2
+          WHERE s2.query_id = c.query_id
+            AND s2.neighbor_id = c.neighbor_id))
+      WHERE rn = 1)"""
+    }.mkString(",\n    ")
+    s"""WITH cand AS MATERIALIZED (
+      SELECT * FROM (${annIvfTopKOracle(nCand)}) c),
+    nv AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec,
+        list_reduce(list_transform(range(1, len(embedding) + 1),
+          i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE),
+          (x, y) -> x + y) AS nrm
+      FROM embeddings),
+    mmr_pairs AS MATERIALIZED (
+      SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+        list_reduce(list_transform(range(1, len(va.vec) + 1),
+          i -> va.vec[i] * vb.vec[i]), (x, y) -> x + y)
+          / (sqrt(va.nrm) * sqrt(vb.nrm)) AS pcos
+      FROM cand a JOIN cand b
+        ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id
+      JOIN nv va ON va.vec_id = a.neighbor_id
+      JOIN nv vb ON vb.vec_id = b.neighbor_id),
+    sel1 AS MATERIALIZED (
+      SELECT query_id, neighbor_id, 1 AS mmr_rank, cosine AS relevance,
+        $l * cosine AS mmr_score
+      FROM cand WHERE rank = 1),
+    $rounds
+    SELECT query_id, neighbor_id, CAST(mmr_rank AS INTEGER) AS mmr_rank,
+      relevance, mmr_score
+    FROM sel$k"""
+  }
+
   /** Deleted-id predicate for the [[annIvfTopKDeleted]] driver row:
     * `vec_id % 7 == 3`, explicitly excluding the pinned query ids
     * (multiples of 250 — 500 ≡ 3 mod 7 would otherwise delete a query).

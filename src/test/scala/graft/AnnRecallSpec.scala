@@ -59,6 +59,52 @@ class AnnRecallSpec extends SparkSpec {
     assert(rows.groupBy(_.getLong(0)).values.forall(_.length <= 5))
   }
 
+  test("mmr: replays a local greedy replica exactly and never repeats " +
+      "a pick") {
+    val out = Similarity.annMmrTopK(spark, Sf0001)
+      .select("query_id", "neighbor_id", "mmr_rank", "relevance",
+        "mmr_score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.nonEmpty)
+    val cand = Similarity.annIvfTopK(spark, Sf0001, Similarity.MmrCandidates)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val vecs = Similarity.embeddings(spark, Sf0001)
+      .select("vec_id", "vec").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until a.length).foreach { i =>
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val lam = Similarity.MmrLambda
+    cand.groupBy(_._1).foreach { case (q, cs) =>
+      val pool = cs.map(c => c._2 -> c._3).toMap
+      var sel = Vector.empty[(Long, Int, Double, Double)]
+      (1 to math.min(Similarity.MmrK, pool.size)).foreach { r =>
+        val scored = pool.keys.filterNot(id => sel.exists(_._1 == id))
+          .map { id =>
+            val div = if (sel.isEmpty) 0.0
+              else sel.map(s => cos(vecs(id), vecs(s._1))).max
+            (id, lam * pool(id) - (1 - lam) * div)
+          }.toSeq
+        val (id, sc) = scored.minBy { case (i, s) => (-s, i) }
+        sel :+= ((id, r, pool(id), sc))
+      }
+      val got = out.filter(_._1 == q).sortBy(_._3)
+      assert(got.map(_._2).toSeq == sel.map(_._1),
+        s"query $q: pick order diverged from the greedy definition")
+      got.zip(sel).foreach { case (g, s) =>
+        assert(math.abs(g._5 - s._4) < 1e-9 &&
+          math.abs(g._4 - s._3) < 1e-12)
+      }
+      assert(got.map(_._2).distinct.length == got.length,
+        "a result page must never repeat a document")
+    }
+  }
+
   test("two-stage rerank meets the 0.9 floor at a lower nprobe than " +
       "the single-stage default") {
     assert(Similarity.IvfRerankNProbe < Similarity.IvfNProbe,
