@@ -657,6 +657,12 @@ object Queries {
       (s, d) => ops.TextOps.stratifiedSample(s, d),
       ops.TextOps.stratifiedSampleOracle()),
 
+    Spec("corpus_diff",
+      Seq("doc_id" -> P, "status" -> P, "fp_old" -> P, "fp_new" -> P),
+      Seq("doc_id"),
+      (s, d) => ops.TextOps.corpusDiff(s, d),
+      ops.TextOps.corpusDiffOracle),
+
     Spec("docs_sample_weighted",
       Seq("doc_id" -> P, "n_tokens" -> L, "sample_key" -> L,
         "total_tokens" -> L),

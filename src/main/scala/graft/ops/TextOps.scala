@@ -109,6 +109,69 @@ object TextOps {
     FROM u JOIN c USING (lang)
     WHERE u.sample_key * c.n_lang < 65536 * $targetPerStratum"""
 
+  /** Synthetic v2 edit moduli for [[corpusDiff]]: every
+    * [[DiffChangeMod]]th doc's text is edited, every [[DiffDropMod]]th
+    * is removed, and [[DiffAdded]] new docs appear (ids offset by
+    * [[DiffAddBase]]) — the same replayed-next-release discipline as the
+    * SCD2 snapshot's day-1 table. */
+  val DiffChangeMod = 13
+  val DiffDropMod = 17
+  val DiffAdded = 10
+  val DiffAddBase = 1000000000L
+
+  /** Corpus snapshot diff — dataset versioning's core query: what
+    * changed between release v1 and v2? Each side reduces to
+    * `(doc_id, md5(text))`; one full-outer equi-join on doc_id
+    * classifies every document as added / removed / changed (present
+    * both sides, fingerprints differ), and the unchanged mass — the
+    * overwhelming majority of a real release — is filtered out so the
+    * output is bounded by the CHANGE volume, not the corpus. At 100 TB
+    * this is one fingerprint shuffle (32-hex keys, not text) exactly
+    * like [[Dedup.exact]]; with both releases bucketed on doc_id at
+    * rest even that shuffle disappears. */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp_old"))
+    val base = documents(spark, dir)
+    val edited = base
+      .filter(col("doc_id") % DiffDropMod =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % DiffChangeMod === 0,
+          concat(col("text"), lit(" [v2-erratum]"))).otherwise(col("text"))
+          .as("text"))
+    val added = base.filter(col("doc_id") < DiffAdded)
+      .select((col("doc_id") + DiffAddBase).as("doc_id"), col("text"))
+    val v2 = edited.union(added)
+      .select(col("doc_id"), md5(col("text")).as("fp_new"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") =!= col("fp_new"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .select("doc_id", "status", "fp_old", "fp_new")
+  }
+
+  def corpusDiffOracle: String =
+    s"""WITH v1 AS (
+      SELECT doc_id, md5(text) AS fp_old FROM documents),
+    v2 AS (
+      SELECT doc_id,
+        md5(CASE WHEN doc_id % $DiffChangeMod = 0
+            THEN text || ' [v2-erratum]' ELSE text END) AS fp_new
+      FROM documents WHERE doc_id % $DiffDropMod != 0
+      UNION ALL
+      SELECT doc_id + $DiffAddBase, md5(text)
+      FROM documents WHERE doc_id < $DiffAdded)
+    SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+      CASE WHEN v1.doc_id IS NULL THEN 'added'
+           WHEN v2.doc_id IS NULL THEN 'removed'
+           ELSE 'changed' END AS status,
+      v1.fp_old, v2.fp_new
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.fp_old != v2.fp_new"""
+
   /** Expected sample size of [[weightedSample]]. */
   val WeightedSampleTarget = 100
 
