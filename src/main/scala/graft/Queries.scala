@@ -812,6 +812,13 @@ object Queries {
       streaming.StreamingOps.attributionParity,
       streaming.StreamingOps.attributionParityOracle),
 
+    Spec("streaming_attribution_outer",
+      Seq("purchase_id" -> P, "click_id" -> P, "user_id" -> P,
+        "purchase_ts" -> P, "click_ts" -> P, "value" -> P),
+      Seq("purchase_id", "click_id"),
+      streaming.StreamingOps.attributionOuterParity,
+      streaming.StreamingOps.attributionOuterParityOracle),
+
     Spec("events_top_paths",
       Seq("path_rank" -> I, "path" -> P, "n_sessions" -> L),
       Seq("path_rank"),

@@ -457,6 +457,91 @@ object StreamingOps {
 
   def attributionParityOracle: String = graft.ops.Events.attributionOracle
 
+  /** LEFT OUTER stream-stream interval join: purchases preserved —
+    * a purchase with no click in its window surfaces NULL-extended
+    * instead of vanishing (the "how many conversions had no touchpoint"
+    * question the inner join cannot answer). Same dual watermarks; the
+    * outer side adds the semantics the inner join doesn't have: a
+    * NULL-extended row can only be emitted when the engine KNOWS no
+    * matching click can still arrive, i.e. on state eviction after the
+    * watermark passes the purchase (clicks at or below the watermark
+    * are final, and a matching click must be ≤ the purchase time). */
+  def attributionStreamOuter(events: DataFrame,
+      windowMinutes: Int = graft.ops.Events.AttributionWindowMinutes): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      col("click_user") === col("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      "left_outer")
+      .select("purchase_id", "click_id", "user_id", "purchase_ts",
+        "click_ts", "value")
+  }
+
+  /** Oracle-checked parity drain of [[attributionStreamOuter]] (Append).
+    * Matched pairs emit on match — the inner subset is the batch join
+    * unchanged. NULL-extended rows emit on left-state eviction, which
+    * the final GLOBAL watermark drives — and with two watermarked
+    * inputs that is the MIN of the per-side watermarks
+    * (`spark.sql.streaming.multipleWatermarkPolicy` default): here the
+    * click side's `max_click_ms − delay_ms`, which trails the purchase
+    * side's. (Found empirically: an oracle cut at the all-events max
+    * over-emitted by exactly the purchases between the two sides'
+    * watermarks.) A no-click purchase appears iff its event time is
+    * STRICTLY below that min watermark — the same strict-passing rule
+    * [[sessionsParityOracle]] pins for state timeouts; purchases the
+    * watermark never reaches stay withheld, and the oracle computes
+    * the cutoff too. */
+  def attributionOuterParity(spark: SparkSession, dir: String): DataFrame = {
+    val out = attributionStreamOuter(
+      readEventsStream(spark, dir, glob = Some("events.parquet")))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+        col("click_ts").cast("timestamp_ntz").as("click_ts"), col("value"))
+    runToMemory(spark, out, "graft_attribution_outer", OutputMode.Append())
+  }
+
+  def attributionOuterParityOracle: String = {
+    val win = graft.ops.Events.AttributionWindowMinutes
+    s"""WITH wm AS (
+      SELECT least(
+        (SELECT max(epoch_us(ts)) // 1000 FROM events
+         WHERE event_type = 'click'),
+        (SELECT max(epoch_us(ts)) // 1000 FROM events
+         WHERE event_type = 'purchase')) - 3600000 AS wm_ms),
+    e AS (
+      SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id,
+        event_type, value
+      FROM events),
+    clicks AS (
+      SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM e WHERE event_type = 'click'),
+    purchases AS (
+      SELECT user_id, ts AS purchase_ts, event_id AS purchase_id, value
+      FROM e WHERE event_type = 'purchase'),
+    matched AS (
+      SELECT p.purchase_id, c.click_id, p.user_id, p.purchase_ts,
+        c.click_ts, p.value
+      FROM purchases p JOIN clicks c ON c.user_id = p.user_id
+        AND c.click_ts <= p.purchase_ts
+        AND c.click_ts >= p.purchase_ts - INTERVAL $win MINUTE)
+    SELECT * FROM matched
+    UNION ALL
+    SELECT p.purchase_id, NULL AS click_id, p.user_id, p.purchase_ts,
+      CAST(NULL AS TIMESTAMP) AS click_ts, p.value
+    FROM purchases p, wm
+    WHERE NOT EXISTS (SELECT 1 FROM matched m
+        WHERE m.purchase_id = p.purchase_id)
+      AND (epoch_us(p.purchase_ts) // 1000) < wm_ms"""
+  }
+
   /** Streaming incremental ingestion: drive a micro-batched file stream
     * into a [[graft.pipeline.TableSink]] through `foreachBatch` — each
     * micro-batch upserts by `key` via the sink's merge (a real `MERGE
