@@ -81,6 +81,25 @@ object Queries {
         "frequency_score" -> I, "monetary_score" -> I, "_updated_at" -> P),
       Seq("customer_id"), Gold.customerSummary, OracleSql.customerSummary),
 
+    Spec("user_erasure_summary",
+      Seq("customer_key" -> P, "customer_id" -> P, "full_name" -> P,
+        "first_name" -> P, "last_name" -> P, "email" -> P,
+        "customer_since" -> P,
+        "total_orders" -> L, "completed_orders" -> L,
+        "cancelled_orders" -> L, "pending_orders" -> L,
+        "lifetime_value" -> Money, "avg_order_value" -> Money,
+        "max_order_value" -> P, "min_order_value" -> P,
+        "total_payments" -> L, "unique_payment_methods" -> L,
+        "total_paid_amount" -> Money, "preferred_payment_method" -> P,
+        "first_order_date" -> P, "last_order_date" -> P,
+        "customer_lifetime_days" -> I, "active_months" -> L,
+        "days_since_last_order" -> I, "customer_segment" -> P,
+        "customer_status" -> P, "recency_score" -> I,
+        "frequency_score" -> I, "monetary_score" -> I, "_updated_at" -> P),
+      Seq("customer_id"),
+      pipeline.Erasure.customerSummaryErased,
+      OracleSql.customerSummaryErased(pipeline.Erasure.ErasureMod)),
+
     Spec("gold_order_metrics",
       Seq("order_date" -> P, "order_year" -> I, "order_month" -> I,
         "order_day" -> I, "order_quarter" -> I, "order_year_month" -> P,

@@ -68,10 +68,12 @@ object OracleSql {
 
   // ---- bronze (mirrors graft.bronze.Bronze)
 
-  private val bronzeCustomersCte = s"""bronze_customers AS (
+  private def bronzeCustomersCteWhere(where: String) = s"""bronze_customers AS (
     SELECT id AS customer_id, first_name, last_name, email, created_at,
       $now AS _loaded_at, 'bronze_customers' AS _source_model
-    FROM raw_customers)"""
+    FROM raw_customers$where)"""
+
+  private val bronzeCustomersCte = bronzeCustomersCteWhere("")
 
   private val bronzeOrdersCte = s"""bronze_orders AS (
     SELECT id AS order_id, user_id AS customer_id, order_date,
@@ -165,6 +167,19 @@ object OracleSql {
     bronzeCustomersCte, bronzeOrdersCte, bronzePaymentsCte,
     silverCustomersCte, silverOrdersCte, silverPaymentsCte
   ).mkString("WITH ", ",\n", "")
+
+  /** [[prelude]] with the user-erasure predicate applied at the EARLIEST
+    * layer (bronze customers); every downstream inner join propagates the
+    * erasure — the oracle twin of [[graft.pipeline.Erasure]]. */
+  def preludeErased(mod: Int): String = Seq(
+    rawCustomers, rawOrders, rawPayments,
+    bronzeCustomersCteWhere(s" WHERE id % $mod != 0"),
+    bronzeOrdersCte, bronzePaymentsCte,
+    silverCustomersCte, silverOrdersCte, silverPaymentsCte
+  ).mkString("WITH ", ",\n", "")
+
+  def customerSummaryErased(mod: Int): String =
+    s"${preludeErased(mod)},\n$customerSummaryCtes\n$customerSummarySelect"
 
   def bronzeCustomers: String = s"$prelude SELECT * FROM bronze_customers"
   def bronzeOrders: String = s"$prelude SELECT * FROM bronze_orders"

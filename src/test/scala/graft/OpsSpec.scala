@@ -1139,6 +1139,26 @@ class OpsSpec extends SparkSpec {
     assert(out.frames_checksum == expected)
   }
 
+  test("user erasure: erased customers vanish from the mart and " +
+      "survivors are bit-identical to the normal build") {
+    import graft.pipeline.Erasure
+    val erased = Erasure.customerSummaryErased(spark, Sf0001).collect()
+    assert(erased.nonEmpty)
+    assert(erased.forall(_.getAs[Long]("customer_id") % Erasure.ErasureMod != 0),
+      "an erased customer surviving anywhere in the mart is the failure " +
+        "mode this op exists to prevent")
+    val normal = graft.gold.Gold.customerSummary(spark, Sf0001).collect()
+    val byId = normal.map(r => r.getAs[Long]("customer_id") -> r).toMap
+    assert(normal.length - erased.length ==
+      byId.keys.count(_ % Erasure.ErasureMod == 0),
+      "exactly the erasure set may disappear — nothing else")
+    erased.foreach { r =>
+      assert(r == byId(r.getAs[Long]("customer_id")),
+        "erasure must not perturb surviving customers' aggregates " +
+          "(their orders/payments are untouched)")
+    }
+  }
+
   test("bloom screen: never misses — every exactly-contaminated doc is " +
       "flagged, and bloom hits dominate exact hits row-wise") {
     import graft.ops.Decontam
