@@ -651,6 +651,12 @@ object Queries {
       Seq("rank"),
       ops.Sketch.cmsHeavyHitters, ops.Sketch.cmsHeavyHittersOracle),
 
+    Spec("sketch_hist_quantiles",
+      Seq("p" -> I, "n" -> L, "est_cents" -> L, "exact_cents" -> L,
+        "err_cents" -> L),
+      Seq("p"),
+      ops.Sketch.histQuantiles, ops.Sketch.histQuantilesOracle),
+
     Spec("sketch_kmv_merge",
       Seq("event_type" -> P, "n_shards" -> L, "merged_n_kept" -> L,
         "merged_kth_min" -> L, "merged_est" -> P,
@@ -681,6 +687,13 @@ object Queries {
       Seq("doc_id"),
       (s, d) => ops.TextOps.corpusDiff(s, d),
       ops.TextOps.corpusDiffOracle),
+
+    Spec("vocab_collocations",
+      Seq("rank" -> I, "w1" -> P, "w2" -> P, "pair_count" -> L,
+        "c1" -> L, "c2" -> L, "lift" -> P),
+      Seq("rank"),
+      (s, d) => ops.TextOps.collocations(s, d),
+      ops.TextOps.collocationsOracle()),
 
     Spec("docs_sample_weighted",
       Seq("doc_id" -> P, "n_tokens" -> L, "sample_key" -> L,

@@ -290,6 +290,112 @@ object Sketch {
     GROUP BY rank, token, exact_count"""
   }
 
+  /** Histogram-quantile geometry: [[HistBuckets]] equi-width counter
+    * buckets over the observed [min, max] cent range. */
+  val HistBuckets = 256
+
+  /** Approximate quantiles from a bounded equi-width histogram — the
+    * mergeable-counter companion to [[cmsHeavyHitters]] for the ORDER
+    * domain: every value increments one of [[HistBuckets]] counters
+    * (map-side combined; the sketch state is O(1) in corpus size and two
+    * shard histograms merge by cell-wise addition), and quantile p is
+    * answered from the cumulative counts as the containing bucket's
+    * UPPER cent bound — an overestimate by at most one bucket width,
+    * never an underestimate, pinned in the spec. Estimates are reported
+    * NEXT TO the exact nearest-rank percentile so the realized error is
+    * itself oracle-checked; the exact branch (a global-order
+    * rank — [[Analytics.orderPercentiles]]'s shape) exists only for
+    * that audit, exactly like the CMS row's vocabulary aggregate.
+    *
+    * Bounds come from one min/max aggregate broadcast back (production
+    * would fix the domain a priori or take bounds from footer stats);
+    * all bucket arithmetic is integer, both engines. */
+  def histQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Events.events(spark, dir)
+      .select(round(col("value") * 100).cast("long").as("c"))
+    val bounds = cents.agg(min(col("c")).as("minc"), max(col("c")).as("maxc"))
+    val b = cents.crossJoin(broadcast(bounds))
+      .withColumn("span", col("maxc") - col("minc") + 1)
+      .withColumn("bucket",
+        expr(s"((c - minc) * $HistBuckets) div span"))
+      .groupBy("bucket", "minc", "span")
+      .agg(count(lit(1)).as("cnt"))
+    val wcum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = b.withColumn("cum", sum(col("cnt")).over(wcum))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("upper",
+        expr(s"minc + ((bucket + 1) * span + ${HistBuckets - 1}) div $HistBuckets - 1"))
+    val est = cum.agg(
+      max(col("n")).as("n"),
+      min(when(col("cum") >= expr("(n * 50 + 99) div 100"), col("upper"))).as("e50"),
+      min(when(col("cum") >= expr("(n * 90 + 99) div 100"), col("upper"))).as("e90"),
+      min(when(col("cum") >= expr("(n * 99 + 99) div 100"), col("upper"))).as("e99"))
+    val wr = Window.orderBy("c")
+    val exact = cents.withColumn("rn", row_number().over(wr))
+      .crossJoin(broadcast(est))
+      .agg(
+        max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("c"))).as("x50"),
+        max(when(col("rn") === expr("(n * 90 + 99) div 100"), col("c"))).as("x90"),
+        max(when(col("rn") === expr("(n * 99 + 99) div 100"), col("c"))).as("x99"),
+        max(col("n")).as("n"),
+        max(col("e50")).as("e50"), max(col("e90")).as("e90"),
+        max(col("e99")).as("e99"))
+    exact.select(explode(array(
+      struct(lit(50).as("p"), col("n"), col("e50").as("est_cents"),
+        col("x50").as("exact_cents")),
+      struct(lit(90).as("p"), col("n"), col("e90").as("est_cents"),
+        col("x90").as("exact_cents")),
+      struct(lit(99).as("p"), col("n"), col("e99").as("est_cents"),
+        col("x99").as("exact_cents")))).as("r"))
+      .select(col("r.p").as("p"), col("r.n").as("n"),
+        col("r.est_cents").as("est_cents"),
+        col("r.exact_cents").as("exact_cents"))
+      .withColumn("err_cents", col("est_cents") - col("exact_cents"))
+  }
+
+  def histQuantilesOracle: String =
+    s"""WITH c AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events),
+    bounds AS (SELECT min(c) AS minc, max(c) AS maxc FROM c),
+    b AS (
+      SELECT ((c - minc) * $HistBuckets) // (maxc - minc + 1) AS bucket,
+        minc, maxc - minc + 1 AS span
+      FROM c CROSS JOIN bounds),
+    h AS (
+      SELECT bucket, minc, span, count(*) AS cnt
+      FROM b GROUP BY 1, 2, 3),
+    cum AS (
+      SELECT bucket, minc, span, cnt,
+        sum(cnt) OVER (ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        sum(cnt) OVER () AS n,
+        minc + ((bucket + 1) * span + ${HistBuckets - 1}) // $HistBuckets - 1
+          AS upper
+      FROM h),
+    est AS (
+      SELECT max(n) AS n,
+        min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN upper END) AS e50,
+        min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN upper END) AS e90,
+        min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN upper END) AS e99
+      FROM cum),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c) AS rn FROM c),
+    exact AS (
+      SELECT max(CASE WHEN rn = (n * 50 + 99) // 100 THEN c END) AS x50,
+        max(CASE WHEN rn = (n * 90 + 99) // 100 THEN c END) AS x90,
+        max(CASE WHEN rn = (n * 99 + 99) // 100 THEN c END) AS x99,
+        max(n) AS n, max(e50) AS e50, max(e90) AS e90, max(e99) AS e99
+      FROM ranked CROSS JOIN est)
+    SELECT p, n, est_cents, exact_cents, est_cents - exact_cents AS err_cents
+    FROM (
+      SELECT 50 AS p, n, e50 AS est_cents, x50 AS exact_cents FROM exact
+      UNION ALL
+      SELECT 90, n, e90, x90 FROM exact
+      UNION ALL
+      SELECT 99, n, e99, x99 FROM exact)"""
+
   def kmvDistinctOracle: String =
     s"""WITH e AS (
       SELECT event_type, user_id, ${md5U24SqlDuck("user_id")} AS h

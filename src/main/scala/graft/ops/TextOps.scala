@@ -896,6 +896,82 @@ object TextOps {
     * ride ONE window partitioning on w1 (vocabulary-keyed, not
     * corpus-keyed — the hot stopword contexts are bounded by distinct
     * continuations, and AQE splits any residual skew). */
+  /** Collocation cutoffs for [[collocations]]: pairs below [[CollocMinPair]]
+    * occurrences are noise (a single shared rare pair produces a huge
+    * lift); [[CollocTopK]] rows reported. */
+  val CollocMinPair = 5
+  val CollocTopK = 20
+
+  /** Top collocations (phrase candidates) by LOG-FREE lift:
+    * `n_tokens · c(w1,w2) / (c(w1) · c(w2))` — pointwise mutual
+    * information's argument without the log (same ordering, no `ln`;
+    * the [[docsTfidfTopK]] ulp-stability rule). Collocation mining is
+    * the phrase-vocabulary step of tokenizer/n-gram pipelines (Mikolov
+    * et al.'s word2vec phrases use exactly this count ratio with a
+    * discount — here the discount is the [[CollocMinPair]] floor).
+    *
+    * Shape: one pair-count shuffle + one unigram-count shuffle, unigram
+    * table joined back twice BROADCAST (vocabulary-sized, not
+    * corpus-sized); the top-k is a single 20-row ordered limit over the
+    * pairs that survive the floor. Lift is one division of exact
+    * integer products — cross-engine bit-identical, so the rank order
+    * is too. */
+  def collocations(spark: SparkSession, dir: String,
+      minPair: Int = CollocMinPair, topK: Int = CollocTopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+    val uni = toks.select(explode(col("words")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val nTotal = toks.select(explode(col("words")).as("w"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val pairs = toks.filter(size(col("words")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(words) - 1),
+             i -> struct(element_at(words, i) AS w1,
+                         element_at(words, i + 1) AS w2))""")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minPair)
+    pairs
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), Seq("w2"))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("lift",
+        col("n_tokens") * col("pair_count") * lit(1.0) /
+          (col("c1") * col("c2")))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("lift").desc, col("w1"), col("w2"))))
+      .filter(col("rank") <= topK)
+      .select("rank", "w1", "w2", "pair_count", "c1", "c2", "lift")
+  }
+
+  def collocationsOracle(minPair: Int = CollocMinPair,
+      topK: Int = CollocTopK): String =
+    s"""WITH d AS (
+      SELECT string_split(text, ' ') AS words FROM documents),
+    uni AS (
+      SELECT unnest(words) AS w FROM d),
+    uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+    nt AS (SELECT count(*) AS n_tokens FROM uni),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(words)),
+        i -> [words[i], words[i + 1]])) AS p
+      FROM d WHERE len(words) >= 2),
+    pc AS (
+      SELECT p[1] AS w1, p[2] AS w2, count(*) AS pair_count
+      FROM bg GROUP BY 1, 2 HAVING count(*) >= $minPair),
+    scored AS (
+      SELECT pc.w1, pc.w2, pc.pair_count, u1.c AS c1, u2.c AS c2,
+        nt.n_tokens * pc.pair_count * 1.0 / (u1.c * u2.c) AS lift
+      FROM pc JOIN uc u1 ON u1.w = pc.w1 JOIN uc u2 ON u2.w = pc.w2
+      CROSS JOIN nt)
+    SELECT CAST(rank AS INTEGER) AS rank, w1, w2, pair_count, c1, c2, lift
+    FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY lift DESC, w1, w2) AS rank
+      FROM scored) WHERE rank <= $topK"""
+
   def bigramLm(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = documents(spark, dir)

@@ -916,6 +916,43 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("hist quantiles: upper-bound estimates within one bucket width, " +
+      "shard histograms merge cell-wise") {
+    import graft.ops.Sketch
+    val rows = Sketch.histQuantiles(spark, Sf0001)
+      .select("p", "n", "est_cents", "exact_cents", "err_cents")
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(50, 90, 99))
+    val cents = graft.ops.Events.events(spark, Sf0001)
+      .select(round(col("value") * 100).cast("long").as("c"))
+      .as[Long].collect()
+    val width = (cents.max - cents.min + 1 + Sketch.HistBuckets - 1) /
+      Sketch.HistBuckets
+    rows.foreach { case (p, n, est, exact, err) =>
+      assert(n == cents.length)
+      assert(err == est - exact)
+      assert(est >= exact,
+        s"p$p: the containing bucket's UPPER bound can never " +
+          "underestimate the rank value")
+      assert(err <= width,
+        s"p$p: error $err exceeded the bucket width $width — the " +
+          "histogram's entire accuracy contract")
+      // the exact side really is the nearest-rank percentile
+      val sorted = cents.sorted
+      assert(exact == sorted(((n * p + 99) / 100 - 1).toInt))
+    }
+    // cell-wise merge: two shard histograms sum to the global one
+    val (lo, hi) = (cents.min, cents.max)
+    def cellsOf(vs: Array[Long]): Map[Long, Long] =
+      vs.groupBy(c => (c - lo) * Sketch.HistBuckets / (hi - lo + 1))
+        .view.mapValues(_.length.toLong).toMap
+    val (a, b) = cents.zipWithIndex.partition(_._2 % 2 == 0)
+    val merged = (cellsOf(a.map(_._1)).keySet ++ cellsOf(b.map(_._1)).keySet)
+      .map(k => k -> (cellsOf(a.map(_._1)).getOrElse(k, 0L) +
+        cellsOf(b.map(_._1)).getOrElse(k, 0L))).toMap
+    assert(merged == cellsOf(cents))
+  }
+
   test("cms counter tables merge by cell-wise addition across shards") {
     // the property that lets shard sketches roll up without a vocabulary
     // shuffle: count(A ∪ B) per cell = count(A) + count(B) per cell —
