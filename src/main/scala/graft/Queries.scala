@@ -651,6 +651,12 @@ object Queries {
       Seq("rank"),
       ops.Sketch.cmsHeavyHitters, ops.Sketch.cmsHeavyHittersOracle),
 
+    Spec("layout_zorder_stats",
+      Seq("layout" -> P, "group_id" -> P, "n_events" -> L,
+        "user_span" -> L, "ts_span" -> L),
+      Seq("layout", "group_id"),
+      ops.Zorder.layoutStats, ops.Zorder.layoutStatsOracle),
+
     Spec("sketch_hist_quantiles",
       Seq("p" -> I, "n" -> L, "est_cents" -> L, "exact_cents" -> L,
         "err_cents" -> L),

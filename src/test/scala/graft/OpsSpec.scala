@@ -916,6 +916,30 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("zorder layout: every file group's bounding box is bounded in " +
+      "BOTH dimensions; the linear layout spans full user width") {
+    val rows = graft.ops.Zorder.layoutStats(spark, Sf0001)
+      .select("layout", "group_id", "n_events", "user_span", "ts_span")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val byLayout = rows.groupBy(_._1)
+    assert(byLayout.keySet == Set("zorder", "linear"))
+    def meanSpan(l: String, f: ((String, Long, Long, Long, Long)) => Long) = {
+      val g = byLayout(l); g.map(f).sum.toDouble / g.length
+    }
+    // time-sorted files: perfect time locality, zero user locality
+    assert(meanSpan("linear", _._4) > 60000,
+      "a time-sorted layout's files must span ~the whole user space — " +
+        "that's the pruning failure z-order exists to fix")
+    // z-order: BOTH dims bounded near 2^16/sqrt(groups) = 1/4 width
+    assert(meanSpan("zorder", _._4) < meanSpan("linear", _._4) / 2,
+      "z-ordered groups must at least halve the user span (theory: 4x)")
+    assert(meanSpan("zorder", _._5) < 65536 / 2,
+      "the time dimension must stay bounded too — z-order is a trade, " +
+        "not a sacrifice of one dimension for the other")
+    // groups partition the rows exactly once per layout
+    assert(byLayout("zorder").map(_._3).sum == byLayout("linear").map(_._3).sum)
+  }
+
   test("hist quantiles: upper-bound estimates within one bucket width, " +
       "shard histograms merge cell-wise") {
     import graft.ops.Sketch
