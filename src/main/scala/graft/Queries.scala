@@ -663,6 +663,13 @@ object Queries {
       Seq("p"),
       ops.Sketch.histQuantiles, ops.Sketch.histQuantilesOracle),
 
+    Spec("sketch_kmv_intersect",
+      Seq("type_a" -> P, "type_b" -> P, "n_kept" -> L, "n_both" -> L,
+        "jaccard_est" -> P, "union_est" -> P, "est_intersect" -> P,
+        "exact_intersect" -> L),
+      Seq("type_a", "type_b"),
+      ops.Sketch.kmvIntersect, ops.Sketch.kmvIntersectOracle),
+
     Spec("sketch_kmv_merge",
       Seq("event_type" -> P, "n_shards" -> L, "merged_n_kept" -> L,
         "merged_kth_min" -> L, "merged_est" -> P,

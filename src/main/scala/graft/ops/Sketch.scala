@@ -186,6 +186,127 @@ object Sketch {
     FROM m_est m JOIN gsk USING (event_type)
     JOIN n_sh USING (event_type)"""
 
+  /** Set-intersection estimation from KMV sketches — the join-size
+    * estimator (Beyer et al., "On synopses for distinct-value estimation
+    * under multiset operations"): for audiences A and B, the bottom-K of
+    * A ∪ B is a uniform sample of the union, so the fraction of it
+    * lying in BOTH per-set sketches estimates Jaccard, and
+    * `|A ∩ B| ≈ J · |A ∪ B|` with the union size from the same merged
+    * sketch. This is what a planner consults before choosing a join
+    * strategy, and what audience-overlap analytics ships — here per pair
+    * of event types over distinct users, estimate NEXT TO the exact
+    * overlap as always.
+    *
+    * Scale shape: the per-type sketches are the [[kmvMergeShards]]
+    * artifacts (≤ K rows per type — nothing corpus-sized is ever
+    * re-read to answer a NEW pair); every pair computation is sketch ×
+    * sketch. The exact branch (one distinct + one user-keyed self-join)
+    * exists only for the audit row. Membership joins are equi-joins on
+    * the pair key — no nested loop. */
+  def kmvIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val e = Events.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        expr(md5U24Expr("user_id")).cast("long").as("h"))
+    val sk = e.select("event_type", "h").distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("h")))
+      .filter(col("rn") <= K)
+      .select("event_type", "h")
+    val types = sk.select("event_type").distinct()
+    val tp = types.select(col("event_type").as("type_a"))
+      .crossJoin(types.select(col("event_type").as("type_b")))
+      .filter(col("type_a") < col("type_b"))
+    val ca = tp.join(sk.withColumnRenamed("event_type", "type_a"),
+        Seq("type_a"))
+      .select(col("type_a"), col("type_b"), col("h"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+    val cb = tp.join(sk.withColumnRenamed("event_type", "type_b"),
+        Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("h"),
+        lit(0).as("in_a"), lit(1).as("in_b"))
+    val uh = ca.union(cb)
+      .groupBy("type_a", "type_b", "h")
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("type_a", "type_b").orderBy("h")))
+      .filter(col("rn") <= K)
+    val est = uh.groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_min"),
+        sum(col("in_a") * col("in_b")).as("n_both"))
+      .withColumn("union_est",
+        when(col("n_kept") < K, col("n_kept").cast("double"))
+          .otherwise(
+            (lit(K - 1) * lit(HashSpace.toDouble)) / col("kth_min")))
+      .withColumn("jaccard_est",
+        col("n_both") * lit(1.0) / col("n_kept"))
+      .withColumn("est_intersect",
+        col("jaccard_est") * col("union_est"))
+    val du = e.select("event_type", "user_id").distinct()
+    val exact = du.select(col("event_type").as("type_a"),
+        col("user_id"))
+      .join(du.select(col("event_type").as("type_b"), col("user_id")),
+        Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("exact_intersect"))
+    est.join(exact, Seq("type_a", "type_b"), "left")
+      .withColumn("exact_intersect",
+        coalesce(col("exact_intersect"), lit(0L)))
+      .select("type_a", "type_b", "n_kept", "n_both", "jaccard_est",
+        "union_est", "est_intersect", "exact_intersect")
+  }
+
+  def kmvIntersectOracle: String =
+    s"""WITH e AS (
+      SELECT event_type, user_id, ${md5U24SqlDuck("user_id")} AS h
+      FROM events),
+    sk AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+          row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM (SELECT DISTINCT event_type, h FROM e))
+      WHERE rn <= $K),
+    tp AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM (SELECT DISTINCT event_type FROM sk) a,
+           (SELECT DISTINCT event_type FROM sk) b
+      WHERE a.event_type < b.event_type),
+    contrib AS (
+      SELECT tp.type_a, tp.type_b, s.h, 1 AS in_a, 0 AS in_b
+      FROM tp JOIN sk s ON s.event_type = tp.type_a
+      UNION ALL
+      SELECT tp.type_a, tp.type_b, s.h, 0, 1
+      FROM tp JOIN sk s ON s.event_type = tp.type_b),
+    uh AS (
+      SELECT type_a, type_b, h, in_a, in_b FROM (
+        SELECT type_a, type_b, h, max(in_a) AS in_a, max(in_b) AS in_b,
+          row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+        FROM contrib GROUP BY 1, 2, 3)
+      WHERE rn <= $K),
+    est AS (
+      SELECT type_a, type_b, count(*) AS n_kept, max(h) AS kth_min,
+        CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+      FROM uh GROUP BY 1, 2),
+    est2 AS (
+      SELECT type_a, type_b, n_kept, n_both,
+        n_both * 1.0 / n_kept AS jaccard_est,
+        CASE WHEN n_kept < $K THEN CAST(n_kept AS DOUBLE)
+          ELSE (${K - 1} * ${HashSpace.toDouble}) / kth_min END
+          AS union_est
+      FROM est),
+    du AS (SELECT DISTINCT event_type, user_id FROM e),
+    exact AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+        count(*) AS exact_intersect
+      FROM du a JOIN du b ON a.user_id = b.user_id
+        AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT e2.type_a, e2.type_b, e2.n_kept, e2.n_both, e2.jaccard_est,
+      e2.union_est, e2.jaccard_est * e2.union_est AS est_intersect,
+      coalesce(x.exact_intersect, 0) AS exact_intersect
+    FROM est2 e2 LEFT JOIN exact x
+      ON x.type_a = e2.type_a AND x.type_b = e2.type_b"""
+
   /** Count-min sketch geometry: [[CmsDepth]] hash rows × [[CmsWidth]]
     * counter buckets = 1024 cells TOTAL, whatever the corpus size — that
     * bound is the whole point. Row r's 8-bit bucket is nibbles
