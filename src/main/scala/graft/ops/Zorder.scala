@@ -51,7 +51,9 @@ object Zorder {
   def layoutStats(spark: SparkSession, dir: String): DataFrame = {
     val e = Events.events(spark, dir)
       .select(col("user_id").cast("long").as("u"),
-        unix_micros(col("ts").cast("timestamp")).as("t"))
+        expr("unix_micros(cast(ts as timestamp)) div 1000")
+          .as("t"))               // ms: (span * 2^16) must fit a long —
+                                  // us deltas overflow past ~4.5-year spans
     val bounds = e.agg(
       min(col("u")).as("minu"), (max(col("u")) - min(col("u")) + 1).as("spanu"),
       min(col("t")).as("mint"), (max(col("t")) - min(col("t")) + 1).as("spant"))
@@ -78,7 +80,7 @@ object Zorder {
       .map(i => s"((($c) // ${1L << i}) % 2) * ${1L << (2 * i)}")
       .mkString("(", " + ", ")")
     s"""WITH e AS (
-      SELECT CAST(user_id AS BIGINT) AS u, epoch_us(ts) AS t FROM events),
+      SELECT CAST(user_id AS BIGINT) AS u, epoch_us(ts) // 1000 AS t FROM events),
     bounds AS (
       SELECT min(u) AS minu, max(u) - min(u) + 1 AS spanu,
         min(t) AS mint, max(t) - min(t) + 1 AS spant
