@@ -916,6 +916,30 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("kmv intersect: estimator sane — n_both bounded by the sample, " +
+      "estimate within the sketch's design error of truth") {
+    import graft.ops.Sketch
+    val rows = Sketch.kmvIntersect(spark, Sf0001)
+      .select("type_a", "type_b", "n_kept", "n_both", "jaccard_est",
+        "union_est", "est_intersect", "exact_intersect")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (kept, both) = (r.getLong(2), r.getLong(3))
+      val (jac, est, exact) =
+        (r.getDouble(4), r.getDouble(6), r.getLong(7))
+      assert(both <= kept && jac >= 0.0 && jac <= 1.0)
+      assert(math.abs(jac - both.toDouble / kept) < 1e-12)
+      // 3/sqrt(K) ≈ 37% three-sigma band on the union estimate, plus the
+      // Jaccard sampling error — a loose but honest sanity floor; the
+      // driver row pins the REALIZED values exactly
+      if (exact > 0)
+        assert(math.abs(est - exact) <= math.max(0.5 * exact, 10.0),
+          s"${r.getString(0)}∩${r.getString(1)}: estimate $est strayed " +
+            s"implausibly far from exact $exact")
+    }
+  }
+
   test("zorder layout: every file group's bounding box is bounded in " +
       "BOTH dimensions; the linear layout spans full user width") {
     val rows = graft.ops.Zorder.layoutStats(spark, Sf0001)
