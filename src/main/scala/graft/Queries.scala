@@ -864,6 +864,12 @@ object Queries {
       streaming.StreamingOps.attributionOuterParity,
       streaming.StreamingOps.attributionOuterParityOracle),
 
+    Spec("events_pattern_journeys",
+      Seq("pattern" -> P, "n_sessions" -> L, "n_total" -> L,
+        "share" -> P),
+      Seq("pattern"),
+      ops.Events.patternJourneys, ops.Events.patternJourneysOracle),
+
     Spec("events_top_paths",
       Seq("path_rank" -> I, "path" -> P, "n_sessions" -> L),
       Seq("path_rank"),

@@ -384,6 +384,82 @@ object Events {
       .select("path_rank", "path", "n_sessions")
   }
 
+  /** MATCH_RECOGNIZE-style session pattern detection — the SQL-standard
+    * row-pattern-matching surface Spark does not ship: which sessions
+    * follow `view ⇢ click ⇢ purchase` (in order, gaps allowed)? Which
+    * converted despite an error? Which bounced? The engine expresses the
+    * common subset of MATCH_RECOGNIZE — ordered-subsequence patterns
+    * over a partition — by reducing each (user, day) journey to its
+    * ordered event-type path string (the [[topPaths]] reduction,
+    * uncapped: a daily journey is calendar-bounded, so the string is
+    * too; the day grain is where this stream discriminates — gap
+    * sessions are 95% single-event bounces and whole-user histories
+    * eventually match everything) and matching
+    * patterns as regexes, which distribute as a map over the
+    * one-row-per-session table. Both engines run the same pattern text;
+    * the patterns use only `.`/`*`/literals, the regex subset Java and
+    * RE2 agree on.
+    *
+    * Output: one row per named pattern with the matching-session count
+    * and share — the funnel/journey questions MATCH_RECOGNIZE exists to
+    * answer. */
+  def patternJourneys(spark: SparkSession, dir: String): DataFrame = {
+    val paths = events(spark, dir)
+      .groupBy(col("user_id"), col("ts").cast("date").as("d"))
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))),
+        x => x.getField("event_type"))).as("path"))
+    val converted = col("path").rlike("view.*click.*purchase")
+    val patterns = Seq(
+      ("converted", converted),
+      ("clean_conversion", converted && !col("path").contains("error")),
+      ("error_retry_purchase", col("path").rlike("error.*purchase")),
+      ("bounce", !col("path").contains(">")))
+    val agg = paths.agg(
+      count(lit(1)).as("n_total"),
+      patterns.map { case (n, p) =>
+        sum(p.cast("long")).as(s"c_$n")
+      }: _*)
+    agg.select(explode(array(patterns.map { case (n, _) =>
+        struct(lit(n).as("pattern"), col(s"c_$n").as("n_sessions"),
+          col("n_total"))
+      }: _*)).as("r"))
+      .select(col("r.pattern").as("pattern"),
+        col("r.n_sessions").as("n_sessions"),
+        col("r.n_total").as("n_total"),
+        (col("r.n_sessions") * lit(1.0) / col("r.n_total")).as("share"))
+  }
+
+  def patternJourneysOracle: String = {
+    s"""WITH paths AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+        string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY 1, 2),
+    agg AS (
+      SELECT count(*) AS n_total,
+        sum(CASE WHEN regexp_matches(path, 'view.*click.*purchase')
+            THEN 1 ELSE 0 END) AS c_converted,
+        sum(CASE WHEN regexp_matches(path, 'view.*click.*purchase')
+            AND NOT contains(path, 'error') THEN 1 ELSE 0 END)
+          AS c_clean_conversion,
+        sum(CASE WHEN regexp_matches(path, 'error.*purchase')
+            THEN 1 ELSE 0 END) AS c_error_retry_purchase,
+        sum(CASE WHEN NOT contains(path, '>') THEN 1 ELSE 0 END)
+          AS c_bounce
+      FROM paths)
+    SELECT pattern, CAST(n_sessions AS BIGINT) AS n_sessions,
+      n_total, n_sessions * 1.0 / n_total AS share
+    FROM (
+      SELECT 'converted' AS pattern, c_converted AS n_sessions, n_total
+      FROM agg
+      UNION ALL SELECT 'clean_conversion', c_clean_conversion, n_total
+      FROM agg
+      UNION ALL SELECT 'error_retry_purchase', c_error_retry_purchase,
+        n_total FROM agg
+      UNION ALL SELECT 'bounce', c_bounce, n_total FROM agg)"""
+  }
+
   def topPathsOracle: String = {
     val gapUs = SessionGapMinutes * 60L * 1000000L
     s"""WITH e AS (
