@@ -177,6 +177,15 @@ object Queries {
       pipeline.IncrementalQueries.incrementalAppend,
       pipeline.IncrementalQueries.incrementalAppendOracle),
 
+    Spec("incremental_agg_merge",
+      Seq("event_type" -> P, "n_events" -> L, "n_old_phase" -> L,
+        "n_new_phase" -> L, "value_sum" -> P, "avg_value" -> P,
+        "value_min_cents" -> L, "value_max_cents" -> L,
+        "kmv_users_est" -> P, "exact_users" -> L),
+      Seq("event_type"),
+      pipeline.IncrementalQueries.incrementalAggMerge,
+      pipeline.IncrementalQueries.incrementalAggMergeOracle),
+
     Spec("scd2_temporal_join",
       Seq("order_id" -> P, "customer_id" -> P, "event_ts" -> P,
         "email" -> P, "version_from" -> P, "matched" -> P),

@@ -101,6 +101,113 @@ object IncrementalQueries {
       expr(s"TIMESTAMP_NTZ '$Scd2T1'"))
   }
 
+  /** Days held back as the "new data" phase of [[incrementalAggMerge]]. */
+  val AggDeltaDays = 7
+
+  /** Incremental AGGREGATE maintenance — the materialized-view update
+    * path: yesterday's stored per-group partial aggregates plus a
+    * partial over only the NEW data must equal a from-scratch rebuild.
+    * [[Incremental]] maintains tables at ROW grain (append/merge); this
+    * is the aggregate grain, and it works because the aggregates are
+    * ALGEBRAIC: counts and sums add, min/max fold, avg is recomposed
+    * from (sum, count) — never averaged-of-averages — and distinct
+    * users, NOT algebraic, ride the KMV sketch whose bottom-k union IS
+    * its merge ([[graft.ops.Sketch.kmvMergeShards]], here sharded by
+    * time instead of hash). The engine computes the TWO-PHASE path
+    * (events split at max_date − [[AggDeltaDays]]); the oracle computes
+    * the single-phase rebuild — their hash-equality is the losslessness
+    * proof, column by column.
+    *
+    * At scale: the stored partials are group-cardinality rows (not
+    * events); each refresh scans only the delta. The exact distinct
+    * column is the audit branch, as always. */
+  def incrementalAggMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Events, Sketch}
+    val e = Events.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        round(col("value") * 100).cast("long").as("c"),
+        col("ts").cast("date").as("d"))
+    val cutoff = e.agg(date_sub(max(col("d")), AggDeltaDays).as("cut"))
+    val tagged = e.crossJoin(broadcast(cutoff))
+      .withColumn("phase", when(col("d") < col("cut"), "old").otherwise("new"))
+    // phase partials: what the store would hold / what the refresh computes
+    val partials = tagged.groupBy("event_type", "phase")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        min(col("c")).as("mn"), max(col("c")).as("mx"))
+    val merged = partials.groupBy("event_type")
+      .agg(sum(col("n")).as("n_events"), sum(col("s")).as("csum"),
+        min(col("mn")).as("value_min_cents"),
+        max(col("mx")).as("value_max_cents"),
+        sum(when(col("phase") === "old", col("n")).otherwise(0L)).as("n_old_phase"),
+        sum(when(col("phase") === "new", col("n")).otherwise(0L)).as("n_new_phase"))
+    // KMV distinct-user sketches per phase, merged by union + re-bottom-k
+    val hashes = tagged.select(col("event_type"), col("phase"),
+        expr(Sketch.md5U24Expr("user_id")).cast("long").as("h"))
+      .distinct()
+    val phaseSk = hashes
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type", "phase").orderBy("h")))
+      .filter(col("rn") <= Sketch.K)
+    val mergedSk = phaseSk.select("event_type", "h").distinct()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("h")))
+      .filter(col("rn") <= Sketch.K)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth"))
+      .withColumn("kmv_users_est",
+        when(col("n_kept") < Sketch.K, col("n_kept").cast("double"))
+          .otherwise((lit(Sketch.K - 1) * lit(Sketch.HashSpace.toDouble))
+            / col("kth")))
+      .select("event_type", "kmv_users_est")
+    val exact = e.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(mergedSk, Seq("event_type"))
+      .join(exact, Seq("event_type"))
+      .withColumn("value_sum", col("csum") / 100.0)
+      .withColumn("avg_value",
+        (col("csum") / col("n_events")).cast("double") / 100.0)
+      .select("event_type", "n_events", "n_old_phase", "n_new_phase",
+        "value_sum", "avg_value", "value_min_cents", "value_max_cents",
+        "kmv_users_est", "exact_users")
+  }
+
+  def incrementalAggMergeOracle: String =
+    s"""WITH e AS (
+      SELECT event_type, user_id, CAST(round(value * 100) AS BIGINT) AS c,
+        CAST(ts AS DATE) AS d
+      FROM events),
+    cut AS (SELECT max(d) - $AggDeltaDays AS cut FROM e),
+    full_agg AS (
+      SELECT event_type, count(*) AS n_events,
+        sum(CASE WHEN d < cut THEN 1 ELSE 0 END) AS n_old_phase,
+        sum(CASE WHEN d >= cut THEN 1 ELSE 0 END) AS n_new_phase,
+        sum(c) AS csum, min(c) AS value_min_cents,
+        max(c) AS value_max_cents,
+        count(DISTINCT user_id) AS exact_users
+      FROM e CROSS JOIN cut GROUP BY 1),
+    sk AS (
+      SELECT event_type, count(*) AS n_kept, max(h) AS kth FROM (
+        SELECT event_type, h,
+          row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM (SELECT DISTINCT event_type,
+                ${graft.ops.Sketch.md5U24SqlDuck("user_id")} AS h
+              FROM e))
+      WHERE rn <= ${graft.ops.Sketch.K} GROUP BY 1)
+    SELECT f.event_type, f.n_events,
+      CAST(f.n_old_phase AS BIGINT) AS n_old_phase,
+      CAST(f.n_new_phase AS BIGINT) AS n_new_phase,
+      f.csum / 100.0 AS value_sum,
+      CAST(f.csum / f.n_events AS DOUBLE) / 100.0 AS avg_value,
+      f.value_min_cents, f.value_max_cents,
+      CASE WHEN s.n_kept < ${graft.ops.Sketch.K}
+        THEN CAST(s.n_kept AS DOUBLE)
+        ELSE (${graft.ops.Sketch.K - 1} * ${graft.ops.Sketch.HashSpace.toDouble}) / s.kth
+      END AS kmv_users_est,
+      f.exact_users
+    FROM full_agg f JOIN sk s USING (event_type)"""
+
   /** Point-in-time (temporal) join: each fact joined to the SCD2
     * dimension version VALID AT its event time — `_valid_from ≤ ts <
     * _valid_to` (open versions have NULL `_valid_to`) — the canonical
