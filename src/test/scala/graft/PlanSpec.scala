@@ -158,6 +158,32 @@ class PlanSpec extends SparkSpec {
       "the corpus-side pass is a filter over the scan — no doc_id shuffle")
   }
 
+  test("collocations: vocabulary joins broadcast, pair counts combine " +
+      "map-side, no corpus-shuffled join") {
+    val p = plan(TextOps.collocations(spark, Sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      "the unigram table is vocabulary-sized — it must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "nothing in lift scoring warrants a corpus-side shuffle join")
+    assert(p.contains("partial_count"),
+      "pair and unigram counts must combine map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("incremental agg merge: partial aggregates combine map-side, " +
+      "exact-distinct is the only wide audit branch") {
+    val p = plan(graft.pipeline.IncrementalQueries
+      .incrementalAggMerge(spark, Sf0001))
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      "phase partials are the stored state — they must combine map-side")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row cutoff must BROADCAST against the events scan, " +
+        "never cartesian-shuffle it")
+    assert(!p.contains("SortMergeJoin [user_id") &&
+      !p.contains("ShuffledHashJoin [user_id"),
+      "nothing joins on user_id — distinct users ride the sketch")
+  }
+
   test("pagerank: Pregel-shaped rounds — equi-joins, map-side partial " +
       "sums, no all-pairs") {
     val p = plan(graft.ops.Dedup.dedupPagerank(spark, Sf0001))
