@@ -717,6 +717,12 @@ object Queries {
       (s, d) => ops.TextOps.collocations(s, d),
       ops.TextOps.collocationsOracle()),
 
+    Spec("corpus_drift_chi2",
+      Seq("decade" -> I, "n1" -> L, "n2" -> L, "chi2_term" -> P),
+      Seq("decade"),
+      (s, d) => ops.TextOps.corpusDriftChi2(s, d),
+      ops.TextOps.corpusDriftChi2Oracle),
+
     Spec("docs_sample_weighted",
       Seq("doc_id" -> P, "n_tokens" -> L, "sample_key" -> L,
         "total_tokens" -> L),

@@ -129,9 +129,9 @@ object TextOps {
     * this is one fingerprint shuffle (32-hex keys, not text) exactly
     * like [[Dedup.exact]]; with both releases bucketed on doc_id at
     * rest even that shuffle disappears. */
-  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
-    val v1 = documents(spark, dir)
-      .select(col("doc_id"), md5(col("text")).as("fp_old"))
+  /** The synthetic v2 release shared by [[corpusDiff]] and
+    * [[corpusDriftChi2]]. */
+  private[ops] def v2Docs(spark: SparkSession, dir: String): DataFrame = {
     val base = documents(spark, dir)
     val edited = base
       .filter(col("doc_id") % DiffDropMod =!= 0)
@@ -141,7 +141,22 @@ object TextOps {
           .as("text"))
     val added = base.filter(col("doc_id") < DiffAdded)
       .select((col("doc_id") + DiffAddBase).as("doc_id"), col("text"))
-    val v2 = edited.union(added)
+    edited.union(added)
+  }
+
+  private[ops] val v2DocsSqlDuck: String =
+    s"""SELECT doc_id,
+        CASE WHEN doc_id % $DiffChangeMod = 0
+            THEN text || ' [v2-erratum]' ELSE text END AS text
+      FROM documents WHERE doc_id % $DiffDropMod != 0
+      UNION ALL
+      SELECT doc_id + $DiffAddBase, text
+      FROM documents WHERE doc_id < $DiffAdded"""
+
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp_old"))
+    val v2 = v2Docs(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("fp_new"))
     v1.join(v2, Seq("doc_id"), "full_outer")
       .withColumn("status",
@@ -171,6 +186,67 @@ object TextOps {
       v1.fp_old, v2.fp_new
     FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
     WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.fp_old != v2.fp_new"""
+
+  /** Distribution-drift monitor between corpus releases — the check a
+    * training pipeline runs before swapping v2 in: has the LENGTH
+    * DISTRIBUTION shifted, not just which documents changed
+    * ([[corpusDiff]] answers that)? The statistic is the two-sample
+    * chi-square over log-free length decades (digit count of n_chars,
+    * the [[docsLengthHistogram]] discipline): per bucket
+    * `(n1·N2 − n2·N1)² / (N1·N2·(n1+n2))`, summed by the consumer
+    * against the χ² table. All-rational — counts in, one division out
+    * (products evaluated in doubles with matched operation order, so
+    * both engines land on the same bits; `ln`-based divergences like KL
+    * are NOT ulp-stable cross-engine, the repo-wide rule).
+    *
+    * Scale: two histogram aggregates (map-side combined, ≤ a dozen
+    * buckets each) + a bucket-keyed join of the two — nothing
+    * corpus-sized after the scans. */
+  def corpusDriftChi2(spark: SparkSession, dir: String): DataFrame = {
+    def hist(df: DataFrame, n: String) = df
+      .select(length(length(col("text")).cast("string")).as("decade"))
+      .groupBy("decade").agg(count(lit(1)).as(n))
+    val h1 = hist(documents(spark, dir), "n1")
+    val h2 = hist(v2Docs(spark, dir), "n2")
+    val joined = h1.join(h2, Seq("decade"), "full_outer")
+      .select(col("decade"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"))
+    val totals = joined.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("num",
+        col("n1").cast("double") * col("t2").cast("double")
+          - col("n2").cast("double") * col("t1").cast("double"))
+      .withColumn("chi2_term",
+        col("num") * col("num") /
+          (col("t1").cast("double") * col("t2").cast("double")
+            * (col("n1") + col("n2")).cast("double")))
+      .select("decade", "n1", "n2", "chi2_term")
+  }
+
+  def corpusDriftChi2Oracle: String =
+    s"""WITH h1 AS (
+      SELECT length(CAST(length(text) AS VARCHAR)) AS decade,
+        count(*) AS n1
+      FROM documents GROUP BY 1),
+    h2 AS (
+      SELECT length(CAST(length(text) AS VARCHAR)) AS decade,
+        count(*) AS n2
+      FROM ($v2DocsSqlDuck) GROUP BY 1),
+    j AS (
+      SELECT coalesce(h1.decade, h2.decade) AS decade,
+        coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2
+      FROM h1 FULL OUTER JOIN h2 ON h1.decade = h2.decade),
+    t AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM j)
+    SELECT CAST(decade AS INTEGER) AS decade,
+      CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      (CAST(n1 AS DOUBLE) * CAST(t2 AS DOUBLE)
+        - CAST(n2 AS DOUBLE) * CAST(t1 AS DOUBLE))
+      * (CAST(n1 AS DOUBLE) * CAST(t2 AS DOUBLE)
+        - CAST(n2 AS DOUBLE) * CAST(t1 AS DOUBLE))
+      / (CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE)
+        * CAST(n1 + n2 AS DOUBLE)) AS chi2_term
+    FROM j CROSS JOIN t"""
 
   /** Expected sample size of [[weightedSample]]. */
   val WeightedSampleTarget = 100
