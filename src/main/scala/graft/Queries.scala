@@ -154,6 +154,13 @@ object Queries {
              ('credit_card', 'bank_transfer', 'paypal', 'cash', 'other')
          GROUP BY 1"""),
 
+    Spec("profile_columns",
+      Seq("column_name" -> P, "n_rows" -> L, "n_nulls" -> L,
+        "n_distinct" -> L, "uniqueness" -> P, "is_candidate_key" -> I),
+      Seq("column_name"),
+      graft.quality.Profile.profileColumns,
+      graft.quality.Profile.profileColumnsOracle(OracleSql.prelude)),
+
     Spec("source_freshness",
       Seq("source" -> P, "max_loaded_at" -> P, "hours_stale" -> L,
         "status" -> P),
