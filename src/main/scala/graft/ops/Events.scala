@@ -117,6 +117,37 @@ object Events {
          sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
        FROM events GROUP BY 1, 2"""
 
+  /** Sliding (hopping) windows — the third window kind next to
+    * [[windowed]]'s tumbling and [[sessionize]]'s session windows: a
+    * 10-minute window every 5 minutes, so each event lands in exactly
+    * TWO windows and adjacent windows share half their data (the shape
+    * behind smooth rate dashboards and overlap-tolerant anomaly
+    * windows). Spark's `window(ts, '10 minutes', '5 minutes')` explodes
+    * each row into its window memberships before the aggregate — the
+    * oracle reproduces that as a union of the two phase-shifted
+    * bucketings, which is exactly what the explode computes. */
+  def slidingWindows(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(cents(col("value"))) / 100.0).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  def slidingWindowsOracle: String =
+    """WITH phased AS (
+      SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000)
+          AS window_start, event_type, value
+      FROM events
+      UNION ALL
+      SELECT make_timestamp(((epoch_us(ts) - 300000000) // 600000000)
+          * 600000000 + 300000000) AS window_start, event_type, value
+      FROM events)
+    SELECT window_start, event_type, count(*) AS n_events,
+      sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM phased GROUP BY 1, 2"""
+
   val AttributionWindowMinutes = 30
 
   /** Purchase→click attribution: each purchase joined to the same user's
