@@ -972,6 +972,78 @@ object TextOps {
     * ride ONE window partitioning on w1 (vocabulary-keyed, not
     * corpus-keyed — the hot stopword contexts are bounded by distinct
     * continuations, and AQE splits any residual skew). */
+  /** Greedy-decode length for [[lmGreedyDecode]]. */
+  val LmDecodeSteps = 10
+
+  /** Serving the trained LM: greedy decoding from the [[bigramLm]]
+    * next-token table — seed with the corpus's most frequent token,
+    * then repeatedly take the argmax successor for [[LmDecodeSteps]]
+    * steps. Deterministic end-to-end (argmax ties break by token, the
+    * seed ties by token), so the generated sequence itself is
+    * oracle-checked — training AND inference both live in the engine.
+    * Greedy bigram chains typically fall into the corpus's dominant
+    * 2-cycle after a few steps; that loop is the correct output of this
+    * decoder, not a defect (temperature sampling would need the
+    * engine-banned transcendentals).
+    *
+    * Shape: the argmax-successor table is vocabulary-sized and each
+    * step is one broadcast lookup against it — inherently sequential,
+    * [[LmDecodeSteps]] tiny jobs (the BPE loop's documented pattern);
+    * production decoders serve the same table from a key-value store. */
+  def lmGreedyDecode(spark: SparkSession, dir: String,
+      steps: Int = LmDecodeSteps): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nxt = bigramLm(spark, dir).filter(col("next_rank") === 1)
+      .select(col("w1"), col("w2")).localCheckpoint()
+    val seed = documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(1)
+      .select(lit(0).as("step"), col("w").as("word"))
+      .localCheckpoint()
+    (1 to steps).foldLeft(seed) { (acc, i) =>
+      val prev = acc.filter(col("step") === i - 1)
+        .select(col("word").as("w1"))
+      acc.union(
+        prev.join(broadcast(nxt), Seq("w1"))
+          .select(lit(i).as("step"), col("w2").as("word")))
+    }
+  }
+
+  def lmGreedyDecodeOracle(steps: Int = LmDecodeSteps): String = {
+    val chain = (1 to steps).map { i =>
+      s"""s$i AS (
+      SELECT $i AS step, n.w2 AS word
+      FROM s${i - 1} s JOIN nxt n ON n.w1 = s.word)"""
+    }.mkString(",\n    ")
+    val sel = (0 to steps).map(i => s"SELECT step, word FROM s$i")
+      .mkString("\n    UNION ALL ")
+    s"""WITH d AS (
+      SELECT string_split(text, ' ') AS words FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(words)),
+        i -> [words[i], words[i + 1]])) AS p
+      FROM d WHERE len(words) >= 2),
+    c AS (
+      SELECT p[1] AS w1, p[2] AS w2, count(*) AS bigram_count
+      FROM bg GROUP BY 1, 2),
+    nxt AS (
+      SELECT w1, w2 FROM (
+        SELECT w1, w2, row_number() OVER (PARTITION BY w1
+          ORDER BY bigram_count DESC, w2) AS rn
+        FROM c) WHERE rn = 1),
+    uni AS (
+      SELECT unnest(words) AS w FROM d),
+    s0 AS (
+      SELECT 0 AS step, w AS word FROM (
+        SELECT w, count(*) AS cnt FROM uni WHERE length(w) > 0 GROUP BY 1
+        ORDER BY cnt DESC, w LIMIT 1)),
+    $chain
+    SELECT CAST(step AS INTEGER) AS step, word FROM (
+      $sel)"""
+  }
+
   /** Collocation cutoffs for [[collocations]]: pairs below [[CollocMinPair]]
     * occurrences are noise (a single shared rare pair produces a huge
     * lift); [[CollocTopK]] rows reported. */
