@@ -117,6 +117,150 @@ object Events {
          sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
        FROM events GROUP BY 1, 2"""
 
+  /** A/B-test readout — the two-proportion z-test every experimentation
+    * platform computes, in the engine's rational-arithmetic discipline:
+    * variants are the deterministic `user_id % 2` split (a stand-in for
+    * the assignment table), the analysis unit is the ACTIVE USER-DAY
+    * and conversion is day-had-a-purchase (every user here eventually
+    * purchases, so the per-user proportion is degenerately 1 — the
+    * day grain is where this stream discriminates, the
+    * [[patternJourneys]] finding; a clustered-unit caveat applies
+    * exactly as it does on real platforms), and the row
+    * reports per-variant users/conversions plus z² as an exact ratio —
+    * `z² = (p̂a − p̂b)² / (p̂(1−p̂)(1/na + 1/nb))` with every term a
+    * ratio of integers (the [[outliers]] z² discipline; the consumer
+    * compares z² to 3.84 for 95%). One user-keyed aggregate, one 2-row
+    * reduce. */
+  def abTestConversion(spark: SparkSession, dir: String): DataFrame = {
+    val users = events(spark, dir)
+      .groupBy(col("user_id"), col("ts").cast("date").as("d"))
+      .agg(max((col("event_type") === "purchase").cast("long"))
+        .as("converted"))
+      .withColumn("variant",
+        when(pmod(col("user_id"), lit(2L)) === 0, "A").otherwise("B"))
+    val per = users.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+    val wide = per.agg(
+      max(when(col("variant") === "A", col("n_users"))).as("na"),
+      max(when(col("variant") === "A", col("n_conv"))).as("ca"),
+      max(when(col("variant") === "B", col("n_users"))).as("nb"),
+      max(when(col("variant") === "B", col("n_conv"))).as("cb"))
+    wide.select(col("na"), col("ca"), col("nb"), col("cb"),
+      (col("ca").cast("double") / col("na")).as("rate_a"),
+      (col("cb").cast("double") / col("nb")).as("rate_b"))
+      .withColumn("pooled",
+        (col("ca") + col("cb")).cast("double") / (col("na") + col("nb")))
+      .withColumn("z2",
+        (col("rate_a") - col("rate_b")) * (col("rate_a") - col("rate_b"))
+          / nullif(col("pooled") * (lit(1.0) - col("pooled"))
+            * (lit(1.0) / col("na") + lit(1.0) / col("nb")), lit(0.0)))
+      .select("na", "ca", "nb", "cb", "rate_a", "rate_b", "pooled", "z2")
+  }
+
+  def abTestConversionOracle: String =
+    """WITH u AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS converted,
+        CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+      FROM events GROUP BY user_id, CAST(ts AS DATE)),
+    per AS (
+      SELECT variant, count(*) AS n_users,
+        CAST(sum(converted) AS BIGINT) AS n_conv
+      FROM u GROUP BY 1),
+    wide AS (
+      SELECT max(CASE WHEN variant = 'A' THEN n_users END) AS na,
+        max(CASE WHEN variant = 'A' THEN n_conv END) AS ca,
+        max(CASE WHEN variant = 'B' THEN n_users END) AS nb,
+        max(CASE WHEN variant = 'B' THEN n_conv END) AS cb
+      FROM per),
+    r AS (
+      SELECT na, ca, nb, cb,
+        CAST(ca AS DOUBLE) / na AS rate_a,
+        CAST(cb AS DOUBLE) / nb AS rate_b,
+        CAST(ca + cb AS DOUBLE) / (na + nb) AS pooled
+      FROM wide)
+    SELECT na, ca, nb, cb, rate_a, rate_b, pooled,
+      (rate_a - rate_b) * (rate_a - rate_b)
+        / nullif(pooled * (1.0 - pooled) * (1.0 / na + 1.0 / nb), 0.0)
+        AS z2
+    FROM r"""
+
+  /** Missing-day detection — the backfill planner's first query: which
+    * calendar days inside the feed's own [min, max] produced ZERO
+    * events? A date spine generated from the observed bounds
+    * (`sequence()` — dimension-sized, broadcast) anti-joined against
+    * the per-day counts; at 100 TB the per-day aggregate is the only
+    * corpus-sized pass. Emits one row per present day with its count
+    * and a gap flag per missing day, so the row doubles as the daily
+    * volume profile. */
+  def missingDays(spark: SparkSession, dir: String): DataFrame = {
+    val days = events(spark, dir)
+      .select(col("ts").cast("date").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("n_events"))
+    val spine = days.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
+    spine.join(days, Seq("d"), "left")
+      .select(col("d").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("n_events").isNull.cast("int").as("is_gap"))
+  }
+
+  def missingDaysOracle: String =
+    """WITH days AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS n_events
+      FROM events GROUP BY 1),
+    spine AS (
+      SELECT unnest(generate_series(min(d), max(d),
+        INTERVAL 1 DAY))::DATE AS d
+      FROM days)
+    SELECT s.d AS day, coalesce(dd.n_events, 0) AS n_events,
+      CAST(CASE WHEN dd.n_events IS NULL THEN 1 ELSE 0 END AS INTEGER)
+        AS is_gap
+    FROM spine s LEFT JOIN days dd ON dd.d = s.d"""
+
+  /** Join-skew diagnostics — the profile that decides whether
+    * [[graft.ops.SkewJoin]]'s salting (or AQE skew handling) is worth
+    * turning on: per join key (customer_id over orders), how heavy is
+    * the heaviest key relative to the mean? Reports the top-k heavy
+    * keys with their frequency and multiple-of-mean — at 100 TB this
+    * is the first thing to read when a join stage straggles. One
+    * key-count aggregate; the mean rides along as a 1-row broadcast;
+    * top-k is an ordered limit. */
+  def joinSkewProfile(spark: SparkSession, dir: String,
+      topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = graft.bronze.Bronze.orders(spark, dir)
+      .groupBy(col("customer_id")).agg(count(lit(1)).as("n_rows"))
+    val stats = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("n_rows")).as("n_total"))
+    counts.crossJoin(broadcast(stats))
+      .withColumn("x_mean",
+        col("n_rows").cast("double") * col("n_keys") / col("n_total"))
+      .orderBy(col("n_rows").desc, col("customer_id")).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_rows").desc, col("customer_id"))))
+      .select("rank", "customer_id", "n_rows", "n_keys", "n_total",
+        "x_mean")
+  }
+
+  def joinSkewProfileOracle(prelude: String, topK: Int = 10): String =
+    s"""$prelude,
+    counts AS (
+      SELECT customer_id, count(*) AS n_rows
+      FROM bronze_orders GROUP BY 1),
+    stats AS (
+      SELECT count(*) AS n_keys, sum(n_rows) AS n_total FROM counts)
+    SELECT CAST(rank AS INTEGER) AS rank, customer_id, n_rows, n_keys,
+      n_total, x_mean
+    FROM (
+      SELECT c.customer_id, c.n_rows, s.n_keys,
+        CAST(s.n_total AS BIGINT) AS n_total,
+        CAST(c.n_rows AS DOUBLE) * s.n_keys / s.n_total AS x_mean,
+        row_number() OVER (ORDER BY c.n_rows DESC, c.customer_id) AS rank
+      FROM counts c CROSS JOIN stats s)
+    WHERE rank <= $topK"""
+
   /** Sliding (hopping) windows — the third window kind next to
     * [[windowed]]'s tumbling and [[sessionize]]'s session windows: a
     * 10-minute window every 5 minutes, so each event lands in exactly
