@@ -832,6 +832,67 @@ object Events {
     * distinct + min-groupBy + self-join formulation shuffles three times.
     * The final matrix is dimension-bounded (weeks²), so its window over
     * cohort_week is trivially small. */
+  /** Cohort LTV curve — the revenue companion to [[retention]]'s
+    * activity matrix: per (signup-week cohort × week-of-life), purchase
+    * revenue and the RUNNING lifetime value per cohort member — the
+    * curve growth teams read payback periods off. Cents-exact sums, LTV
+    * per user as one division; the cumulative window partitions by
+    * cohort and runs over week offsets (weeks-of-life per cohort is
+    * calendar-bounded, never corpus-bounded). Cohorting reuses
+    * [[retention]]'s Monday-anchored week arithmetic. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("datediff(cast(ts as date), date'1970-01-05') div 7").as("wk"))
+    val cohort = e.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    val sizes = cohort.groupBy("cohort_wk")
+      .agg(countDistinct(col("user_id")).as("cohort_size"))
+    val rev = e.filter(col("event_type") === "purchase")
+      .join(cohort, Seq("user_id"))
+      .groupBy("cohort_wk", "wk")
+      .agg(sum(cents(col("value"))).as("rev_cents"))
+    def weekStart(c: org.apache.spark.sql.Column) =
+      date_add(lit("1970-01-05").cast("date"), (c * 7).cast("int"))
+    val w = Window.partitionBy("cohort_wk").orderBy("wk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.join(broadcast(sizes), Seq("cohort_wk"))
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+      .select(weekStart(col("cohort_wk")).as("cohort_week"),
+        (col("wk") - col("cohort_wk")).cast("int").as("week_offset"),
+        col("cohort_size"),
+        (col("rev_cents") / 100.0).as("week_revenue"),
+        (col("cum_rev_cents") / 100.0).as("cum_revenue"),
+        (col("cum_rev_cents").cast("double") / col("cohort_size") / 100.0)
+          .as("ltv_per_user"))
+  }
+
+  def cohortLtvOracle: String =
+    """WITH e AS (
+      SELECT user_id, event_type, value,
+        (CAST(ts AS DATE) - DATE '1970-01-05') // 7 AS wk
+      FROM events),
+    c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+    s AS (SELECT cohort_wk, count(DISTINCT user_id) AS cohort_size
+      FROM c GROUP BY 1),
+    r AS (
+      SELECT c.cohort_wk, e.wk,
+        sum(CAST(round(e.value * 100) AS BIGINT)) AS rev_cents
+      FROM e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+    cum AS (
+      SELECT r.cohort_wk, r.wk, r.rev_cents, s.cohort_size,
+        sum(r.rev_cents) OVER (PARTITION BY r.cohort_wk ORDER BY r.wk
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS cum_rev_cents
+      FROM r JOIN s USING (cohort_wk))
+    SELECT DATE '1970-01-05' + CAST(cohort_wk * 7 AS INTEGER)
+        AS cohort_week,
+      CAST(wk - cohort_wk AS INTEGER) AS week_offset, cohort_size,
+      rev_cents / 100.0 AS week_revenue,
+      cum_rev_cents / 100.0 AS cum_revenue,
+      CAST(cum_rev_cents AS DOUBLE) / cohort_size / 100.0 AS ltv_per_user
+    FROM cum"""
+
   def retention(spark: SparkSession, dir: String): DataFrame = {
     val perUser = events(spark, dir)
       .select(col("user_id"),
