@@ -813,25 +813,6 @@ object Events {
       n_view_click_purchase * 1.0 / n_view_click AS conv_purchase
     FROM agg"""
 
-  /** Cohort retention matrix: users bucketed by first-activity week (the
-    * cohort), counted in every week they return — the standard growth
-    * analytics triangle (cohort_week × week_offset → active_users,
-    * retention fraction of the cohort's size).
-    *
-    * Weeks are pure epoch-day arithmetic — `days-since-Monday-1970-01-05
-    * div 7` — NOT a week-of-year date format: 'ww'/'YYYY' week-year
-    * patterns differ between engines (ISO vs locale week numbering, the
-    * same trap SURVEY §2 C12 documents for month formats), while integer
-    * day division is identical everywhere and makes offsets subtractable.
-    *
-    * Shape: ONE shuffle on user_id — per-user week sets are built with
-    * `collect_set` (bounded: weeks-per-user ≤ the calendar span, not the
-    * event count, and the set dedups map-side inside the partial
-    * aggregate), the cohort week is `array_min` of the same set, and the
-    * explode back to (cohort, week) pairs is map-side. The alternative
-    * distinct + min-groupBy + self-join formulation shuffles three times.
-    * The final matrix is dimension-bounded (weeks²), so its window over
-    * cohort_week is trivially small. */
   /** Cohort LTV curve — the revenue companion to [[retention]]'s
     * activity matrix: per (signup-week cohort × week-of-life), purchase
     * revenue and the RUNNING lifetime value per cohort member — the
@@ -893,6 +874,25 @@ object Events {
       CAST(cum_rev_cents AS DOUBLE) / cohort_size / 100.0 AS ltv_per_user
     FROM cum"""
 
+  /** Cohort retention matrix: users bucketed by first-activity week (the
+    * cohort), counted in every week they return — the standard growth
+    * analytics triangle (cohort_week × week_offset → active_users,
+    * retention fraction of the cohort's size).
+    *
+    * Weeks are pure epoch-day arithmetic — `days-since-Monday-1970-01-05
+    * div 7` — NOT a week-of-year date format: 'ww'/'YYYY' week-year
+    * patterns differ between engines (ISO vs locale week numbering, the
+    * same trap SURVEY §2 C12 documents for month formats), while integer
+    * day division is identical everywhere and makes offsets subtractable.
+    *
+    * Shape: ONE shuffle on user_id — per-user week sets are built with
+    * `collect_set` (bounded: weeks-per-user ≤ the calendar span, not the
+    * event count, and the set dedups map-side inside the partial
+    * aggregate), the cohort week is `array_min` of the same set, and the
+    * explode back to (cohort, week) pairs is map-side. The alternative
+    * distinct + min-groupBy + self-join formulation shuffles three times.
+    * The final matrix is dimension-bounded (weeks²), so its window over
+    * cohort_week is trivially small. */
   def retention(spark: SparkSession, dir: String): DataFrame = {
     val perUser = events(spark, dir)
       .select(col("user_id"),

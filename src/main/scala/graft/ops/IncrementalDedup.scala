@@ -140,13 +140,21 @@ object IncrementalDedup {
 
   /** The store's logical view of `sub` (reps or fps): the newest
     * generation plus every batch past its watermark — O([[CompactEvery]])
-    * directories regardless of how many crawls ever ran. */
+    * directories regardless of how many crawls ever ran.
+    *
+    * The generation is listed ONCE and both the generation read and the
+    * batch filter derive from that single snapshot: a [[compact]]
+    * committing between two separate listings would pair the OLD
+    * generation with the NEW watermark and silently drop every batch
+    * folded in between — the concurrent-reader guarantee holds only
+    * because `cur` is read exactly once here. */
   private def storeView(spark: SparkSession, root: String, sub: String,
       schemaDdl: String): DataFrame = {
-    val gen = newestGen(spark, root).map { case (k, t) =>
+    val cur = newestGen(spark, root)
+    val gen = cur.map { case (k, t) =>
       spark.read.parquet(s"${compactRoot(root)}/${genName(k, t)}/$sub")
     }.toSeq
-    val w = watermark(spark, root)
+    val w = cur.map(_._1).getOrElse(-1)
     val batches = batchIds(spark, root).filter(_ > w).sorted
       .map(i => spark.read.parquet(s"${batchesRoot(root)}/batch=$i/$sub"))
     (gen ++ batches).reduceOption(_ unionByName _)
@@ -398,8 +406,7 @@ object IncrementalDedup {
     * is the FULL-CORPUS [[Dedup.winnowNearDupOracle]] — passing means the
     * incremental path is bit-equal to recomputing from scratch. */
   def replay(spark: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_inc_dedup").toString
+    val root = graft.model.Scratch.dir("graft_inc_dedup")
     val docs = TextOps.documents(spark, dir)
     (0 until ReplayMod).foreach { b =>
       ingest(spark, root, b, docs.filter(pmod(col("doc_id"),
@@ -412,8 +419,7 @@ object IncrementalDedup {
     * shard — the per-crawl serving query. The oracle restricts the
     * full-corpus pairs to those touching the final shard's texts. */
   def replayDelta(spark: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_inc_dedup_d").toString
+    val root = graft.model.Scratch.dir("graft_inc_dedup_d")
     val docs = TextOps.documents(spark, dir)
     (0 until ReplayMod).foreach { b =>
       ingest(spark, root, b, docs.filter(pmod(col("doc_id"),
@@ -463,8 +469,7 @@ object IncrementalDedup {
     * ingest → delete → compact lifecycle is bit-equal to never having
     * ingested the deleted documents at all. */
   def replayDelete(spark: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_inc_dedup_x").toString
+    val root = graft.model.Scratch.dir("graft_inc_dedup_x")
     val docs = TextOps.documents(spark, dir)
     (0 until ReplayMod).foreach { b =>
       ingest(spark, root, b, docs.filter(pmod(col("doc_id"),

@@ -73,6 +73,22 @@ object Learn {
   private def sigmoidHat(z: Column): Column =
     lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
 
+  /** Per-row gradient contributions are quantized to multiples of 2^-24
+    * (floor — no tie semantics) before summing: every term is then
+    * exactly representable, the partial sums stay integer-exact (terms
+    * are bounded by 1, so even 10^8 rows keep the scaled sum < 2^51 ≪
+    * 2^53), and the summation is ORDER- AND PARTITIONING-INVARIANT —
+    * the same gradient bits on any core count, SF, or engine. Without
+    * this, Spark's task-completion-order float sums (which change with
+    * SPARK_GRAFT_CPUS and corpus partitioning) amplified across 32
+    * chained iterations at lr=2.0 made the oracle compare
+    * config-sensitive. The 2^-24 truncation perturbs each term by
+    * ≤ 6e-8 — irrelevant to the descent, and the oracle replays the
+    * identical quantization. */
+  private val GradQuant = 16777216.0 // 2^24
+  private def quant(c: Column): Column =
+    floor(c * lit(GradQuant)) / lit(GradQuant)
+
   /** Fit and report: one wide row with the final weights, the corpus
     * size, and the training accuracy. Accuracy is INTEGER-exact despite
     * the float model: σ̂ is strictly monotone with σ̂(0)=1/2, so
@@ -85,11 +101,12 @@ object Learn {
     (1 to iters).foreach { _ =>
       val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
       val err = sigmoidHat(z) - col("y")
-      // one aggregate row per iteration: d+1 gradient sums + n
+      // one aggregate row per iteration: d+1 gradient sums + n; each
+      // term quantized ([[quant]]) so the sums are partitioning-invariant
       val g = feats.agg(
-        sum(err).as("g0"),
-        sum(err * col("x1")).as("g1"),
-        sum(err * col("x2")).as("g2"),
+        sum(quant(err)).as("g0"),
+        sum(quant(err * col("x1"))).as("g1"),
+        sum(quant(err * col("x2"))).as("g2"),
         count(lit(1)).cast("double").as("n")).head()
       val n = g.getDouble(3)
       w = Array(
@@ -127,14 +144,18 @@ object Learn {
     // still ~3×/round at 14+ after a single-back-reference rewrite).
     // AS MATERIALIZED pins each round to one evaluation: 0.28 s at 32
     // rounds, bit-identical weights to the Spark descent.
+    // the same 2^-24 floor-quantization as the Spark side ([[quant]]):
+    // each summed term is exactly representable, so DuckDB's sum order
+    // (parallel or sequential) cannot change the gradient bits either
+    def qq(term: String) = s"floor(($term) * 16777216.0) / 16777216.0"
     val rounds = (1 to iters).map { i =>
       val p = pExpr("p")
       s"""w$i AS MATERIALIZED (
-      SELECT p.w0 - $lr * sum($p - f.y)
+      SELECT p.w0 - $lr * sum(${qq(s"$p - f.y")})
           / CAST(count(*) AS DOUBLE) AS w0,
-        p.w1 - $lr * sum(($p - f.y) * f.x1)
+        p.w1 - $lr * sum(${qq(s"($p - f.y) * f.x1")})
           / CAST(count(*) AS DOUBLE) AS w1,
-        p.w2 - $lr * sum(($p - f.y) * f.x2)
+        p.w2 - $lr * sum(${qq(s"($p - f.y) * f.x2")})
           / CAST(count(*) AS DOUBLE) AS w2
       FROM feats f CROSS JOIN w${i - 1} p
       GROUP BY p.w0, p.w1, p.w2)"""

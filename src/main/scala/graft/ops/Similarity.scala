@@ -888,8 +888,7 @@ object Similarity {
     * fresh build) is pinned by AnnDeleteSpec, where the cold rebuild
     * cost belongs. */
   def annIvfTopKDeleted(spark: SparkSession, dir: String): DataFrame = {
-    val ledger = java.nio.file.Files
-      .createTempDirectory("graft_ann_del").toString
+    val ledger = graft.model.Scratch.dir("graft_ann_del")
     IvfIndex.deleteVectors(spark, ledger,
       embeddings(spark, dir).filter(annDeletePred).select("vec_id"))
     annIvfTopK(spark, dir, ledger = Some(ledger))

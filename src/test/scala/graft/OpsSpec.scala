@@ -1289,20 +1289,24 @@ class OpsSpec extends SparkSpec {
     assert(n == feats.length)
     var lw = Array(0.0, 0.0, 0.0)
     def sig(z: Double) = 0.5 + z / (2.0 * (1.0 + math.abs(z)))
+    // the engine's 2^-24 gradient-term quantization makes the sums
+    // order-invariant, so this sequential doc-order replica must land on
+    // BIT-IDENTICAL weights — not merely close ones
+    def q(v: Double) = math.floor(v * 16777216.0) / 16777216.0
     (1 to Learn.LogRegIters).foreach { _ =>
       val g = Array(0.0, 0.0, 0.0)
       feats.foreach { case (x1, x2, y) =>
         val e = sig(lw(0) + lw(1) * x1 + lw(2) * x2) - y
-        g(0) += e; g(1) += e * x1; g(2) += e * x2
+        g(0) += q(e); g(1) += q(e * x1); g(2) += q(e * x2)
       }
       lw = Array(lw(0) - Learn.LogRegLr * g(0) / n,
         lw(1) - Learn.LogRegLr * g(1) / n,
         lw(2) - Learn.LogRegLr * g(2) / n)
     }
     w.zip(lw).foreach { case (a, b) =>
-      assert(math.abs(a - b) < 1e-9,
+      assert(a == b,
         s"engine weights $a must replay the reference descent $b " +
-          "(sum-order float noise only)")
+          "bit-exactly (quantized sums are order-invariant)")
     }
     val base = math.max(feats.count(_._3 == 1.0), feats.count(_._3 == 0.0))
     assert(correct > base,
