@@ -89,25 +89,79 @@ object Decontam {
         (col("n_shared") * 1.0 / col("bench_grams")).as("bench_frac"))
   }
 
-  /** Bloom geometry for [[bloomScreen]]: m = 65536 bits (8 KiB), k = 3
-    * probes. Probe j of a gram is nibbles [4j, 4j+4) of its md5 (the
-    * gram key IS already a hex digest) — the [[Sketch.cmsBucketExpr]]
-    * discipline of slicing independent indices from one digest. Sizing:
-    * the benchmark sets ~3.5k bits here (≈5% load → per-gram FP
-    * ≈ 0.05³ ≈ 10⁻⁴); m grows with the eval suite at the usual
-    * ~10–20 bits/gram, and 10⁶ grams is still a ~2 MB broadcast. The
-    * first cut used m = 4096 — 57% load, 18% per-gram FP, and the
-    * screen flagged most of the corpus; a Bloom pre-screen is only as
-    * useful as its sizing. */
-  val BloomBits = 65536
+  /** Bloom geometry for [[bloomScreen]]: m = [[bloomBits]](n) bits for an
+    * n-gram benchmark, k = 3 probes. Probe j of a gram is
+    * `(hi_j · 2¹⁶ + nibbles [4j, 4j+4)) mod m` of its md5 (the gram key
+    * IS already a hex digest) — the [[Sketch.cmsBucketExpr]] discipline
+    * of slicing independent indices from one digest, with hi_j three
+    * further nibbles (12 bits) from the digest tail so the pre-modulus
+    * value carries 28 bits. At the m = 65536 floor the modulus reduces
+    * the probe EXACTLY to the original 16-bit nibble slice, so every
+    * result at the test SFs is bit-identical to the fixed-m engine.
+    * Sizing history: the first cut used m = 4096 — 57% load, 18%
+    * per-gram FP, and the screen flagged most of the corpus; the 65536
+    * resize gave ~5% load (per-gram FP ≈ 0.05³ ≈ 10⁻⁴). A Bloom
+    * pre-screen is only as useful as its sizing — which is why m is now
+    * DERIVED from the suite instead of hardcoded. */
+  val BloomBitsFloor = 65536
   val BloomK = 3
 
-  private def bloomBitExpr(shCol: String, j: Int, duck: Boolean): String = {
+  /** Bits per benchmark gram the geometry targets: with k = 3 probes the
+    * set-bit load stays ≤ k/32 < 10%, keeping the per-gram FP under
+    * (0.1)³ = 10⁻³ at any suite size. */
+  val BloomTargetBitsPerGram = 32L
+
+  /** Plan-size ceiling: 2²⁶ bits (8 MiB as a boolean literal) covers a
+    * 2M-gram eval suite at 32 bits/gram; a larger suite should move the
+    * bitset from a plan literal to a rebroadcast table, not grow the
+    * literal further. */
+  val BloomBitsCap = 1 << 26
+
+  /** m for an n-gram benchmark: n · [[BloomTargetBitsPerGram]], floored
+    * at [[BloomBitsFloor]] (the proven test-SF geometry — below the knee
+    * nothing changes bit-for-bit) and capped at [[BloomBitsCap]]. The
+    * oracle computes the same arithmetic in SQL, so the two sides always
+    * agree on the geometry without a config channel. */
+  def bloomBits(benchGrams: Long): Int =
+    // cap test BEFORE multiplying — n · bitsPerGram overflows Long for
+    // pathological n, and an overflowed negative would fall to the floor
+    if (benchGrams >= BloomBitsCap / BloomTargetBitsPerGram) BloomBitsCap
+    else math.max(BloomBitsFloor.toLong,
+      BloomTargetBitsPerGram * benchGrams).toInt
+
+  private def bloomBitExpr(shCol: String, j: Int, duck: Boolean,
+      mExpr: String): String = {
     def nib(i: Int) =
       if (duck) s"(strpos('0123456789abcdef', substr($shCol, $i, 1)) - 1)"
       else s"(instr('0123456789abcdef', substring($shCol, $i, 1)) - 1)"
-    s"(${nib(4 * j + 1)} * 4096 + ${nib(4 * j + 2)} * 256 + " +
-      s"${nib(4 * j + 3)} * 16 + ${nib(4 * j + 4)})"
+    val hi = s"(${nib(13 + 3 * j)} * 256 + ${nib(14 + 3 * j)} * 16 + " +
+      s"${nib(15 + 3 * j)})"
+    val lo = s"${nib(4 * j + 1)} * 4096 + ${nib(4 * j + 2)} * 256 + " +
+      s"${nib(4 * j + 3)} * 16 + ${nib(4 * j + 4)}"
+    s"(($hi * 65536 + $lo) % $mExpr)"
+  }
+
+  /** Derived geometry of a benchmark side: (m, set bit positions).
+    * Factored out so the load spec audits the exact bitset the screen
+    * broadcasts. Two bounded driver actions on the (tiny) benchmark
+    * side: the distinct-gram count that sizes m, then the ≤ k·n bit
+    * positions. */
+  private[graft] def bloomGeometryOf(bench: DataFrame): (Int, Set[Int]) = {
+    val m = bloomBits(bench.select("sh").distinct().count())
+    val setBits = bench
+      .select(explode(array((0 until BloomK).map(j =>
+        expr(bloomBitExpr("sh", j, duck = false, m.toString))): _*)).as("bit"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    (m, setBits)
+  }
+
+  /** Fraction of the m bits set for `dir`'s benchmark — the quantity the
+    * sizing exists to bound (≤ k/[[BloomTargetBitsPerGram]] < 10% above
+    * the floor; lower still below it). */
+  def bloomLoadFactor(spark: SparkSession, dir: String): Double = {
+    val (m, setBits) = bloomGeometryOf(
+      shingles(spark, dir).filter(col("doc_id") < BenchmarkDocs))
+    setBits.size.toDouble / m
   }
 
   /** Bloom-filter pre-screen — the decontamination shape that actually
@@ -124,24 +178,23 @@ object Decontam {
     * Driver-side bound: the bitset is built by collecting the
     * benchmark side's distinct bit positions — eval suites are
     * thousands of documents (here [[BenchmarkDocs]]), and m/8 bytes is
-    * 512 B at this geometry; a production 1M-gram suite at 10 bits/gram
-    * is ~1.25 MB — the classic broadcast-variable size, same order as
-    * the k-means centroid localization documented at
-    * `ops/Similarity.scala`. */
+    * 512 B at the floor geometry; a production 1M-gram suite lands at
+    * m = 32M bits = 4 MB — the classic broadcast-variable size, same
+    * order as the k-means centroid localization documented at
+    * `ops/Similarity.scala` (and [[BloomBitsCap]] bounds the plan
+    * literal). m itself is [[bloomBits]] of the suite's distinct gram
+    * count — derived, not configured, and replayed by the oracle. */
   def bloomScreen(spark: SparkSession, dir: String,
       minShared: Int = MinSharedGrams): DataFrame = {
     val sh = shingles(spark, dir)
     val bench = sh.filter(col("doc_id") < BenchmarkDocs)
-    val setBits = bench
-      .select(explode(array((0 until BloomK).map(j =>
-        expr(bloomBitExpr("sh", j, duck = false))): _*)).as("bit"))
-      .distinct().collect().map(_.getInt(0)).toSet
-    val bloom = typedLit((0 until BloomBits).map(setBits.contains))
+    val (m, setBits) = bloomGeometryOf(bench)
+    val bloom = typedLit((0 until m).map(setBits.contains))
     val benchSh = bench.select("sh").distinct()
       .withColumn("exact", lit(1L))
     val hitCol = (0 until BloomK)
       .map(j => element_at(bloom,
-        expr(bloomBitExpr("sh", j, duck = false)) + 1))
+        expr(bloomBitExpr("sh", j, duck = false, m.toString)) + 1))
       .reduce(_ && _)
     sh.filter(col("doc_id") >= BenchmarkDocs)
       .join(broadcast(benchSh), Seq("sh"), "left")
@@ -155,21 +208,28 @@ object Decontam {
   }
 
   def bloomScreenOracle(minShared: Int = MinSharedGrams): String = {
+    // the oracle re-derives m with the same arithmetic as [[bloomBits]]
+    // (target bits/gram, floor, cap) from the same distinct-gram count,
+    // so geometry can never drift between the engines
+    val mSql = "(SELECT least(" + BloomBitsCap + ", greatest(" +
+      BloomBitsFloor + ", " + BloomTargetBitsPerGram +
+      " * (SELECT count(*) FROM bench_sh))) )"
     val bitList = (0 until BloomK)
-      .map(j => bloomBitExpr("sh", j, duck = true)).mkString("[", ", ", "]")
+      .map(j => bloomBitExpr("sh", j, duck = true, mSql))
+      .mkString("[", ", ", "]")
     val probes = (0 until BloomK)
-      .map(j => s"${bloomBitExpr("c.sh", j, duck = true)} IN " +
+      .map(j => s"${bloomBitExpr("c.sh", j, duck = true, mSql)} IN " +
         "(SELECT bit FROM bench_bits)")
       .mkString(" AND ")
     s"""WITH d AS (
       SELECT doc_id, string_split(text, ' ') AS words FROM documents),
     sh AS (
       SELECT DISTINCT doc_id, unnest($gramSqlDuck) AS sh FROM d),
+    bench_sh AS (
+      SELECT DISTINCT sh FROM sh WHERE doc_id < $BenchmarkDocs),
     bench_bits AS (
       SELECT DISTINCT unnest($bitList) AS bit FROM sh
       WHERE doc_id < $BenchmarkDocs),
-    bench_sh AS (
-      SELECT DISTINCT sh FROM sh WHERE doc_id < $BenchmarkDocs),
     g AS (
       SELECT c.doc_id,
         CASE WHEN $probes THEN 1 ELSE 0 END AS bloom_hit,

@@ -1244,6 +1244,44 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("bloom geometry: floor below the knee, bits/gram-linear above, " +
+      "capped; load factor bounded at the SFs the suite runs") {
+    import graft.ops.Decontam
+    // below the knee the derived m IS the proven floor — which is what
+    // keeps every test-SF result bit-identical to the fixed-m engine
+    assert(Decontam.bloomBits(0) == Decontam.BloomBitsFloor)
+    assert(Decontam.bloomBits(1000) == Decontam.BloomBitsFloor)
+    assert(Decontam.bloomBits(2048) == Decontam.BloomBitsFloor)
+    // above it, 32 bits/gram: the 57%-load failure mode (m pinned while
+    // the suite grows) can no longer recur
+    assert(Decontam.bloomBits(10000) == 320000)
+    assert(Decontam.bloomBits(1000000) == 32000000)
+    assert(Decontam.bloomBits(Long.MaxValue) == Decontam.BloomBitsCap)
+    // k/bitsPerGram bounds the load at ≤ 3/32 < 10% above the floor; at
+    // the floor the bench side is smaller still — audit the real bitset
+    val load = Decontam.bloomLoadFactor(spark, Sf0001)
+    assert(load > 0.0 && load <= 0.10,
+      s"bloom load factor $load breaches the 10% design bound")
+    // at m = floor the modulus reduces each probe to the original 16-bit
+    // nibble slice: the hi-nibble extension must be invisible there
+    val probe = spark.sql(
+      "SELECT ((( (instr('0123456789abcdef', substring(h, 13, 1)) - 1) * 256" +
+      " + (instr('0123456789abcdef', substring(h, 14, 1)) - 1) * 16" +
+      " + (instr('0123456789abcdef', substring(h, 15, 1)) - 1)) * 65536" +
+      " + (instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096" +
+      " + (instr('0123456789abcdef', substring(h, 2, 1)) - 1) * 256" +
+      " + (instr('0123456789abcdef', substring(h, 3, 1)) - 1) * 16" +
+      " + (instr('0123456789abcdef', substring(h, 4, 1)) - 1)) % 65536)" +
+      " - ((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096" +
+      " + (instr('0123456789abcdef', substring(h, 2, 1)) - 1) * 256" +
+      " + (instr('0123456789abcdef', substring(h, 3, 1)) - 1) * 16" +
+      " + (instr('0123456789abcdef', substring(h, 4, 1)) - 1)) AS d" +
+      " FROM (SELECT md5(CAST(id AS STRING)) AS h FROM range(0, 500))")
+    assert(probe.agg(org.apache.spark.sql.functions.max(
+      org.apache.spark.sql.functions.abs(org.apache.spark.sql.functions
+        .col("d")))).head().getInt(0) == 0)
+  }
+
   test("bloom screen: never misses — every exactly-contaminated doc is " +
       "flagged, and bloom hits dominate exact hits row-wise") {
     import graft.ops.Decontam
