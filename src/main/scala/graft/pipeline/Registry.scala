@@ -401,10 +401,31 @@ object Registry {
     } finally pool.shutdown()
   }
 
+  /** Reserved upstream-map key under which [[materialize]] hands an
+    * incremental/snapshot model's build its CURRENT target table (absent
+    * on the first run / full refresh) — dbt's `{{ this }}`: the relation
+    * being built, resolvable inside `is_incremental()` blocks for
+    * high-water-mark subqueries. Code-authored builds may read it too;
+    * view/table builds never receive it (their output replaces the
+    * target wholesale, so self-reference would be a cycle). */
+  val ThisKey = "this"
+
   private def materialize(spark: SparkSession, m: Model, sourceDir: String,
       sink: TableSink, upstream: Map[String, DataFrame], fullRefresh: Boolean,
       asOf: org.apache.spark.sql.Column, registerViews: Boolean): DataFrame = {
-    val df = m.build(spark, sourceDir, upstream)
+    // incremental runs see their current target under ThisKey (dbt
+    // renders is_incremental()=true and resolves {{ this }} exactly when
+    // the relation exists and --full-refresh is off; snapshots are
+    // full-refresh-exempt, like the snapshot branch below)
+    val incrementalRun = m.materialization match {
+      case _: Incremental => !fullRefresh && sink.exists(spark, m.layer, m.name)
+      case _: Snapshot => sink.exists(spark, m.layer, m.name)
+      case _ => false
+    }
+    val df = m.build(spark, sourceDir,
+      if (incrementalRun)
+        upstream + (ThisKey -> sink.read(spark, m.layer, m.name))
+      else upstream)
     assertDeclaredSchema(m, df)
     def firstRun = fullRefresh || !sink.exists(spark, m.layer, m.name)
     val materialized = m.materialization match {

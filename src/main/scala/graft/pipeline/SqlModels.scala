@@ -36,6 +36,19 @@ import graft.model.{Clock, SurrogateKey}
   *    build time from [[RawSources]].
   *  - `{{ dbt_utils.generate_surrogate_key(['a', 'b']) }}` → the exact
   *    macro expansion ([[SurrogateKey]] null-sentinel semantics).
+  *  - `{% if is_incremental() %} … {% endif %}` → rendered TWICE, dbt's
+  *    two compilations of an incremental model: a first-run variant with
+  *    the blocks dropped and an incremental variant with them kept; the
+  *    build runs whichever matches the run ([[Registry.ThisKey]] present
+  *    ⇔ the target exists and --full-refresh is off).
+  *  - `{{ this }}` → a per-model temp view over the CURRENT target
+  *    table, registered at build time from the same ThisKey handoff —
+  *    the high-water-mark subquery pattern (`WHERE ts > (SELECT max(ts)
+  *    FROM {{ this }})`) works verbatim.
+  *  - `config(materialized='incremental'|'snapshot')` routes the model
+  *    through [[Registry.Incremental]] / [[Registry.Snapshot]] — the
+  *    same merge/append/SCD2 machinery as code-authored models
+  *    ([[materializationOf]] documents the accepted keys).
   *  - `current_timestamp()` / `current_date()` → the pinned
   *    [[Clock]] literals — the injectable-clock discipline (SURVEY.md
   *    §2.9 C15/C16) applied at render time, so SQL-authored models stay
@@ -61,11 +74,12 @@ object SqlModels {
   final case class Rendered(
     name: String,
     layer: String,
-    materialized: String,
+    materialization: Registry.Materialization,
     tags: Seq[String],
     deps: Seq[String],
     srcs: Seq[(String, String)],
-    sql: String)
+    sql: String,
+    sqlIncremental: Option[String])
 
   private val ConfigRe = raw"(?s)\{\{\s*config\((.*?)\)\s*\}\}".r
   private val RefRe = raw"\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}".r
@@ -75,6 +89,18 @@ object SqlModels {
     raw"\{\{\s*dbt_utils\.generate_surrogate_key\(\s*\[(.*?)\]\s*\)\s*\}\}".r
   private val NowRe = raw"(?i)current_timestamp\s*\(\s*\)".r
   private val TodayRe = raw"(?i)current_date\s*\(\s*\)".r
+  /** `{% if is_incremental() %} … [{% else %} …] {% endif %}` — the one
+    * Jinja control construct dbt incremental models lean on. Whitespace
+    * trim markers (`{%-`/`-%}`) are accepted and treated as plain
+    * delimiters. */
+  private val IfIncRe = (raw"(?s)\{%-?\s*if\s+is_incremental\(\)\s*-?%\}" +
+    raw"(.*?)(?:\{%-?\s*else\s*-?%\}(.*?))?\{%-?\s*endif\s*-?%\}").r
+  private val ThisRe = raw"\{\{\s*this\s*\}\}".r
+
+  /** The temp-view name `{{ this }}` renders to for model `name` —
+    * per-model so concurrent incremental models in one wave don't race
+    * on a shared view. */
+  def thisView(name: String): String = s"__this_$name"
 
   /** The dbt_utils v1.1.1 macro expansion in Spark SQL — single column:
     * `md5(coalesce(cast(c as string), '<sentinel>'))`; multi-column:
@@ -86,44 +112,105 @@ object SqlModels {
     else s"md5(concat_ws('-', ${parts.mkString(", ")}))"
   }
 
+  private def configStr(body: String, key: String): Option[String] =
+    (raw"\b" + key + raw"\s*=\s*'([^']+)'").r
+      .findFirstMatchIn(body).map(_.group(1))
+
+  private def configList(body: String, key: String): Seq[String] =
+    (raw"\b" + key + raw"\s*=\s*\[(.*?)\]").r.findFirstMatchIn(body)
+      .map(mm => raw"'([^']+)'".r.findAllMatchIn(mm.group(1))
+        .map(_.group(1)).toSeq)
+      .getOrElse(Seq.empty)
+
+  private def schemaChangeOf(name: String, body: String): Incremental.OnSchemaChange =
+    configStr(body, "on_schema_change").getOrElse("ignore") match {
+      case "ignore" => Incremental.Ignore
+      case "append_new_columns" => Incremental.AppendNewColumns
+      case "fail" | "sync_all_columns" => Incremental.FailOnChange
+      case other => throw new IllegalArgumentException(
+        s"$name: unknown on_schema_change '$other'")
+    }
+
+  /** Materialization from the `{{ config(...) }}` body — the four dbt
+    * materializations, incremental with `unique_key=` (merge) or the
+    * engine's `watermark=` column (insert-only above the target's
+    * high-water mark — dbt expresses the same cut inside the
+    * `is_incremental()` block; declaring the column lets the sink append
+    * just the fresh files instead of rewriting), snapshot with
+    * `unique_key=` + `check_cols=[…]` (dbt's `check` strategy — the only
+    * one the engine implements, so `strategy=` must be absent or
+    * 'check'). */
+  private def materializationOf(name: String, body: String): Registry.Materialization =
+    configStr(body, "materialized").getOrElse("view") match {
+      case "view" => Registry.View
+      case "table" => Registry.Table
+      case "incremental" =>
+        val key = configStr(body, "unique_key")
+        val watermark = configStr(body, "watermark")
+        require(key.isDefined || watermark.isDefined,
+          s"$name: incremental needs unique_key= (merge) or watermark= " +
+            "(insert-only high-water mark)")
+        Registry.Incremental(key, watermark.orElse(key).get,
+          schemaChangeOf(name, body))
+      case "snapshot" =>
+        configStr(body, "strategy").foreach(st => require(st == "check",
+          s"$name: snapshot strategy '$st' unsupported (only 'check')"))
+        val key = configStr(body, "unique_key").getOrElse(
+          throw new IllegalArgumentException(s"$name: snapshot needs unique_key="))
+        val checkCols = configList(body, "check_cols")
+        require(checkCols.nonEmpty, s"$name: snapshot needs check_cols=[…]")
+        Registry.Snapshot(key, checkCols)
+      case other => throw new IllegalArgumentException(
+        s"$name: unsupported materialization '$other'")
+    }
+
   private[pipeline] def render(name: String, layer: String, text: String): Rendered = {
-    var materialized = "view"
+    var materialization: Registry.Materialization = Registry.View
     var tags = Seq.empty[String]
     ConfigRe.findFirstMatchIn(text).foreach { m =>
       val body = m.group(1)
-      raw"materialized\s*=\s*'([^']+)'".r.findFirstMatchIn(body)
-        .foreach(mm => materialized = mm.group(1))
-      raw"tags\s*=\s*\[(.*?)\]".r.findFirstMatchIn(body).foreach(mm =>
-        tags = raw"'([^']+)'".r.findAllMatchIn(mm.group(1)).map(_.group(1)).toSeq)
+      materialization = materializationOf(name, body)
+      tags = configList(body, "tags")
     }
     val deps = RefRe.findAllMatchIn(text).map(_.group(1)).toSeq.distinct
     val srcs = SourceRe.findAllMatchIn(text)
       .map(m => (m.group(1), m.group(2))).toSeq.distinct
     srcs.foreach(s => require(sources.contains(s),
       s"$name: unknown source ${s._1}.${s._2} — not in the adapter registry"))
-    var sql = ConfigRe.replaceAllIn(text, "")
-    sql = RefRe.replaceAllIn(sql, m => m.group(1))
-    sql = SourceRe.replaceAllIn(sql,
-      m => sourceViewName(m.group(1), m.group(2)))
-    sql = SkRe.replaceAllIn(sql, m => java.util.regex.Matcher.quoteReplacement(
-      surrogateKeySql(
-        raw"'([^']+)'".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)))
-    sql = NowRe.replaceAllIn(sql, s"TIMESTAMP_NTZ '${Clock.nowLit}'")
-    sql = TodayRe.replaceAllIn(sql, s"DATE '${Clock.todayLit}'")
-    require(!sql.contains("{{"),
-      s"$name: unresolved template construct remains:\n" +
-        sql.linesIterator.filter(_.contains("{{")).mkString("\n"))
-    Rendered(name, layer, materialized, tags, deps, srcs, sql.trim)
-  }
-
-  private def materializationOf(r: Rendered): Registry.Materialization =
-    r.materialized match {
-      case "view" => Registry.View
-      case "table" => Registry.Table
-      case other => throw new IllegalArgumentException(
-        s"${r.name}: unsupported materialization '$other' in SQL authoring " +
-          "(incremental/snapshot models stay code-authored)")
+    // one body per is_incremental() phase: the first-run variant drops
+    // the blocks (keeping any {% else %} arm), the incremental variant
+    // keeps them — dbt renders exactly these two compilations
+    def renderVariant(incremental: Boolean): String = {
+      var sql = IfIncRe.replaceAllIn(text, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          if (incremental) m.group(1) else Option(m.group(2)).getOrElse("")))
+      sql = ConfigRe.replaceAllIn(sql, "")
+      sql = RefRe.replaceAllIn(sql, m => m.group(1))
+      sql = SourceRe.replaceAllIn(sql,
+        m => sourceViewName(m.group(1), m.group(2)))
+      sql = ThisRe.replaceAllIn(sql, thisView(name))
+      sql = SkRe.replaceAllIn(sql, m => java.util.regex.Matcher.quoteReplacement(
+        surrogateKeySql(
+          raw"'([^']+)'".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)))
+      sql = NowRe.replaceAllIn(sql, s"TIMESTAMP_NTZ '${Clock.nowLit}'")
+      sql = TodayRe.replaceAllIn(sql, s"DATE '${Clock.todayLit}'")
+      require(!sql.contains("{{") && !sql.contains("{%"),
+        s"$name: unresolved template construct remains:\n" +
+          sql.linesIterator.filter(l => l.contains("{{") || l.contains("{%"))
+            .mkString("\n"))
+      sql.trim
     }
+    val base = renderVariant(incremental = false)
+    require(!base.contains(thisView(name)),
+      s"$name: {{ this }} outside an is_incremental() block — the target " +
+        "does not exist on the first run")
+    val inc = if (IfIncRe.findFirstIn(text).isDefined)
+      Some(renderVariant(incremental = true)) else None
+    inc.foreach(_ => require(
+      materialization.isInstanceOf[Registry.Incremental],
+      s"$name: is_incremental() blocks require materialized='incremental'"))
+    Rendered(name, layer, materialization, tags, deps, srcs, base, inc)
+  }
 
   /** Load every `models/<layer>/<name>.sql` under `root` into registry
     * models. Table layouts and declared column contracts are looked up by
@@ -143,14 +230,22 @@ object SqlModels {
         new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8))
       val codeTwin = Registry.models.find(_.name == name)
       Registry.Model(
-        name, layer, materializationOf(r), r.deps,
+        name, layer, r.materialization, r.deps,
         build = (spark, dir, up) => {
           r.srcs.foreach { case (s, t) =>
             sources((s, t))(spark, dir)
               .createOrReplaceTempView(sourceViewName(s, t))
           }
           r.deps.foreach(d => up.get(d).foreach(_.createOrReplaceTempView(d)))
-          spark.sql(r.sql)
+          // incremental run: Registry.materialize handed us the current
+          // target under ThisKey — register it as the {{ this }} view and
+          // run the is_incremental()=true compilation
+          up.get(Registry.ThisKey) match {
+            case Some(cur) if r.sqlIncremental.isDefined =>
+              cur.createOrReplaceTempView(thisView(name))
+              spark.sql(r.sqlIncremental.get)
+            case _ => spark.sql(r.sql)
+          }
         },
         layout = codeTwin.map(_.layout).getOrElse(TableLayout.none),
         declaredSchema = Registry.declaredSchemas.get(name),

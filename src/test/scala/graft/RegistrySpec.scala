@@ -39,10 +39,13 @@ class RegistrySpec extends SparkSpec {
   test("SQL-file models (models/**/*.sql) materialize bit-equal to the Scala builders") {
     import graft.pipeline.{ParquetSink, SqlModels}
     val sqlModels = SqlModels.load(new java.io.File("models"))
-    // same surface: names, layers, DAG edges, materializations
-    assert(sqlModels.map(_.name).toSet == Registry.models.map(_.name).toSet)
+    // same surface for the nine reference models: names, layers, DAG
+    // edges, materializations (the directory additionally carries the
+    // engine-demo incremental/snapshot models, replay-pinned below)
+    assert(Registry.models.map(_.name).toSet.subsetOf(
+      sqlModels.map(_.name).toSet))
     val byName = Registry.models.map(m => m.name -> m).toMap
-    sqlModels.foreach { m =>
+    sqlModels.filter(m => byName.contains(m.name)).foreach { m =>
       assert(m.layer == byName(m.name).layer, s"${m.name}: layer")
       assert(m.deps.toSet == byName(m.name).deps.toSet, s"${m.name}: deps")
       assert(m.materialization == byName(m.name).materialization,
@@ -66,6 +69,104 @@ class RegistrySpec extends SparkSpec {
           ra.zip(rb).find { case (x, y) => x != y }.orElse(
             Some((s"counts ${ra.length}", s"${rb.length}"))).get)
     }
+  }
+
+  test("SQL-file incremental model: split-feed replay lands bit-equal " +
+      "to the Incremental.merge twin") {
+    import graft.pipeline.{IncrementalQueries, ParquetSink, SqlModels}
+    val incModel = SqlModels.load(new java.io.File("models"))
+      .find(_.name == "silver_orders_incremental").get
+    assert(incModel.materialization ==
+      Registry.Incremental(Some("order_id"), "order_id"))
+    assert(incModel.deps == Seq("bronze_orders"))
+    // split feed: run 1 delivers pre-cutoff orders, run 2 redelivers the
+    // WHOLE feed plus restatements (sentinel status 'restated' — outside
+    // the feed's natural domain, which does contain 'returned') — the
+    // at-least-once shape whose old rows the model's {{ this }}
+    // high-water-mark subquery must cut
+    val cols = Seq("order_id", "customer_id", "order_date", "order_status",
+      "order_amount")
+    def restatements(s: org.apache.spark.sql.SparkSession) = {
+      val cutoff = to_date(lit(IncrementalQueries.CutoffDate))
+      graft.bronze.Bronze.orders(s, Sf0001)
+        .filter(col("order_date") < cutoff &&
+          col("order_id") % IncrementalQueries.RestateMod === 0)
+        .withColumn("order_status", lit("restated"))
+    }
+    var phase = 0
+    val feed = Registry.Model("bronze_orders", "bronze", Registry.View,
+      Seq.empty, (s, dir, _) => {
+        val b = graft.bronze.Bronze.orders(s, dir)
+        val cutoff = to_date(lit(IncrementalQueries.CutoffDate))
+        if (phase == 0) b.filter(col("order_date") < cutoff)
+        else b.unionByName(restatements(s))
+      })
+    val sink = new ParquetSink(
+      Files.createTempDirectory("graft_wh_inc_sql").toString)
+    Registry.run(spark, Sf0001, sink, all = Seq(feed, incModel),
+      registerViews = false)
+    phase = 1
+    Registry.run(spark, Sf0001, sink, all = Seq(feed, incModel),
+      registerViews = false)
+    val out = sink.read(spark, "silver", "silver_orders_incremental")
+      .select(cols.map(col): _*)
+    // the code twin: pipeline/Incremental.merge over the same target /
+    // incoming pair the SQL model's filter must reconstruct
+    val bo = graft.bronze.Bronze.orders(spark, Sf0001)
+    val cutoff = to_date(lit(IncrementalQueries.CutoffDate))
+    val twin = graft.pipeline.Incremental.merge(
+      bo.filter(col("order_date") < cutoff).select(cols.map(col): _*),
+      bo.filter(col("order_date") >= cutoff).select(cols.map(col): _*)
+        .unionByName(restatements(spark).select(cols.map(col): _*)),
+      "order_id")
+    def canon(df: org.apache.spark.sql.DataFrame): Array[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+    val (a, b) = (canon(out), canon(twin))
+    assert(a.nonEmpty && a.sameElements(b),
+      s"SQL incremental replay diverges from the code twin " +
+        s"(${a.length} vs ${b.length} rows); first diff: " +
+        a.zip(b).find { case (x, y) => x != y })
+  }
+
+  test("SQL-file snapshot model: two-day replay lands bit-equal to the " +
+      "Scd2 twin") {
+    import graft.pipeline.{IncrementalQueries, ParquetSink, SqlModels}
+    val snapModel = SqlModels.load(new java.io.File("models"))
+      .find(_.name == "customer_email_snapshot").get
+    assert(snapModel.materialization ==
+      Registry.Snapshot("customer_id", Seq("email")))
+    var phase = 0
+    val feed = Registry.Model("bronze_customers", "bronze", Registry.View,
+      Seq.empty, (s, dir, _) => {
+        val cust = graft.bronze.Bronze.customers(s, dir)
+        if (phase == 0) cust.filter(
+          col("customer_id") % IncrementalQueries.Scd2NewKeyMod =!= 0)
+        else cust.withColumn("email",
+          when(col("customer_id") % IncrementalQueries.Scd2ChangeMod === 0,
+            concat(lit("updated_"), col("email"))).otherwise(col("email")))
+      })
+    val sink = new ParquetSink(
+      Files.createTempDirectory("graft_wh_snap_sql").toString)
+    Registry.run(spark, Sf0001, sink, all = Seq(feed, snapModel),
+      registerViews = false,
+      asOf = expr(s"TIMESTAMP_NTZ '${IncrementalQueries.Scd2T0}'"))
+    phase = 1
+    Registry.run(spark, Sf0001, sink, all = Seq(feed, snapModel),
+      registerViews = false,
+      asOf = expr(s"TIMESTAMP_NTZ '${IncrementalQueries.Scd2T1}'"))
+    val cols = Seq("customer_id", "email", "_valid_from", "_valid_to",
+      "_is_current")
+    val out = sink.read(spark, "silver", "customer_email_snapshot")
+      .select(cols.map(col): _*)
+    val twin = IncrementalQueries.scd2Snapshot(spark, Sf0001)
+      .select(cols.map(col): _*)
+    def canon(df: org.apache.spark.sql.DataFrame): Array[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+    val (a, b) = (canon(out), canon(twin))
+    assert(a.nonEmpty && a.sameElements(b),
+      s"SQL snapshot replay diverges from the code twin " +
+        s"(${a.length} vs ${b.length} rows); first diff: " +
+        a.zip(b).find { case (x, y) => x != y })
   }
 
   test("generate_database_name: custom uppercased, else target default") {
