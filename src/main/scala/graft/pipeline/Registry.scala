@@ -533,8 +533,11 @@ object Registry {
       .mkString("\n")
   }
 
-  /** `dbt source freshness` over the raw sources (SURVEY.md §3.3). */
+  /** `dbt source freshness` over the raw sources (SURVEY.md §3.3);
+    * thresholds come from the loaded schema YAML's freshness block. */
   def sourceFreshness(spark: SparkSession, sourceDir: String): Map[String, String] = Map(
     "raw_orders" -> graft.quality.Checks.freshness(
-      RawSources.rawOrders(spark, sourceDir), "_loaded_at", graft.model.Clock.now))
+      RawSources.rawOrders(spark, sourceDir), "_loaded_at", graft.model.Clock.now,
+      graft.quality.DataQuality.freshnessWarnHours,
+      graft.quality.DataQuality.freshnessErrorHours))
 }

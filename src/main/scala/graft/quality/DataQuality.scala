@@ -12,7 +12,9 @@ import graft.oracle.OracleSql
   * `(check_name, violations)`.
   *
   * Both the Spark build and the DuckDB oracle SQL are generated from the
-  * single [[inventory]] spec below, so the check list cannot drift.
+  * single [[inventory]] spec — itself loaded from the checked-in
+  * `models/<layer>/<layer>.yml` files ([[SchemaYaml]]) — so the check
+  * list cannot drift, and a dbt project's schema.yml drops in as-is.
   *
   * Faithful quirk retained: `silver_payments.payment_method.accepted_values`
   * omits 'digital_wallet' even though the method normalizer produces it
@@ -27,36 +29,29 @@ object DataQuality {
     notNulls: Seq[String],
     accepted: Map[String, Seq[String]])
 
-  /** bronze.yml:16-96, silver.yml, gold.yml — line-for-line. */
-  val inventory: Seq[TableChecks] = Seq(
-    TableChecks("raw_customers", Seq("id", "email"),
-      Seq("id", "first_name", "last_name"), Map.empty),
-    TableChecks("raw_orders", Seq("id"), Seq("id", "user_id", "amount"), Map.empty),
-    TableChecks("raw_payments", Seq("id"), Seq("id", "order_id", "amount"), Map.empty),
-    TableChecks("bronze_customers", Seq("customer_id"), Seq("customer_id"), Map.empty),
-    TableChecks("bronze_orders", Seq("order_id"), Seq("order_id"), Map.empty),
-    TableChecks("bronze_payments", Seq("payment_id"), Seq("payment_id"), Map.empty),
-    TableChecks("silver_customers", Seq("customer_key", "customer_id", "email"),
-      Seq("customer_key", "customer_id", "email", "full_name", "first_name", "last_name"),
-      Map.empty),
-    TableChecks("silver_orders", Seq("order_key"),
-      Seq("order_key", "customer_key", "order_amount"),
-      Map("order_status" -> Seq("completed", "pending", "cancelled", "unknown"))),
-    TableChecks("silver_payments", Seq("payment_key"),
-      Seq("payment_key", "order_key"),
-      Map("payment_method" -> Seq("credit_card", "bank_transfer", "paypal", "cash", "other"))),
-    TableChecks("gold_customer_summary", Seq("customer_key"), Seq("customer_key"), Map.empty),
-    TableChecks("gold_order_metrics", Seq.empty, Seq("order_date"), Map.empty),
-    TableChecks("gold_revenue_analysis", Seq("order_year_month"), Seq("order_year_month"), Map.empty))
+  /** The loaded schema-YAML declarations — the checked-in
+    * `models/<layer>/<layer>.yml` files (re-expressions of the
+    * reference's bronze.yml:16-96 / silver.yml / gold.yml), parsed once
+    * per JVM by [[SchemaYaml]]. The YAML IS the source of truth: edit a
+    * test there and the summary, its oracle, and the freshness
+    * thresholds all follow — no hand-ported Scala list to drift
+    * (SchemaYamlSpec pins the loaded inventory against the reference
+    * project's own YAML files, loaded as-is). */
+  private lazy val loaded: SchemaYaml.Loaded =
+    SchemaYaml.loadDir(new java.io.File(
+      sys.props.getOrElse("graft.models.root", "models")))
 
-  /** (check_name, child table, fk, parent table, pk) — bronze.yml:48-50,
-    * silver.yml:45-47,72-74. */
-  val relationshipChecks: Seq[(String, String, String, String, String)] = Seq(
-    ("raw_orders.user_id.relationships", "raw_orders", "user_id", "raw_customers", "id"),
-    ("silver_orders.customer_key.relationships", "silver_orders", "customer_key",
-      "silver_customers", "customer_key"),
-    ("silver_payments.order_key.relationships", "silver_payments", "order_key",
-      "silver_orders", "order_key"))
+  lazy val inventory: Seq[TableChecks] = loaded.inventory
+
+  /** (check_name, child table, fk, parent table, pk). */
+  lazy val relationshipChecks: Seq[(String, String, String, String, String)] =
+    loaded.relationships
+
+  /** Source freshness thresholds from the YAML `config.freshness` block
+    * (bronze.yml: warn 24h / error 48h), with dbt-default-free fallbacks
+    * only if a project declares none. */
+  lazy val freshnessWarnHours: Int = loaded.freshnessWarnHours.getOrElse(24)
+  lazy val freshnessErrorHours: Int = loaded.freshnessErrorHours.getOrElse(48)
 
   /** One row per declared test, evaluated over the lazy model chains in
     * one 17-branch union job (single-pass conditional agg per table;

@@ -1,0 +1,164 @@
+package graft.quality
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+/** dbt `schema.yml` loader — the declared-test surface of a dbt project
+  * (`/root/reference/models/bronze/bronze.yml:16-96`, `silver.yml`,
+  * `gold.yml`): `unique` / `not_null` / `accepted_values` /
+  * `relationships` column tests on models AND source tables, plus the
+  * source `freshness` block (`warn_after`/`error_after`). Parsed with
+  * SnakeYAML (shipped in Spark's jars) into the exact
+  * [[DataQuality.TableChecks]] / relationship-tuple shapes the
+  * single-pass summary query and its DuckDB oracle are generated from —
+  * so a user's `schema.yml` drops in as-is and BECOMES the check
+  * inventory, instead of being hand-ported to Scala.
+  *
+  * `relationships.to` accepts dbt's two relation forms: `ref('model')`
+  * resolves to the model name, `source('schema', 'table')` to the bare
+  * table name (the inventory addresses raw feeds that way). Unknown
+  * YAML keys (descriptions, databases, meta) are ignored, matching how
+  * dbt treats documentation-only properties, so the REFERENCE project's
+  * own YAML files load unmodified (SchemaYamlSpec pins that).
+  *
+  * Driver-side cost: a few KB of YAML parsed once per JVM — the check
+  * evaluation itself stays the distributed single-pass aggregate in
+  * [[DataQuality.summary]].
+  */
+object SchemaYaml {
+
+  final case class Loaded(
+    inventory: Seq[DataQuality.TableChecks],
+    relationships: Seq[(String, String, String, String, String)],
+    freshnessWarnHours: Option[Int],
+    freshnessErrorHours: Option[Int])
+
+  private def asMap(o: Any): Map[String, Any] = o match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, v) => String.valueOf(k) -> (v: Any) }.toMap
+    case _ => Map.empty
+  }
+
+  private def asList(o: Any): Seq[Any] = o match {
+    case l: java.util.List[_] => l.asScala.toSeq.map(v => v: Any)
+    case _ => Seq.empty
+  }
+
+  private val RefTo = raw"ref\(\s*'([^']+)'\s*\)".r
+  private val SourceTo = raw"source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)".r
+
+  private def parentOf(table: String, to: String): String = to.trim match {
+    case RefTo(m) => m
+    case SourceTo(_, t) => t
+    case other => throw new IllegalArgumentException(
+      s"$table: relationships.to '$other' is neither ref('m') nor " +
+        "source('s', 't')")
+  }
+
+  /** Hours from a dbt freshness period spec `{count: N, period: p}`. */
+  private def hoursOf(spec: Any): Option[Int] = {
+    val m = asMap(spec)
+    m.get("count").map { c =>
+      val n = String.valueOf(c).toInt
+      m.get("period").map(String.valueOf(_)) match {
+        case Some("hour") | None => n
+        case Some("day") => n * 24
+        case Some("minute") =>
+          require(n % 60 == 0, s"minute freshness period $n not whole hours")
+          n / 60
+        case Some(other) =>
+          throw new IllegalArgumentException(s"unknown freshness period '$other'")
+      }
+    }
+  }
+
+  /** One table's/model's declared tests folded into the inventory row +
+    * its relationship tuples. */
+  private def checksOf(entity: Map[String, Any]): (
+      DataQuality.TableChecks, Seq[(String, String, String, String, String)]) = {
+    val table = String.valueOf(entity("name"))
+    var uniques = Vector.empty[String]
+    var notNulls = Vector.empty[String]
+    var accepted = Map.empty[String, Seq[String]]
+    var rels = Vector.empty[(String, String, String, String, String)]
+    asList(entity.getOrElse("columns", null)).map(asMap).foreach { colSpec =>
+      val colName = String.valueOf(colSpec("name"))
+      asList(colSpec.getOrElse("tests", null)).foreach {
+        case "unique" => uniques :+= colName
+        case "not_null" => notNulls :+= colName
+        case m: java.util.Map[_, _] =>
+          val tm = asMap(m)
+          tm.get("accepted_values").foreach { av =>
+            accepted += colName ->
+              asList(asMap(av).getOrElse("values", null)).map(String.valueOf(_))
+          }
+          tm.get("relationships").foreach { rel =>
+            val rm = asMap(rel)
+            val parent = parentOf(table, String.valueOf(rm("to")))
+            rels :+= ((s"$table.$colName.relationships", table, colName,
+              parent, String.valueOf(rm("field"))))
+          }
+          (tm.keySet -- Set("accepted_values", "relationships")).foreach(k =>
+            throw new IllegalArgumentException(s"$table.$colName: unknown test '$k'"))
+        case other => throw new IllegalArgumentException(
+          s"$table.$colName: unknown test '$other'")
+      }
+    }
+    (DataQuality.TableChecks(table, uniques, notNulls, accepted), rels)
+  }
+
+  /** Parse schema YAML documents (in order) into one loaded inventory. */
+  def parse(texts: Seq[String]): Loaded = {
+    var inventory = Vector.empty[DataQuality.TableChecks]
+    var relationships = Vector.empty[(String, String, String, String, String)]
+    var warn: Option[Int] = None
+    var error: Option[Int] = None
+    texts.foreach { text =>
+      val doc = asMap(new org.yaml.snakeyaml.Yaml().load[Any](text))
+      asList(doc.getOrElse("sources", null)).map(asMap).foreach { src =>
+        val fresh = asMap(asMap(src.getOrElse("config", null))
+          .getOrElse("freshness", null))
+        fresh.get("warn_after").flatMap(hoursOf).foreach(h => warn = Some(h))
+        fresh.get("error_after").flatMap(hoursOf).foreach(h => error = Some(h))
+        asList(src.getOrElse("tables", null)).map(asMap).foreach { t =>
+          val (tc, rels) = checksOf(t)
+          inventory :+= tc
+          relationships ++= rels
+        }
+      }
+      asList(doc.getOrElse("models", null)).map(asMap).foreach { m =>
+        val (tc, rels) = checksOf(m)
+        inventory :+= tc
+        relationships ++= rels
+      }
+    }
+    Loaded(inventory, relationships, warn, error)
+  }
+
+  /** Medallion read order: a relationship's parent may be declared in a
+    * later file, so order only fixes the REPORTING order (bronze →
+    * silver → gold, then any other layer alphabetically — dbt itself
+    * imposes none). */
+  private def layerRank(layer: String): (Int, String) =
+    (Seq("bronze", "silver", "gold").indexOf(layer) match {
+      case -1 => Int.MaxValue
+      case i => i
+    }, layer)
+
+  /** Load the YAML schema files under each layer dir of `root`. */
+  def loadDir(root: File): Loaded = {
+    val files = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .sortBy(d => layerRank(d.getName))
+      .flatMap(layerDir => Option(layerDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile &&
+          (f.getName.endsWith(".yml") || f.getName.endsWith(".yaml")))
+        .sortBy(_.getName))
+    require(files.nonEmpty, s"no models/<layer>/*.yml under $root")
+    parse(files.toSeq.map(f =>
+      new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)))
+  }
+}
