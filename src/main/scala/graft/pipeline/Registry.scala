@@ -31,9 +31,15 @@ object Registry {
     * `trim | upper`), otherwise the target default applies. Catalog
     * resolution in Spark is case-insensitive, so
     * `spark.table("silver.silver_orders")` resolves against the
-    * uppercase-created database. */
+    * uppercase-created database.
+    *
+    * Resolution comes from the LOADED macro file
+    * (`macros/generate_database_name.sql`, [[Macros.default]]) — the
+    * dbt dispatch path, not hardcoded logic; RegistrySpec pins the
+    * loaded reference file to the same routing. */
   def databaseName(custom: Option[String], targetDefault: String): String =
-    custom.map(_.trim.toUpperCase(java.util.Locale.ROOT)).getOrElse(targetDefault)
+    Macros.default.call("generate_database_name", Seq(custom.orNull),
+      Map("target" -> Map("database" -> targetDefault))).trim
 
   sealed trait Materialization
   case object View extends Materialization

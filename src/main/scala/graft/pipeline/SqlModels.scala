@@ -164,7 +164,12 @@ object SqlModels {
         s"$name: unsupported materialization '$other'")
     }
 
-  private[pipeline] def render(name: String, layer: String, text: String): Rendered = {
+  private[graft] def render(name: String, layer: String, rawText: String,
+      macroLib: Macros.Library = Macros.default): Rendered = {
+    // user macros from macros/*.sql expand FIRST, on the raw text, so a
+    // ref()/source() inside a macro body still registers as a DAG edge
+    // and the body's SQL flows through every later substitution
+    val text = macroLib.expandIn(rawText)
     var materialization: Registry.Materialization = Registry.View
     var tags = Seq.empty[String]
     ConfigRe.findFirstMatchIn(text).foreach { m =>
@@ -217,7 +222,8 @@ object SqlModels {
     * model name from the code registry when present, so a SQL-authored
     * model inherits the same bucketing/partitioning and schema gate as
     * its code twin. */
-  def load(root: File): Seq[Registry.Model] = {
+  def load(root: File,
+      macroLib: Macros.Library = Macros.default): Seq[Registry.Model] = {
     val files = Option(root.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
       .flatMap(layerDir => Option(layerDir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.endsWith(".sql"))
@@ -227,7 +233,8 @@ object SqlModels {
     files.toSeq.map { case (layer, f) =>
       val name = f.getName.stripSuffix(".sql")
       val r = render(name, layer,
-        new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8))
+        new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8),
+        macroLib)
       val codeTwin = Registry.models.find(_.name == name)
       Registry.Model(
         name, layer, r.materialization, r.deps,
