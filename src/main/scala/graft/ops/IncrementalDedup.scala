@@ -485,9 +485,15 @@ object IncrementalDedup {
     * docs: representatives are the min SURVIVING doc per distinct text,
     * and texts all of whose docs were deleted contribute nothing. */
   def replayDeleteOracle: String =
+    deleteOracleFor(s"doc_id % $DeleteMod <> $DeleteResidue")
+
+  /** The never-ingested oracle parameterized by the SURVIVOR predicate —
+    * [[replayDeleteOracle]] is the `doc_id % 7 <> 3` instance; the
+    * takedown receipt supplies an ownership-derived one. */
+  def deleteOracleFor(survivorWhere: String): String =
     s"""WITH ${TextOps.winnowCte(
         s"""(SELECT min(doc_id) AS doc_id, text FROM documents
-            WHERE doc_id % $DeleteMod <> $DeleteResidue GROUP BY text)""")},
+            WHERE $survivorWhere GROUP BY text)""")},
     fp AS (SELECT doc_id, unnest(fps) AS fingerprint FROM w),
     keep AS (
       SELECT fingerprint FROM fp GROUP BY 1

@@ -896,8 +896,11 @@ object Similarity {
 
   /** [[annIvfTopKOracle]] with the deleted ids excluded from the
     * candidate side — training replayed over the FULL corpus, matching
-    * the pre-fold stale-quantizer serving contract. */
-  def annIvfTopKDeletedOracle(k: Int = 5): String =
+    * the pre-fold stale-quantizer serving contract. `deletedPredSql`
+    * parameterizes WHICH ids are gone (default: the ann_delete_topk
+    * modulus; the takedown receipt passes its ownership-derived set). */
+  def annIvfTopKDeletedOracle(k: Int = 5,
+      deletedPredSql: String = annDeletePredSql): String =
     s"""WITH base AS (
       SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
     normed AS (
@@ -910,7 +913,7 @@ object Similarity {
     lists AS (
       SELECT a.vec_id, a.centroid_id, n.vec, n.nrm
       FROM assigned a JOIN normed n ON a.vec_id = n.vec_id
-      WHERE NOT ${annDeletePredSql.replace("vec_id", "a.vec_id")}),
+      WHERE NOT ${deletedPredSql.replace("vec_id", "a.vec_id")}),
     pairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         q.vec AS a_vec, c.vec AS b_vec, q.nrm AS na, c.nrm AS nb

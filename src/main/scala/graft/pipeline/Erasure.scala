@@ -39,4 +39,20 @@ object Erasure {
     val sPay = Silver.paymentsFrom(Bronze.payments(spark, dir), sOrd)
     Gold.customerSummaryFrom(sCust, sOrd, sPay)
   }
+
+  /** The same never-loaded rebuild for an ARBITRARY erasure set (a
+    * `customer_id` column) — the [[Forget]] entry point: the takedown
+    * list is takedown-sized, so it broadcasts into an anti-join on the
+    * bronze customer scan; everything downstream is the unchanged
+    * medallion build. */
+  def customerSummaryErasedFrom(spark: SparkSession, dir: String,
+      erasedCustomerIds: DataFrame): DataFrame = {
+    val bCust = Bronze.customers(spark, dir)
+      .join(broadcast(erasedCustomerIds.select("customer_id")),
+        Seq("customer_id"), "left_anti")
+    val sCust = Silver.customersFrom(bCust)
+    val sOrd = Silver.ordersFrom(Bronze.orders(spark, dir), sCust)
+    val sPay = Silver.paymentsFrom(Bronze.payments(spark, dir), sOrd)
+    Gold.customerSummaryFrom(sCust, sOrd, sPay)
+  }
 }
