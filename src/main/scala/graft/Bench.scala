@@ -28,7 +28,13 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional row filter (local probe tooling — the driver never sets
+    // it): run only the named queries, e.g. for per-row 10x A/B pairs
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // GC between queries so one query's garbage (broadcasts, codegen,
       // shuffle buffers) isn't charged to the next one's wall clock —
       // isolated runs were ~3x more stable than back-to-back ones.

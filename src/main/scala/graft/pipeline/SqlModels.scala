@@ -96,6 +96,10 @@ object SqlModels {
   private val IfIncRe = (raw"(?s)\{%-?\s*if\s+is_incremental\(\)\s*-?%\}" +
     raw"(.*?)(?:\{%-?\s*else\s*-?%\}(.*?))?\{%-?\s*endif\s*-?%\}").r
   private val ThisRe = raw"\{\{\s*this\s*\}\}".r
+  /** `{{ var('name') }}` / `{{ var('name', 'default') }}` — resolved
+    * against the loaded [[ProjectYaml]] vars. */
+  private val VarRe =
+    raw"\{\{\s*var\(\s*'([^']+)'(?:\s*,\s*'([^']*)')?\s*\)\s*\}\}".r
 
   /** The temp-view name `{{ this }}` renders to for model `name` —
     * per-model so concurrent incremental models in one wave don't race
@@ -165,17 +169,24 @@ object SqlModels {
     }
 
   private[graft] def render(name: String, layer: String, rawText: String,
-      macroLib: Macros.Library = Macros.default): Rendered = {
+      macroLib: Macros.Library = Macros.default,
+      project: ProjectYaml.Project = ProjectYaml.default): Rendered = {
     // user macros from macros/*.sql expand FIRST, on the raw text, so a
     // ref()/source() inside a macro body still registers as a DAG edge
     // and the body's SQL flows through every later substitution
     val text = macroLib.expandIn(rawText)
-    var materialization: Registry.Materialization = Registry.View
-    var tags = Seq.empty[String]
+    // dbt config precedence: the model file's config() wins; a file
+    // without one falls back to its layer's dbt_project.yml defaults
+    val layerDefaults = project.layer(layer)
+    var materialization: Registry.Materialization =
+      layerDefaults.materialized.map(m => materializationOf(name, s"materialized='$m'"))
+        .getOrElse(Registry.View)
+    var tags = layerDefaults.tags
     ConfigRe.findFirstMatchIn(text).foreach { m =>
       val body = m.group(1)
-      materialization = materializationOf(name, body)
-      tags = configList(body, "tags")
+      if (configStr(body, "materialized").isDefined)
+        materialization = materializationOf(name, body)
+      tags = (layerDefaults.tags ++ configList(body, "tags")).distinct
     }
     val deps = RefRe.findAllMatchIn(text).map(_.group(1)).toSeq.distinct
     val srcs = SourceRe.findAllMatchIn(text)
@@ -199,6 +210,11 @@ object SqlModels {
           raw"'([^']+)'".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)))
       sql = NowRe.replaceAllIn(sql, s"TIMESTAMP_NTZ '${Clock.nowLit}'")
       sql = TodayRe.replaceAllIn(sql, s"DATE '${Clock.todayLit}'")
+      sql = VarRe.replaceAllIn(sql, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          project.vars.get(m.group(1)).orElse(Option(m.group(2))).getOrElse(
+            throw new IllegalArgumentException(
+              s"$name: var('${m.group(1)}') has no project value and no default"))))
       require(!sql.contains("{{") && !sql.contains("{%"),
         s"$name: unresolved template construct remains:\n" +
           sql.linesIterator.filter(l => l.contains("{{") || l.contains("{%"))
@@ -223,7 +239,8 @@ object SqlModels {
     * model inherits the same bucketing/partitioning and schema gate as
     * its code twin. */
   def load(root: File,
-      macroLib: Macros.Library = Macros.default): Seq[Registry.Model] = {
+      macroLib: Macros.Library = Macros.default,
+      project: ProjectYaml.Project = ProjectYaml.default): Seq[Registry.Model] = {
     val files = Option(root.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
       .flatMap(layerDir => Option(layerDir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.endsWith(".sql"))
@@ -234,7 +251,7 @@ object SqlModels {
       val name = f.getName.stripSuffix(".sql")
       val r = render(name, layer,
         new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8),
-        macroLib)
+        macroLib, project)
       val codeTwin = Registry.models.find(_.name == name)
       Registry.Model(
         name, layer, r.materialization, r.deps,
