@@ -10,6 +10,28 @@ class PlanSpec extends SparkSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("forget: takedown list broadcasts everywhere — erased warehouse " +
+      "anti-join and id derivation, no cartesian anywhere") {
+    import org.apache.spark.sql.functions._
+    val erased = graft.bronze.Bronze.customers(spark, Sf0001)
+      .select("customer_id")
+      .filter(pmod(col("customer_id"),
+        lit(graft.pipeline.Erasure.ErasureMod.toLong)) === 0)
+    val wh = plan(graft.pipeline.Erasure
+      .customerSummaryErasedFrom(spark, Sf0001, erased))
+    assert(wh.contains("BroadcastHashJoin") && wh.contains("LeftAnti"),
+      s"the erasure list must broadcast into an anti-join at bronze:\n$wh")
+    assert(!wh.contains("CartesianProduct") &&
+      !wh.contains("BroadcastNestedLoopJoin"))
+    val ids = plan(graft.pipeline.Forget.idsFor(spark, Sf0001, erased))
+    assert(ids.contains("BroadcastHashJoin"),
+      s"ownership derivation must broadcast the takedown list:\n$ids")
+    assert(!ids.contains("CartesianProduct") &&
+      !ids.contains("BroadcastNestedLoopJoin") &&
+      !ids.contains("SortMergeJoin"),
+      s"no corpus-wide shuffle for a takedown-sized list:\n$ids")
+  }
+
   test("silver_orders: dimension broadcast + filter pushdown + pruning") {
     val p = plan(Silver.orders(spark, Sf0001))
     assert(p.contains("BroadcastHashJoin"), "customer side should broadcast")
