@@ -324,7 +324,7 @@ object StreamingOps {
         (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
       .select(col("window.start").cast("timestamp_ntz").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
-    runToMemory(spark, agg, "graft_windowed_parity_append", OutputMode.Append())
+    runToFiles(spark, agg, "graft_windowed_parity_append")
   }
 
   def windowedParityAppendOracle: String =
@@ -344,7 +344,7 @@ object StreamingOps {
 
   /** Driver-checked streaming gap-sessionization parity: a REAL streaming
     * execution of [[gapSessions]] (file source → watermark →
-    * flatMapGroupsWithState with event-time timeout → memory sink,
+    * flatMapGroupsWithState with event-time timeout → parquet file sink,
     * Append mode) over the events table. Both close paths appear in the
     * output: inline closes (a later event past the gap) and timeout
     * closes (the watermark passed last_event + gap). Sessions the final
@@ -362,8 +362,7 @@ object StreamingOps {
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"), col("value"))
       .as[Event]
-    runToMemory(spark, gapSessions(ev).toDF(), "graft_sessions_parity",
-      OutputMode.Append())
+    runToFiles(spark, gapSessions(ev).toDF(), "graft_sessions_parity")
   }
 
   def sessionsParityOracle: String = {
@@ -427,7 +426,7 @@ object StreamingOps {
     val out = dedupStream(doubled)
       .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
-    runToMemory(spark, out, "graft_dedup_parity", OutputMode.Append())
+    runToFiles(spark, out, "graft_dedup_parity")
   }
 
   def dedupParityOracle: String =
@@ -437,7 +436,7 @@ object StreamingOps {
 
   /** Oracle-checked parity drain of [[attributionStream]] — a REAL
     * streaming execution of the stream-stream interval join (file source
-    * → dual watermarks → inner interval join → memory sink, Append
+    * → dual watermarks → inner interval join → parquet file sink, Append
     * mode). Unlike the windowed parities there is no watermark cutoff to
     * mirror in the oracle: an INNER stream-stream join emits a pair the
     * moment both sides have arrived (withholding until the watermark is
@@ -452,7 +451,7 @@ object StreamingOps {
       .select(col("purchase_id"), col("click_id"), col("user_id"),
         col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
         col("click_ts").cast("timestamp_ntz").as("click_ts"), col("value"))
-    runToMemory(spark, out, "graft_attribution_parity", OutputMode.Append())
+    runToFiles(spark, out, "graft_attribution_parity")
   }
 
   def attributionParityOracle: String = graft.ops.Events.attributionOracle
@@ -505,7 +504,7 @@ object StreamingOps {
       .select(col("purchase_id"), col("click_id"), col("user_id"),
         col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
         col("click_ts").cast("timestamp_ntz").as("click_ts"), col("value"))
-    runToMemory(spark, out, "graft_attribution_outer", OutputMode.Append())
+    runToFiles(spark, out, "graft_attribution_outer")
   }
 
   def attributionOuterParityOracle: String = {
@@ -692,8 +691,38 @@ object StreamingOps {
     }
   }
 
+  /** Run an Append-mode streaming query over `df` into a parquet FILE
+    * sink and block until the (file-bounded) stream drains; the result is
+    * the sink directory read back (exact — batch reads of a
+    * FileStreamSink directory resolve through its `_spark_metadata`
+    * commit log, so only committed files are visible). This is the drain
+    * for outputs that scale WITH the data (deduped corpus, session
+    * closes, attribution pairs): executors write their partitions
+    * directly and the driver never materializes a row — a memory-sink
+    * drain of the same streams collects every task result onto the
+    * driver and OOMs at ~100× sf0.1 under an 8 GB heap (observed: Java
+    * serialization of collected batches inside MicroBatchExecution).
+    * Memory sinks remain only where the output is aggregate-bounded
+    * ([[windowedParity]]'s Complete-mode window×type table). The sink
+    * and checkpoint directories are [[graft.model.Scratch]]-registered. */
+  def runToFiles(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
+    val out = graft.model.Scratch.dir(s"graft_sink_$name")
+    val ckpt = graft.model.Scratch.dir(s"graft_ckpt_$name")
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", out)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(out)
+  }
+
   /** Run a streaming query over `df` into an in-memory table and block
-    * until the (file-bounded) stream drains. Returns the result table. */
+    * until the (file-bounded) stream drains. Returns the result table.
+    * For Append-mode drains whose output grows with the data, use
+    * [[runToFiles]] — this collects onto the driver. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       outputMode: OutputMode = OutputMode.Append()): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft_ckpt_$name")
