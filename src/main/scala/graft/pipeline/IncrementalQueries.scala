@@ -79,6 +79,97 @@ object IncrementalQueries {
       WHERE order_date > (SELECT max(order_date) FROM target))
     SELECT * FROM appended"""
 
+  /** dbt `incremental_strategy='delete+insert'` replayed as a batch, with
+    * the two shapes MERGE-based upsert cannot express: a COMPOSITE key
+    * (customer_id, order_date — "reload a customer's day") and
+    * many-rows-per-key batches (a reloaded day carries ALL its orders).
+    * Target = orders before the cutoff; incoming = the new window plus a
+    * full reload of every customer-day containing a [[RestateMod]]-marked
+    * order — minus that day's cancelled orders (the reload DROPS rows,
+    * which delete+insert honors and merge never can: merge only replaces
+    * or adds) — re-stamped 'restated'. One left-anti equi-join on the key
+    * tuple; at scale the batch's key set broadcasts. */
+  def incrementalDeleteInsert(spark: SparkSession, dir: String): DataFrame = {
+    val bronze = Bronze.orders(spark, dir)
+    val cutoff = to_date(lit(CutoffDate))
+    val target = bronze.filter(col("order_date") < cutoff)
+    val reloadDays = target.filter(col("order_id") % RestateMod === 0)
+      .select("customer_id", "order_date").distinct()
+    val reloaded = target
+      .join(reloadDays, Seq("customer_id", "order_date"), "left_semi")
+      .filter(!(col("order_status") <=> lit("cancelled")))
+      .withColumn("order_status", lit("restated"))
+    val incoming = bronze.filter(col("order_date") >= cutoff)
+      .unionByName(reloaded)
+    Incremental.deleteInsert(target, incoming,
+      Seq("customer_id", "order_date"))
+  }
+
+  def incrementalDeleteInsertOracle: String =
+    s"""${OracleSql.prelude},
+    target AS (
+      SELECT * FROM bronze_orders WHERE order_date < DATE '$CutoffDate'),
+    reload_days AS (
+      SELECT DISTINCT customer_id, order_date
+      FROM target WHERE order_id % $RestateMod = 0),
+    reloaded AS (
+      SELECT * REPLACE ('restated' AS order_status) FROM target t
+      WHERE EXISTS (SELECT 1 FROM reload_days d
+        WHERE d.customer_id = t.customer_id AND d.order_date = t.order_date)
+        AND t.order_status IS DISTINCT FROM 'cancelled'),
+    incoming AS (
+      SELECT * FROM bronze_orders WHERE order_date >= DATE '$CutoffDate'
+      UNION ALL SELECT * FROM reloaded),
+    merged AS (
+      SELECT * FROM target t
+      WHERE NOT EXISTS (SELECT 1 FROM incoming i
+        WHERE i.customer_id = t.customer_id AND i.order_date = t.order_date)
+      UNION ALL SELECT * FROM incoming)
+    SELECT * FROM merged"""
+
+  /** Months replaced by the [[incrementalInsertOverwrite]] recompute: the
+    * data's two newest order months. */
+  val OverwriteMonths = 2
+
+  /** dbt `incremental_strategy='insert_overwrite'` replayed as a batch:
+    * the table is partitioned by order month; the batch recomputes the
+    * two newest months WITHOUT their cancelled orders. Every touched
+    * month is replaced wholesale — the cancelled orders VANISH (the
+    * recompute-a-partition semantics: rows absent from the batch are
+    * deleted, which neither merge nor delete+insert-by-order-key does) —
+    * and every other month is untouched (and, via
+    * [[TableSink.overwritePartitions]], untouched ON DISK: only the two
+    * month directories are rewritten; the spec pins the physical claim).
+    * NULL-dated orders live outside any replaced month and survive. */
+  def incrementalInsertOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val base = Bronze.orders(spark, dir)
+      .withColumn("order_month", date_format(col("order_date"), "yyyy-MM"))
+    val newest = base.select("order_month").filter(col("order_month").isNotNull)
+      .distinct().orderBy(col("order_month").desc).limit(OverwriteMonths)
+    val incoming = base.join(newest, Seq("order_month"), "left_semi")
+      .filter(!(col("order_status") <=> lit("cancelled")))
+    Incremental.insertOverwrite(base, incoming, Seq("order_month"))
+  }
+
+  def incrementalInsertOverwriteOracle: String =
+    s"""${OracleSql.prelude},
+    base AS (
+      SELECT *, strftime(order_date, '%Y-%m') AS order_month
+      FROM bronze_orders),
+    newest AS (
+      SELECT DISTINCT order_month FROM base WHERE order_month IS NOT NULL
+      ORDER BY order_month DESC LIMIT $OverwriteMonths),
+    incoming AS (
+      SELECT * FROM base b
+      WHERE EXISTS (SELECT 1 FROM newest n WHERE n.order_month = b.order_month)
+        AND b.order_status IS DISTINCT FROM 'cancelled'),
+    replaced AS (
+      SELECT * FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM incoming i
+        WHERE i.order_month = b.order_month)
+      UNION ALL SELECT * FROM incoming)
+    SELECT * FROM replaced"""
+
   val Scd2T0 = "2001-08-14 00:00:00"
   val Scd2T1 = "2001-08-15 00:00:00"
   /** Day-1 email mutation modulus and day-0 late-arrival modulus. */

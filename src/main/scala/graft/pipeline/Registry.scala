@@ -56,7 +56,24 @@ object Registry {
     uniqueKey: Option[String],
     watermarkCol: String,
     onSchemaChange: graft.pipeline.Incremental.OnSchemaChange =
-      graft.pipeline.Incremental.Ignore) extends Materialization
+      graft.pipeline.Incremental.Ignore,
+    strategy: IncStrategy = IncStrategy.Auto) extends Materialization
+
+  /** dbt `incremental_strategy`. [[IncStrategy.Auto]] is the engine's
+    * original routing (merge when `uniqueKey` is declared, high-water-mark
+    * append otherwise — dbt's default strategy choice per config); the
+    * named strategies add what Auto cannot express. */
+  sealed trait IncStrategy
+  object IncStrategy {
+    case object Auto extends IncStrategy
+    /** `delete+insert`: composite keys, many-rows-per-key batches
+      * ([[graft.pipeline.Incremental.deleteInsert]]). */
+    final case class DeleteInsert(keys: Seq[String]) extends IncStrategy
+    /** `insert_overwrite`: every partition the batch touches is replaced
+      * wholesale; the sink writes only those partitions' files
+      * ([[TableSink.overwritePartitions]]). */
+    final case class InsertOverwrite(partitionBy: Seq[String]) extends IncStrategy
+  }
 
   /** dbt snapshot, `check` strategy: SCD2 table keyed by `key`,
     * change-tracked on `checkCols` ([[Incremental$.Scd2]]). First run
@@ -439,27 +456,38 @@ object Registry {
       case Table => sink.overwrite(spark, m.layer, m.name, df, m.layout)
       case inc: Incremental =>
         import graft.pipeline.{Incremental => I}
-        if (firstRun) sink.overwrite(spark, m.layer, m.name, df, m.layout)
-        else (inc.uniqueKey, inc.onSchemaChange) match {
-          // every keyed policy routes through the sink's merge, which owns
-          // the drift contract: Ignore projects to the target schema,
-          // AppendNewColumns widens (ALTER TABLE on MERGE-capable formats,
-          // a rewriting union on the parquet fallback), FailOnChange
-          // rejects — so a lakehouse sink never pays a rewrite for what
-          // its format does as a metadata operation
-          case (Some(k), policy) =>
-            sink.merge(spark, m.layer, m.name, df, k, m.layout, policy)
-          case (None, policy) =>
-            val target = sink.read(spark, m.layer, m.name)
-            val fresh = I.freshRows(target, df, inc.watermarkCol)
-            policy match {
-              case I.AppendNewColumns
-                  if fresh.columns.toSet != target.columns.toSet =>
+        // insert_overwrite declares its partition columns; if the model's
+        // layout doesn't partition, adopt them so the first-run table is
+        // laid out in the directories later partition-overwrites target
+        val layout = inc.strategy match {
+          case IncStrategy.InsertOverwrite(parts) if m.layout.partitionBy.isEmpty =>
+            m.layout.copy(partitionBy = parts)
+          case _ => m.layout
+        }
+        if (firstRun) sink.overwrite(spark, m.layer, m.name, df, layout)
+        else inc.strategy match {
+          case IncStrategy.DeleteInsert(keys) =>
+            sink.deleteInsert(spark, m.layer, m.name, df, keys, layout,
+              inc.onSchemaChange)
+          case IncStrategy.InsertOverwrite(parts) =>
+            inc.onSchemaChange match {
+              case I.Ignore | I.FailOnChange =>
+                // schema unchanged by policy → only the touched
+                // partitions' files are written
+                sink.overwritePartitions(spark, m.layer, m.name,
+                  I.align(sink.read(spark, m.layer, m.name), df,
+                    inc.onSchemaChange), parts, layout)
+              case widening =>
+                // a policy that CHANGES the table schema can't land as a
+                // partition-scoped write (untouched partitions must widen
+                // too) → logical transform + rewrite; lakehouse formats
+                // would ALTER first and keep the partition-scoped write
                 sink.overwrite(spark, m.layer, m.name,
-                  target.unionByName(fresh, allowMissingColumns = true), m.layout)
-              case _ => sink.append(spark, m.layer, m.name,
-                I.align(target, fresh, policy), m.layout)
+                  I.insertOverwrite(sink.read(spark, m.layer, m.name), df,
+                    parts, widening), layout)
             }
+          case IncStrategy.Auto =>
+            autoIncremental(spark, m, inc, df, layout, sink)
         }
       case snap: Snapshot =>
         // SCD2 advance rewrites via overwrite here; on a lakehouse format
@@ -479,6 +507,35 @@ object Registry {
     // concurrent run()s in one session should disable registration on one
     if (registerViews) materialized.createOrReplaceTempView(m.name)
     materialized
+  }
+
+  /** [[IncStrategy.Auto]] non-first-run routing — the original per-config
+    * choice: merge when `uniqueKey` is declared, high-water-mark append
+    * otherwise. */
+  private def autoIncremental(spark: SparkSession, m: Model, inc: Incremental,
+      df: DataFrame, layout: TableLayout, sink: TableSink): DataFrame = {
+    import graft.pipeline.{Incremental => I}
+    (inc.uniqueKey, inc.onSchemaChange) match {
+      // every keyed policy routes through the sink's merge, which owns
+      // the drift contract: Ignore projects to the target schema,
+      // AppendNewColumns widens (ALTER TABLE on MERGE-capable formats,
+      // a rewriting union on the parquet fallback), FailOnChange
+      // rejects — so a lakehouse sink never pays a rewrite for what
+      // its format does as a metadata operation
+      case (Some(k), policy) =>
+        sink.merge(spark, m.layer, m.name, df, k, layout, policy)
+      case (None, policy) =>
+        val target = sink.read(spark, m.layer, m.name)
+        val fresh = I.freshRows(target, df, inc.watermarkCol)
+        policy match {
+          case I.AppendNewColumns
+              if fresh.columns.toSet != target.columns.toSet =>
+            sink.overwrite(spark, m.layer, m.name,
+              target.unionByName(fresh, allowMissingColumns = true), layout)
+          case _ => sink.append(spark, m.layer, m.name,
+            I.align(target, fresh, policy), layout)
+        }
+    }
   }
 
   /** dbt resolves `ref()` to an unselected model against current warehouse

@@ -57,6 +57,25 @@ trait TableSink {
   def append(spark: SparkSession, layer: String, name: String,
     fresh: DataFrame, layout: TableLayout = TableLayout.none): DataFrame
 
+  /** dbt `incremental_strategy='delete+insert'`: target rows matching any
+    * incoming key TUPLE are deleted, then the whole batch is inserted —
+    * composite keys and many-rows-per-key batches are legal
+    * ([[Incremental.deleteInsert]]). On DML-capable formats this is a
+    * `DELETE` + `INSERT` pair, no rewrite. */
+  def deleteInsert(spark: SparkSession, layer: String, name: String,
+    incoming: DataFrame, keys: Seq[String],
+    layout: TableLayout = TableLayout.none,
+    onSchemaChange: Incremental.OnSchemaChange = Incremental.Ignore): DataFrame
+
+  /** dbt `incremental_strategy='insert_overwrite'`: replace exactly the
+    * partitions `incoming` carries (dynamic partition overwrite — only
+    * those partitions' files are written; every other partition is
+    * untouched on disk). `incoming` must already be policy-aligned to the
+    * table's schema, and the table must be partitioned by `partitionBy`. */
+  def overwritePartitions(spark: SparkSession, layer: String, name: String,
+    incoming: DataFrame, partitionBy: Seq[String],
+    layout: TableLayout = TableLayout.none): DataFrame
+
   /** Whether `layer`.`name` is already materialized — the first-run test
     * dbt's incremental/snapshot materializations branch on. */
   def exists(spark: SparkSession, layer: String, name: String): Boolean
@@ -76,6 +95,16 @@ object MergeSql {
     s"""MERGE INTO $target t USING $source s ON t.$key = s.$key
        |WHEN MATCHED THEN UPDATE SET *
        |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+
+  /** `delete+insert` step 1: delete target rows whose key tuple appears
+    * in the batch (dbt's generated DELETE for the strategy). */
+  def deleteByKeys(target: String, source: String, keys: Seq[String]): String =
+    s"""DELETE FROM $target WHERE EXISTS (SELECT 1 FROM $source s
+       |WHERE ${keys.map(k => s"$target.$k = s.$k").mkString(" AND ")})""".stripMargin
+
+  /** `delete+insert` step 2: insert the whole batch. */
+  def insertAll(target: String, source: String): String =
+    s"INSERT INTO $target SELECT * FROM $source"
 }
 
 /** Path-routed parquet sink: `warehouseDir/layer/name`. The original
@@ -140,6 +169,37 @@ final class ParquetSink(warehouseDir: String) extends TableSink {
     val w = fresh.write.mode("append")
     val wp = if (layout.partitionBy.nonEmpty) w.partitionBy(layout.partitionBy: _*) else w
     wp.parquet(path(layer, name))
+    read(spark, layer, name)
+  }
+
+  override def deleteInsert(spark: SparkSession, layer: String, name: String,
+      incoming: DataFrame, keys: Seq[String],
+      layout: TableLayout = TableLayout.none,
+      onSchemaChange: Incremental.OnSchemaChange = Incremental.Ignore): DataFrame =
+    // no DML on plain parquet → read–transform–staged-overwrite, like merge
+    overwrite(spark, layer, name,
+      Incremental.deleteInsert(read(spark, layer, name), incoming, keys,
+        onSchemaChange),
+      layout)
+
+  override def overwritePartitions(spark: SparkSession, layer: String,
+      name: String, incoming: DataFrame, partitionBy: Seq[String],
+      layout: TableLayout = TableLayout.none): DataFrame = {
+    // Stage the batch first: `incoming` may lazily read the very
+    // partitions being replaced ({{ this }} self-reference), and dynamic
+    // overwrite commits by swapping those directories under the scan.
+    // The staging write is sized by the BATCH, not the table.
+    val staging = new org.apache.hadoop.fs.Path(path(layer, s"_staging_io_$name"))
+    val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
+    incoming.write.mode("overwrite").parquet(staging.toString)
+    // Dynamic mode is the whole point: only partitions present in the
+    // batch are replaced; static mode would truncate the table.
+    spark.read.parquet(staging.toString)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionBy: _*)
+      .parquet(path(layer, name))
+    fs.delete(staging, true)
     read(spark, layer, name)
   }
 
@@ -234,36 +294,44 @@ class CatalogSink(format: String = "parquet",
     }.flatten.exists(_.toLowerCase(java.util.Locale.ROOT) == want)
   }
 
+  /** Policy-align `incoming` before a generated DML statement (`MERGE`,
+    * `DELETE`+`INSERT`) — the statement requires source/target schema
+    * agreement, so the drift policy applies FIRST: Ignore projects
+    * incoming down to the target's columns (a drifted source would
+    * otherwise fail the statement instead of dropping new columns per the
+    * policy); AppendNewColumns widens the target via ALTER TABLE ADD
+    * COLUMNS — the lakehouse-native schema evolution, metadata-only, no
+    * rewrite — then projects; FailOnChange rejects inside align.
+    * SyncAllColumns never reaches here (its column DROP is a rewrite on
+    * this classpath — callers route it to the staged-overwrite fallback;
+    * a lakehouse deployment would ALTER TABLE DROP COLUMNS and keep the
+    * DML path). */
+  private def alignForDml(spark: SparkSession, layer: String, name: String,
+      incoming: DataFrame,
+      onSchemaChange: Incremental.OnSchemaChange): DataFrame = onSchemaChange match {
+    case Incremental.AppendNewColumns =>
+      // case-insensitive: Spark's default resolution treats `Extra`
+      // and `extra` as the same column, so a case-variant must count
+      // as existing rather than trigger a failing ALTER
+      val existing = read(spark, layer, name).columns
+        .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      val added = incoming.schema.fields.filterNot(f =>
+        existing.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
+      if (added.nonEmpty) {
+        val ddl = added.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+        spark.sql(s"ALTER TABLE ${ident(layer, name)} ADD COLUMNS ($ddl)")
+      }
+      Incremental.align(read(spark, layer, name), incoming, Incremental.Ignore)
+    case p => Incremental.align(read(spark, layer, name), incoming, p)
+  }
+
   override def merge(spark: SparkSession, layer: String, name: String,
       incoming: DataFrame, key: String,
       layout: TableLayout = TableLayout.none,
       onSchemaChange: Incremental.OnSchemaChange = Incremental.Ignore): DataFrame = {
     val target = ident(layer, name)
-    if (mergeCapable) {
-      // MERGE ... UPDATE SET */INSERT * requires the source's schema to
-      // match the target's, so the drift policy is applied BEFORE the
-      // statement: Ignore projects incoming down to the target's columns
-      // (a drifted source would otherwise fail the MERGE instead of
-      // dropping new columns per the policy); AppendNewColumns widens the
-      // target via ALTER TABLE ADD COLUMNS — the lakehouse-native schema
-      // evolution, metadata-only, no rewrite — then projects; FailOnChange
-      // rejects inside align.
-      val aligned = onSchemaChange match {
-        case Incremental.AppendNewColumns =>
-          // case-insensitive: Spark's default resolution treats `Extra`
-          // and `extra` as the same column, so a case-variant must count
-          // as existing rather than trigger a failing ALTER
-          val existing = read(spark, layer, name).columns
-            .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-          val added = incoming.schema.fields.filterNot(f =>
-            existing.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
-          if (added.nonEmpty) {
-            val ddl = added.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-            spark.sql(s"ALTER TABLE $target ADD COLUMNS ($ddl)")
-          }
-          Incremental.align(read(spark, layer, name), incoming, Incremental.Ignore)
-        case p => Incremental.align(read(spark, layer, name), incoming, p)
-      }
+    if (mergeCapable && onSchemaChange != Incremental.SyncAllColumns) {
+      val aligned = alignForDml(spark, layer, name, incoming, onSchemaChange)
       val src = s"_graft_merge_src_$name"
       aligned.createOrReplaceTempView(src)
       executeMerge(spark, MergeSql.upsertByKey(target, src, key))
@@ -275,6 +343,53 @@ class CatalogSink(format: String = "parquet",
         Incremental.merge(read(spark, layer, name), incoming, key, onSchemaChange),
         layout)
     }
+    read(spark, layer, name)
+  }
+
+  override def deleteInsert(spark: SparkSession, layer: String, name: String,
+      incoming: DataFrame, keys: Seq[String],
+      layout: TableLayout = TableLayout.none,
+      onSchemaChange: Incremental.OnSchemaChange = Incremental.Ignore): DataFrame = {
+    val target = ident(layer, name)
+    if (mergeCapable && onSchemaChange != Incremental.SyncAllColumns) {
+      val aligned = alignForDml(spark, layer, name, incoming, onSchemaChange)
+      val src = s"_graft_di_src_$name"
+      aligned.createOrReplaceTempView(src)
+      // dbt's generated pair for the strategy; on ACID formats each
+      // statement is transactional, and neither rewrites the table
+      executeMerge(spark, MergeSql.deleteByKeys(target, src, keys))
+      executeMerge(spark, MergeSql.insertAll(target, src))
+      spark.catalog.dropTempView(src)
+    } else {
+      overwrite(spark, layer, name,
+        Incremental.deleteInsert(read(spark, layer, name), incoming, keys,
+          onSchemaChange),
+        layout)
+    }
+    read(spark, layer, name)
+  }
+
+  override def overwritePartitions(spark: SparkSession, layer: String,
+      name: String, incoming: DataFrame, partitionBy: Seq[String],
+      layout: TableLayout = TableLayout.none): DataFrame = {
+    // insertInto is positional — order the batch by the table's schema.
+    // Self-reading batches stage through a temp table first (dynamic
+    // overwrite swaps the scanned partition directories at commit).
+    val tableCols = read(spark, layer, name).columns
+    val ordered = incoming.select(tableCols.map(org.apache.spark.sql.functions.col): _*)
+    val selfRead = readsTarget(spark, ordered, layer, name)
+    val staging = ident(layer, s"_graft_staging_io_$name")
+    val writeDf =
+      if (!selfRead) ordered
+      else {
+        dropStaleManagedLocation(spark, layer, s"_graft_staging_io_$name")
+        ordered.write.mode("overwrite").format(format).saveAsTable(staging)
+        spark.table(staging)
+      }
+    writeDf.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .insertInto(ident(layer, name))
+    if (selfRead) spark.sql(s"DROP TABLE $staging")
     read(spark, layer, name)
   }
 

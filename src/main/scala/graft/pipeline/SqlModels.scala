@@ -130,10 +130,21 @@ object SqlModels {
     configStr(body, "on_schema_change").getOrElse("ignore") match {
       case "ignore" => Incremental.Ignore
       case "append_new_columns" => Incremental.AppendNewColumns
-      case "fail" | "sync_all_columns" => Incremental.FailOnChange
+      case "sync_all_columns" => Incremental.SyncAllColumns
+      case "fail" => Incremental.FailOnChange
       case other => throw new IllegalArgumentException(
         s"$name: unknown on_schema_change '$other'")
     }
+
+  /** A config value that dbt accepts as string-or-list (`unique_key`,
+    * `partition_by`): `'a'`, `'a,b'` (a composite key spelled as one
+    * string), or `['a', 'b']`. */
+  private def configStrOrList(body: String, key: String): Seq[String] = {
+    val listed = configList(body, key)
+    if (listed.nonEmpty) listed
+    else configStr(body, key).toSeq.flatMap(_.split(",")).map(_.trim)
+      .filter(_.nonEmpty)
+  }
 
   /** Materialization from the `{{ config(...) }}` body — the four dbt
     * materializations, incremental with `unique_key=` (merge) or the
@@ -149,13 +160,40 @@ object SqlModels {
       case "view" => Registry.View
       case "table" => Registry.Table
       case "incremental" =>
-        val key = configStr(body, "unique_key")
+        val keys = configStrOrList(body, "unique_key")
         val watermark = configStr(body, "watermark")
-        require(key.isDefined || watermark.isDefined,
-          s"$name: incremental needs unique_key= (merge) or watermark= " +
-            "(insert-only high-water mark)")
-        Registry.Incremental(key, watermark.orElse(key).get,
-          schemaChangeOf(name, body))
+        val policy = schemaChangeOf(name, body)
+        configStr(body, "incremental_strategy") match {
+          case Some("delete+insert") =>
+            require(keys.nonEmpty,
+              s"$name: delete+insert needs unique_key= (string or list)")
+            Registry.Incremental(keys.headOption, watermark.orElse(keys.headOption).get,
+              policy, Registry.IncStrategy.DeleteInsert(keys))
+          case Some("insert_overwrite") =>
+            val parts = configStrOrList(body, "partition_by")
+            require(parts.nonEmpty,
+              s"$name: insert_overwrite needs partition_by= (string or list)")
+            Registry.Incremental(None, parts.head, policy,
+              Registry.IncStrategy.InsertOverwrite(parts))
+          case Some("merge") | None =>
+            require(keys.nonEmpty || watermark.isDefined,
+              s"$name: incremental needs unique_key= (merge) or watermark= " +
+                "(insert-only high-water mark)")
+            require(keys.size <= 1,
+              s"$name: merge takes a single unique_key " +
+                "(use incremental_strategy='delete+insert' for composite keys)")
+            Registry.Incremental(keys.headOption,
+              watermark.orElse(keys.headOption).get, policy)
+          case Some("append") =>
+            // the engine's append is high-water-mark gated (at-least-once
+            // redelivery safe); dbt's blind insert-every-row append is
+            // deliberately not offered — declare the watermark column
+            require(watermark.isDefined,
+              s"$name: append needs watermark= (the high-water-mark column)")
+            Registry.Incremental(None, watermark.get, policy)
+          case Some(other) => throw new IllegalArgumentException(
+            s"$name: unknown incremental_strategy '$other'")
+        }
       case "snapshot" =>
         configStr(body, "strategy").foreach(st => require(st == "check",
           s"$name: snapshot strategy '$st' unsupported (only 'check')"))

@@ -48,6 +48,54 @@ class IncrementalSpec extends SparkSpec {
       "pre-existing rows carry NULL in the new column")
   }
 
+  test("delete+insert: composite key, many rows per key, and row deletion") {
+    val target = Seq(
+      (1L, "2001-01-01", "o1", 10.0), (1L, "2001-01-01", "o2", 20.0),
+      (1L, "2001-01-02", "o3", 30.0), (2L, "2001-01-01", "o4", 40.0))
+      .toDF("cust", "day", "ord", "amt")
+    // customer 1's Jan-1 reloads with three rows (one replaced, two new)
+    // and DROPS o2 — merge can't express either: the key is composite and
+    // the batch carries several rows per key tuple
+    val incoming = Seq(
+      (1L, "2001-01-01", "o1", 11.0), (1L, "2001-01-01", "o5", 50.0),
+      (1L, "2001-01-01", "o6", 60.0))
+      .toDF("cust", "day", "ord", "amt")
+    val out = Incremental.deleteInsert(target, incoming, Seq("cust", "day"))
+      .as[(Long, String, String, Double)].collect().sortBy(_._3)
+    assert(out.toSeq == Seq(
+      (1L, "2001-01-01", "o1", 11.0), (1L, "2001-01-02", "o3", 30.0),
+      (2L, "2001-01-01", "o4", 40.0), (1L, "2001-01-01", "o5", 50.0),
+      (1L, "2001-01-01", "o6", 60.0)),
+      "o2 must vanish with its reloaded customer-day; other keys untouched")
+  }
+
+  test("on_schema_change=sync_all_columns: the incoming schema becomes the contract") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "v", "amt")
+    // incoming DROPS amt and ADDS extra — sync follows it on both sides
+    val incoming = Seq((2L, "B", "x"), (3L, "c", "y")).toDF("id", "v", "extra")
+    val out = Incremental.merge(target, incoming, "id", Incremental.SyncAllColumns)
+    assert(out.columns.toSeq == Seq("id", "v", "extra"),
+      "vanished column dropped AND new column added")
+    val rows = out.as[(Long, String, Option[String])].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, "a", None), (2L, "B", Some("x")), (3L, "c", Some("y"))),
+      "surviving target rows lose amt and carry NULL extra")
+  }
+
+  test("insert_overwrite replaces touched partitions wholesale, keeps the rest") {
+    val target = Seq(
+      (Option("2001-01"), 1L, "keep"), (Option("2001-02"), 2L, "replace-me"),
+      (Option("2001-02"), 3L, "vanishes"), (Option.empty[String], 4L, "null-part"))
+      .toDF("mo", "id", "v")
+    val incoming = Seq((Option("2001-02"), 2L, "replaced")).toDF("mo", "id", "v")
+    val out = Incremental.insertOverwrite(target, incoming, Seq("mo"))
+      .as[(Option[String], Long, String)].collect().sortBy(_._2)
+    assert(out.toSeq == Seq(
+      (Some("2001-01"), 1L, "keep"), (Some("2001-02"), 2L, "replaced"),
+      (None, 4L, "null-part")),
+      "id 3 vanishes with its recomputed month; the NULL partition survives")
+  }
+
   test("merge on_schema_change=fail aborts on any column-set difference") {
     val target = Seq((1L, "a")).toDF("id", "v")
     val incoming = Seq((2L, "B", "x")).toDF("id", "v", "extra")

@@ -261,6 +261,21 @@ class RegistrySpec extends SparkSpec {
         layout: graft.pipeline.TableLayout): org.apache.spark.sql.DataFrame = {
       rec("append", name); inner.append(spark, layer, name, fresh, layout)
     }
+    override def deleteInsert(spark: org.apache.spark.sql.SparkSession, layer: String,
+        name: String, incoming: org.apache.spark.sql.DataFrame, keys: Seq[String],
+        layout: graft.pipeline.TableLayout,
+        onSchemaChange: graft.pipeline.Incremental.OnSchemaChange)
+        : org.apache.spark.sql.DataFrame = {
+      rec("deleteInsert", name)
+      inner.deleteInsert(spark, layer, name, incoming, keys, layout, onSchemaChange)
+    }
+    override def overwritePartitions(spark: org.apache.spark.sql.SparkSession,
+        layer: String, name: String, incoming: org.apache.spark.sql.DataFrame,
+        partitionBy: Seq[String], layout: graft.pipeline.TableLayout)
+        : org.apache.spark.sql.DataFrame = {
+      rec("overwritePartitions", name)
+      inner.overwritePartitions(spark, layer, name, incoming, partitionBy, layout)
+    }
     override def exists(spark: org.apache.spark.sql.SparkSession, layer: String,
         name: String): Boolean = inner.exists(spark, layer, name)
     override def read(spark: org.apache.spark.sql.SparkSession, layer: String,
@@ -278,6 +293,47 @@ class RegistrySpec extends SparkSpec {
       .filter(col("o_orderdate") < lit(cutoff))
       .write.parquet(s"$dir/orders.parquet")
     dir
+  }
+
+  test("SQL-file insert_overwrite model: split replay lands bit-equal " +
+      "to the insertOverwrite twin") {
+    import graft.pipeline.{ParquetSink, SqlModels}
+    val ioModel = SqlModels.load(new java.io.File("models"))
+      .find(_.name == "orders_monthly_io").get
+    assert(ioModel.materialization == Registry.Incremental(None, "order_month",
+      strategy = Registry.IncStrategy.InsertOverwrite(Seq("order_month"))))
+    assert(ioModel.deps == Seq("bronze_orders"))
+    val feed = Registry.Model("bronze_orders", "bronze", Registry.View,
+      Seq.empty, (s, dir, _) => graft.bronze.Bronze.orders(s, dir))
+    val sink = new ParquetSink(
+      Files.createTempDirectory("graft_wh_io_sql").toString)
+    // run 1 full-builds every month; run 2's is_incremental() compile
+    // recomputes the months from 2001-06 on without cancelled orders —
+    // those months are replaced wholesale, all earlier months untouched
+    Registry.run(spark, Sf0001, sink, all = Seq(feed, ioModel),
+      registerViews = false)
+    Registry.run(spark, Sf0001, sink, all = Seq(feed, ioModel),
+      registerViews = false)
+    val cols = Seq("order_id", "customer_id", "order_date", "order_status",
+      "order_amount", "order_month")
+    val out = sink.read(spark, "silver", "orders_monthly_io")
+      .select(cols.map(col): _*)
+    val bo = graft.bronze.Bronze.orders(spark, Sf0001)
+    val base = bo.select("order_id", "customer_id", "order_date",
+        "order_status", "order_amount")
+      .withColumn("order_month", substring(col("order_date").cast("string"), 1, 7))
+    val incoming = base.filter(col("order_date") >= to_date(lit("2001-06-01")) &&
+      col("order_status") =!= "cancelled")
+    val twin = graft.pipeline.Incremental
+      .insertOverwrite(base, incoming, Seq("order_month"))
+      .select(cols.map(col): _*)
+    def canon(df: org.apache.spark.sql.DataFrame): Array[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+    val (a, b) = (canon(out), canon(twin))
+    assert(a.nonEmpty && a.sameElements(b),
+      s"SQL insert_overwrite replay diverges from the code twin " +
+        s"(${a.length} vs ${b.length} rows); first diff: " +
+        a.zip(b).find { case (x, y) => x != y })
   }
 
   private def incrementalVariant(mat: Registry.Materialization): Seq[Registry.Model] =
@@ -343,6 +399,62 @@ class RegistrySpec extends SparkSpec {
     assert(dirs.toSeq == Seq("yr=1997", "yr=1998", "yr=1999"),
       s"appended rows must land in partition dirs, got ${dirs.toSeq}")
     assert(sink.read(spark, "gold", "part_inc").count() == 3)
+  }
+
+  test("registry delete+insert strategy: composite-key reload routes through sink.deleteInsert") {
+    import spark.implicits._
+    var src = Seq((1L, "2001-01-01", 10.0), (1L, "2001-01-02", 20.0),
+      (2L, "2001-01-01", 30.0)).toDF("cust", "day", "amt")
+    val mdl = Seq(Registry.Model("di_probe", "silver",
+      Registry.Incremental(Some("cust"), "cust",
+        strategy = Registry.IncStrategy.DeleteInsert(Seq("cust", "day"))),
+      Seq.empty, (_, _, _) => src))
+    val spy = new SpySink(new graft.pipeline.ParquetSink(
+      Files.createTempDirectory("graft_wh_di").toString))
+    Registry.run(spark, Sf0001, spy, all = mdl)
+    assert(spy.of("deleteInsert").isEmpty, "first run full-builds")
+    spy.reset()
+    // customer 1's Jan-1 reloads with TWO rows — merge would cap at one
+    src = Seq((1L, "2001-01-01", 11.0), (1L, "2001-01-01", 12.0))
+      .toDF("cust", "day", "amt")
+    val out = Registry.run(spark, Sf0001, spy, all = mdl)
+    assert(spy.of("deleteInsert") == Seq("di_probe"))
+    val rows = out("di_probe").as[(Long, String, Double)].collect()
+      .sortBy(r => (r._1, r._2, r._3))
+    assert(rows.toSeq == Seq((1L, "2001-01-01", 11.0), (1L, "2001-01-01", 12.0),
+      (1L, "2001-01-02", 20.0), (2L, "2001-01-01", 30.0)))
+  }
+
+  test("registry insert_overwrite: untouched partition directories stay untouched ON DISK") {
+    import spark.implicits._
+    var src = Seq(("2001-01", 1L, "a"), ("2001-02", 2L, "b"),
+      ("2001-02", 3L, "c")).toDF("mo", "id", "v")
+    val mdl = Seq(Registry.Model("io_probe", "gold",
+      Registry.Incremental(None, "mo",
+        strategy = Registry.IncStrategy.InsertOverwrite(Seq("mo"))),
+      Seq.empty, (_, _, _) => src))
+    val wh = Files.createTempDirectory("graft_wh_io").toString
+    val spy = new SpySink(new graft.pipeline.ParquetSink(wh))
+    Registry.run(spark, Sf0001, spy, all = mdl)
+    val janDir = new java.io.File(s"$wh/gold/io_probe/mo=2001-01")
+    assert(janDir.isDirectory,
+      "first run must adopt the strategy's partition columns as layout")
+    def janFiles() = janDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified)).toSet
+    val before = janFiles()
+    spy.reset()
+    // recompute February only: id 3 is dropped by the recompute
+    src = Seq(("2001-02", 2L, "B")).toDF("mo", "id", "v")
+    val out = Registry.run(spark, Sf0001, spy, all = mdl)
+    assert(spy.of("overwritePartitions") == Seq("io_probe"))
+    assert(!spy.of("overwrite").contains("io_probe"),
+      "the partition overwrite must not rewrite the table")
+    val rows = out("io_probe").select("id", "v").as[(Long, String)]
+      .collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "a"), (2L, "B")),
+      "February replaced wholesale (id 3 gone), January intact")
+    assert(janFiles() == before,
+      "January's files must be byte-identical on disk — only Feb was written")
   }
 
   test("snapshots are exempt from --full-refresh: history survives") {
@@ -497,6 +609,56 @@ class RegistrySpec extends SparkSpec {
       Seq((1L, "a"), (2L, "B"), (3L, "c")))
     assert(spark.catalog.listTables("silver").collect()
       .forall(_.name != "_graft_merge_src_merge_sql_probe"))
+  }
+
+  test("delete+insert DML branch: DELETE + INSERT statement pair on a mergeable format") {
+    import spark.implicits._
+    var captured = List.empty[String]
+    val sink = new graft.pipeline.CatalogSink("parquet",
+        mergeCapableOverride = Some(true)) {
+      override protected def executeMerge(s: org.apache.spark.sql.SparkSession,
+          statement: String): Unit = {
+        captured ::= statement
+        val target = "SILVER.di_sql_probe"
+        val src = s.table("_graft_di_src_di_sql_probe")
+        if (statement.startsWith("DELETE FROM")) {
+          // emulate the DELETE: keep target rows with no key-tuple match
+          val kept = s.table(target)
+            .join(src.select("cust", "day").distinct(), Seq("cust", "day"),
+              "left_anti")
+          val rows = kept.collect().toSeq
+          s.createDataFrame(
+            new java.util.ArrayList(scala.jdk.CollectionConverters
+              .SeqHasAsJava(rows).asJava), kept.schema)
+            .write.mode("overwrite").format("parquet").saveAsTable(target)
+        } else {
+          assert(statement.startsWith("INSERT INTO"), s"unexpected: $statement")
+          val rows = src.select(s.table(target).columns.map(col): _*)
+            .collect().toSeq
+          s.createDataFrame(
+            new java.util.ArrayList(scala.jdk.CollectionConverters
+              .SeqHasAsJava(rows).asJava), s.table(target).schema)
+            .write.mode("append").format("parquet").saveAsTable(target)
+        }
+      }
+    }
+    sink.overwrite(spark, "silver", "di_sql_probe",
+      Seq((1L, "d1", 10.0), (1L, "d2", 20.0), (2L, "d1", 30.0))
+        .toDF("cust", "day", "amt"))
+    val out = sink.deleteInsert(spark, "silver", "di_sql_probe",
+      Seq((1L, "d1", 11.0), (1L, "d1", 12.0)).toDF("cust", "day", "amt"),
+      Seq("cust", "day"))
+    assert(captured.reverse == List(
+      graft.pipeline.MergeSql.deleteByKeys("SILVER.di_sql_probe",
+        "_graft_di_src_di_sql_probe", Seq("cust", "day")),
+      graft.pipeline.MergeSql.insertAll("SILVER.di_sql_probe",
+        "_graft_di_src_di_sql_probe")),
+      "DELETE must precede INSERT, both against the aligned source view")
+    assert(out.as[(Long, String, Double)].collect().sortBy(r => (r._1, r._2, r._3))
+      .toSeq == Seq((1L, "d1", 11.0), (1L, "d1", 12.0), (1L, "d2", 20.0),
+        (2L, "d1", 30.0)))
+    assert(spark.catalog.listTables("silver").collect()
+      .forall(_.name != "_graft_di_src_di_sql_probe"), "source view dropped")
   }
 
   test("MERGE branch applies schema-drift policies: Ignore projects, AppendNewColumns widens via ALTER") {
