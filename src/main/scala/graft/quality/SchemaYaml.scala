@@ -30,11 +30,44 @@ import scala.jdk.CollectionConverters._
   */
 object SchemaYaml {
 
+  /** dbt per-test `config:` block — `severity: warn|error` plus the
+    * `warn_if`/`error_if` count conditions (dbt defaults: severity error,
+    * both conditions `!= 0`). Conditions are validated against the
+    * comparator-integer shape dbt documents, so the strings can be
+    * spliced into both engines' generated SQL. */
+  final case class TestConfig(
+    severity: String = "error",
+    warnIf: String = "!= 0",
+    errorIf: String = "!= 0")
+
+  object TestConfig {
+    val default: TestConfig = TestConfig()
+
+    private val ConditionRe = raw"^(!=|<>|>=|<=|=|>|<)\s*\d+$$".r
+
+    def apply(configMap: Map[String, Any]): TestConfig = {
+      def cond(key: String, dflt: String): String =
+        configMap.get(key).map(String.valueOf(_).trim) match {
+          case None => dflt
+          case Some(c) =>
+            require(ConditionRe.findFirstIn(c).isDefined,
+              s"test config $key '$c' is not a <comparator> <integer> condition")
+            c
+        }
+      val sev = configMap.get("severity").map(String.valueOf(_).toLowerCase(
+        java.util.Locale.ROOT)).getOrElse("error")
+      require(sev == "error" || sev == "warn",
+        s"test config severity '$sev' must be 'error' or 'warn'")
+      TestConfig(sev, cond("warn_if", "!= 0"), cond("error_if", "!= 0"))
+    }
+  }
+
   final case class Loaded(
     inventory: Seq[DataQuality.TableChecks],
     relationships: Seq[(String, String, String, String, String)],
     freshnessWarnHours: Option[Int],
-    freshnessErrorHours: Option[Int])
+    freshnessErrorHours: Option[Int],
+    configs: Map[String, TestConfig] = Map.empty)
 
   private def asMap(o: Any): Map[String, Any] = o match {
     case m: java.util.Map[_, _] =>
@@ -76,38 +109,58 @@ object SchemaYaml {
   }
 
   /** One table's/model's declared tests folded into the inventory row +
-    * its relationship tuples. */
+    * its relationship tuples + any non-default per-test configs (keyed by
+    * the full check name `table.column.test`). */
   private def checksOf(entity: Map[String, Any]): (
-      DataQuality.TableChecks, Seq[(String, String, String, String, String)]) = {
+      DataQuality.TableChecks, Seq[(String, String, String, String, String)],
+      Map[String, TestConfig]) = {
     val table = String.valueOf(entity("name"))
     var uniques = Vector.empty[String]
     var notNulls = Vector.empty[String]
     var accepted = Map.empty[String, Seq[String]]
     var rels = Vector.empty[(String, String, String, String, String)]
+    var configs = Map.empty[String, TestConfig]
     asList(entity.getOrElse("columns", null)).map(asMap).foreach { colSpec =>
       val colName = String.valueOf(colSpec("name"))
+      // a test's config lives under its map form's `config:` key; only
+      // non-default configs are recorded, so an explicit dbt-default
+      // block is indistinguishable from none (as in dbt)
+      def recordConfig(test: String, body: Any): Unit = {
+        val cfg = TestConfig(asMap(asMap(body).getOrElse("config", null)))
+        if (cfg != TestConfig.default) configs += s"$table.$colName.$test" -> cfg
+      }
       asList(colSpec.getOrElse("tests", null)).foreach {
         case "unique" => uniques :+= colName
         case "not_null" => notNulls :+= colName
         case m: java.util.Map[_, _] =>
           val tm = asMap(m)
+          // map-form unique/not_null carry only a config block
+          tm.get("unique").foreach { u =>
+            uniques :+= colName; recordConfig("unique", u)
+          }
+          tm.get("not_null").foreach { nn =>
+            notNulls :+= colName; recordConfig("not_null", nn)
+          }
           tm.get("accepted_values").foreach { av =>
             accepted += colName ->
               asList(asMap(av).getOrElse("values", null)).map(String.valueOf(_))
+            recordConfig("accepted_values", av)
           }
           tm.get("relationships").foreach { rel =>
             val rm = asMap(rel)
             val parent = parentOf(table, String.valueOf(rm("to")))
             rels :+= ((s"$table.$colName.relationships", table, colName,
               parent, String.valueOf(rm("field"))))
+            recordConfig("relationships", rel)
           }
-          (tm.keySet -- Set("accepted_values", "relationships")).foreach(k =>
+          (tm.keySet -- Set("unique", "not_null", "accepted_values",
+            "relationships")).foreach(k =>
             throw new IllegalArgumentException(s"$table.$colName: unknown test '$k'"))
         case other => throw new IllegalArgumentException(
           s"$table.$colName: unknown test '$other'")
       }
     }
-    (DataQuality.TableChecks(table, uniques, notNulls, accepted), rels)
+    (DataQuality.TableChecks(table, uniques, notNulls, accepted), rels, configs)
   }
 
   /** Parse schema YAML documents (in order) into one loaded inventory. */
@@ -116,6 +169,7 @@ object SchemaYaml {
     var relationships = Vector.empty[(String, String, String, String, String)]
     var warn: Option[Int] = None
     var error: Option[Int] = None
+    var configs = Map.empty[String, TestConfig]
     texts.foreach { text =>
       val doc = asMap(new org.yaml.snakeyaml.Yaml().load[Any](text))
       asList(doc.getOrElse("sources", null)).map(asMap).foreach { src =>
@@ -124,18 +178,20 @@ object SchemaYaml {
         fresh.get("warn_after").flatMap(hoursOf).foreach(h => warn = Some(h))
         fresh.get("error_after").flatMap(hoursOf).foreach(h => error = Some(h))
         asList(src.getOrElse("tables", null)).map(asMap).foreach { t =>
-          val (tc, rels) = checksOf(t)
+          val (tc, rels, cfgs) = checksOf(t)
           inventory :+= tc
           relationships ++= rels
+          configs ++= cfgs
         }
       }
       asList(doc.getOrElse("models", null)).map(asMap).foreach { m =>
-        val (tc, rels) = checksOf(m)
+        val (tc, rels, cfgs) = checksOf(m)
         inventory :+= tc
         relationships ++= rels
+        configs ++= cfgs
       }
     }
-    Loaded(inventory, relationships, warn, error)
+    Loaded(inventory, relationships, warn, error, configs)
   }
 
   /** Medallion read order: a relationship's parent may be declared in a

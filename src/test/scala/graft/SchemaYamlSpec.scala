@@ -75,6 +75,86 @@ class SchemaYamlSpec extends AnyFunSuite {
     assert(loaded.freshnessErrorHours.contains(48))
   }
 
+  test("per-test config: severity and thresholds parse on every test form") {
+    val loaded = SchemaYaml.parse(Seq(
+      """models:
+        |  - name: t
+        |    columns:
+        |      - name: a
+        |        tests:
+        |          - unique:
+        |              config:
+        |                severity: warn
+        |          - not_null:
+        |              config:
+        |                error_if: '> 100'
+        |                warn_if: '> 5'
+        |      - name: b
+        |        tests:
+        |          - accepted_values:
+        |              values: ['x', 'y']
+        |              config:
+        |                severity: warn
+        |                warn_if: '>= 3'
+        |          - relationships:
+        |              to: ref('p')
+        |              field: id
+        |              config:
+        |                error_if: '> 0'
+        |""".stripMargin))
+    // map-form unique/not_null still register as checks
+    assert(loaded.inventory ==
+      Seq(DataQuality.TableChecks("t", Seq("a"), Seq("a"),
+        Map("b" -> Seq("x", "y")))))
+    assert(loaded.relationships.map(_._1) == Seq("t.b.relationships"))
+    assert(loaded.configs == Map(
+      "t.a.unique" -> SchemaYaml.TestConfig("warn", "!= 0", "!= 0"),
+      "t.a.not_null" -> SchemaYaml.TestConfig("error", "> 5", "> 100"),
+      "t.b.accepted_values" -> SchemaYaml.TestConfig("warn", ">= 3", "!= 0"),
+      "t.b.relationships" -> SchemaYaml.TestConfig("error", "!= 0", "> 0")))
+  }
+
+  test("an explicitly-default config is not recorded; bad configs are rejected") {
+    val dflt = SchemaYaml.parse(Seq(
+      """models:
+        |  - name: t
+        |    columns:
+        |      - name: a
+        |        tests:
+        |          - unique:
+        |              config:
+        |                severity: error
+        |""".stripMargin))
+    assert(dflt.configs.isEmpty, "explicit dbt defaults == no config")
+    intercept[IllegalArgumentException](SchemaYaml.parse(Seq(
+      """models:
+        |  - name: t
+        |    columns:
+        |      - name: a
+        |        tests:
+        |          - unique:
+        |              config:
+        |                warn_if: 'DROP TABLE x'
+        |""".stripMargin)))
+    intercept[IllegalArgumentException](SchemaYaml.parse(Seq(
+      """models:
+        |  - name: t
+        |    columns:
+        |      - name: a
+        |        tests:
+        |          - unique:
+        |              config:
+        |                severity: fatal
+        |""".stripMargin)))
+  }
+
+  test("the checked-in silver.yml downgrades the digital_wallet quirk to warn") {
+    assert(DataQuality.testConfigs ==
+      Map("silver_payments.payment_method.accepted_values" ->
+        SchemaYaml.TestConfig("warn", "> 10", "!= 0")),
+      "exactly one non-default config: the faithful-quirk check")
+  }
+
   test("loader rejects what it cannot faithfully evaluate") {
     intercept[IllegalArgumentException](SchemaYaml.parse(Seq(
       """models:
