@@ -146,6 +146,43 @@ object Incremental {
       .unionByName(inc, allowMissingColumns = onSchemaChange == AppendNewColumns)
   }
 
+  /** Period-start column `lookback` periods before `c` (dbt microbatch's
+    * re-process window). */
+  private[pipeline] def periodsBack(c: Column, lookback: Int, unit: String): Column =
+    unit match {
+      case "day" => date_sub(c, lookback)
+      case "month" => add_months(c, -lookback)
+      case "year" => add_months(c, -12 * lookback)
+      case other => throw new IllegalArgumentException(
+        s"microbatch batch_size '$other' unsupported (day|month|year)")
+    }
+
+  /** The event-time period (batch) a row belongs to, as a DATE. */
+  private[pipeline] def periodOf(eventTime: Column, unit: String): Column =
+    date_trunc(unit, eventTime).cast("date")
+
+  /** dbt `incremental_strategy='microbatch'` as a pure transform: the
+    * target's newest `lookback` periods AND every newer period are
+    * replaced by the incoming recompute; strictly older periods keep
+    * their stored rows — so late data inside the lookback window lands
+    * on refresh, and late data beyond it is (by the strategy's contract)
+    * dropped until a backfill reprocesses its period. `batchCol` is the
+    * period column (see [[periodOf]]); the refresh start is
+    * `max(batchCol) − lookback` periods, a one-row scalar aggregate like
+    * [[freshRows]]' high-water mark. At scale each refresh scans only
+    * the window's periods and rewrites only their partitions
+    * ([[TableSink.overwritePartitions]] on the Registry path). */
+  def microbatchRefresh(target: DataFrame, incoming: DataFrame,
+      batchCol: String, lookback: Int, unit: String = "day"): DataFrame = {
+    val maxB = target.agg(max(col(batchCol))).head().get(0)
+    if (maxB == null) incoming
+    else {
+      val start = periodsBack(lit(maxB), lookback, unit)
+      target.filter(col(batchCol) < start)
+        .unionByName(incoming.filter(col(batchCol) >= start))
+    }
+  }
+
   /** SCD2 snapshot, dbt `check` strategy. */
   object Scd2 {
     val ValidFrom = "_valid_from"

@@ -170,6 +170,51 @@ object IncrementalQueries {
       UNION ALL SELECT * FROM incoming)
     SELECT * FROM replaced"""
 
+  /** Late-event modulus for [[incrementalMicrobatch]]: every 101st event
+    * is "late" — absent from the first load, present on refresh. */
+  val LateMod = 101
+  val MicrobatchLookback = 1
+
+  /** dbt `incremental_strategy='microbatch'` replayed as a batch over the
+    * daily events rollup, demonstrating the strategy's defining
+    * semantics: the refresh recomputes only the periods from
+    * `max(day) − lookback` on, so LATE events landing inside that window
+    * are picked up while late events on older days stay missing until a
+    * backfill reprocesses their period (exactly dbt's contract — neither
+    * a merge nor an append behaves this way). Target = daily rollup
+    * without the [[LateMod]]-marked events; incoming = the full rollup;
+    * one scalar max + two period filters, partition-scoped on the
+    * Registry path. */
+  def incrementalMicrobatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.ops.Events.events(spark, dir).select(col("event_id"),
+      col("ts").cast("date").as("day"),
+      round(col("value") * 100).cast("long").as("c"))
+    def daily(df: DataFrame): DataFrame = df.groupBy("day")
+      .agg(count(lit(1)).as("n_events"), sum(col("c")).as("cs"))
+    val target = daily(e.filter(col("event_id") % LateMod =!= 0))
+    val incoming = daily(e)
+    Incremental.microbatchRefresh(target, incoming, "day", MicrobatchLookback)
+      .withColumn("value_sum", col("cs") / 100.0).drop("cs")
+  }
+
+  def incrementalMicrobatchOracle: String =
+    s"""WITH e AS (
+      SELECT event_id, CAST(ts AS DATE) AS day,
+        CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    tgt AS (
+      SELECT day, count(*) AS n_events, sum(c) AS cs
+      FROM e WHERE event_id % $LateMod != 0 GROUP BY 1),
+    inc AS (
+      SELECT day, count(*) AS n_events, sum(c) AS cs
+      FROM e GROUP BY 1),
+    mx AS (SELECT max(day) - $MicrobatchLookback AS refresh_start FROM tgt),
+    refreshed AS (
+      SELECT t.* FROM tgt t, mx WHERE t.day < mx.refresh_start
+      UNION ALL
+      SELECT i.* FROM inc i, mx WHERE i.day >= mx.refresh_start)
+    SELECT day, n_events, cs / 100.0 AS value_sum FROM refreshed"""
+
   val Scd2T0 = "2001-08-14 00:00:00"
   val Scd2T1 = "2001-08-15 00:00:00"
   /** Day-1 email mutation modulus and day-0 late-arrival modulus. */

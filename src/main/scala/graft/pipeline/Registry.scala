@@ -73,7 +73,20 @@ object Registry {
       * wholesale; the sink writes only those partitions' files
       * ([[TableSink.overwritePartitions]]). */
     final case class InsertOverwrite(partitionBy: Seq[String]) extends IncStrategy
+    /** `microbatch` (dbt 1.9): the model is processed in event-time
+      * periods. Each incremental run recomputes every period from
+      * `max(period) − lookback` on and replaces exactly those periods'
+      * partitions (late data inside the window lands; beyond it, a
+      * backfill must reprocess its period). The engine stamps each row's
+      * period into the [[Registry.MicrobatchCol]] DATE column and
+      * partitions the table by it; `begin` (a DATE literal) bounds the
+      * model's history like dbt's required `begin` config. */
+    final case class Microbatch(eventTime: String, batchSize: String = "day",
+      lookback: Int = 1, begin: Option[String] = None) extends IncStrategy
   }
+
+  /** The auto-stamped event-time period column of microbatch models. */
+  val MicrobatchCol = "_batch"
 
   /** dbt snapshot, `check` strategy: SCD2 table keyed by `key`,
     * change-tracked on `checkCols` ([[Incremental$.Scd2]]). First run
@@ -462,10 +475,36 @@ object Registry {
         val layout = inc.strategy match {
           case IncStrategy.InsertOverwrite(parts) if m.layout.partitionBy.isEmpty =>
             m.layout.copy(partitionBy = parts)
+          case _: IncStrategy.Microbatch if m.layout.partitionBy.isEmpty =>
+            m.layout.copy(partitionBy = Seq(MicrobatchCol))
           case _ => m.layout
         }
-        if (firstRun) sink.overwrite(spark, m.layer, m.name, df, layout)
+        // microbatch: stamp each row's event-time period and bound the
+        // history at `begin` — on both the first full build and every
+        // refresh batch, so the table is uniformly period-partitioned
+        val stamped = inc.strategy match {
+          case mb: IncStrategy.Microbatch =>
+            import org.apache.spark.sql.functions.{col => c, lit => l, to_date}
+            val withPeriod = df.withColumn(MicrobatchCol,
+              I.periodOf(c(mb.eventTime), mb.batchSize))
+            mb.begin.fold(withPeriod)(b =>
+              withPeriod.filter(c(MicrobatchCol) >= to_date(l(b))))
+          case _ => df
+        }
+        if (firstRun) sink.overwrite(spark, m.layer, m.name, stamped, layout)
         else inc.strategy match {
+          case mb: IncStrategy.Microbatch =>
+            import org.apache.spark.sql.functions.{col => c, max => fmax}
+            val target = sink.read(spark, m.layer, m.name)
+            val maxB = target.agg(fmax(c(MicrobatchCol))).head().get(0)
+            val batch =
+              if (maxB == null) stamped
+              else stamped.filter(c(MicrobatchCol) >=
+                I.periodsBack(org.apache.spark.sql.functions.lit(maxB),
+                  mb.lookback, mb.batchSize))
+            sink.overwritePartitions(spark, m.layer, m.name,
+              I.align(target, batch, inc.onSchemaChange),
+              Seq(MicrobatchCol), layout)
           case IncStrategy.DeleteInsert(keys) =>
             sink.deleteInsert(spark, m.layer, m.name, df, keys, layout,
               inc.onSchemaChange)

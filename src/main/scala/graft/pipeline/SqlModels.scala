@@ -120,6 +120,10 @@ object SqlModels {
     (raw"\b" + key + raw"\s*=\s*'([^']+)'").r
       .findFirstMatchIn(body).map(_.group(1))
 
+  private def configInt(body: String, key: String): Option[Int] =
+    (raw"\b" + key + raw"\s*=\s*(\d+)").r
+      .findFirstMatchIn(body).map(_.group(1).toInt)
+
   private def configList(body: String, key: String): Seq[String] =
     (raw"\b" + key + raw"\s*=\s*\[(.*?)\]").r.findFirstMatchIn(body)
       .map(mm => raw"'([^']+)'".r.findAllMatchIn(mm.group(1))
@@ -175,6 +179,16 @@ object SqlModels {
               s"$name: insert_overwrite needs partition_by= (string or list)")
             Registry.Incremental(None, parts.head, policy,
               Registry.IncStrategy.InsertOverwrite(parts))
+          case Some("microbatch") =>
+            val eventTime = configStr(body, "event_time").getOrElse(
+              throw new IllegalArgumentException(
+                s"$name: microbatch needs event_time="))
+            Registry.Incremental(None, eventTime, policy,
+              Registry.IncStrategy.Microbatch(
+                eventTime,
+                configStr(body, "batch_size").getOrElse("day"),
+                configInt(body, "lookback").getOrElse(1),
+                configStr(body, "begin")))
           case Some("merge") | None =>
             require(keys.nonEmpty || watermark.isDefined,
               s"$name: incremental needs unique_key= (merge) or watermark= " +

@@ -457,6 +457,50 @@ class RegistrySpec extends SparkSpec {
       "January's files must be byte-identical on disk — only Feb was written")
   }
 
+  test("registry microbatch strategy: lookback refresh replaces only its period partitions") {
+    import spark.implicits._
+    def feed(rows: Seq[(String, Long)]) = rows.toDF("ts_s", "id")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("id"))
+    var src = feed(Seq(("2001-01-01 10:00:00", 1L),
+      ("2001-01-02 10:00:00", 2L), ("2001-01-03 10:00:00", 3L)))
+    val mdl = Seq(Registry.Model("mb_probe", "gold",
+      Registry.Incremental(None, "ts",
+        strategy = Registry.IncStrategy.Microbatch("ts", "day", lookback = 1)),
+      Seq.empty, (_, _, _) => src))
+    val wh = Files.createTempDirectory("graft_wh_mb").toString
+    val spy = new SpySink(new graft.pipeline.ParquetSink(wh))
+    Registry.run(spark, Sf0001, spy, all = mdl)
+    val day1Dir = new java.io.File(s"$wh/gold/mb_probe/_batch=2001-01-01")
+    assert(day1Dir.isDirectory,
+      "first run must stamp _batch and partition the table by it")
+    def day1Files() = day1Dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified)).toSet
+    val before = day1Files()
+    spy.reset()
+    // the refresh feed adds LATE rows: id 10 on day 1 (beyond the
+    // 1-period lookback — must NOT land), ids 20/30 inside the window
+    src = feed(Seq(("2001-01-01 10:00:00", 1L), ("2001-01-01 11:00:00", 10L),
+      ("2001-01-02 10:00:00", 2L), ("2001-01-02 11:00:00", 20L),
+      ("2001-01-03 10:00:00", 3L), ("2001-01-03 11:00:00", 30L)))
+    val out = Registry.run(spark, Sf0001, spy, all = mdl)
+    assert(spy.of("overwritePartitions") == Seq("mb_probe"))
+    assert(!spy.of("overwrite").contains("mb_probe"))
+    val ids = out("mb_probe").select("id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 20L, 30L),
+      "late data inside the lookback lands; beyond it, it waits for a backfill")
+    assert(day1Files() == before, "day-1 partition untouched on disk")
+  }
+
+  test("SQL microbatch model config loads into the Microbatch strategy") {
+    import graft.pipeline.SqlModels
+    val mb = SqlModels.load(new java.io.File("models"))
+      .find(_.name == "orders_daily_mb").get
+    assert(mb.materialization == Registry.Incremental(None, "order_date",
+      strategy = Registry.IncStrategy.Microbatch("order_date", "month", 1,
+        Some("1995-01-01"))))
+    assert(mb.deps == Seq("bronze_orders"))
+  }
+
   test("snapshots are exempt from --full-refresh: history survives") {
     import spark.implicits._
     var src = Seq((1L, "a@x.com")).toDF("id", "email")
