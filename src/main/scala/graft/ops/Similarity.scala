@@ -101,6 +101,93 @@ object Similarity {
     SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
     FROM ranked WHERE rank <= $k"""
 
+  /** Johnson–Lindenstrauss output dimensionality for [[annRpTopK]]. */
+  val RpDim = 16
+
+  /** Deterministic ±1 random-projection matrix (outDim × d): row j's sign
+    * for component i is the first-nibble parity of md5("rp:j:i") — a
+    * digest both engines compute identically, so the DuckDB oracle
+    * rebuilds the exact matrix in SQL (and a re-run on any cluster
+    * rebuilds it without storing anything). */
+  private[graft] def rpSigns(outDim: Int, d: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until outDim).map(j => (0 until d).map { i =>
+      val hex = md.digest(
+        s"rp:$j:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val nib = (hex(0) >> 4) & 0xF
+      if (nib % 2 == 0) 1.0 else -1.0
+    })
+  }
+
+  /** Top-k under Johnson–Lindenstrauss ±1 random projection — embedding
+    * compression for the retrieval stack: d→[[RpDim]] dims (4× fewer
+    * bytes than int8 at d=64) while approximately preserving angles, the
+    * JL lever a 100 TB corpus pulls before building any index. The
+    * projection is [[RpDim]] codegen'd `vec_dot`s against BROADCAST
+    * LITERAL sign rows (no shuffle, no stored matrix — [[rpSigns]] is
+    * derived, so every executor and the oracle regenerate it); ranking is
+    * then the pinned-Q exact scan of [[annTopK]] over the SHORT vectors —
+    * the exactness-baseline family; a production serving path feeds the
+    * projected vectors to the LSH/IVF stack instead. Quality is measured,
+    * not assumed: [[annRecallReport]] carries an 'rp' variant next to
+    * int8/LSH. */
+  def annRpTopK(spark: SparkSession, dir: String, k: Int = 5,
+      outDim: Int = RpDim): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = embeddings(spark, dir)
+    val d = base.select(size(col("vec"))).head().getInt(0)
+    val signs = rpSigns(outDim, d)
+    val comps = signs.map(row =>
+      expr(s"vec_dot(vec, array(${row.map(v => s"${v}D").mkString(", ")}))"))
+    val proj = base.select(col("vec_id"), array(comps: _*).as("vec"))
+      .withColumn("nrm", expr(normExpr))
+    val q = proj.filter(annQueryFilter)
+      .select(col("vec_id").as("query_id"), col("vec").as("a_vec"),
+        col("nrm").as("na"))
+    val c = proj.select(col("vec_id").as("neighbor_id"),
+      col("vec").as("b_vec"), col("nrm").as("nb"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  def annRpTopKOracle(k: Int = 5, outDim: Int = RpDim): String =
+    s"""WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    dim AS (SELECT max(len(vec)) AS d FROM base),
+    r AS (
+      SELECT j, list_transform(range(1, d + 1), i ->
+        CASE WHEN (strpos('0123456789abcdef',
+            substr(md5('rp:' || j || ':' || (i - 1)), 1, 1)) - 1) % 2 = 0
+          THEN 1.0e0 ELSE -1.0e0 END) AS s
+      FROM (SELECT unnest(range($outDim)) AS j), dim),
+    proj AS (
+      SELECT b.vec_id,
+        list(list_reduce(list_transform(range(1, len(b.vec) + 1),
+          i -> b.vec[i] * r.s[i]), (x, y) -> x + y) ORDER BY r.j) AS vec
+      FROM base b CROSS JOIN r GROUP BY b.vec_id),
+    normed AS (
+      SELECT vec_id, vec, $normSqlDuck AS nrm FROM proj),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        q.vec AS a_vec, c.vec AS b_vec, q.nrm AS na, c.nrm AS nb
+      FROM normed q JOIN normed c ON q.vec_id != c.vec_id
+      WHERE q.vec_id IN ($annQueryIdsSql)),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        $dotSqlDuck / (sqrt(na) * sqrt(nb)) AS cosine
+      FROM pairs),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
+    FROM ranked WHERE rank <= $k"""
+
   /** Adaptive ANN bucket width: with fixed planes the expected bucket
     * size is N/2^p, so per-query candidate cost grows linearly with N;
     * growing p with log₂N keeps it constant (~32 expected vectors per
@@ -1682,7 +1769,8 @@ object Similarity {
     val variants = Seq(
       "int8" -> annInt8TopK(spark, dir),
       "lsh" -> annLshTopK(spark, dir),
-      "lsh_multiprobe" -> annLshMultiProbeTopK(spark, dir))
+      "lsh_multiprobe" -> annLshMultiProbeTopK(spark, dir),
+      "rp" -> annRpTopK(spark, dir))
     variants.map { case (name, df) =>
       df.select(keys.map(col): _*).join(exact, keys)
         .agg(count(lit(1)).as("hits"))
@@ -1706,7 +1794,10 @@ object Similarity {
       UNION ALL
       SELECT 'lsh_multiprobe', count(*)
       FROM (${annLshMultiProbeTopKOracle()}) a
-        JOIN exact USING (query_id, neighbor_id))
+        JOIN exact USING (query_id, neighbor_id)
+      UNION ALL
+      SELECT 'rp', count(*)
+      FROM (${annRpTopKOracle()}) a JOIN exact USING (query_id, neighbor_id))
     SELECT v.variant, v.hits, ep.exact_pairs,
       v.hits * 1.0 / ep.exact_pairs AS recall
     FROM v, ep"""
