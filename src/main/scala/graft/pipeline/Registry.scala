@@ -571,8 +571,20 @@ object Registry {
               if fresh.columns.toSet != target.columns.toSet =>
             sink.overwrite(spark, m.layer, m.name,
               target.unionByName(fresh, allowMissingColumns = true), layout)
-          case _ => sink.append(spark, m.layer, m.name,
-            I.align(target, fresh, policy), layout)
+          case I.SyncAllColumns
+              if fresh.columns.toSet != target.columns.toSet =>
+            // the incoming schema becomes the contract — a column-set
+            // change reshapes stored rows too, which is a rewrite here
+            // (metadata-only ALTERs on lakehouse formats)
+            sink.overwrite(spark, m.layer, m.name,
+              I.syncTarget(target, fresh).unionByName(fresh), layout)
+          case _ =>
+            // equal column SETS may still differ in order — project to
+            // the target's order so appended files match the table
+            // layout (SyncAllColumns ≡ Ignore when the sets are equal)
+            val p = if (policy == I.SyncAllColumns) I.Ignore else policy
+            sink.append(spark, m.layer, m.name,
+              I.align(target, fresh, p), layout)
         }
     }
   }

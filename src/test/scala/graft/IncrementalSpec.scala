@@ -121,6 +121,26 @@ class IncrementalSpec extends SparkSpec {
     assert(out.filter(col("id") === 1L).select("extra").head().isNullAt(0))
   }
 
+  test("registry append-path sync_all_columns reshapes the stored table") {
+    import graft.pipeline.Registry
+    var src = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "v", "amt")
+    val mdl = Seq(Registry.Model("evolving_sync", "silver",
+      Registry.Incremental(None, "id",
+        onSchemaChange = Incremental.SyncAllColumns),
+      Seq.empty, (_, _, _) => src))
+    val sink = new graft.pipeline.ParquetSink(
+      java.nio.file.Files.createTempDirectory("graft_wh_sync").toString)
+    Registry.run(spark, Sf0001, sink, all = mdl)
+    // the refresh DROPS amt and ADDS extra — stored rows must reshape too
+    src = Seq((3L, "c", "x")).toDF("id", "v", "extra")
+    Registry.run(spark, Sf0001, sink, all = mdl)
+    val out = sink.read(spark, "silver", "evolving_sync")
+    assert(out.columns.toSet == Set("id", "v", "extra"),
+      "incoming schema is the contract: amt gone, extra added")
+    assert(out.count() == 3)
+    assert(out.filter(col("id") === 1L).select("extra").head().isNullAt(0))
+  }
+
   test("scd2 check-strategy tracks changes with valid_from/valid_to") {
     val day1 = Seq((1L, "alice", "x"), (2L, "bob", "y")).toDF("id", "name", "attr")
     val snap1 = Incremental.Scd2.init(day1, ts("2001-01-01 00:00:00"))

@@ -1138,7 +1138,7 @@ class OpsSpec extends SparkSpec {
       .select("variant", "hits", "exact_pairs", "recall")
       .as[(String, Long, Long, Double)].collect()
       .map(t => t._1 -> t).toMap
-    assert(r.keySet == Set("int8", "lsh", "lsh_multiprobe"))
+    assert(r.keySet == Set("int8", "lsh", "lsh_multiprobe", "rp"))
     r.values.foreach { case (v, hits, ep, rec) =>
       assert(hits <= ep && rec > 0.0 && rec <= 1.0, s"$v recall $rec")
     }
