@@ -235,5 +235,39 @@ object Incremental {
 
       history.unionByName(closed).unionByName(stillCurrent).unionByName(opened)
     }
+
+    /** Advance the snapshot under dbt's `timestamp` strategy (dbt's
+      * default): a key re-arriving with `updatedAtCol` STRICTLY GREATER
+      * than its current version's closes that version and opens a new
+      * one — no content hashing, the source's own audit column is the
+      * change signal (rows whose content changed without bumping
+      * `updatedAtCol` are invisible, exactly dbt's documented caveat).
+      * New keys open a first version; vanished keys stay open. Same
+      * single-equi-shuffle shape as [[advance]]. */
+    def advanceTimestamp(snapshot: DataFrame, source: DataFrame, key: String,
+        updatedAtCol: String, asOf: Column): DataFrame = {
+      val current = snapshot.filter(col(IsCurrent))
+      val history = snapshot.filter(!col(IsCurrent))
+      val cur = current.select(col(key).as("_k"),
+        col(updatedAtCol).as("_cur_at"))
+      // new keys (no current version) or bumped audit stamps open
+      val opened = source
+        .join(cur, source(key) === cur("_k") &&
+          source(updatedAtCol) <= cur("_cur_at"), "left_anti")
+        .withColumn(ValidFrom, asOf)
+        .withColumn(ValidTo, lit(null).cast("timestamp_ntz"))
+        .withColumn(IsCurrent, lit(true))
+      val changedKeys = source
+        .join(cur, source(key) === cur("_k") &&
+          source(updatedAtCol) <= cur("_cur_at"), "left_anti")
+        .select(col(key).as("_closed_k")).distinct()
+      val closed = current
+        .join(changedKeys, current(key) === changedKeys("_closed_k"), "left_semi")
+        .withColumn(ValidTo, asOf)
+        .withColumn(IsCurrent, lit(false))
+      val stillCurrent = current
+        .join(changedKeys, current(key) === changedKeys("_closed_k"), "left_anti")
+      history.unionByName(closed).unionByName(stillCurrent).unionByName(opened)
+    }
   }
 }

@@ -237,6 +237,75 @@ object IncrementalQueries {
       expr(s"TIMESTAMP_NTZ '$Scd2T1'"))
   }
 
+  /** Email-change modulus whose day-1 rows FORGET to bump `updated_at` —
+    * the timestamp strategy's documented blind spot. */
+  val Scd2StaleMod = 13
+
+  /** dbt snapshot `timestamp` strategy (dbt's DEFAULT) replayed as a
+    * batch: day 0 = customers except every [[Scd2NewKeyMod]]th key, each
+    * carrying `created_at` as its audit stamp; day 1 = all customers,
+    * with every [[Scd2ChangeMod]]th email rewritten AND its stamp bumped
+    * one day (→ close + reopen), and every [[Scd2StaleMod]]th email
+    * rewritten WITHOUT bumping the stamp — those ghost changes must stay
+    * invisible (the old version, old email, stays current): the caveat
+    * that distinguishes `timestamp` from `check`, pinned cross-engine. */
+  def scd2SnapshotTimestamp(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Bronze.customers(spark, dir).select(col("customer_id"),
+      col("email"), col("created_at").as("updated_at"))
+    val day0 = cust.filter(col("customer_id") % Scd2NewKeyMod =!= 0)
+    val bumped = col("customer_id") % Scd2ChangeMod === 0
+    val stale = col("customer_id") % Scd2StaleMod === 0
+    val day1 = cust
+      .withColumn("email",
+        when(bumped, concat(lit("updated_"), col("email")))
+          .when(stale, concat(lit("ghost_"), col("email")))
+          .otherwise(col("email")))
+      .withColumn("updated_at",
+        when(bumped, col("updated_at") + expr("INTERVAL 1 DAY"))
+          .otherwise(col("updated_at")))
+    val snap0 = Incremental.Scd2.init(day0, expr(s"TIMESTAMP_NTZ '$Scd2T0'"))
+    Incremental.Scd2.advanceTimestamp(snap0, day1, "customer_id",
+      "updated_at", expr(s"TIMESTAMP_NTZ '$Scd2T1'"))
+  }
+
+  def scd2SnapshotTimestampOracle: String =
+    s"""${OracleSql.prelude},
+    cust AS (
+      SELECT customer_id, email, created_at AS updated_at
+      FROM bronze_customers),
+    day0 AS (SELECT * FROM cust WHERE customer_id % $Scd2NewKeyMod != 0),
+    day1 AS (
+      SELECT customer_id,
+        CASE WHEN customer_id % $Scd2ChangeMod = 0 THEN 'updated_' || email
+             WHEN customer_id % $Scd2StaleMod = 0 THEN 'ghost_' || email
+             ELSE email END AS email,
+        CASE WHEN customer_id % $Scd2ChangeMod = 0
+             THEN updated_at + INTERVAL 1 DAY ELSE updated_at END AS updated_at
+      FROM cust),
+    changed AS (
+      SELECT d1.customer_id FROM day1 d1
+      WHERE NOT EXISTS (SELECT 1 FROM day0 d0
+        WHERE d0.customer_id = d1.customer_id
+          AND d1.updated_at <= d0.updated_at)),
+    opened AS (
+      SELECT customer_id, email, updated_at,
+        TIMESTAMP '$Scd2T1' AS _valid_from,
+        CAST(NULL AS TIMESTAMP) AS _valid_to, TRUE AS _is_current
+      FROM day1 WHERE customer_id IN (SELECT customer_id FROM changed)),
+    closed AS (
+      SELECT customer_id, email, updated_at,
+        TIMESTAMP '$Scd2T0' AS _valid_from,
+        TIMESTAMP '$Scd2T1' AS _valid_to, FALSE AS _is_current
+      FROM day0 WHERE customer_id IN (SELECT customer_id FROM changed)),
+    still AS (
+      SELECT customer_id, email, updated_at,
+        TIMESTAMP '$Scd2T0' AS _valid_from,
+        CAST(NULL AS TIMESTAMP) AS _valid_to, TRUE AS _is_current
+      FROM day0 WHERE customer_id NOT IN (SELECT customer_id FROM changed))
+    SELECT * FROM opened
+    UNION ALL SELECT * FROM closed
+    UNION ALL SELECT * FROM still"""
+
   /** Days held back as the "new data" phase of [[incrementalAggMerge]]. */
   val AggDeltaDays = 7
 

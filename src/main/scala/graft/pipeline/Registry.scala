@@ -88,13 +88,17 @@ object Registry {
   /** The auto-stamped event-time period column of microbatch models. */
   val MicrobatchCol = "_batch"
 
-  /** dbt snapshot, `check` strategy: SCD2 table keyed by `key`,
-    * change-tracked on `checkCols` ([[Incremental$.Scd2]]). First run
-    * initializes version 1 for every key; later runs close changed
-    * versions at the run's `asOf` instant and open new ones. */
+  /** dbt snapshot: SCD2 table keyed by `key` ([[Incremental$.Scd2]]).
+    * `updatedAt` empty → `check` strategy, change-tracked on `checkCols`;
+    * `updatedAt` set → dbt's default `timestamp` strategy, a version
+    * closes when the source re-arrives with a strictly newer audit
+    * stamp. First run initializes version 1 for every key; later runs
+    * close changed versions at the run's `asOf` instant and open new
+    * ones. */
   final case class Snapshot(
     key: String,
-    checkCols: Seq[String]) extends Materialization
+    checkCols: Seq[String],
+    updatedAt: Option[String] = None) extends Materialization
 
   final case class Model(
     name: String,
@@ -537,8 +541,12 @@ object Registry {
         val next =
           if (!sink.exists(spark, m.layer, m.name))
             graft.pipeline.Incremental.Scd2.init(df, asOf)
-          else graft.pipeline.Incremental.Scd2.advance(
-            sink.read(spark, m.layer, m.name), df, snap.key, snap.checkCols, asOf)
+          else snap.updatedAt match {
+            case Some(at) => graft.pipeline.Incremental.Scd2.advanceTimestamp(
+              sink.read(spark, m.layer, m.name), df, snap.key, at, asOf)
+            case None => graft.pipeline.Incremental.Scd2.advance(
+              sink.read(spark, m.layer, m.name), df, snap.key, snap.checkCols, asOf)
+          }
         sink.overwrite(spark, m.layer, m.name, next, m.layout)
     }
     // the temp view is a SQL-access courtesy, not the dataflow (builds

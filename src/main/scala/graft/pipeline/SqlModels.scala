@@ -209,13 +209,22 @@ object SqlModels {
             s"$name: unknown incremental_strategy '$other'")
         }
       case "snapshot" =>
-        configStr(body, "strategy").foreach(st => require(st == "check",
-          s"$name: snapshot strategy '$st' unsupported (only 'check')"))
         val key = configStr(body, "unique_key").getOrElse(
           throw new IllegalArgumentException(s"$name: snapshot needs unique_key="))
-        val checkCols = configList(body, "check_cols")
-        require(checkCols.nonEmpty, s"$name: snapshot needs check_cols=[…]")
-        Registry.Snapshot(key, checkCols)
+        configStr(body, "strategy").getOrElse("check") match {
+          case "check" =>
+            val checkCols = configList(body, "check_cols")
+            require(checkCols.nonEmpty,
+              s"$name: snapshot check strategy needs check_cols=[…]")
+            Registry.Snapshot(key, checkCols)
+          case "timestamp" =>
+            val at = configStr(body, "updated_at").getOrElse(
+              throw new IllegalArgumentException(
+                s"$name: snapshot timestamp strategy needs updated_at="))
+            Registry.Snapshot(key, Seq.empty, Some(at))
+          case st => throw new IllegalArgumentException(
+            s"$name: snapshot strategy '$st' unsupported (check|timestamp)")
+        }
       case other => throw new IllegalArgumentException(
         s"$name: unsupported materialization '$other'")
     }

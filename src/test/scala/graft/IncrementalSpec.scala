@@ -121,6 +121,40 @@ class IncrementalSpec extends SparkSpec {
     assert(out.filter(col("id") === 1L).select("extra").head().isNullAt(0))
   }
 
+  test("scd2 timestamp strategy: bumped stamps version; ghost changes stay invisible") {
+    def feed(rows: Seq[(Long, String, String)]) = rows.toDF("id", "email", "at")
+      .withColumn("at", col("at").cast("timestamp_ntz"))
+    val snap0 = Incremental.Scd2.init(
+      feed(Seq((1L, "a@x", "2001-01-01 00:00:00"),
+        (2L, "b@x", "2001-01-01 00:00:00"))), ts("2001-01-02 00:00:00"))
+    val day1 = feed(Seq(
+      (1L, "a2@x", "2001-01-05 00:00:00"), // stamp bumped → close + reopen
+      (2L, "GHOST@x", "2001-01-01 00:00:00"), // changed, stamp NOT bumped
+      (3L, "c@x", "2001-01-03 00:00:00"))) // new key
+    val snap1 = Incremental.Scd2.advanceTimestamp(snap0, day1, "id", "at",
+      ts("2001-01-06 00:00:00"))
+    assert(snap1.count() == 4, "1 closed + 1 reopened + 1 unchanged + 1 new")
+    assert(snap1.filter(col("_is_current") && col("id") === 1L)
+      .select("email").as[String].head() == "a2@x")
+    assert(snap1.filter(!col("_is_current")).select("id").as[Long]
+      .collect().toSeq == Seq(1L))
+    assert(snap1.filter(col("_is_current") && col("id") === 2L)
+      .select("email").as[String].head() == "b@x",
+      "a change without an updated_at bump must be invisible — dbt's caveat")
+    assert(snap1.filter(col("id") === 3L).count() == 1)
+  }
+
+  test("SQL snapshot config accepts strategy='timestamp' with updated_at") {
+    import graft.pipeline.{Registry, SqlModels}
+    val r = SqlModels.render("snap_ts", "silver",
+      """{{ config(materialized='snapshot', strategy='timestamp',
+        |          unique_key='id', updated_at='at') }}
+        |SELECT id, email, at FROM {{ ref('m') }}""".stripMargin)
+    assert(r.materialization == Registry.Snapshot("id", Seq.empty, Some("at")))
+    intercept[IllegalArgumentException](SqlModels.render("snap_bad", "silver",
+      "{{ config(materialized='snapshot', strategy='timestamp', unique_key='id') }}\nSELECT 1"))
+  }
+
   test("registry append-path sync_all_columns reshapes the stored table") {
     import graft.pipeline.Registry
     var src = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "v", "amt")
