@@ -12,11 +12,15 @@ import java.nio.file.Files
   *
   *  - `{% macro name(arg, arg=default) %} … {% endmacro %}`
   *  - `{%- set var = expr -%}`
-  *  - `{%- if expr %} … [{%- else -%} …] {%- endif -%}` with
-  *    `x is none` / `x is not none` tests (nesting supported via the
-  *    render stack)
-  *  - `{{ expr }}` where expr is `none`, a `'literal'`, a dotted name
-  *    resolved against the call environment (`target.database`), with
+  *  - `{%- if expr %} … [{%- elif -%} …] [{%- else -%} …] {%- endif -%}`
+  *    with `x is [not] none` tests, `not`, and `==` / `!=` comparisons
+  *    (blocks nest freely — templates parse into an AST)
+  *  - `{% for x in list %} … {% endfor %}` with `loop.first` /
+  *    `loop.last` / `loop.index` / `loop.index0` / `loop.length` — the
+  *    dbt loop-generated-columns idiom
+  *  - `{{ expr }}` where expr is `none`, `true`/`false`, a `'literal'`,
+  *    an integer, a `['list', …]`, or a dotted name resolved against
+  *    the call environment (`target.database`), with
   *    `| trim | upper | lower` filter chains
   *
   * Whitespace-control markers (`{%-`/`-%}`/`{{-`/`-}}`) strip adjacent
@@ -87,60 +91,143 @@ object Macros {
       }
   }
 
-  /** Render a macro body against an environment — the small-subset
-    * Jinja walk: text segments emit (when the if-stack allows), tags
-    * mutate the environment or the stack. */
-  private def render(body: String, env0: Map[String, Any]): String = {
+  // ---- template AST: tokenize → parse → eval ------------------------
+  // (a linear emit-walk can't replay a {% for %} body, so templates
+  // parse into nested nodes first; if/for nest freely)
+
+  private sealed trait Node
+  private final case class TextN(s: String) extends Node
+  private final case class ExprN(e: String) extends Node
+  private final case class SetN(name: String, expr: String) extends Node
+  private final case class IfN(branches: Seq[(String, Vector[Node])],
+    orElse: Vector[Node]) extends Node
+  private final case class ForN(v: String, iter: String,
+    body: Vector[Node]) extends Node
+
+  private sealed trait Tok
+  private final case class TextT(s: String) extends Tok
+  private final case class TagT(s: String) extends Tok
+  private final case class ExprT(s: String) extends Tok
+
+  private def tokenize(body: String): Vector[Tok] = {
     // whitespace-control markers strip adjacent whitespace
     var t = body
     t = raw"\s*\{%-".r.replaceAllIn(t, "{%")
     t = raw"-%\}\s*".r.replaceAllIn(t, "%}")
     t = raw"\s*\{\{-".r.replaceAllIn(t, "{{")
     t = raw"-\}\}\s*".r.replaceAllIn(t, "}}")
-    val out = new StringBuilder
-    var env = env0
-    var stack = List.empty[Boolean] // if-branch activity, innermost first
-    def emitting = stack.forall(identity)
+    val out = Vector.newBuilder[Tok]
     var last = 0
-    val SetRe = raw"(?s)set\s+(\w+)\s*=\s*(.+)".r
-    val IfRe = raw"(?s)if\s+(.+)".r
     TagRe.findAllMatchIn(t).foreach { m =>
-      if (emitting) out.append(t.substring(last, m.start))
+      if (m.start > last) out += TextT(t.substring(last, m.start))
       last = m.end
       (Option(m.group(1)), Option(m.group(2))) match {
-        case (Some(tag), _) => tag match {
-          case SetRe(name, expr) =>
-            if (emitting) env += name -> evalExpr(expr, env)
-          case IfRe(cond) =>
-            stack = (emitting && truthy(evalExpr(cond, env))) :: stack
-          case "else" =>
-            require(stack.nonEmpty, "else without if")
-            stack = (stack.tail.forall(identity) && !stack.head) :: stack.tail
-          case "endif" =>
-            require(stack.nonEmpty, "endif without if")
-            stack = stack.tail
-          case other => throw new IllegalArgumentException(
-            s"unsupported Jinja tag '{% $other %}'")
-        }
-        case (_, Some(expr)) =>
-          if (emitting) {
-            // call-shaped expressions (ref('m'), source('s','t'),
-            // dbt_utils.*) are NOT evaluated here — they re-emit
-            // verbatim for the caller's own render-time substitutions,
-            // exactly like dbt's env-provided callables
-            if (raw"[\w.]+\(.*\)".r.pattern.matcher(expr).matches())
-              out.append(s"{{ $expr }}")
-            else {
-              val v = evalExpr(expr, env)
-              require(v != null, s"'{{ $expr }}' rendered null")
-              out.append(String.valueOf(v))
-            }
-          }
+        case (Some(tag), _) => out += TagT(tag)
+        case (_, Some(e)) => out += ExprT(e)
         case _ => ()
       }
     }
-    require(stack.isEmpty, "unclosed {% if %}")
-    out.append(t.substring(last))
+    if (last < t.length) out += TextT(t.substring(last))
+    out.result()
+  }
+
+  private val SetRe = raw"(?s)set\s+(\w+)\s*=\s*(.+)".r
+  private val IfTagRe = raw"(?s)if\s+(.+)".r
+  private val ElifRe = raw"(?s)elif\s+(.+)".r
+  private val ForTagRe = raw"(?s)for\s+(\w+)\s+in\s+(.+)".r
+
+  /** Parse tokens from `i` until one of `stops` (or EOF when `stops` is
+    * empty); returns (nodes, index past the stop tag, the stop tag). */
+  private def parseNodes(toks: Vector[Tok], i0: Int,
+      stops: Set[String]): (Vector[Node], Int, String) = {
+    val nodes = Vector.newBuilder[Node]
+    var i = i0
+    while (i < toks.length) {
+      toks(i) match {
+        case TextT(s) => nodes += TextN(s); i += 1
+        case ExprT(e) => nodes += ExprN(e); i += 1
+        case TagT(tag) =>
+          val head = tag.split(raw"\s+", 2).head
+          if (stops.contains(head)) return (nodes.result(), i + 1, tag)
+          tag match {
+            case SetRe(n, e) => nodes += SetN(n, e); i += 1
+            case ForTagRe(v, iter) =>
+              val (body, ni, _) = parseNodes(toks, i + 1, Set("endfor"))
+              nodes += ForN(v, iter, body); i = ni
+            case IfTagRe(cond0) =>
+              var branches = Vector.empty[(String, Vector[Node])]
+              var orElse = Vector.empty[Node]
+              var cond = cond0
+              var j = i + 1
+              var open = true
+              while (open) {
+                val (body, nj, stop) =
+                  parseNodes(toks, j, Set("elif", "else", "endif"))
+                branches = branches :+ ((cond, body)); j = nj
+                stop match {
+                  case ElifRe(c) => cond = c
+                  case "else" =>
+                    val (eb, nk, _) = parseNodes(toks, j, Set("endif"))
+                    orElse = eb; j = nk; open = false
+                  case _ => open = false // endif
+                }
+              }
+              nodes += IfN(branches, orElse); i = j
+            case other => throw new IllegalArgumentException(
+              s"unsupported Jinja tag '{% $other %}'")
+          }
+      }
+    }
+    require(stops.isEmpty, s"unclosed block — expected {% ${stops.mkString("/")} %}")
+    (nodes.result(), i, "")
+  }
+
+  private def evalNodes(nodes: Vector[Node], env0: Map[String, Any],
+      out: StringBuilder): Map[String, Any] = {
+    var env = env0
+    nodes.foreach {
+      case TextN(s) => out.append(s)
+      case SetN(n, e) => env += n -> evalExpr(e, env)
+      case ExprN(expr) =>
+        // call-shaped expressions (ref('m'), source('s','t'),
+        // dbt_utils.*) are NOT evaluated here — they re-emit
+        // verbatim for the caller's own render-time substitutions,
+        // exactly like dbt's env-provided callables
+        if (raw"[\w.]+\(.*\)".r.pattern.matcher(expr).matches())
+          out.append(s"{{ $expr }}")
+        else {
+          val v = evalExpr(expr, env)
+          require(v != null, s"'{{ $expr }}' rendered null")
+          out.append(String.valueOf(v))
+        }
+      case IfN(branches, orElse) =>
+        branches.find(b => truthy(evalExpr(b._1, env))) match {
+          case Some((_, body)) => env = evalNodes(body, env, out)
+          case None => env = evalNodes(orElse, env, out)
+        }
+      case ForN(v, iterExpr, body) =>
+        val items = evalExpr(iterExpr, env) match {
+          case s: Seq[_] => s
+          case other => throw new IllegalArgumentException(
+            s"'{% for $v in $iterExpr %}': not a list (${String.valueOf(other)})")
+        }
+        val n = items.size
+        items.zipWithIndex.foreach { case (item, idx) =>
+          val loopEnv = env + (v -> item) + ("loop" -> Map(
+            "first" -> (idx == 0), "last" -> (idx == n - 1),
+            "index" -> (idx + 1), "index0" -> idx, "length" -> n))
+          evalNodes(body, loopEnv, out) // loop-local sets don't escape
+        }
+    }
+    env
+  }
+
+  /** Render template text against an environment — the small-subset
+    * Jinja engine shared by macro bodies and SQL-model bodies. */
+  private[pipeline] def render(body: String, env0: Map[String, Any]): String = {
+    val (nodes, _, _) = parseNodes(tokenize(body), 0, Set.empty)
+    val out = new StringBuilder
+    evalNodes(nodes, env0, out)
     out.toString
   }
 
@@ -151,14 +238,22 @@ object Macros {
     case _ => true
   }
 
-  /** Evaluate the expression subset: `is [not] none` tests, `|` filter
-    * chains over a primary (none / 'literal' / dotted name). */
+  /** Evaluate the expression subset: `is [not] none` tests, `not`,
+    * `==` / `!=` comparisons, `|` filter chains over a primary
+    * (none / true / false / 'literal' / integer / ['list', …] /
+    * dotted name). */
   private def evalExpr(expr: String, env: Map[String, Any]): Any = {
     val IsNone = raw"(?s)(.+?)\s+is\s+none".r
     val IsNotNone = raw"(?s)(.+?)\s+is\s+not\s+none".r
+    val NotRe = raw"(?s)not\s+(.+)".r
+    val EqRe = raw"(?s)(.+?)\s*==\s*(.+)".r
+    val NeRe = raw"(?s)(.+?)\s*!=\s*(.+)".r
     expr.trim match {
       case IsNotNone(e) => evalExpr(e, env) != null
       case IsNone(e) => evalExpr(e, env) == null
+      case NotRe(e) => !truthy(evalExpr(e, env))
+      case EqRe(a, b) => evalExpr(a, env) == evalExpr(b, env)
+      case NeRe(a, b) => evalExpr(a, env) != evalExpr(b, env)
       case e =>
         val parts = e.split(raw"\|").map(_.trim)
         parts.tail.foldLeft(evalPrimary(parts.head, env)) { (v, f) =>
@@ -174,10 +269,19 @@ object Macros {
     }
   }
 
+  private val IntLit = raw"-?\d+".r
+  private val ListLit = raw"(?s)\[(.*)\]".r
+
   private def evalPrimary(p: String, env: Map[String, Any]): Any = p match {
     case "none" => null
+    case "true" | "True" => true
+    case "false" | "False" => false
+    case IntLit() => p.toInt
     case s if s.startsWith("'") && s.endsWith("'") && s.length >= 2 =>
       s.substring(1, s.length - 1)
+    case ListLit(inner) =>
+      inner.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        .map(evalExpr(_, env))
     case dotted =>
       dotted.split(raw"\.").foldLeft[Any](env) {
         case (m: Map[_, _], seg) =>

@@ -276,6 +276,11 @@ object SqlModels {
           project.vars.get(m.group(1)).orElse(Option(m.group(2))).getOrElse(
             throw new IllegalArgumentException(
               s"$name: var('${m.group(1)}') has no project value and no default"))))
+      // remaining {% set %} / {% for %} / {% if %} blocks (beyond
+      // is_incremental, split above) render through the shared Jinja
+      // engine — the loop-generated-columns idiom (a pivot written as
+      // a for over methods) works as in dbt
+      if (sql.contains("{%")) sql = Macros.render(sql, Map.empty)
       require(!sql.contains("{{") && !sql.contains("{%"),
         s"$name: unresolved template construct remains:\n" +
           sql.linesIterator.filter(l => l.contains("{{") || l.contains("{%"))

@@ -54,12 +54,36 @@ class MacrosSpec extends AnyFunSuite {
 
   test("outside-the-subset constructs fail loudly, not silently") {
     val lib = new Macros.Library(Macros.parse(
-      "{% macro bad() %}{% for x in y %}{{ x }}{% endfor %}{% endmacro %}")
+      "{% macro bad() %}{% while true %}x{% endwhile %}{% endmacro %}")
       .map(d => d.name -> d).toMap)
     intercept[IllegalArgumentException](lib.call("bad", Seq.empty))
     val lib2 = new Macros.Library(Macros.parse(
       "{% macro f(v) %}{{ v | sha256 }}{% endmacro %}")
       .map(d => d.name -> d).toMap)
     intercept[IllegalArgumentException](lib2.call("f", Seq("x")))
+    // an unbound for-loop iterable is an error, not an empty render
+    val lib3 = new Macros.Library(Macros.parse(
+      "{% macro g() %}{% for x in nowhere %}{{ x }}{% endfor %}{% endmacro %}")
+      .map(d => d.name -> d).toMap)
+    intercept[IllegalArgumentException](lib3.call("g", Seq.empty))
+  }
+
+  test("for-loops: loop.first/last/index, set lists, nesting, elif") {
+    val lib = new Macros.Library(Macros.parse(
+      """{% macro in_list(col) -%}
+        |{%- set vals = ['a', 'b', 'c'] -%}
+        |{{ col }} IN ({% for v in vals %}'{{ v }}'{% if not loop.last %}, {% endif %}{% endfor %})
+        |{%- endmacro %}
+        |{% macro grade(n) -%}
+        |{%- if n == 1 -%}one{%- elif n == 2 -%}two{%- else -%}many{%- endif -%}
+        |{%- endmacro %}
+        |{% macro idx() -%}
+        |{% for v in ['x', 'y'] %}{{ loop.index }}:{{ v }};{% endfor %}
+        |{%- endmacro %}""".stripMargin).map(d => d.name -> d).toMap)
+    assert(lib.call("in_list", Seq("m")).trim == "m IN ('a', 'b', 'c')")
+    assert(lib.call("grade", Seq(1)).trim == "one")
+    assert(lib.call("grade", Seq(2)).trim == "two")
+    assert(lib.call("grade", Seq(9)).trim == "many")
+    assert(lib.call("idx", Seq.empty).trim == "1:x;2:y;")
   }
 }

@@ -336,6 +336,28 @@ class RegistrySpec extends SparkSpec {
         a.zip(b).find { case (x, y) => x != y })
   }
 
+  test("SQL-file loop-generated pivot: {% for %} columns land bit-equal " +
+      "to the native relational pivot") {
+    import graft.pipeline.SqlModels
+    val m = SqlModels.load(new java.io.File("models"))
+      .find(_.name == "payments_pivot_loop").get
+    assert(m.materialization == Registry.Table)
+    assert(m.deps.toSet == Set("silver_payments", "silver_orders"))
+    val sqlDf = m.build(spark, Sf0001, Map(
+      "silver_payments" -> graft.silver.Silver.payments(spark, Sf0001),
+      "silver_orders" -> graft.silver.Silver.orders(spark, Sf0001)))
+    val native = graft.ops.Analytics.paymentMethodPivot(spark, Sf0001)
+    assert(sqlDf.schema.map(f => (f.name, f.dataType)) ==
+      native.schema.map(f => (f.name, f.dataType)),
+      "loop-rendered column names/types must equal the .pivot output")
+    def canon(df: org.apache.spark.sql.DataFrame): Array[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+    val (a, b) = (canon(sqlDf), canon(native))
+    assert(a.nonEmpty && a.sameElements(b),
+      s"loop pivot diverges from native pivot (${a.length} vs ${b.length}); " +
+        s"first diff: " + a.zip(b).find { case (x, y) => x != y })
+  }
+
   private def incrementalVariant(mat: Registry.Materialization): Seq[Registry.Model] =
     Registry.models.map {
       case m if m.name == "silver_orders" => m.copy(materialization = mat)
