@@ -269,5 +269,25 @@ object Incremental {
         .join(changedKeys, current(key) === changedKeys("_closed_k"), "left_anti")
       history.unionByName(closed).unionByName(stillCurrent).unionByName(opened)
     }
+
+    /** dbt `invalidate_hard_deletes=true`: after an advance, close the
+      * current version of every key the source no longer carries
+      * (valid_to = asOf, no replacement opened) — a key that later
+      * re-arrives opens a fresh version through the normal advance path,
+      * dbt's documented resurrection behavior. One key-anti-join over
+      * the current set; history rows pass through untouched. */
+    def invalidateHardDeletes(advanced: DataFrame, source: DataFrame,
+        key: String, asOf: Column): DataFrame = {
+      val srcKeys = source.select(col(key).as("_live_k")).distinct()
+      val current = advanced.filter(col(IsCurrent))
+      val history = advanced.filter(!col(IsCurrent))
+      val vanished = current
+        .join(srcKeys, current(key) === srcKeys("_live_k"), "left_anti")
+        .withColumn(ValidTo, asOf)
+        .withColumn(IsCurrent, lit(false))
+      val live = current
+        .join(srcKeys, current(key) === srcKeys("_live_k"), "left_semi")
+      history.unionByName(vanished).unionByName(live)
+    }
   }
 }

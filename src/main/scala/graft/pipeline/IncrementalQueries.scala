@@ -306,6 +306,53 @@ object IncrementalQueries {
     UNION ALL SELECT * FROM closed
     UNION ALL SELECT * FROM still"""
 
+  /** Every Nth key vanishes from day 1 of [[scd2HardDelete]]. */
+  val Scd2DeleteMod = 7
+
+  /** dbt `invalidate_hard_deletes=true` replayed as a batch: day 0 = all
+    * customers; day 1 drops every [[Scd2DeleteMod]]th key (hard deletes —
+    * their versions must CLOSE at T1 with nothing reopened) and rewrites
+    * every [[Scd2ChangeMod]]th email (normal close + reopen). The one
+    * flow exercises both closure causes so the oracle distinguishes a
+    * delete-closed version from a change-closed one. */
+  def scd2HardDelete(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Bronze.customers(spark, dir).select(col("customer_id"),
+      col("email"))
+    val day1 = cust.filter(col("customer_id") % Scd2DeleteMod =!= 0)
+      .withColumn("email",
+        when(col("customer_id") % Scd2ChangeMod === 0,
+          concat(lit("updated_"), col("email"))).otherwise(col("email")))
+    val snap0 = Incremental.Scd2.init(cust, expr(s"TIMESTAMP_NTZ '$Scd2T0'"))
+    val t1 = expr(s"TIMESTAMP_NTZ '$Scd2T1'")
+    val advanced = Incremental.Scd2.advance(snap0, day1, "customer_id",
+      Seq("email"), t1)
+    Incremental.Scd2.invalidateHardDeletes(advanced, day1, "customer_id", t1)
+  }
+
+  def scd2HardDeleteOracle: String =
+    s"""${OracleSql.prelude},
+    cust AS (SELECT customer_id, email FROM bronze_customers)
+    -- day-0 versions: closed at T1 when deleted (mod $Scd2DeleteMod) or
+    -- changed (mod $Scd2ChangeMod among survivors — a NULL email is NOT
+    -- a change: 'updated_' || NULL stays NULL, so check-cols match),
+    -- else still current
+    SELECT customer_id, email,
+      TIMESTAMP '$Scd2T0' AS _valid_from,
+      CASE WHEN customer_id % $Scd2DeleteMod = 0
+             OR (customer_id % $Scd2ChangeMod = 0 AND email IS NOT NULL)
+           THEN TIMESTAMP '$Scd2T1' END AS _valid_to,
+      NOT (customer_id % $Scd2DeleteMod = 0
+             OR (customer_id % $Scd2ChangeMod = 0 AND email IS NOT NULL))
+        AS _is_current
+    FROM cust
+    UNION ALL
+    -- reopened versions: changed survivors only — deletes reopen nothing
+    SELECT customer_id, 'updated_' || email,
+      TIMESTAMP '$Scd2T1', CAST(NULL AS TIMESTAMP), TRUE
+    FROM cust
+    WHERE customer_id % $Scd2DeleteMod != 0
+      AND customer_id % $Scd2ChangeMod = 0 AND email IS NOT NULL"""
+
   /** Days held back as the "new data" phase of [[incrementalAggMerge]]. */
   val AggDeltaDays = 7
 

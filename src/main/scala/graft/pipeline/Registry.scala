@@ -98,7 +98,8 @@ object Registry {
   final case class Snapshot(
     key: String,
     checkCols: Seq[String],
-    updatedAt: Option[String] = None) extends Materialization
+    updatedAt: Option[String] = None,
+    invalidateHardDeletes: Boolean = false) extends Materialization
 
   final case class Model(
     name: String,
@@ -541,11 +542,19 @@ object Registry {
         val next =
           if (!sink.exists(spark, m.layer, m.name))
             graft.pipeline.Incremental.Scd2.init(df, asOf)
-          else snap.updatedAt match {
-            case Some(at) => graft.pipeline.Incremental.Scd2.advanceTimestamp(
-              sink.read(spark, m.layer, m.name), df, snap.key, at, asOf)
-            case None => graft.pipeline.Incremental.Scd2.advance(
-              sink.read(spark, m.layer, m.name), df, snap.key, snap.checkCols, asOf)
+          else {
+            val advanced = snap.updatedAt match {
+              case Some(at) => graft.pipeline.Incremental.Scd2.advanceTimestamp(
+                sink.read(spark, m.layer, m.name), df, snap.key, at, asOf)
+              case None => graft.pipeline.Incremental.Scd2.advance(
+                sink.read(spark, m.layer, m.name), df, snap.key, snap.checkCols, asOf)
+            }
+            // vanished-key invalidation only applies to advances: a first
+            // run has no prior current set to close
+            if (snap.invalidateHardDeletes)
+              graft.pipeline.Incremental.Scd2.invalidateHardDeletes(
+                advanced, df, snap.key, asOf)
+            else advanced
           }
         sink.overwrite(spark, m.layer, m.name, next, m.layout)
     }

@@ -124,6 +124,10 @@ object SqlModels {
     (raw"\b" + key + raw"\s*=\s*(\d+)").r
       .findFirstMatchIn(body).map(_.group(1).toInt)
 
+  private def configBool(body: String, key: String): Option[Boolean] =
+    (raw"\b" + key + raw"\s*=\s*(?i)(true|false)").r
+      .findFirstMatchIn(body).map(_.group(1).toLowerCase == "true")
+
   private def configList(body: String, key: String): Seq[String] =
     (raw"\b" + key + raw"\s*=\s*\[(.*?)\]").r.findFirstMatchIn(body)
       .map(mm => raw"'([^']+)'".r.findAllMatchIn(mm.group(1))
@@ -211,17 +215,20 @@ object SqlModels {
       case "snapshot" =>
         val key = configStr(body, "unique_key").getOrElse(
           throw new IllegalArgumentException(s"$name: snapshot needs unique_key="))
+        val hardDeletes = configBool(body, "invalidate_hard_deletes")
+          .getOrElse(false)
         configStr(body, "strategy").getOrElse("check") match {
           case "check" =>
             val checkCols = configList(body, "check_cols")
             require(checkCols.nonEmpty,
               s"$name: snapshot check strategy needs check_cols=[…]")
-            Registry.Snapshot(key, checkCols)
+            Registry.Snapshot(key, checkCols,
+              invalidateHardDeletes = hardDeletes)
           case "timestamp" =>
             val at = configStr(body, "updated_at").getOrElse(
               throw new IllegalArgumentException(
                 s"$name: snapshot timestamp strategy needs updated_at="))
-            Registry.Snapshot(key, Seq.empty, Some(at))
+            Registry.Snapshot(key, Seq.empty, Some(at), hardDeletes)
           case st => throw new IllegalArgumentException(
             s"$name: snapshot strategy '$st' unsupported (check|timestamp)")
         }

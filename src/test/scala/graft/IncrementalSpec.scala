@@ -144,6 +144,37 @@ class IncrementalSpec extends SparkSpec {
     assert(snap1.filter(col("id") === 3L).count() == 1)
   }
 
+  test("invalidate_hard_deletes: vanished keys close; a re-arriving key " +
+      "opens a fresh version (resurrection)") {
+    def feed(rows: Seq[(Long, String)]) = rows.toDF("id", "email")
+    val t = (s: String) => ts(s)
+    val snap0 = Incremental.Scd2.init(
+      feed(Seq((1L, "a@x"), (2L, "b@x"), (3L, "c@x"))), t("2001-01-01 00:00:00"))
+    // day 1: key 2 vanishes, key 3 changes — both close, only 3 reopens
+    val day1 = feed(Seq((1L, "a@x"), (3L, "c2@x")))
+    val adv1 = Incremental.Scd2.advance(snap0, day1, "id", Seq("email"),
+      t("2001-01-02 00:00:00"))
+    val snap1 = Incremental.Scd2.invalidateHardDeletes(adv1, day1, "id",
+      t("2001-01-02 00:00:00"))
+    assert(snap1.count() == 4, "1 live + 1 delete-closed + 1 change-closed + 1 reopened")
+    val k2 = snap1.filter(col("id") === 2L).collect()
+    assert(k2.length == 1 && !k2.head.getAs[Boolean]("_is_current") &&
+      k2.head.getAs[java.time.LocalDateTime]("_valid_to") != null,
+      "the vanished key's version must close with nothing reopened")
+    assert(snap1.filter(col("id") === 1L && col("_is_current")).count() == 1)
+    // day 2: key 2 re-arrives — dbt resurrection: a fresh version opens
+    val day2 = feed(Seq((1L, "a@x"), (2L, "b2@x"), (3L, "c2@x")))
+    val adv2 = Incremental.Scd2.advance(snap1, day2, "id", Seq("email"),
+      t("2001-01-03 00:00:00"))
+    val snap2 = Incremental.Scd2.invalidateHardDeletes(adv2, day2, "id",
+      t("2001-01-03 00:00:00"))
+    val k2v = snap2.filter(col("id") === 2L).orderBy("_valid_from").collect()
+    assert(k2v.length == 2 && !k2v(0).getAs[Boolean]("_is_current") &&
+      k2v(1).getAs[Boolean]("_is_current") &&
+      k2v(1).getAs[String]("email") == "b2@x",
+      "a deleted key that re-arrives must open a fresh current version")
+  }
+
   test("SQL snapshot config accepts strategy='timestamp' with updated_at") {
     import graft.pipeline.{Registry, SqlModels}
     val r = SqlModels.render("snap_ts", "silver",
@@ -153,6 +184,23 @@ class IncrementalSpec extends SparkSpec {
     assert(r.materialization == Registry.Snapshot("id", Seq.empty, Some("at")))
     intercept[IllegalArgumentException](SqlModels.render("snap_bad", "silver",
       "{{ config(materialized='snapshot', strategy='timestamp', unique_key='id') }}\nSELECT 1"))
+  }
+
+  test("SQL snapshot config parses invalidate_hard_deletes=true") {
+    import graft.pipeline.{Registry, SqlModels}
+    val r = SqlModels.render("snap_hd", "silver",
+      """{{ config(materialized='snapshot', unique_key='id',
+        |          check_cols=['email'], invalidate_hard_deletes=true) }}
+        |SELECT id, email FROM {{ ref('m') }}""".stripMargin)
+    assert(r.materialization ==
+      Registry.Snapshot("id", Seq("email"), None, invalidateHardDeletes = true))
+    val r2 = SqlModels.render("snap_ts_hd", "silver",
+      """{{ config(materialized='snapshot', strategy='timestamp',
+        |          unique_key='id', updated_at='at',
+        |          invalidate_hard_deletes=true) }}
+        |SELECT id, email, at FROM {{ ref('m') }}""".stripMargin)
+    assert(r2.materialization ==
+      Registry.Snapshot("id", Seq.empty, Some("at"), invalidateHardDeletes = true))
   }
 
   test("registry append-path sync_all_columns reshapes the stored table") {
