@@ -106,10 +106,40 @@ object Incremental {
   }
 
   /** Upsert incremental load: target rows whose `key` appears in the
-    * incoming batch are replaced by the incoming version. */
+    * incoming batch are replaced by the incoming version.
+    *
+    * `predicates` is dbt's `incremental_predicates`: SQL conditions over
+    * target columns (a `DBT_INTERNAL_DEST.` prefix is accepted and
+    * stripped) that bound the slice of the target the merge scans. Rows
+    * outside the slice bypass the key anti-join VERBATIM — at 100 TB a
+    * date-bounded predicate turns the merge's shuffle from whole-table
+    * to last-week-sized, and on a MERGE-capable sink the same predicate
+    * lands in the `ON` clause so the format's file skipping applies.
+    * dbt's documented contract carries over: the predicate must cover
+    * every target row the batch could match, or the merge inserts a
+    * duplicate instead of replacing (the rows outside the slice are
+    * deliberately never compared). */
   def merge(target: DataFrame, incoming: DataFrame, key: String,
-      onSchemaChange: OnSchemaChange = Ignore): DataFrame =
-    deleteInsert(target, incoming, Seq(key), onSchemaChange)
+      onSchemaChange: OnSchemaChange = Ignore,
+      predicates: Seq[String] = Seq.empty): DataFrame =
+    if (predicates.isEmpty) deleteInsert(target, incoming, Seq(key), onSchemaChange)
+    else {
+      val (t, inc) = aligned(target, incoming, onSchemaChange)
+      val p = coalesce(predicates.map(s => expr(stripDestAlias(s))).reduce(_ && _),
+        lit(false))
+      // NULL-valued predicates fall outside the scanned slice, exactly
+      // like a MERGE ON clause that evaluates to unknown
+      val merged = t.filter(p)
+        .join(inc.select(col(key)).distinct(), Seq(key), "left_anti")
+        .unionByName(t.filter(!p))
+      merged.unionByName(inc,
+        allowMissingColumns = onSchemaChange == AppendNewColumns)
+    }
+
+  /** Strip dbt's target alias from an incremental predicate so it binds
+    * to the target DataFrame's own columns. */
+  private[pipeline] def stripDestAlias(pred: String): String =
+    raw"(?i)\bDBT_INTERNAL_DEST\.".r.replaceAllIn(pred, "")
 
   /** dbt `incremental_strategy='delete+insert'`: target rows matching any
     * incoming key are deleted, then the WHOLE incoming batch is inserted.

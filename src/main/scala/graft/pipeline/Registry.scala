@@ -57,7 +57,8 @@ object Registry {
     watermarkCol: String,
     onSchemaChange: graft.pipeline.Incremental.OnSchemaChange =
       graft.pipeline.Incremental.Ignore,
-    strategy: IncStrategy = IncStrategy.Auto) extends Materialization
+    strategy: IncStrategy = IncStrategy.Auto,
+    predicates: Seq[String] = Seq.empty) extends Materialization
 
   /** dbt `incremental_strategy`. [[IncStrategy.Auto]] is the engine's
     * original routing (merge when `uniqueKey` is declared, high-water-mark
@@ -579,7 +580,8 @@ object Registry {
       // rejects — so a lakehouse sink never pays a rewrite for what
       // its format does as a metadata operation
       case (Some(k), policy) =>
-        sink.merge(spark, m.layer, m.name, df, k, layout, policy)
+        sink.merge(spark, m.layer, m.name, df, k, layout, policy,
+          inc.predicates)
       case (None, policy) =>
         val target = sink.read(spark, m.layer, m.name)
         val fresh = I.freshRows(target, df, inc.watermarkCol)

@@ -46,7 +46,8 @@ trait TableSink {
   def merge(spark: SparkSession, layer: String, name: String,
     incoming: DataFrame, key: String,
     layout: TableLayout = TableLayout.none,
-    onSchemaChange: Incremental.OnSchemaChange = Incremental.Ignore): DataFrame
+    onSchemaChange: Incremental.OnSchemaChange = Incremental.Ignore,
+    predicates: Seq[String] = Seq.empty): DataFrame
 
   /** Insert `fresh` rows into `layer`.`name` without touching existing
     * data (dbt incremental with no `unique_key`) — at scale this writes
@@ -90,11 +91,19 @@ trait TableSink {
   * must still be caught by MergeSqlSpec rather than ship silently). */
 object MergeSql {
   /** dbt `incremental` + `unique_key` upsert: matched target rows are
-    * replaced column-for-column, unmatched source rows inserted. */
-  def upsertByKey(target: String, source: String, key: String): String =
-    s"""MERGE INTO $target t USING $source s ON t.$key = s.$key
+    * replaced column-for-column, unmatched source rows inserted.
+    * `predicates` (dbt `incremental_predicates`) land in the ON clause —
+    * the target alias is `t`, so a `DBT_INTERNAL_DEST.` prefix rewrites
+    * to `t.` — letting a MERGE-capable format skip files outside the
+    * bounded slice. */
+  def upsertByKey(target: String, source: String, key: String,
+      predicates: Seq[String] = Seq.empty): String = {
+    val bound = predicates.map(p => " AND (" +
+      raw"(?i)\bDBT_INTERNAL_DEST\.".r.replaceAllIn(p, "t.") + ")").mkString
+    s"""MERGE INTO $target t USING $source s ON t.$key = s.$key$bound
        |WHEN MATCHED THEN UPDATE SET *
        |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+  }
 
   /** `delete+insert` step 1: delete target rows whose key tuple appears
     * in the batch (dbt's generated DELETE for the strategy). */
@@ -155,11 +164,13 @@ final class ParquetSink(warehouseDir: String) extends TableSink {
   override def merge(spark: SparkSession, layer: String, name: String,
       incoming: DataFrame, key: String,
       layout: TableLayout = TableLayout.none,
-      onSchemaChange: Incremental.OnSchemaChange = Incremental.Ignore): DataFrame =
+      onSchemaChange: Incremental.OnSchemaChange = Incremental.Ignore,
+      predicates: Seq[String] = Seq.empty): DataFrame =
     // safe against the self-read because overwrite stages + renames; the
     // rewrite preserves the model's declared partitioning
     overwrite(spark, layer, name,
-      Incremental.merge(read(spark, layer, name), incoming, key, onSchemaChange),
+      Incremental.merge(read(spark, layer, name), incoming, key,
+        onSchemaChange, predicates),
       layout)
 
   override def append(spark: SparkSession, layer: String, name: String,
@@ -328,19 +339,21 @@ class CatalogSink(format: String = "parquet",
   override def merge(spark: SparkSession, layer: String, name: String,
       incoming: DataFrame, key: String,
       layout: TableLayout = TableLayout.none,
-      onSchemaChange: Incremental.OnSchemaChange = Incremental.Ignore): DataFrame = {
+      onSchemaChange: Incremental.OnSchemaChange = Incremental.Ignore,
+      predicates: Seq[String] = Seq.empty): DataFrame = {
     val target = ident(layer, name)
     if (mergeCapable && onSchemaChange != Incremental.SyncAllColumns) {
       val aligned = alignForDml(spark, layer, name, incoming, onSchemaChange)
       val src = s"_graft_merge_src_$name"
       aligned.createOrReplaceTempView(src)
-      executeMerge(spark, MergeSql.upsertByKey(target, src, key))
+      executeMerge(spark, MergeSql.upsertByKey(target, src, key, predicates))
       spark.catalog.dropTempView(src)
     } else {
       // overwrite detects the self-read and stages through a temp table;
       // the rewrite re-applies the model's declared layout
       overwrite(spark, layer, name,
-        Incremental.merge(read(spark, layer, name), incoming, key, onSchemaChange),
+        Incremental.merge(read(spark, layer, name), incoming, key,
+          onSchemaChange, predicates),
         layout)
     }
     read(spark, layer, name)

@@ -128,6 +128,15 @@ object SqlModels {
     (raw"\b" + key + raw"\s*=\s*(?i)(true|false)").r
       .findFirstMatchIn(body).map(_.group(1).toLowerCase == "true")
 
+  /** A list whose items are double- OR single-quoted — predicates like
+    * `incremental_predicates=["order_date >= '2001-06-01'"]` need the
+    * double-quoted form because the condition itself carries quotes. */
+  private def configQuotedList(body: String, key: String): Seq[String] =
+    (raw"\b" + key + raw"\s*=\s*\[(.*?)\]").r.findFirstMatchIn(body)
+      .map(mm => raw""""([^"]+)"|'([^']+)'""".r.findAllMatchIn(mm.group(1))
+        .map(m => Option(m.group(1)).getOrElse(m.group(2))).toSeq)
+      .getOrElse(Seq.empty)
+
   private def configList(body: String, key: String): Seq[String] =
     (raw"\b" + key + raw"\s*=\s*\[(.*?)\]").r.findFirstMatchIn(body)
       .map(mm => raw"'([^']+)'".r.findAllMatchIn(mm.group(1))
@@ -201,7 +210,8 @@ object SqlModels {
               s"$name: merge takes a single unique_key " +
                 "(use incremental_strategy='delete+insert' for composite keys)")
             Registry.Incremental(keys.headOption,
-              watermark.orElse(keys.headOption).get, policy)
+              watermark.orElse(keys.headOption).get, policy,
+              predicates = configQuotedList(body, "incremental_predicates"))
           case Some("append") =>
             // the engine's append is high-water-mark gated (at-least-once
             // redelivery safe); dbt's blind insert-every-row append is

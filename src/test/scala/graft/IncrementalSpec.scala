@@ -186,6 +186,55 @@ class IncrementalSpec extends SparkSpec {
       "{{ config(materialized='snapshot', strategy='timestamp', unique_key='id') }}\nSELECT 1"))
   }
 
+  test("incremental_predicates bound the merge scan: out-of-slice rows " +
+      "bypass the anti-join verbatim") {
+    val target = Seq(
+      (1L, "2001-06-10", "old-recent"),
+      (2L, "2001-01-05", "old-ancient"), // outside the slice
+      (3L, "2001-06-20", "keep")).toDF("id", "d", "v")
+      .withColumn("d", col("d").cast("date"))
+    val incoming = Seq(
+      (1L, "2001-06-11", "new-recent"),
+      (2L, "2001-06-12", "new-ancient"), // its target row is OUT of slice
+      (4L, "2001-06-13", "insert")).toDF("id", "d", "v")
+      .withColumn("d", col("d").cast("date"))
+    val merged = Incremental.merge(target, incoming, "id",
+      predicates = Seq("DBT_INTERNAL_DEST.d >= '2001-06-01'"))
+    val rows = merged.collect().map(r =>
+      (r.getLong(0), r.getString(2))).toSet
+    // key 1: in-slice → replaced; key 3: in-slice, no match → kept;
+    // key 2: target row outside the slice → UNTOUCHED, and the incoming
+    // row inserts a second version — dbt's documented predicate contract
+    assert(rows == Set((1L, "new-recent"), (3L, "keep"),
+      (2L, "old-ancient"), (2L, "new-ancient"), (4L, "insert")))
+    // the anti-join's target side must carry the predicate filter (the
+    // slice bound reaches the scan; out-of-slice rows skip the shuffle) —
+    // asserted on the analyzed plan: the optimizer folds the filter into
+    // this test's LocalRelation, on parquet it lands in PushedFilters
+    val analyzed = merged.queryExecution.analyzed.toString
+    assert(analyzed.contains("2001-06-01"), "predicate missing from the plan")
+    assert(raw"Join LeftAnti".r
+      .findAllIn(merged.queryExecution.optimizedPlan.toString).size == 1)
+  }
+
+  test("MergeSql puts incremental_predicates in the ON clause with the " +
+      "target alias") {
+    val sql = graft.pipeline.MergeSql.upsertByKey("db.t", "src", "id",
+      Seq("DBT_INTERNAL_DEST.d >= '2001-06-01'", "d < '2002-01-01'"))
+    assert(sql.contains(
+      "ON t.id = s.id AND (t.d >= '2001-06-01') AND (d < '2002-01-01')"))
+  }
+
+  test("SQL incremental config parses incremental_predicates (double-quoted)") {
+    import graft.pipeline.{Registry, SqlModels}
+    val r = SqlModels.render("inc_pred", "silver",
+      """{{ config(materialized='incremental', unique_key='id',
+        |          incremental_predicates=["d >= '2001-06-01'"]) }}
+        |SELECT id, d FROM {{ ref('m') }}""".stripMargin)
+    assert(r.materialization == Registry.Incremental(Some("id"), "id",
+      predicates = Seq("d >= '2001-06-01'")))
+  }
+
   test("SQL snapshot config parses invalidate_hard_deletes=true") {
     import graft.pipeline.{Registry, SqlModels}
     val r = SqlModels.render("snap_hd", "silver",

@@ -251,10 +251,12 @@ class RegistrySpec extends SparkSpec {
     override def merge(spark: org.apache.spark.sql.SparkSession, layer: String,
         name: String, incoming: org.apache.spark.sql.DataFrame, key: String,
         layout: graft.pipeline.TableLayout,
-        onSchemaChange: graft.pipeline.Incremental.OnSchemaChange)
+        onSchemaChange: graft.pipeline.Incremental.OnSchemaChange,
+        predicates: Seq[String])
         : org.apache.spark.sql.DataFrame = {
       rec("merge", name)
-      inner.merge(spark, layer, name, incoming, key, layout, onSchemaChange)
+      inner.merge(spark, layer, name, incoming, key, layout, onSchemaChange,
+        predicates)
     }
     override def append(spark: org.apache.spark.sql.SparkSession, layer: String,
         name: String, fresh: org.apache.spark.sql.DataFrame,
