@@ -110,7 +110,9 @@ object Registry {
     build: (SparkSession, String, Map[String, DataFrame]) => DataFrame,
     layout: TableLayout = TableLayout.none,
     declaredSchema: Option[Seq[(String, String)]] = None,
-    tags: Seq[String] = Seq.empty) {
+    tags: Seq[String] = Seq.empty,
+    preHooks: Seq[String] = Seq.empty,
+    postHooks: Seq[String] = Seq.empty) {
     /** The model's tags plus its layer — the reference's dbt_project.yml
       * applies `+tags: ['bronze'|'silver'|'gold']` per layer directory
       * (/root/reference/dbt_project.yml:21-31), so the layer always
@@ -464,6 +466,15 @@ object Registry {
       case _: Snapshot => sink.exists(spark, m.layer, m.name)
       case _ => false
     }
+    // dbt pre-hooks: run before the build; {{ this }} (rendered to the
+    // per-model view name) resolves to the CURRENT target when one
+    // exists — the delete-stale-rows / audit-start idioms
+    if (m.preHooks.nonEmpty) {
+      if (sink.exists(spark, m.layer, m.name))
+        sink.read(spark, m.layer, m.name)
+          .createOrReplaceTempView(SqlModels.thisView(m.name))
+      m.preHooks.foreach(spark.sql(_))
+    }
     val df = m.build(spark, sourceDir,
       if (incrementalRun)
         upstream + (ThisKey -> sink.read(spark, m.layer, m.name))
@@ -558,6 +569,12 @@ object Registry {
             else advanced
           }
         sink.overwrite(spark, m.layer, m.name, next, m.layout)
+    }
+    // dbt post-hooks: run after materialization with {{ this }} bound to
+    // the landed result — the ANALYZE / GRANT / audit-insert idioms
+    if (m.postHooks.nonEmpty) {
+      materialized.createOrReplaceTempView(SqlModels.thisView(m.name))
+      m.postHooks.foreach(spark.sql(_))
     }
     // the temp view is a SQL-access courtesy, not the dataflow (builds
     // receive upstream DataFrames directly): session-global names, so two

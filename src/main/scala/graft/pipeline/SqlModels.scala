@@ -79,7 +79,9 @@ object SqlModels {
     deps: Seq[String],
     srcs: Seq[(String, String)],
     sql: String,
-    sqlIncremental: Option[String])
+    sqlIncremental: Option[String],
+    preHooks: Seq[String] = Seq.empty,
+    postHooks: Seq[String] = Seq.empty)
 
   private val ConfigRe = raw"(?s)\{\{\s*config\((.*?)\)\s*\}\}".r
   private val RefRe = raw"\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}".r
@@ -132,10 +134,20 @@ object SqlModels {
     * `incremental_predicates=["order_date >= '2001-06-01'"]` need the
     * double-quoted form because the condition itself carries quotes. */
   private def configQuotedList(body: String, key: String): Seq[String] =
-    (raw"\b" + key + raw"\s*=\s*\[(.*?)\]").r.findFirstMatchIn(body)
+    (raw"(?s)\b" + key + raw"\s*=\s*\[(.*?)\]").r.findFirstMatchIn(body)
       .map(mm => raw""""([^"]+)"|'([^']+)'""".r.findAllMatchIn(mm.group(1))
         .map(m => Option(m.group(1)).getOrElse(m.group(2))).toSeq)
       .getOrElse(Seq.empty)
+
+  /** dbt string-or-list config (`pre_hook`, `post_hook`): one quoted
+    * statement or a list of them, either quote style. */
+  private def configStatements(body: String, key: String): Seq[String] = {
+    val listed = configQuotedList(body, key)
+    if (listed.nonEmpty) listed
+    else (raw"\b" + key + raw"""\s*=\s*(?:"([^"]+)"|'([^']+)')""").r
+      .findFirstMatchIn(body)
+      .map(m => Option(m.group(1)).getOrElse(m.group(2))).toSeq
+  }
 
   private def configList(body: String, key: String): Seq[String] =
     (raw"\b" + key + raw"\s*=\s*\[(.*?)\]").r.findFirstMatchIn(body)
@@ -260,11 +272,32 @@ object SqlModels {
       layerDefaults.materialized.map(m => materializationOf(name, s"materialized='$m'"))
         .getOrElse(Registry.View)
     var tags = layerDefaults.tags
+    var preHooks = Seq.empty[String]
+    var postHooks = Seq.empty[String]
+    // hook statements get the same render-time substitutions as the model
+    // body: {{ this }} → the per-model target view (Registry binds it to
+    // the current/landed table around the hook), ref/source → view names,
+    // pinned clock, project vars
+    def hookSub(h: String): String = {
+      var s = RefRe.replaceAllIn(h, m => m.group(1))
+      s = SourceRe.replaceAllIn(s, m => sourceViewName(m.group(1), m.group(2)))
+      s = ThisRe.replaceAllIn(s, thisView(name))
+      s = NowRe.replaceAllIn(s, s"TIMESTAMP_NTZ '${Clock.nowLit}'")
+      s = TodayRe.replaceAllIn(s, s"DATE '${Clock.todayLit}'")
+      s = VarRe.replaceAllIn(s, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          project.vars.get(m.group(1)).orElse(Option(m.group(2))).getOrElse(
+            throw new IllegalArgumentException(
+              s"$name: var('${m.group(1)}') has no project value and no default"))))
+      s
+    }
     ConfigRe.findFirstMatchIn(text).foreach { m =>
       val body = m.group(1)
       if (configStr(body, "materialized").isDefined)
         materialization = materializationOf(name, body)
       tags = (layerDefaults.tags ++ configList(body, "tags")).distinct
+      preHooks = configStatements(body, "pre_hook").map(hookSub)
+      postHooks = configStatements(body, "post_hook").map(hookSub)
     }
     val deps = RefRe.findAllMatchIn(text).map(_.group(1)).toSeq.distinct
     val srcs = SourceRe.findAllMatchIn(text)
@@ -313,7 +346,8 @@ object SqlModels {
     inc.foreach(_ => require(
       materialization.isInstanceOf[Registry.Incremental],
       s"$name: is_incremental() blocks require materialized='incremental'"))
-    Rendered(name, layer, materialization, tags, deps, srcs, base, inc)
+    Rendered(name, layer, materialization, tags, deps, srcs, base, inc,
+      preHooks, postHooks)
   }
 
   /** Load every `models/<layer>/<name>.sql` under `root` into registry
@@ -331,32 +365,81 @@ object SqlModels {
       .sortBy(_._2.getName)
     require(files.nonEmpty, s"no models/<layer>/*.sql under $root")
     files.toSeq.map { case (layer, f) =>
-      val name = f.getName.stripSuffix(".sql")
-      val r = render(name, layer,
+      toModel(render(f.getName.stripSuffix(".sql"), layer,
         new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8),
-        macroLib, project)
-      val codeTwin = Registry.models.find(_.name == name)
-      Registry.Model(
-        name, layer, r.materialization, r.deps,
-        build = (spark, dir, up) => {
-          r.srcs.foreach { case (s, t) =>
-            sources((s, t))(spark, dir)
-              .createOrReplaceTempView(sourceViewName(s, t))
+        macroLib, project))
+    }
+  }
+
+  private def toModel(r: Rendered): Registry.Model = {
+    val codeTwin = Registry.models.find(_.name == r.name)
+    Registry.Model(
+      r.name, r.layer, r.materialization, r.deps,
+      build = (spark, dir, up) => {
+        r.srcs.foreach { case (s, t) =>
+          sources((s, t))(spark, dir)
+            .createOrReplaceTempView(sourceViewName(s, t))
+        }
+        r.deps.foreach(d => up.get(d).foreach(_.createOrReplaceTempView(d)))
+        // incremental run: Registry.materialize handed us the current
+        // target under ThisKey — register it as the {{ this }} view and
+        // run the is_incremental()=true compilation
+        up.get(Registry.ThisKey) match {
+          case Some(cur) if r.sqlIncremental.isDefined =>
+            cur.createOrReplaceTempView(thisView(r.name))
+            spark.sql(r.sqlIncremental.get)
+          case _ => spark.sql(r.sql)
+        }
+      },
+      layout = codeTwin.map(_.layout).getOrElse(TableLayout.none),
+      declaredSchema = Registry.declaredSchemas.get(r.name),
+      tags = r.tags,
+      preHooks = r.preHooks,
+      postHooks = r.postHooks)
+  }
+
+  private val SnapshotBlockRe =
+    (raw"(?s)\{%-?\s*snapshot\s+(\w+)\s*-?%\}" +
+      raw"(.*?)\{%-?\s*endsnapshot\s*-?%\}").r
+
+  /** Load dbt snapshot blocks from a `snapshots/` directory — dbt's
+    * native snapshot authoring form: each file carries one or more
+    * `snapshot <name>` … `endsnapshot` blocks whose body is a config
+    * (`unique_key=`, `strategy=`, `updated_at=`/`check_cols=`,
+    * `invalidate_hard_deletes=`) plus a SELECT; the `snapshot`
+    * materialization is implied by the block form, exactly as in dbt.
+    * Blocks land in the `snapshots` layer (dbt's default
+    * target-schema-adjacent placement) and run through the same
+    * [[Registry.Snapshot]] SCD2 machinery as config-authored models. An
+    * absent directory yields no models (the reference's own `snapshots/`
+    * is empty — the declared intent these blocks complete). */
+  def loadSnapshots(root: File,
+      macroLib: Macros.Library = Macros.default,
+      project: ProjectYaml.Project = ProjectYaml.default): Seq[Registry.Model] = {
+    val files = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".sql")).sortBy(_.getName)
+    files.toSeq.flatMap { f =>
+      val text = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      val blocks = SnapshotBlockRe.findAllMatchIn(text).toSeq
+      require(blocks.nonEmpty,
+        s"${f.getName}: no snapshot block found in a snapshots/ file")
+      blocks.map { m =>
+        val (name, body) = (m.group(1), m.group(2))
+        // the block form implies materialized='snapshot' — inject it in
+        // front of the block's config so materializationOf routes right
+        val withMat =
+          if (raw"\bmaterialized\s*=".r.findFirstIn(body).isDefined) body
+          else ConfigRe.findFirstIn(body) match {
+            case Some(_) => body.replaceFirst(raw"\{\{\s*config\(",
+              "{{ config(materialized='snapshot', ")
+            case None => throw new IllegalArgumentException(
+              s"$name: snapshot block needs a config (unique_key=, strategy=)")
           }
-          r.deps.foreach(d => up.get(d).foreach(_.createOrReplaceTempView(d)))
-          // incremental run: Registry.materialize handed us the current
-          // target under ThisKey — register it as the {{ this }} view and
-          // run the is_incremental()=true compilation
-          up.get(Registry.ThisKey) match {
-            case Some(cur) if r.sqlIncremental.isDefined =>
-              cur.createOrReplaceTempView(thisView(name))
-              spark.sql(r.sqlIncremental.get)
-            case _ => spark.sql(r.sql)
-          }
-        },
-        layout = codeTwin.map(_.layout).getOrElse(TableLayout.none),
-        declaredSchema = Registry.declaredSchemas.get(name),
-        tags = r.tags)
+        val r = render(name, "snapshots", withMat, macroLib, project)
+        require(r.materialization.isInstanceOf[Registry.Snapshot],
+          s"$name: a snapshot block must configure a snapshot materialization")
+        toModel(r)
+      }
     }
   }
 }

@@ -169,6 +169,100 @@ class RegistrySpec extends SparkSpec {
         a.zip(b).find { case (x, y) => x != y })
   }
 
+  test("snapshots/ block file: timestamp + hard-delete replay lands " +
+      "bit-equal to the Scd2 twin") {
+    import graft.pipeline.{Incremental, IncrementalQueries, ParquetSink, SqlModels}
+    import IncrementalQueries.{Scd2ChangeMod, Scd2DeleteMod, Scd2T0, Scd2T1}
+    val snaps = SqlModels.loadSnapshots(new java.io.File("snapshots"))
+    val snapModel = snaps.find(_.name == "customer_audit_snapshot").get
+    assert(snapModel.layer == "snapshots")
+    assert(snapModel.materialization == Registry.Snapshot("customer_id",
+      Seq.empty, Some("updated_at"), invalidateHardDeletes = true))
+    assert(snapModel.deps == Seq("bronze_customers"))
+    def cust(s: org.apache.spark.sql.SparkSession) =
+      graft.bronze.Bronze.customers(s, Sf0001).select(col("customer_id"),
+        col("email"), col("created_at").as("updated_at"))
+    def day1(s: org.apache.spark.sql.SparkSession) = cust(s)
+      .filter(col("customer_id") % Scd2DeleteMod =!= 0)
+      .withColumn("email",
+        when(col("customer_id") % Scd2ChangeMod === 0,
+          concat(lit("updated_"), col("email"))).otherwise(col("email")))
+      .withColumn("updated_at",
+        when(col("customer_id") % Scd2ChangeMod === 0,
+          col("updated_at") + expr("INTERVAL 1 DAY"))
+          .otherwise(col("updated_at")))
+    var phase = 0
+    // the feed keeps the raw created_at — the snapshot model itself does
+    // the rename to updated_at, so day-1 mutations land on created_at
+    val feed = Registry.Model("bronze_customers", "bronze", Registry.View,
+      Seq.empty, (s, dir, _) => {
+        val base = graft.bronze.Bronze.customers(s, dir)
+        if (phase == 0) base
+        else base.filter(col("customer_id") % Scd2DeleteMod =!= 0)
+          .withColumn("email",
+            when(col("customer_id") % Scd2ChangeMod === 0,
+              concat(lit("updated_"), col("email"))).otherwise(col("email")))
+          .withColumn("created_at",
+            when(col("customer_id") % Scd2ChangeMod === 0,
+              col("created_at") + expr("INTERVAL 1 DAY"))
+              .otherwise(col("created_at")))
+      })
+    val sink = new ParquetSink(
+      Files.createTempDirectory("graft_wh_snapblock").toString)
+    Registry.run(spark, Sf0001, sink, all = Seq(feed, snapModel),
+      registerViews = false, asOf = expr(s"TIMESTAMP_NTZ '$Scd2T0'"))
+    phase = 1
+    Registry.run(spark, Sf0001, sink, all = Seq(feed, snapModel),
+      registerViews = false, asOf = expr(s"TIMESTAMP_NTZ '$Scd2T1'"))
+    val cols = Seq("customer_id", "email", "updated_at", "_valid_from",
+      "_valid_to", "_is_current")
+    val out = sink.read(spark, "snapshots", "customer_audit_snapshot")
+      .select(cols.map(col): _*)
+    val t1 = expr(s"TIMESTAMP_NTZ '$Scd2T1'")
+    val twin = Incremental.Scd2.invalidateHardDeletes(
+      Incremental.Scd2.advanceTimestamp(
+        Incremental.Scd2.init(cust(spark), expr(s"TIMESTAMP_NTZ '$Scd2T0'")),
+        day1(spark), "customer_id", "updated_at", t1),
+      day1(spark), "customer_id", t1).select(cols.map(col): _*)
+    def canon(df: org.apache.spark.sql.DataFrame): Array[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+    val (a, b) = (canon(out), canon(twin))
+    assert(a.nonEmpty && a.sameElements(b),
+      s"snapshot-block replay diverges from the code twin " +
+        s"(${a.length} vs ${b.length} rows); first diff: " +
+        a.zip(b).find { case (x, y) => x != y })
+  }
+
+  test("pre/post hooks run around materialization with {{ this }} bound") {
+    import graft.pipeline.{ParquetSink, SqlModels}
+    val r = SqlModels.render("hooked", "silver",
+      """{{ config(materialized='table',
+        |   pre_hook="CREATE OR REPLACE TEMP VIEW hook_log AS SELECT 'pre' AS phase, -1L AS n",
+        |   post_hook=["CREATE OR REPLACE TEMP VIEW hook_audit AS SELECT count(*) AS n FROM {{ this }}",
+        |              "CREATE OR REPLACE TEMP VIEW hook_audit2 AS SELECT max(order_id) AS m FROM {{ this }}"]) }}
+        |SELECT order_id FROM {{ ref('bronze_orders') }}""".stripMargin)
+    assert(r.preHooks.size == 1 && r.postHooks.size == 2)
+    assert(r.postHooks.head.contains(SqlModels.thisView("hooked")),
+      "{{ this }} in a hook must render to the per-model target view")
+    val feed = Registry.Model("bronze_orders", "bronze", Registry.View,
+      Seq.empty, (s, dir, _) => graft.bronze.Bronze.orders(s, dir))
+    val hooked = Registry.Model("hooked", "silver", r.materialization,
+      r.deps, (s, dir, up) => {
+        r.deps.foreach(d => up.get(d).foreach(_.createOrReplaceTempView(d)))
+        s.sql(r.sql)
+      }, preHooks = r.preHooks, postHooks = r.postHooks)
+    val sink = new ParquetSink(
+      Files.createTempDirectory("graft_wh_hooks").toString)
+    val out = Registry.run(spark, Sf0001, sink, all = Seq(feed, hooked),
+      registerViews = false)
+    assert(spark.table("hook_log").collect().head.getString(0) == "pre")
+    assert(spark.table("hook_audit").collect().head.getLong(0) ==
+      out("hooked").count(), "post-hook must see the landed table")
+    assert(spark.table("hook_audit2").collect().head.getLong(0) ==
+      out("hooked").agg(org.apache.spark.sql.functions.max("order_id"))
+        .collect().head.getLong(0))
+  }
+
   test("generate_database_name: custom uppercased, else target default") {
     assert(Registry.databaseName(Some("silver"), "analytics") == "SILVER")
     assert(Registry.databaseName(None, "analytics") == "analytics")
