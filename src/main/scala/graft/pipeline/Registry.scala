@@ -112,7 +112,8 @@ object Registry {
     declaredSchema: Option[Seq[(String, String)]] = None,
     tags: Seq[String] = Seq.empty,
     preHooks: Seq[String] = Seq.empty,
-    postHooks: Seq[String] = Seq.empty) {
+    postHooks: Seq[String] = Seq.empty,
+    alias: Option[String] = None) {
     /** The model's tags plus its layer — the reference's dbt_project.yml
       * applies `+tags: ['bronze'|'silver'|'gold']` per layer directory
       * (/root/reference/dbt_project.yml:21-31), so the layer always
@@ -120,6 +121,9 @@ object Registry {
     def effectiveTags: Seq[String] = tags :+ layer
     /** dbt-style virtual source path, the `path:` selector's target. */
     def path: String = s"models/$layer/$name"
+    /** The physical relation name — dbt `alias`: `ref()` and selectors
+      * use [[name]]; the sink stores under the alias when one is set. */
+    def tableName: String = alias.getOrElse(name)
   }
 
   /** Declared column contracts for the table-shaped models — the engine's
@@ -462,28 +466,28 @@ object Registry {
     // the relation exists and --full-refresh is off; snapshots are
     // full-refresh-exempt, like the snapshot branch below)
     val incrementalRun = m.materialization match {
-      case _: Incremental => !fullRefresh && sink.exists(spark, m.layer, m.name)
-      case _: Snapshot => sink.exists(spark, m.layer, m.name)
+      case _: Incremental => !fullRefresh && sink.exists(spark, m.layer, m.tableName)
+      case _: Snapshot => sink.exists(spark, m.layer, m.tableName)
       case _ => false
     }
     // dbt pre-hooks: run before the build; {{ this }} (rendered to the
     // per-model view name) resolves to the CURRENT target when one
     // exists — the delete-stale-rows / audit-start idioms
     if (m.preHooks.nonEmpty) {
-      if (sink.exists(spark, m.layer, m.name))
-        sink.read(spark, m.layer, m.name)
+      if (sink.exists(spark, m.layer, m.tableName))
+        sink.read(spark, m.layer, m.tableName)
           .createOrReplaceTempView(SqlModels.thisView(m.name))
       m.preHooks.foreach(spark.sql(_))
     }
     val df = m.build(spark, sourceDir,
       if (incrementalRun)
-        upstream + (ThisKey -> sink.read(spark, m.layer, m.name))
+        upstream + (ThisKey -> sink.read(spark, m.layer, m.tableName))
       else upstream)
     assertDeclaredSchema(m, df)
-    def firstRun = fullRefresh || !sink.exists(spark, m.layer, m.name)
+    def firstRun = fullRefresh || !sink.exists(spark, m.layer, m.tableName)
     val materialized = m.materialization match {
       case View => df
-      case Table => sink.overwrite(spark, m.layer, m.name, df, m.layout)
+      case Table => sink.overwrite(spark, m.layer, m.tableName, df, m.layout)
       case inc: Incremental =>
         import graft.pipeline.{Incremental => I}
         // insert_overwrite declares its partition columns; if the model's
@@ -508,38 +512,38 @@ object Registry {
               withPeriod.filter(c(MicrobatchCol) >= to_date(l(b))))
           case _ => df
         }
-        if (firstRun) sink.overwrite(spark, m.layer, m.name, stamped, layout)
+        if (firstRun) sink.overwrite(spark, m.layer, m.tableName, stamped, layout)
         else inc.strategy match {
           case mb: IncStrategy.Microbatch =>
             import org.apache.spark.sql.functions.{col => c, max => fmax}
-            val target = sink.read(spark, m.layer, m.name)
+            val target = sink.read(spark, m.layer, m.tableName)
             val maxB = target.agg(fmax(c(MicrobatchCol))).head().get(0)
             val batch =
               if (maxB == null) stamped
               else stamped.filter(c(MicrobatchCol) >=
                 I.periodsBack(org.apache.spark.sql.functions.lit(maxB),
                   mb.lookback, mb.batchSize))
-            sink.overwritePartitions(spark, m.layer, m.name,
+            sink.overwritePartitions(spark, m.layer, m.tableName,
               I.align(target, batch, inc.onSchemaChange),
               Seq(MicrobatchCol), layout)
           case IncStrategy.DeleteInsert(keys) =>
-            sink.deleteInsert(spark, m.layer, m.name, df, keys, layout,
+            sink.deleteInsert(spark, m.layer, m.tableName, df, keys, layout,
               inc.onSchemaChange)
           case IncStrategy.InsertOverwrite(parts) =>
             inc.onSchemaChange match {
               case I.Ignore | I.FailOnChange =>
                 // schema unchanged by policy → only the touched
                 // partitions' files are written
-                sink.overwritePartitions(spark, m.layer, m.name,
-                  I.align(sink.read(spark, m.layer, m.name), df,
+                sink.overwritePartitions(spark, m.layer, m.tableName,
+                  I.align(sink.read(spark, m.layer, m.tableName), df,
                     inc.onSchemaChange), parts, layout)
               case widening =>
                 // a policy that CHANGES the table schema can't land as a
                 // partition-scoped write (untouched partitions must widen
                 // too) → logical transform + rewrite; lakehouse formats
                 // would ALTER first and keep the partition-scoped write
-                sink.overwrite(spark, m.layer, m.name,
-                  I.insertOverwrite(sink.read(spark, m.layer, m.name), df,
+                sink.overwrite(spark, m.layer, m.tableName,
+                  I.insertOverwrite(sink.read(spark, m.layer, m.tableName), df,
                     parts, widening), layout)
             }
           case IncStrategy.Auto =>
@@ -552,14 +556,14 @@ object Registry {
         // --full-refresh: closed-version history is irrecoverable, so a
         // refresh flag must never re-init an existing snapshot.
         val next =
-          if (!sink.exists(spark, m.layer, m.name))
+          if (!sink.exists(spark, m.layer, m.tableName))
             graft.pipeline.Incremental.Scd2.init(df, asOf)
           else {
             val advanced = snap.updatedAt match {
               case Some(at) => graft.pipeline.Incremental.Scd2.advanceTimestamp(
-                sink.read(spark, m.layer, m.name), df, snap.key, at, asOf)
+                sink.read(spark, m.layer, m.tableName), df, snap.key, at, asOf)
               case None => graft.pipeline.Incremental.Scd2.advance(
-                sink.read(spark, m.layer, m.name), df, snap.key, snap.checkCols, asOf)
+                sink.read(spark, m.layer, m.tableName), df, snap.key, snap.checkCols, asOf)
             }
             // vanished-key invalidation only applies to advances: a first
             // run has no prior current set to close
@@ -568,7 +572,7 @@ object Registry {
                 advanced, df, snap.key, asOf)
             else advanced
           }
-        sink.overwrite(spark, m.layer, m.name, next, m.layout)
+        sink.overwrite(spark, m.layer, m.tableName, next, m.layout)
     }
     // dbt post-hooks: run after materialization with {{ this }} bound to
     // the landed result — the ANALYZE / GRANT / audit-insert idioms
@@ -597,29 +601,29 @@ object Registry {
       // rejects — so a lakehouse sink never pays a rewrite for what
       // its format does as a metadata operation
       case (Some(k), policy) =>
-        sink.merge(spark, m.layer, m.name, df, k, layout, policy,
+        sink.merge(spark, m.layer, m.tableName, df, k, layout, policy,
           inc.predicates)
       case (None, policy) =>
-        val target = sink.read(spark, m.layer, m.name)
+        val target = sink.read(spark, m.layer, m.tableName)
         val fresh = I.freshRows(target, df, inc.watermarkCol)
         policy match {
           case I.AppendNewColumns
               if fresh.columns.toSet != target.columns.toSet =>
-            sink.overwrite(spark, m.layer, m.name,
+            sink.overwrite(spark, m.layer, m.tableName,
               target.unionByName(fresh, allowMissingColumns = true), layout)
           case I.SyncAllColumns
               if fresh.columns.toSet != target.columns.toSet =>
             // the incoming schema becomes the contract — a column-set
             // change reshapes stored rows too, which is a rewrite here
             // (metadata-only ALTERs on lakehouse formats)
-            sink.overwrite(spark, m.layer, m.name,
+            sink.overwrite(spark, m.layer, m.tableName,
               I.syncTarget(target, fresh).unionByName(fresh), layout)
           case _ =>
             // equal column SETS may still differ in order — project to
             // the target's order so appended files match the table
             // layout (SyncAllColumns ≡ Ignore when the sets are equal)
             val p = if (policy == I.SyncAllColumns) I.Ignore else policy
-            sink.append(spark, m.layer, m.name,
+            sink.append(spark, m.layer, m.tableName,
               I.align(target, fresh, p), layout)
         }
     }
@@ -638,11 +642,11 @@ object Registry {
         // dbt --defer: an upstream the selection didn't build resolves to
         // the local warehouse when present, else to the deferred (prod)
         // environment — so a dev run of one model needs nothing else built
-        if (sink.exists(spark, m.layer, m.name))
-          sink.read(spark, m.layer, m.name)
+        if (sink.exists(spark, m.layer, m.tableName))
+          sink.read(spark, m.layer, m.tableName)
         else deferTo match {
-          case Some(d) if d.exists(spark, m.layer, m.name) =>
-            d.read(spark, m.layer, m.name)
+          case Some(d) if d.exists(spark, m.layer, m.tableName) =>
+            d.read(spark, m.layer, m.tableName)
           case _ => throw new IllegalArgumentException(
             s"${m.name} is upstream of the selection but not materialized " +
               "locally" + (if (deferTo.isDefined) " nor in the deferred state"

@@ -81,7 +81,9 @@ object SqlModels {
     sql: String,
     sqlIncremental: Option[String],
     preHooks: Seq[String] = Seq.empty,
-    postHooks: Seq[String] = Seq.empty)
+    postHooks: Seq[String] = Seq.empty,
+    enabled: Boolean = true,
+    alias: Option[String] = None)
 
   private val ConfigRe = raw"(?s)\{\{\s*config\((.*?)\)\s*\}\}".r
   private val RefRe = raw"\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}".r
@@ -107,6 +109,15 @@ object SqlModels {
     * per-model so concurrent incremental models in one wave don't race
     * on a shared view. */
   def thisView(name: String): String = s"__this_$name"
+
+  /** dbt's `target` render context — the active profile's identity,
+    * resolvable in model Jinja (`{% if target.name == 'prod' %}` sampled
+    * dev tables, environment-split schemas). Sourced from system
+    * properties (`-Dgraft.target.name=prod`), the engine's stand-in for
+    * profiles.yml's active target; defaults mirror a dev profile. */
+  def targetContext: Map[String, Any] = Map("target" -> Map(
+    "name" -> sys.props.getOrElse("graft.target.name", "dev"),
+    "database" -> sys.props.getOrElse("graft.target.database", "analytics")))
 
   /** The dbt_utils v1.1.1 macro expansion in Spark SQL — single column:
     * `md5(coalesce(cast(c as string), '<sentinel>'))`; multi-column:
@@ -274,6 +285,8 @@ object SqlModels {
     var tags = layerDefaults.tags
     var preHooks = Seq.empty[String]
     var postHooks = Seq.empty[String]
+    var enabled = true
+    var alias: Option[String] = None
     // hook statements get the same render-time substitutions as the model
     // body: {{ this }} → the per-model target view (Registry binds it to
     // the current/landed table around the hook), ref/source → view names,
@@ -298,6 +311,8 @@ object SqlModels {
       tags = (layerDefaults.tags ++ configList(body, "tags")).distinct
       preHooks = configStatements(body, "pre_hook").map(hookSub)
       postHooks = configStatements(body, "post_hook").map(hookSub)
+      enabled = configBool(body, "enabled").getOrElse(true)
+      alias = configStr(body, "alias")
     }
     val deps = RefRe.findAllMatchIn(text).map(_.group(1)).toSeq.distinct
     val srcs = SourceRe.findAllMatchIn(text)
@@ -329,8 +344,9 @@ object SqlModels {
       // remaining {% set %} / {% for %} / {% if %} blocks (beyond
       // is_incremental, split above) render through the shared Jinja
       // engine — the loop-generated-columns idiom (a pivot written as
-      // a for over methods) works as in dbt
-      if (sql.contains("{%")) sql = Macros.render(sql, Map.empty)
+      // a for over methods) and target-conditional SQL
+      // ("if target.name == 'prod'") work as in dbt
+      if (sql.contains("{%")) sql = Macros.render(sql, targetContext)
       require(!sql.contains("{{") && !sql.contains("{%"),
         s"$name: unresolved template construct remains:\n" +
           sql.linesIterator.filter(l => l.contains("{{") || l.contains("{%"))
@@ -347,7 +363,7 @@ object SqlModels {
       materialization.isInstanceOf[Registry.Incremental],
       s"$name: is_incremental() blocks require materialized='incremental'"))
     Rendered(name, layer, materialization, tags, deps, srcs, base, inc,
-      preHooks, postHooks)
+      preHooks, postHooks, enabled, alias)
   }
 
   /** Load every `models/<layer>/<name>.sql` under `root` into registry
@@ -364,10 +380,13 @@ object SqlModels {
         .map(f => (layerDir.getName, f)))
       .sortBy(_._2.getName)
     require(files.nonEmpty, s"no models/<layer>/*.sql under $root")
-    files.toSeq.map { case (layer, f) =>
-      toModel(render(f.getName.stripSuffix(".sql"), layer,
+    files.toSeq.flatMap { case (layer, f) =>
+      val r = render(f.getName.stripSuffix(".sql"), layer,
         new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8),
-        macroLib, project))
+        macroLib, project)
+      // dbt enabled=false: the model leaves the graph entirely (a ref()
+      // to it from an enabled model fails at run, exactly like dbt)
+      if (r.enabled) Some(toModel(r)) else None
     }
   }
 
@@ -395,7 +414,8 @@ object SqlModels {
       declaredSchema = Registry.declaredSchemas.get(r.name),
       tags = r.tags,
       preHooks = r.preHooks,
-      postHooks = r.postHooks)
+      postHooks = r.postHooks,
+      alias = r.alias)
   }
 
   private val SnapshotBlockRe =
@@ -438,8 +458,8 @@ object SqlModels {
         val r = render(name, "snapshots", withMat, macroLib, project)
         require(r.materialization.isInstanceOf[Registry.Snapshot],
           s"$name: a snapshot block must configure a snapshot materialization")
-        toModel(r)
-      }
+        r
+      }.filter(_.enabled).map(toModel)
     }
   }
 }

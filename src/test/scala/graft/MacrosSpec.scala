@@ -52,6 +52,18 @@ class MacrosSpec extends AnyFunSuite {
       "the ref() spliced by the macro body must register as a dependency")
   }
 
+  test("target-conditional model SQL renders by the active profile") {
+    def rendered = SqlModels.render("env_split", "silver",
+      """SELECT * FROM {{ ref('m') }}
+        |{% if target.name == 'dev' %}LIMIT 100{% endif %}""".stripMargin).sql
+    assert(rendered.endsWith("LIMIT 100"),
+      "the default profile is dev — the dev arm must render")
+    System.setProperty("graft.target.name", "prod")
+    try assert(!rendered.contains("LIMIT 100"),
+      "-Dgraft.target.name=prod must drop the dev-only arm")
+    finally System.clearProperty("graft.target.name")
+  }
+
   test("outside-the-subset constructs fail loudly, not silently") {
     val lib = new Macros.Library(Macros.parse(
       "{% macro bad() %}{% while true %}x{% endwhile %}{% endmacro %}")

@@ -263,6 +263,38 @@ class RegistrySpec extends SparkSpec {
         .collect().head.getLong(0))
   }
 
+  test("alias lands the table under the aliased name; ref() stays by " +
+      "model name; enabled=false leaves the graph") {
+    import graft.pipeline.{ParquetSink, SqlModels}
+    val r = SqlModels.render("ord_count", "silver",
+      """{{ config(materialized='table', alias='order_counts_v2') }}
+        |SELECT count(*) AS n FROM {{ ref('bronze_orders') }}""".stripMargin)
+    assert(r.alias.contains("order_counts_v2"))
+    val feed = Registry.Model("bronze_orders", "bronze", Registry.View,
+      Seq.empty, (s, dir, _) => graft.bronze.Bronze.orders(s, dir))
+    val aliased = Registry.Model("ord_count", "silver", r.materialization,
+      r.deps, (s, dir, up) => {
+        r.deps.foreach(d => up.get(d).foreach(_.createOrReplaceTempView(d)))
+        s.sql(r.sql)
+      }, alias = r.alias)
+    val whDir = Files.createTempDirectory("graft_wh_alias").toString
+    val sink = new ParquetSink(whDir)
+    // a downstream ref() by MODEL name must keep resolving
+    val reader = Registry.Model("reads_it", "gold", Registry.View,
+      Seq("ord_count"), (s, dir, up) => up("ord_count"))
+    val out = Registry.run(spark, Sf0001, sink,
+      all = Seq(feed, aliased, reader), registerViews = false)
+    assert(new java.io.File(s"$whDir/silver/order_counts_v2").exists(),
+      "the table must land under the alias")
+    assert(!new java.io.File(s"$whDir/silver/ord_count").exists(),
+      "nothing may land under the model name when aliased")
+    assert(out("reads_it").collect().head.getLong(0) > 0)
+    // enabled=false: the render is marked disabled and load() drops it
+    val off = SqlModels.render("gone", "silver",
+      "{{ config(materialized='view', enabled=false) }}\nSELECT 1 AS x")
+    assert(!off.enabled)
+  }
+
   test("generate_database_name: custom uppercased, else target default") {
     assert(Registry.databaseName(Some("silver"), "analytics") == "SILVER")
     assert(Registry.databaseName(None, "analytics") == "analytics")
