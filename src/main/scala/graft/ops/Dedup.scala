@@ -558,9 +558,10 @@ object Dedup {
     FROM deg dg JOIN pr$iters p ON p.doc_id = dg.src"""
   }
 
-  def minhashLshOracle: String =
-    s"""WITH $shingleCte,
-    seeded AS (
+  /** The seeded/sig/bands/pairs CTE chain shared by the MinHash oracles
+    * (assumes [[shingleCte]]'s `sh` is already in scope). */
+  private def minhashCtes: String =
+    s"""seeded AS (
       SELECT doc_id, unnest(range(0, $NumSeeds)) AS seed, sh
       FROM sh),
     sig AS (
@@ -570,11 +571,76 @@ object Dedup {
     bands AS (
       SELECT doc_id, seed // $BandSize AS band,
         md5(array_to_string(list_sort(list(CAST(seed AS VARCHAR) || ':' || mh)), ',')) AS band_key
-      FROM sig GROUP BY 1, 2)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_bands
-    FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-      AND a.doc_id < b.doc_id
-    GROUP BY 1, 2"""
+      FROM sig GROUP BY 1, 2),
+    lsh_pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_bands
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)"""
+
+  def minhashLshOracle: String =
+    s"""WITH $shingleCte,
+    $minhashCtes
+    SELECT doc_a, doc_b, shared_bands FROM lsh_pairs"""
+
+  /** Candidate-precision evaluation for the banded MinHash pass — the
+    * estimate-beside-truth contract applied to dedup: every LSH candidate
+    * pair is scored with its EXACT shingle-set Jaccard (the quantity
+    * MinHash estimates), so a release can read candidate precision
+    * directly instead of trusting the banding math. `is_true_pair` marks
+    * candidates at/above the [[ngramJaccard]] production threshold.
+    *
+    * Scale shape: the exact-intersection join fans each candidate pair
+    * out by its documents' shingle lists — occurrence-linear in
+    * (candidates × shingles/doc), never all-pairs; the candidate list
+    * itself is banding-bounded. The division is one IEEE op over integer
+    * counts, bit-stable cross-engine. */
+  def lshEval(spark: SparkSession, dir: String,
+      threshold: Double = 0.2): DataFrame = {
+    val pairs = minhashLsh(spark, dir)
+    val sh = withShingles(spark, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = pairs.select("doc_a", "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+        Seq("doc_b"))
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("jaccard",
+        col("n_inter") * 1.0 / (col("n_a") + col("n_b") - col("n_inter")))
+      .withColumn("is_true_pair", (col("jaccard") >= threshold).cast("int"))
+      .select("doc_a", "doc_b", "shared_bands", "n_inter", "n_a", "n_b",
+        "jaccard", "is_true_pair")
+  }
+
+  def lshEvalOracle(threshold: Double = 0.2): String =
+    s"""WITH $shingleCte,
+    $minhashCtes,
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+      FROM lsh_pairs p
+      JOIN sh a ON a.doc_id = p.doc_a
+      JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+      GROUP BY 1, 2)
+    SELECT p.doc_a, p.doc_b, p.shared_bands,
+      coalesce(i.n_inter, 0) AS n_inter,
+      sa.n_sh AS n_a, sb.n_sh AS n_b,
+      coalesce(i.n_inter, 0) * 1.0 /
+        (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)) AS jaccard,
+      CAST(coalesce(i.n_inter, 0) * 1.0 /
+        (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)) >= $threshold AS INT)
+        AS is_true_pair
+    FROM lsh_pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b"""
 
   /** Split-leakage audit: near-dup pairs ([[minhashLsh]]) crossed with the
     * deterministic hash-split assignment ([[TextOps.hashSplit]]'s bucket) —

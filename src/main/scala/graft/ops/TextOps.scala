@@ -621,6 +621,46 @@ object TextOps {
     FROM ($augmentedSql) aug"""
   }
 
+  /** Tokenizer fertility per language — tokens/word and chars/token from
+    * the BPE-ish pre-tokenizer over the PII-augmented corpus. Fertility
+    * is THE multilingual budgeting number: a language whose words explode
+    * into more subword tokens costs proportionally more of a fixed token
+    * budget, so mixture weights and per-language sampling rates read off
+    * this table. All aggregates are integer sums (exact, order-invariant
+    * in any partitioning); each ratio is one IEEE division — bit-stable
+    * cross-engine. One language-keyed aggregate with map-side partials:
+    * scale-flat at any corpus size. */
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame =
+    withTokenCounts(augmented(spark, dir))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("full_text")).cast("bigint")).as("total_chars"),
+        sum("ws_tokens").as("total_words"),
+        sum("re_tokens").as("total_tokens"))
+      .withColumn("tokens_per_word",
+        col("total_tokens") * 1.0 / col("total_words"))
+      .withColumn("chars_per_token",
+        col("total_chars") * 1.0 / col("total_tokens"))
+
+  def tokenFertilityOracle: String = {
+    val pat = BpeTokenPattern.replace("'", "''")
+    s"""WITH c AS (
+      SELECT lang,
+        CAST(length(full_text) AS BIGINT) AS n_chars,
+        CAST(len(string_split(full_text, ' ')) AS BIGINT) AS ws_tokens,
+        CAST(len(regexp_extract_all(full_text, '$pat')) AS BIGINT) AS re_tokens
+      FROM ($augmentedSql) aug),
+    g AS (
+      SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+        sum(ws_tokens) AS total_words, sum(re_tokens) AS total_tokens
+      FROM c GROUP BY 1)
+    SELECT lang, n_docs, total_chars, total_words, total_tokens,
+      total_tokens * 1.0 / total_words AS tokens_per_word,
+      total_chars * 1.0 / total_tokens AS chars_per_token
+    FROM g"""
+  }
+
   def hashSplit(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
       .withColumn("bucket", expr(md5BucketExpr("doc_id")))
