@@ -1,0 +1,404 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-curation operators — the SELECTION layer of a training-data
+  * pipeline, sitting between the raw signals ([[TextOps]], [[Dedup]]) and
+  * the packed shards ([[Corpus]]): published rule-based quality gates
+  * (Gopher), distribution-matched importance selection (DSIR),
+  * perplexity-tercile bucketing (CCNet), duplicate-cluster representative
+  * election, and the deterministic epoch shuffle that fixes training
+  * order.
+  *
+  * Cross-engine float discipline (same contract as the rest of the repo):
+  * no `log`/`exp` anywhere — thresholds compare by integer
+  * cross-multiplication, DSIR's log-ratio is replaced by its algebraic
+  * twin `(r-1)/(r+1)` (= tanh(ln r / 2), rational ops only, correctly
+  * rounded identically in both engines) quantized to 2^-24 micro-units so
+  * per-document sums are BIGINT — order- and partitioning-invariant on
+  * any core count.
+  */
+object Curation {
+
+  private def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  // ---------------------------------------------------------------- Gopher
+
+  /** Function-word inventory for Gopher's "contains at least 2 of ..."
+    * stopword rule (Rae et al. 2021, arXiv:2112.11446, A1.1). The
+    * paper's own English list ("the, be, to, of, and, that, have,
+    * with") is vacuous on this synthetic vocabulary (0/500 docs hit 2),
+    * so the rule carries the repo's corpus-fitting function-word
+    * inventory ([[TextOps.StopwordsEn]]) — same semantics, a
+    * discriminating gate. */
+  val GopherStopwords: Seq[String] = TextOps.StopwordsEn
+  val GopherMinWords = 50
+  val GopherMaxWords = 100000
+  val GopherMinMeanWordLen = 3
+  val GopherMaxMeanWordLen = 10
+  val GopherMinStopHits = 2
+  /** Max share of word occurrences taken by the single most frequent
+    * word, as a rational bound (1/[[GopherTopWordDenom]]). */
+  val GopherTopWordDenom = 5
+
+  /** Gopher rule-based quality gate (Rae et al. 2021, A1.1), the rules
+    * whose signals exist in a space-joined corpus: word-count bounds,
+    * mean-word-length bounds, minimum distinct-stopword hits, and a
+    * top-word repetition cap (the word-level form of the paper's
+    * most-common-n-gram caps — the char-fraction variants live in
+    * [[TextOps.repetition]]). Line- and symbol-based rules (bullet
+    * ratios, ellipses, '#' density) are vacuous here — the corpus has no
+    * lines or punctuation — and are deliberately not emitted rather than
+    * emitted always-true.
+    *
+    * Every threshold compares by integer cross-multiplication
+    * (`nonspace >= 3 * word_count`, `top * 5 <= words`), so the verdict
+    * column is bit-exact on both engines with no float thresholds at
+    * all. Shape: one narrow per-row pass plus a (doc_id, word) count for
+    * the top-word signal — map-side partial aggregation, linear at any
+    * corpus size; the final join is doc-keyed. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = GopherStopwords.map(s => s"'$s'").mkString("array(", ",", ")")
+    val d = documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("word_count", size(col("words")).cast("bigint"))
+      .withColumn("nonspace_count",
+        length(regexp_replace(col("text"), " ", "")).cast("bigint"))
+      .withColumn("stop_hits",
+        expr(s"size(filter($stopArr, s -> array_contains(words, s)))").cast("int"))
+    val top = d.select(col("doc_id"), explode(col("words")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max(col("cnt")).as("top_word_count"))
+    d.join(top, Seq("doc_id"))
+      .withColumn("mean_word_len",
+        col("nonspace_count") * lit(1.0) / col("word_count"))
+      .withColumn("pass_word_count",
+        (col("word_count") >= GopherMinWords &&
+          col("word_count") <= GopherMaxWords).cast("int"))
+      .withColumn("pass_word_len",
+        (col("nonspace_count") >= col("word_count") * GopherMinMeanWordLen &&
+          col("nonspace_count") <= col("word_count") * GopherMaxMeanWordLen)
+          .cast("int"))
+      .withColumn("pass_stopwords",
+        (col("stop_hits") >= GopherMinStopHits).cast("int"))
+      .withColumn("pass_repetition",
+        (col("top_word_count") * GopherTopWordDenom <= col("word_count"))
+          .cast("int"))
+      .withColumn("passes_all",
+        (col("pass_word_count") * col("pass_word_len") *
+          col("pass_stopwords") * col("pass_repetition")).cast("int"))
+      .select("doc_id", "word_count", "mean_word_len", "stop_hits",
+        "top_word_count", "pass_word_count", "pass_word_len",
+        "pass_stopwords", "pass_repetition", "passes_all")
+  }
+
+  def gopherRulesOracle: String = {
+    val stopList = GopherStopwords.map(s => s"'$s'").mkString("[", ",", "]")
+    s"""WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS word_count,
+        CAST(length(replace(text, ' ', '')) AS BIGINT) AS nonspace_count,
+        CAST(len(list_filter($stopList,
+          s -> list_contains(string_split(text, ' '), s))) AS INTEGER)
+          AS stop_hits
+      FROM documents),
+    top AS (
+      SELECT doc_id, max(cnt) AS top_word_count FROM (
+        SELECT doc_id, w, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(words) AS w FROM d) GROUP BY 1, 2)
+      GROUP BY 1)
+    SELECT d.doc_id, word_count,
+      nonspace_count * 1.0 / word_count AS mean_word_len,
+      stop_hits, top_word_count,
+      CAST(word_count >= $GopherMinWords AND word_count <= $GopherMaxWords
+        AS INTEGER) AS pass_word_count,
+      CAST(nonspace_count >= word_count * $GopherMinMeanWordLen
+        AND nonspace_count <= word_count * $GopherMaxMeanWordLen
+        AS INTEGER) AS pass_word_len,
+      CAST(stop_hits >= $GopherMinStopHits AS INTEGER) AS pass_stopwords,
+      CAST(top_word_count * $GopherTopWordDenom <= word_count
+        AS INTEGER) AS pass_repetition,
+      CAST(word_count >= $GopherMinWords AND word_count <= $GopherMaxWords
+        AS INTEGER)
+      * CAST(nonspace_count >= word_count * $GopherMinMeanWordLen
+        AND nonspace_count <= word_count * $GopherMaxMeanWordLen
+        AS INTEGER)
+      * CAST(stop_hits >= $GopherMinStopHits AS INTEGER)
+      * CAST(top_word_count * $GopherTopWordDenom <= word_count
+        AS INTEGER) AS passes_all
+    FROM d JOIN top USING (doc_id)"""
+  }
+
+  // ------------------------------------------------------------------ DSIR
+
+  /** Hashed-feature bucket count for DSIR (the paper uses 10k; fixed and
+    * SMALL is the point — the weight table is B rows regardless of corpus
+    * size, so it broadcasts at any scale). */
+  val DsirBuckets = 1024
+  /** Weight quantization grid: 2^24 micro-units per bucket weight. */
+  val DsirQuant = 16777216.0
+  /** The "target distribution" sample: English documents. A deployment
+    * points this at its high-quality seed corpus. */
+  val DsirTargetLang = "en"
+  /** Keep the top 1/[[DsirSelectDenom]] of documents by importance. */
+  val DsirSelectDenom = 4
+
+  /** DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): score every document by how target-like its
+    * hashed unigram+bigram distribution is, keep the top quarter. The
+    * paper's per-gram log importance ratio `log(p_target/p_raw)` is
+    * carried here as its bounded algebraic twin `(r-1)/(r+1)` — exactly
+    * `tanh(ln r / 2)`, same sign, same zero, same ordering per gram —
+    * built from +,-,×,÷ only, so both engines compute the identical
+    * double (IEEE ops are correctly rounded; `ln` is not pinned and the
+    * repo's contract is log-free cross-engine exactness). Each bucket
+    * weight is then floor-quantized to 2^-24 micro-units and summed as
+    * BIGINT per document: the score is integer-exact, immune to sum
+    * order, partition layout, and core count, and the final ranking
+    * ORDER BY is on a BIGINT — no float comparison anywhere in the
+    * selection.
+    *
+    * Add-one smoothing over [[DsirBuckets]] buckets:
+    * `r_b = (ct_b+1)(Nr+B) / ((cr_b+1)(Nt+B))` with ct/Nt counted on the
+    * target sample (lang = '[[DsirTargetLang]]') and cr/Nr on the whole
+    * corpus.
+    *
+    * Scale shape: gram explode is map-side over the scan; the bucket
+    * count table is ≤ B rows (one tiny aggregate), joined back BROADCAST
+    * — the corpus-side pass is gram-linear with map-side partial sums
+    * into one doc-keyed aggregate. The global rank window is over
+    * doc-level rows (corpus-cardinality, not token-cardinality); at
+    * cluster scale the same selection is a distributed sort on the
+    * BIGINT score or a threshold on the k-th score — the per-doc scores
+    * themselves never leave the executors. */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val occ = documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("grams", expr(
+        """concat(words, IF(size(words) < 2, array(),
+             transform(sequence(1, size(words) - 1),
+               i -> concat(element_at(words, i), ' ',
+                           element_at(words, i + 1)))))"""))
+      .select(col("doc_id"), col("lang"), explode(col("grams")).as("gram"))
+      .withColumn("bucket",
+        (expr(TextOps.md5U16Expr("gram")) % DsirBuckets).cast("int"))
+    // Two passes over the gram stream is the algorithm (count, then
+    // score); the checkpoints pin it at exactly two — without them every
+    // eager broadcast below (totals, weights, n_docs) re-derives the
+    // explode+hash subtree, quadrupling the corpus scans (measured 9.3 s
+    // → 2.6 s at sf0.1). Both checkpointed frames are tiny: ≤ B bucket
+    // rows and one doc-level row per document.
+    val bucketCounts = occ.groupBy("bucket").agg(
+      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+      .localCheckpoint()
+    val totals = bucketCounts.agg(
+      sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val weights = bucketCounts.crossJoin(broadcast(totals))
+      .withColumn("r",
+        ((col("ct") + 1L).cast("double") *
+          (col("nr") + DsirBuckets.toLong).cast("double")) /
+        ((col("cr") + 1L).cast("double") *
+          (col("nt") + DsirBuckets.toLong).cast("double")))
+      .withColumn("w", (col("r") - 1.0) / (col("r") + 1.0))
+      .withColumn("wq", floor(col("w") * DsirQuant).cast("bigint"))
+      .select("bucket", "wq")
+    val scored = occ.join(broadcast(weights), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(col("wq")).as("score_q"))
+      .localCheckpoint()
+    val nDocs = scored.agg(count(lit(1)).as("n_docs"))
+    scored.crossJoin(broadcast(nDocs))
+      .withColumn("dsir_rank", row_number().over(
+        Window.orderBy(col("score_q").desc, col("doc_id"))))
+      .withColumn("selected",
+        (col("dsir_rank") * DsirSelectDenom <= col("n_docs")).cast("int"))
+      .withColumn("score", col("score_q") / lit(DsirQuant))
+      .select("doc_id", "n_grams", "score_q", "score", "dsir_rank",
+        "selected")
+  }
+
+  def dsirSelectOracle: String =
+    s"""WITH d AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+    occ AS (
+      SELECT doc_id, lang,
+        ${TextOps.md5U16SqlDuck("gram")} % $DsirBuckets AS bucket
+      FROM (
+        SELECT doc_id, lang, unnest(list_concat(words,
+          list_transform(range(1, len(words)),
+            i -> words[i] || ' ' || words[i + 1]))) AS gram
+        FROM d)),
+    bc AS (
+      SELECT bucket,
+        sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END) AS ct,
+        count(*) AS cr
+      FROM occ GROUP BY 1),
+    tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM bc),
+    wt AS (
+      SELECT bucket,
+        CAST(floor(((r - 1.0) / (r + 1.0)) * $DsirQuant) AS BIGINT) AS wq
+      FROM (
+        SELECT bucket,
+          (CAST(ct + 1 AS DOUBLE) * CAST(nr + $DsirBuckets AS DOUBLE)) /
+          (CAST(cr + 1 AS DOUBLE) * CAST(nt + $DsirBuckets AS DOUBLE)) AS r
+        FROM bc, tot)),
+    scored AS (
+      SELECT doc_id, count(*) AS n_grams, sum(wq) AS score_q
+      FROM occ JOIN wt USING (bucket) GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM scored),
+    ranked AS (
+      SELECT doc_id, n_grams, score_q,
+        row_number() OVER (ORDER BY score_q DESC, doc_id) AS dsir_rank,
+        n_docs
+      FROM scored, n)
+    SELECT doc_id, n_grams, CAST(score_q AS BIGINT) AS score_q,
+      CAST(score_q AS BIGINT) / $DsirQuant AS score,
+      dsir_rank,
+      CAST(dsir_rank * $DsirSelectDenom <= n_docs AS INTEGER) AS selected
+    FROM ranked"""
+
+  // ------------------------------------------- cluster representatives
+
+  /** Duplicate-cluster representative election: within each near-dup
+    * cluster ([[Dedup.dedupClusters]] — connected components of the
+    * MinHash-LSH pair graph), keep the HIGHEST-quality member
+    * ([[TextOps.textStats]] composite score, doc_id tie-break) instead
+    * of the smallest id — what production dedup actually ships
+    * (keep-best, drop the rest). One row per cluster with the elected
+    * keeper and the drop count; the keep set for the corpus is keepers +
+    * all unclustered docs.
+    *
+    * Shape: the cluster table is pair-graph-sized (duplicates only, not
+    * the corpus); the quality join is doc-keyed; the election is one
+    * window per cluster — cluster-parallel, no global ordering. The
+    * quality doubles are exact rationals of integer counts (see
+    * textStats), so the DESC ordering agrees bit-for-bit cross-engine. */
+  def bestOfCluster(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Dedup.dedupClusters(spark, dir)
+    val quality = TextOps.textStats(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("cluster_size"),
+        col("doc_id").as("keeper_doc_id"),
+        col("quality_score").as("keeper_quality"),
+        (col("cluster_size") - 1L).as("n_dropped"))
+  }
+
+  def bestOfClusterOracle: String =
+    s"""WITH clusters AS (
+      SELECT * FROM (${Dedup.dedupClustersOracle})),
+    q AS (
+      SELECT doc_id, quality_score FROM (${TextOps.textStatsOracle})),
+    ranked AS (
+      SELECT c.cluster_id, c.cluster_size, c.doc_id, q.quality_score,
+        row_number() OVER (PARTITION BY c.cluster_id
+          ORDER BY q.quality_score DESC, c.doc_id) AS rn
+      FROM clusters c JOIN q USING (doc_id))
+    SELECT cluster_id, cluster_size, doc_id AS keeper_doc_id,
+      quality_score AS keeper_quality,
+      cluster_size - 1 AS n_dropped
+    FROM ranked WHERE rn = 1"""
+
+  // ------------------------------------------------- CCNet ppl buckets
+
+  /** CCNet-style head/middle/tail bucketing (Wenzek et al. 2019,
+    * arXiv:1911.00359): per LANGUAGE, rank documents by LM score and cut
+    * into terciles — CCNet trains a KenLM per language and buckets by
+    * perplexity; here the LM score is [[TextOps.lmSurprisal]]'s log-free
+    * `rare_frac` (rare-bigram fraction under the corpus bigram LM, the
+    * same tail ordering), ascending — head = most fluent. Tercile edges
+    * are integer rank arithmetic (`rn*3 <= n`), no float thresholds.
+    * Documents with < 2 words have no bigram score and no row (the
+    * surprisal table's documented domain).
+    *
+    * Shape: doc-keyed join for the language label, then one window per
+    * language — language-parallel; at 100 TB each language's ranking is
+    * an independent distributed sort, exactly CCNet's per-language
+    * sharding. */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val s = TextOps.lmSurprisal(spark, dir)
+      .select(col("doc_id"), col("rare_frac"))
+    val langs = documents(spark, dir).select(col("doc_id"), col("lang"))
+    val byLang = Window.partitionBy("lang")
+    val j = s.join(langs, Seq("doc_id"))
+      .withColumn("ppl_rank", row_number().over(
+        byLang.orderBy(col("rare_frac"), col("doc_id"))))
+      .withColumn("lang_n", count(lit(1)).over(byLang))
+    j.withColumn("ppl_bucket",
+        when(col("ppl_rank") * 3 <= col("lang_n"), "head")
+          .when(col("ppl_rank") * 3 <= col("lang_n") * 2, "middle")
+          .otherwise("tail"))
+      .select("doc_id", "lang", "rare_frac", "ppl_rank", "lang_n",
+        "ppl_bucket")
+  }
+
+  def pplBucketsOracle: String =
+    s"""WITH s AS (
+      SELECT doc_id, rare_frac FROM (${TextOps.lmSurprisalOracle})),
+    j AS (
+      SELECT s.doc_id, d.lang, s.rare_frac,
+        row_number() OVER (PARTITION BY d.lang
+          ORDER BY s.rare_frac, s.doc_id) AS ppl_rank,
+        count(*) OVER (PARTITION BY d.lang) AS lang_n
+      FROM s JOIN documents d USING (doc_id))
+    SELECT doc_id, lang, rare_frac, ppl_rank, lang_n,
+      CASE WHEN ppl_rank * 3 <= lang_n THEN 'head'
+           WHEN ppl_rank * 3 <= lang_n * 2 THEN 'middle'
+           ELSE 'tail' END AS ppl_bucket
+    FROM j"""
+
+  // ------------------------------------------------------ epoch shuffle
+
+  /** Shard count for the deterministic epoch shuffle. */
+  val ShuffleShards = 16
+
+  /** Deterministic epoch shuffle: the reproducible global permutation a
+    * training run needs — every document gets a content-stable position
+    * `(shard_id, seq)` derived ONLY from `md5("epoch<e>:" || doc_id)`, so
+    * re-running the pipeline, resharding the corpus, or changing core
+    * counts never changes training order, and epoch e+1 is a fresh
+    * independent permutation (new hash prefix) with zero state carried.
+    * The hash IS the sort key: within a shard, documents stream in
+    * order_key order.
+    *
+    * Shape: the key is a map-side expression; shard assignment is the
+    * 16-bit nibble slice mod [[ShuffleShards]] (uniform across shards);
+    * the per-shard `row_number` is shard-parallel — at 100 TB each shard
+    * sequence is an independent distributed sort of |corpus|/shards
+    * keys, and a reader of shard s touches only its partition. */
+  def shuffleShards(spark: SparkSession, dir: String,
+      epoch: Int = 0): DataFrame = {
+    val keyed = documents(spark, dir)
+      .withColumn("order_key",
+        md5(concat(lit(s"epoch$epoch:"), col("doc_id").cast("string"))))
+      .withColumn("shard_id",
+        (expr(TextOps.md5U16Expr(s"concat('epoch$epoch:', cast(doc_id as string))"))
+          % ShuffleShards).cast("int"))
+    keyed
+      .withColumn("seq", row_number().over(
+        Window.partitionBy("shard_id")
+          .orderBy(col("order_key"), col("doc_id"))).cast("bigint"))
+      .select("doc_id", "shard_id", "seq", "order_key")
+  }
+
+  def shuffleShardsOracle(epoch: Int = 0): String = {
+    val keyExpr = s"'epoch$epoch:' || CAST(doc_id AS VARCHAR)"
+    s"""WITH keyed AS (
+      SELECT doc_id, md5($keyExpr) AS order_key,
+        ${TextOps.md5U16SqlDuck(keyExpr)} % $ShuffleShards AS shard_id
+      FROM documents)
+    SELECT doc_id, CAST(shard_id AS INTEGER) AS shard_id,
+      CAST(row_number() OVER (PARTITION BY shard_id
+        ORDER BY order_key, doc_id) AS BIGINT) AS seq,
+      order_key
+    FROM keyed"""
+  }
+}

@@ -2112,4 +2112,71 @@ object Similarity {
     SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
     FROM rrranked WHERE rank <= $k"""
   }
+
+  /** Prune the closest 1/[[PrototypePruneDenom]] of each cluster. */
+  val PrototypePruneDenom = 4
+
+  /** SSL-prototype data pruning (Sorscher et al. 2022, arXiv:2206.14486,
+    * "Beyond neural scaling laws"): rank every vector by cosine to its
+    * cluster centroid and prune the MOST prototypical quarter — on
+    * abundant data, the easy/redundant examples nearest the prototypes
+    * contribute least, and dropping them beats random pruning. Clusters
+    * and centroids are the SERVING INDEX's ([[IvfIndex.lists]] /
+    * [[IvfIndex.centroids]] — the same build-once quantizer every other
+    * embedding row shares), so the prune is a free by-product of the
+    * index: one broadcast join of the k-row centroid table onto the
+    * lists and one window per cluster, cluster-parallel, nothing
+    * pairwise. Tercile-free integer edge (`rank*4 <= size`), cosine
+    * ordering tie-broken by vec_id; tiny clusters (size < 4) prune
+    * nothing by construction. */
+  def prototypePrune(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(spark)
+    val lists = IvfIndex.lists(spark, dir)
+    val cents = IvfIndex.centroids(spark, dir)
+    val w = Window.partitionBy("centroid_id")
+    lists.join(broadcast(cents), Seq("centroid_id"))
+      .withColumn("cosine",
+        expr("vec_dot(vec, c_vec)") / (sqrt(col("nrm")) * sqrt(col("c_nrm"))))
+      .withColumn("proto_rank", row_number().over(
+        w.orderBy(col("cosine").desc, col("vec_id"))).cast("int"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("pruned",
+        (col("proto_rank") * PrototypePruneDenom <= col("cluster_size"))
+          .cast("int"))
+      .select("vec_id", "centroid_id", "cluster_size", "proto_rank",
+        "cosine", "pruned")
+  }
+
+  /** Oracle for [[prototypePrune]] — replays the quantizer training (the
+    * [[annIvfTopKOracle]] CTE builders) and the per-cluster prototype
+    * ranking in SQL. */
+  def prototypePruneOracle(): String =
+    s"""WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    normed AS (
+      SELECT vec_id, vec, $normSqlDuck AS nrm FROM base),
+    params AS (
+      SELECT ${ivfKSqlDuck("count(*)")} AS k FROM embeddings),
+    $trainCtesDuck,
+    ${(1 to IvfIters).map(kmeansIterCteDuck).mkString(",\n    ")},
+    ${assignCteDuck("assigned", s"cents$IvfIters")},
+    scored AS (
+      SELECT n.vec_id, a.centroid_id,
+        list_reduce(list_transform(range(1, len(n.vec) + 1),
+          i -> n.vec[i] * c.c_vec[i]), (x, y) -> x + y)
+          / (sqrt(n.nrm) * sqrt(c.c_nrm)) AS cosine
+      FROM assigned a
+      JOIN normed n ON n.vec_id = a.vec_id
+      JOIN cents$IvfIters c ON c.centroid_id = a.centroid_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY centroid_id
+          ORDER BY cosine DESC, vec_id) AS proto_rank,
+        count(*) OVER (PARTITION BY centroid_id) AS cluster_size
+      FROM scored)
+    SELECT vec_id, centroid_id, cluster_size,
+      CAST(proto_rank AS INTEGER) AS proto_rank, cosine,
+      CAST(proto_rank * $PrototypePruneDenom <= cluster_size AS INTEGER)
+        AS pruned
+    FROM ranked"""
 }

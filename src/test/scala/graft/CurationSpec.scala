@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Curation, Dedup, Similarity, TextOps}
+
+/** Corpus-curation layer: Gopher rule gate, DSIR importance selection,
+  * cluster-representative election, CCNet ppl terciles, deterministic
+  * epoch shuffle, and SSL-prototype pruning. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def nDocs: Long =
+    spark.read.parquet(s"$Sf0001/documents.parquet").count()
+
+  test("gopher rules: verdict is the conjunction and each rule varies") {
+    val out = Curation.gopherRules(spark, Sf0001).collect()
+    assert(out.length == nDocs)
+    out.foreach { r =>
+      val rules = Seq("pass_word_count", "pass_word_len", "pass_stopwords",
+        "pass_repetition").map(c => r.getAs[Int](c))
+      assert(rules.forall(v => v == 0 || v == 1))
+      assert(r.getAs[Int]("passes_all") == rules.product)
+    }
+    // the gate must discriminate on this corpus, not rubber-stamp
+    val passed = out.count(_.getAs[Int]("passes_all") == 1)
+    assert(passed > 0 && passed < out.length)
+    // hand-check one doc end-to-end
+    val d = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .filter(col("doc_id") === 0L).head()
+    val words = d.getAs[String]("text").split(" ").toSeq
+    val row = out.find(_.getAs[Long]("doc_id") == 0L).get
+    assert(row.getAs[Long]("word_count") == words.length)
+    assert(row.getAs[Long]("top_word_count") ==
+      words.groupBy(identity).values.map(_.size).max)
+    assert(row.getAs[Int]("stop_hits") ==
+      Curation.GopherStopwords.count(words.contains))
+  }
+
+  test("dsir: rank is a permutation, quota is exact, and the target " +
+      "language is preferentially selected") {
+    val out = Curation.dsirSelect(spark, Sf0001).collect()
+    val n = out.length
+    assert(out.map(_.getAs[Int]("dsir_rank")).sorted.toSeq == (1 to n))
+    val quota = out.count(_.getAs[Int]("selected") == 1)
+    assert(quota == n / Curation.DsirSelectDenom)
+    // selection follows the integer rank edge exactly
+    out.foreach { r =>
+      assert((r.getAs[Int]("selected") == 1) ==
+        (r.getAs[Int]("dsir_rank") * Curation.DsirSelectDenom <= n))
+    }
+    // DSIR's point: docs from the target distribution rank ahead
+    val lang = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    val (en, rest) = out.partition(r =>
+      lang(r.getAs[Long]("doc_id")) == Curation.DsirTargetLang)
+    def meanRank(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Int]("dsir_rank").toDouble).sum / rs.length
+    assert(meanRank(en) < meanRank(rest),
+      "target-language docs must rank ahead of the rest on average")
+  }
+
+  test("dsir: score is the quantized bucket-weight sum (order-invariant)") {
+    val a = Curation.dsirSelect(spark, Sf0001)
+      .select("doc_id", "score_q").as[(Long, Long)].collect().toMap
+    val b = Curation.dsirSelect(spark.newSession(), Sf0001)
+      .repartition(7)
+      .select("doc_id", "score_q").as[(Long, Long)].collect().toMap
+    assert(a == b, "BIGINT micro-unit scores must not depend on layout")
+  }
+
+  test("best-of-cluster: keeper is the max-quality member, one per cluster") {
+    val clusters = Dedup.dedupClusters(spark, Sf0001)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect()
+    val quality = TextOps.textStats(spark, Sf0001)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    val out = Curation.bestOfCluster(spark, Sf0001).collect()
+    assert(out.length == clusters.map(_._2).distinct.length)
+    out.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      val members = clusters.filter(_._2 == cid)
+      val keeper = r.getAs[Long]("keeper_doc_id")
+      assert(members.exists(_._1 == keeper))
+      val best = members.map(m => (quality(m._1), -m._1)).max
+      assert(quality(keeper) == best._1 && keeper == -best._2)
+      assert(r.getAs[Long]("n_dropped") == members.length - 1L)
+      assert(r.getAs[Long]("cluster_size") == members.length.toLong)
+    }
+  }
+
+  test("ppl buckets: per-language tercile edges are exact rank arithmetic") {
+    val out = Curation.pplBuckets(spark, Sf0001).collect()
+    out.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      val n = rows.length
+      assert(rows.map(_.getAs[Int]("ppl_rank")).sorted.toSeq == (1 to n))
+      assert(rows.forall(_.getAs[Long]("lang_n") == n.toLong))
+      val byBucket = rows.groupBy(_.getAs[String]("ppl_bucket"))
+        .view.mapValues(_.length).toMap
+      assert(byBucket.getOrElse("head", 0) == n / 3)
+      assert(byBucket.getOrElse("head", 0) + byBucket.getOrElse("middle", 0)
+        == 2 * n / 3)
+      // ranking follows rare_frac ascending
+      val sorted = rows.sortBy(_.getAs[Int]("ppl_rank"))
+        .map(_.getAs[Double]("rare_frac"))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("epoch shuffle: a content-stable permutation that changes per epoch") {
+    val e0 = Curation.shuffleShards(spark, Sf0001, epoch = 0).collect()
+    assert(e0.length == nDocs)
+    // (shard, seq) is a bijection: seq is contiguous 1..n_s per shard
+    e0.groupBy(_.getAs[Int]("shard_id")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("seq")).sorted.toSeq ==
+        (1L to rows.length.toLong))
+    }
+    // determinism: identical on re-run
+    val again = Curation.shuffleShards(spark, Sf0001, epoch = 0).collect()
+    assert(e0.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+    // epoch 1 is a different permutation
+    val e1 = Curation.shuffleShards(spark, Sf0001, epoch = 1).collect()
+    def pos(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("shard_id"), r.getAs[Long]("seq"))).toMap
+    assert(pos(e0) != pos(e1))
+  }
+
+  test("prototype prune: exactly the closest quarter of each cluster, " +
+      "served from the shared index quantizer") {
+    val out = Similarity.prototypePrune(spark, Sf0001).collect()
+    val nVec = spark.read.parquet(s"$Sf0001/embeddings.parquet").count()
+    assert(out.length == nVec)
+    out.groupBy(_.getAs[Long]("centroid_id")).foreach { case (_, rows) =>
+      val size = rows.length
+      assert(rows.forall(_.getAs[Long]("cluster_size") == size.toLong))
+      val pruned = rows.filter(_.getAs[Int]("pruned") == 1)
+      assert(pruned.length == size / Similarity.PrototypePruneDenom)
+      // pruned = the TOP ranks = the highest cosines (most prototypical)
+      val maxPrunedRank =
+        if (pruned.isEmpty) 0 else pruned.map(_.getAs[Int]("proto_rank")).max
+      assert(rows.filter(_.getAs[Int]("pruned") == 0)
+        .forall(_.getAs[Int]("proto_rank") > maxPrunedRank))
+      val sorted = rows.sortBy(_.getAs[Int]("proto_rank"))
+        .map(_.getAs[Double]("cosine"))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
