@@ -125,6 +125,48 @@ class CurationSpec extends SparkSpec {
     assert(pos(e0) != pos(e1))
   }
 
+  test("cross-source matrix: cells are unordered, counts add up to the " +
+      "pair graph, and endpoints carry their documents' sources") {
+    val pairs = Dedup.minhashLsh(spark, Sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val src = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    val out = Curation.crossSource(spark, Sf0001).collect()
+    assert(out.map(_.getAs[Long]("n_pairs")).sum == pairs.length.toLong)
+    out.foreach(r => assert(r.getAs[String]("source_a") <=
+      r.getAs[String]("source_b")))
+    val expected = pairs.groupBy { case (a, b) =>
+      val (sa, sb) = (src(a), src(b))
+      if (sa <= sb) (sa, sb) else (sb, sa)
+    }.view.mapValues(_.length.toLong).toMap
+    assert(out.map(r => (r.getAs[String]("source_a"),
+      r.getAs[String]("source_b")) -> r.getAs[Long]("n_pairs")).toMap
+      == expected)
+  }
+
+  test("curation funnel: stages chain (n_in = previous n_out), every " +
+      "count is consistent with the constituent operators") {
+    val out = Curation.curationFunnel(spark, Sf0001).collect()
+      .sortBy(_.getAs[Int]("stage"))
+    assert(out.map(_.getAs[String]("stage_name")).toSeq ==
+      Seq("exact_dedup", "near_dup_keepers", "quality_gate", "decontam"))
+    out.foreach(r => assert(r.getAs[Long]("n_dropped") ==
+      r.getAs[Long]("n_in") - r.getAs[Long]("n_out")))
+    out.zip(out.tail).foreach { case (prev, next) =>
+      assert(next.getAs[Long]("n_in") == prev.getAs[Long]("n_out"))
+    }
+    assert(out.head.getAs[Long]("n_in") == nDocs)
+    // stage 1 out = distinct texts; stage 2 drops cluster_size-1 per cluster
+    val distinctTexts = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select("text").distinct().count()
+    assert(out(0).getAs[Long]("n_out") == distinctTexts)
+    val clusterDrops = Curation.bestOfCluster(spark, Sf0001)
+      .select("n_dropped").as[Long].collect().sum
+    assert(out(1).getAs[Long]("n_dropped") == clusterDrops)
+    // the funnel must actually narrow somewhere after dedup
+    assert(out.last.getAs[Long]("n_out") < out.head.getAs[Long]("n_in"))
+  }
+
   test("prototype prune: exactly the closest quarter of each cluster, " +
       "served from the shared index quantizer") {
     val out = Similarity.prototypePrune(spark, Sf0001).collect()
