@@ -404,6 +404,80 @@ object Curation {
     FROM keyed"""
   }
 
+  // --------------------------------- per-source quality normalization
+
+  /** Per-source quality quantile normalization: rank every document's
+    * composite quality score ([[TextOps.textStats]]) WITHIN its source
+    * and gate at the per-source median — the fix for the classic
+    * curation failure where one global threshold wipes out an entire
+    * source whose score distribution sits lower (different register,
+    * different language mix) while rubber-stamping another. `pct` is the
+    * explicit (rank−1)/(n−1) percent_rank — two integer-derived IEEE ops,
+    * bit-stable cross-engine (ties broken by doc_id so the rank itself
+    * is deterministic); the keep decision is pure integer arithmetic
+    * (`q_rank * 2 <= src_n`), keeping the top half of every source.
+    *
+    * Shape: one doc-keyed join (quality ⋈ source label) and one window
+    * per source — source-parallel; at 100 TB each source ranks
+    * independently, and a quantile THRESHOLD per source (computed from a
+    * sketch) replaces the full rank when only the gate is needed. */
+  def qualityBySource(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextOps.textStats(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val src = documents(spark, dir).select(col("doc_id"), col("source"))
+    val w = Window.partitionBy("source")
+    q.join(src, Seq("doc_id"))
+      .withColumn("q_rank", row_number().over(
+        w.orderBy(col("quality_score").desc, col("doc_id"))).cast("int"))
+      .withColumn("src_n", count(lit(1)).over(w))
+      .withColumn("pct",
+        when(col("src_n") === 1L, 0.0).otherwise(
+          (col("q_rank") - 1L).cast("double") /
+            (col("src_n") - 1L).cast("double")))
+      .withColumn("kept", (col("q_rank") * 2 <= col("src_n")).cast("int"))
+      .select("doc_id", "source", "quality_score", "q_rank", "src_n",
+        "pct", "kept")
+  }
+
+  def qualityBySourceOracle: String =
+    s"""WITH q AS (
+      SELECT doc_id, quality_score FROM (${TextOps.textStatsOracle})),
+    ranked AS (
+      SELECT q.doc_id, d.source, q.quality_score,
+        row_number() OVER (PARTITION BY d.source
+          ORDER BY q.quality_score DESC, q.doc_id) AS q_rank,
+        count(*) OVER (PARTITION BY d.source) AS src_n
+      FROM q JOIN documents d USING (doc_id))
+    SELECT doc_id, source, quality_score,
+      CAST(q_rank AS INTEGER) AS q_rank, src_n,
+      CASE WHEN src_n = 1 THEN 0.0
+        ELSE CAST(q_rank - 1 AS DOUBLE) / CAST(src_n - 1 AS DOUBLE) END
+        AS pct,
+      CAST(q_rank * 2 <= src_n AS INTEGER) AS kept
+    FROM ranked"""
+
+  // ------------------------------------------ benchmark integrity report
+
+  /** Eval-suite integrity report: [[Decontam.overlap]] aggregated per
+    * BENCHMARK document — how many training docs leak each eval item,
+    * and how badly (max shared grams / max covered fraction). This is
+    * the table an eval release publishes: a bench item with a high
+    * `worst_frac` is compromised and its scores are memorization, not
+    * generalization. Aggregating the pair table is one bench-keyed
+    * aggregate over an already-bounded frame (benchmark side is fixed
+    * and tiny by construction). */
+  def decontamReport(spark: SparkSession, dir: String): DataFrame =
+    Decontam.overlap(spark, dir)
+      .groupBy("bench_id")
+      .agg(count(lit(1)).as("n_flagged"),
+        max(col("n_shared")).as("max_shared"),
+        max(col("bench_frac")).as("worst_frac"))
+
+  def decontamReportOracle: String =
+    s"""SELECT bench_id, count(*) AS n_flagged,
+      max(n_shared) AS max_shared, max(bench_frac) AS worst_frac
+    FROM (${Decontam.overlapOracle()}) GROUP BY 1"""
+
   // -------------------------------------- cross-source duplication matrix
 
   /** Cross-source near-duplication matrix: how much each pair of corpus

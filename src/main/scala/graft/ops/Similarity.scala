@@ -2179,4 +2179,58 @@ object Similarity {
       CAST(proto_rank * $PrototypePruneDenom <= cluster_size AS INTEGER)
         AS pruned
     FROM ranked"""
+
+  /** Per-cluster cap for [[clusterCap]]. */
+  val ClusterCapK = 16
+
+  /** Cluster-balanced embedding sampling: cap every IVF cluster at
+    * [[ClusterCapK]] members, chosen by a content-stable hash order
+    * (`md5("cap:" || vec_id)`) — the balanced-sampling step of
+    * SemDeDup-style pipelines (DataComp/DatologyAI recipes): dense
+    * regions of embedding space contribute at most K examples each, so
+    * the selected set spans modes instead of mirroring the density. The
+    * hash order makes the within-cluster choice uniform yet
+    * deterministic — re-running, resharding, or growing OTHER clusters
+    * never changes a cluster's picks ([[prototypePrune]] is the
+    * distance-ranked sibling; this one is density-flattening).
+    *
+    * Shape: clusters and assignments come from the shared build-once
+    * quantizer ([[IvfIndex.lists]]); the cap is one row_number window
+    * per cluster — cluster-parallel, nothing pairwise, no global sort. */
+  def clusterCap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("centroid_id")
+    IvfIndex.lists(spark, dir)
+      .withColumn("cap_key",
+        md5(concat(lit("cap:"), col("vec_id").cast("string"))))
+      .withColumn("cap_rank", row_number().over(
+        w.orderBy(col("cap_key"), col("vec_id"))).cast("int"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("kept", (col("cap_rank") <= ClusterCapK).cast("int"))
+      .select("vec_id", "centroid_id", "cluster_size", "cap_rank", "kept")
+  }
+
+  /** Oracle for [[clusterCap]] — replays the quantizer training and the
+    * per-cluster hash-ordered cap in SQL. */
+  def clusterCapOracle(): String =
+    s"""WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    normed AS (
+      SELECT vec_id, vec, $normSqlDuck AS nrm FROM base),
+    params AS (
+      SELECT ${ivfKSqlDuck("count(*)")} AS k FROM embeddings),
+    $trainCtesDuck,
+    ${(1 to IvfIters).map(kmeansIterCteDuck).mkString(",\n    ")},
+    ${assignCteDuck("assigned", s"cents$IvfIters")},
+    ranked AS (
+      SELECT vec_id, centroid_id,
+        row_number() OVER (PARTITION BY centroid_id
+          ORDER BY md5('cap:' || CAST(vec_id AS VARCHAR)), vec_id)
+          AS cap_rank,
+        count(*) OVER (PARTITION BY centroid_id) AS cluster_size
+      FROM assigned)
+    SELECT vec_id, centroid_id, cluster_size,
+      CAST(cap_rank AS INTEGER) AS cap_rank,
+      CAST(cap_rank <= $ClusterCapK AS INTEGER) AS kept
+    FROM ranked"""
 }

@@ -167,6 +167,61 @@ class CurationSpec extends SparkSpec {
     assert(out.last.getAs[Long]("n_out") < out.head.getAs[Long]("n_in"))
   }
 
+  test("quality by source: per-source ranks, exact percent_rank, " +
+      "top-half gate") {
+    val out = Curation.qualityBySource(spark, Sf0001).collect()
+    assert(out.length == nDocs)
+    out.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val n = rows.length
+      assert(rows.forall(_.getAs[Long]("src_n") == n.toLong))
+      assert(rows.map(_.getAs[Int]("q_rank")).sorted.toSeq == (1 to n))
+      assert(rows.count(_.getAs[Int]("kept") == 1) == n / 2)
+      rows.foreach { r =>
+        val expectPct = if (n == 1) 0.0
+          else (r.getAs[Int]("q_rank") - 1).toDouble / (n - 1)
+        assert(r.getAs[Double]("pct") == expectPct)
+      }
+      // rank follows quality descending
+      val sorted = rows.sortBy(_.getAs[Int]("q_rank"))
+        .map(_.getAs[Double]("quality_score"))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("decontam report: one row per compromised bench doc, maxima " +
+      "match the pair table") {
+    val pairs = graft.ops.Decontam.overlap(spark, Sf0001)
+      .select("bench_id", "n_shared", "bench_frac")
+      .as[(Long, Long, Double)].collect()
+    val out = Curation.decontamReport(spark, Sf0001).collect()
+    val byBench = pairs.groupBy(_._1)
+    assert(out.length == byBench.size)
+    out.foreach { r =>
+      val b = byBench(r.getAs[Long]("bench_id"))
+      assert(r.getAs[Long]("n_flagged") == b.length.toLong)
+      assert(r.getAs[Long]("max_shared") == b.map(_._2).max)
+      assert(r.getAs[Double]("worst_frac") == b.map(_._3).max)
+    }
+  }
+
+  test("cluster cap: at most K kept per cluster, hash-ordered, " +
+      "content-stable") {
+    val out = Similarity.clusterCap(spark, Sf0001).collect()
+    val nVec = spark.read.parquet(s"$Sf0001/embeddings.parquet").count()
+    assert(out.length == nVec)
+    out.groupBy(_.getAs[Long]("centroid_id")).foreach { case (_, rows) =>
+      val n = rows.length
+      assert(rows.forall(_.getAs[Long]("cluster_size") == n.toLong))
+      assert(rows.map(_.getAs[Int]("cap_rank")).sorted.toSeq == (1 to n))
+      val kept = rows.filter(_.getAs[Int]("kept") == 1)
+      assert(kept.length == math.min(n, Similarity.ClusterCapK))
+      assert(kept.forall(_.getAs[Int]("cap_rank") <= Similarity.ClusterCapK))
+    }
+    // determinism across sessions
+    val again = Similarity.clusterCap(spark.newSession(), Sf0001).collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("prototype prune: exactly the closest quarter of each cluster, " +
       "served from the shared index quantizer") {
     val out = Similarity.prototypePrune(spark, Sf0001).collect()
