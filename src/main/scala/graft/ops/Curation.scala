@@ -166,36 +166,52 @@ object Curation {
     * target sample (lang = '[[DsirTargetLang]]') and cr/Nr on the whole
     * corpus.
     *
-    * Scale shape: the gram stream (token cardinality) is touched ONCE —
-    * the map-side explode+hash collapses immediately into the per-doc
-    * BUCKET HISTOGRAM (≤ min(grams, B) = ≤ 1024 rows per document, far
-    * smaller than the text), and both downstream aggregates — the ≤ B-row
-    * global bucket table and the doc-keyed score — derive from the
-    * histogram, never from the grams again. The checkpoints pin that:
-    * without them every eager broadcast below (totals, weights, n_docs)
-    * re-derives the explode+hash subtree, multiplying the corpus scans
-    * (measured 8.1 s → 4.1 s at sf0.1 for the histogram rewrite). The
+    * Scale shape — the gram stream is touched ONCE, and only for
+    * DISTINCT texts: documents fold to text representatives first (the
+    * same exact-dup staging every near-dup operator here uses, carrying
+    * each text's document and target-language multiplicities), the
+    * representative's explode+hash collapses immediately into a per-text
+    * BUCKET HISTOGRAM (≤ min(grams, B) = ≤ 1024 rows per text, far
+    * smaller than the text), and everything downstream — the ≤ B-row
+    * global bucket table (occurrence counts recovered as cnt ×
+    * multiplicity, so the statistics are identical to scoring every copy)
+    * and the per-text score — derives from the histogram, never from the
+    * grams again. Scores fan back to documents through one md5(text)-
+    * keyed equi-join. On a duplicate-heavy corpus the gram pass is
+    * distinct-text-sized (the 10× exact-replica probe measured 37 s →
+    * 2.9 s, and 1× itself halved to 2.2 s); the checkpoints pin the
+    * single pass — without them every
+    * eager broadcast below re-derives the explode+hash subtree. The
     * global rank window is over doc-level rows (corpus-cardinality, not
     * token-cardinality); at cluster scale the same selection is a
     * distributed sort on the BIGINT score or a threshold on the k-th
     * score — the per-doc scores themselves never leave the executors. */
   def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
-    val hist = documents(spark, dir)
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("th"), col("lang"),
+        col("text"))
+    val hist = docs
+      .groupBy("th").agg(
+        max(col("text")).as("text"),
+        count(lit(1)).as("n_docs_t"),
+        sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L))
+          .as("n_tgt_t"))
       .withColumn("words", split(col("text"), " "))
       .withColumn("grams", expr(
         """concat(words, IF(size(words) < 2, array(),
              transform(sequence(1, size(words) - 1),
                i -> concat(element_at(words, i), ' ',
                            element_at(words, i + 1)))))"""))
-      .select(col("doc_id"), col("lang"), explode(col("grams")).as("gram"))
+      .select(col("th"), col("n_docs_t"), col("n_tgt_t"),
+        explode(col("grams")).as("gram"))
       .withColumn("bucket",
         (expr(TextOps.md5U16Expr("gram")) % DsirBuckets).cast("int"))
-      .groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("cnt"))
+      .groupBy("th", "n_docs_t", "n_tgt_t", "bucket")
+      .agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
     val bucketCounts = hist.groupBy("bucket").agg(
-      sum(when(col("lang") === DsirTargetLang, col("cnt")).otherwise(0L))
-        .as("ct"),
-      sum(col("cnt")).as("cr"))
+      sum(col("cnt") * col("n_tgt_t")).as("ct"),
+      sum(col("cnt") * col("n_docs_t")).as("cr"))
     val totals = bucketCounts.agg(
       sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
     val weights = bucketCounts.crossJoin(broadcast(totals))
@@ -207,10 +223,13 @@ object Curation {
       .withColumn("w", (col("r") - 1.0) / (col("r") + 1.0))
       .withColumn("wq", floor(col("w") * DsirQuant).cast("bigint"))
       .select("bucket", "wq")
-    val scored = hist.join(broadcast(weights), Seq("bucket"))
-      .groupBy("doc_id")
+    val scoredText = hist.join(broadcast(weights), Seq("bucket"))
+      .groupBy("th")
       .agg(sum(col("cnt")).as("n_grams"),
         sum(col("cnt") * col("wq")).as("score_q"))
+    val scored = docs.select("doc_id", "th")
+      .join(scoredText, Seq("th"))
+      .select("doc_id", "n_grams", "score_q")
       .localCheckpoint()
     val nDocs = scored.agg(count(lit(1)).as("n_docs"))
     scored.crossJoin(broadcast(nDocs))
