@@ -187,6 +187,22 @@ object Curation {
     * distributed sort on the BIGINT score or a threshold on the k-th
     * score — the per-doc scores themselves never leave the executors. */
   def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val scored = dsirScored(spark, dir).localCheckpoint()
+    val nDocs = scored.agg(count(lit(1)).as("n_docs"))
+    scored.crossJoin(broadcast(nDocs))
+      .withColumn("dsir_rank", row_number().over(
+        Window.orderBy(col("score_q").desc, col("doc_id"))))
+      .withColumn("selected",
+        (col("dsir_rank") * DsirSelectDenom <= col("n_docs")).cast("int"))
+      .withColumn("score", col("score_q") / lit(DsirQuant))
+      .select("doc_id", "n_grams", "score_q", "score", "dsir_rank",
+        "selected")
+  }
+
+  /** The pre-checkpoint per-doc score frame of [[dsirSelect]] — split out
+    * so PlanSpec can pin the staged shape (the eager checkpoints hide
+    * the subtree from the final plan). */
+  private[graft] def dsirScored(spark: SparkSession, dir: String): DataFrame = {
     val docs = documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("th"), col("lang"),
         col("text"))
@@ -227,19 +243,9 @@ object Curation {
       .groupBy("th")
       .agg(sum(col("cnt")).as("n_grams"),
         sum(col("cnt") * col("wq")).as("score_q"))
-    val scored = docs.select("doc_id", "th")
+    docs.select("doc_id", "th")
       .join(scoredText, Seq("th"))
       .select("doc_id", "n_grams", "score_q")
-      .localCheckpoint()
-    val nDocs = scored.agg(count(lit(1)).as("n_docs"))
-    scored.crossJoin(broadcast(nDocs))
-      .withColumn("dsir_rank", row_number().over(
-        Window.orderBy(col("score_q").desc, col("doc_id"))))
-      .withColumn("selected",
-        (col("dsir_rank") * DsirSelectDenom <= col("n_docs")).cast("int"))
-      .withColumn("score", col("score_q") / lit(DsirQuant))
-      .select("doc_id", "n_grams", "score_q", "score", "dsir_rank",
-        "selected")
   }
 
   def dsirSelectOracle: String =

@@ -1802,6 +1802,70 @@ object Similarity {
       v.hits * 1.0 / ep.exact_pairs AS recall
     FROM v, ep"""
 
+  /** Reciprocal-rank quantization grid: 2^24 micro-units. */
+  val MrrQuant = 16777216L
+
+  /** Mean reciprocal rank of the true nearest neighbor under each
+    * training-free approximate ranker — the rank-position complement of
+    * [[annRecallReport]]'s overlap@k (recall says the true NN is
+    * somewhere in the top k; MRR says how close to the top). For every
+    * query, the exact ranker's rank-1 neighbor is looked up in the
+    * variant's list; its reciprocal rank is carried as the exact integer
+    * `floor(2^24 / rank)` (rank is a small positive int, so the floor
+    * division is bit-identical everywhere) and SUMMED AS BIGINT —
+    * order- and partitioning-invariant like every score in this repo —
+    * with misses contributing 0. `mrr = rr_q / (2^24 · n_queries)`, one
+    * IEEE division at the end.
+    *
+    * Shape: each variant side is its own Q·k ranked list; the audit is
+    * one (query, neighbor) equi-join per variant + a 1-row aggregate —
+    * negligible next to the rankers. Variant scope matches
+    * annRecallReport (the oracles that replay without a Lloyd loop). */
+  def annMrr(spark: SparkSession, dir: String): DataFrame = {
+    val truth = annTopK(spark, dir).filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"))
+    val nQ = truth.agg(count(lit(1)).as("n_queries"))
+    val variants = Seq(
+      "int8" -> annInt8TopK(spark, dir),
+      "lsh" -> annLshTopK(spark, dir),
+      "lsh_multiprobe" -> annLshMultiProbeTopK(spark, dir),
+      "rp" -> annRpTopK(spark, dir))
+    variants.map { case (name, df) =>
+      df.select(col("query_id"), col("neighbor_id"), col("rank"))
+        .join(truth, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("found"),
+          sum(expr(s"$MrrQuant div rank")).as("rr_q"))
+        .select(lit(name).as("variant"), col("found"),
+          coalesce(col("rr_q"), lit(0L)).as("rr_q"))
+    }.reduce(_.unionByName(_))
+      .crossJoin(broadcast(nQ))
+      .withColumn("mrr",
+        col("rr_q") * lit(1.0) / (lit(MrrQuant) * col("n_queries")))
+      .select("variant", "n_queries", "found", "rr_q", "mrr")
+  }
+
+  def annMrrOracle: String =
+    s"""WITH truth AS (
+      SELECT query_id, neighbor_id FROM (${annTopKOracle()}) WHERE rank = 1),
+    nq AS (SELECT count(*) AS n_queries FROM truth),
+    v AS (
+      SELECT 'int8' AS variant, count(*) AS found,
+        coalesce(sum($MrrQuant // rank), 0) AS rr_q
+      FROM (${annInt8TopKOracle()}) a JOIN truth USING (query_id, neighbor_id)
+      UNION ALL
+      SELECT 'lsh', count(*), coalesce(sum($MrrQuant // rank), 0)
+      FROM (${annLshTopKOracle()}) a JOIN truth USING (query_id, neighbor_id)
+      UNION ALL
+      SELECT 'lsh_multiprobe', count(*), coalesce(sum($MrrQuant // rank), 0)
+      FROM (${annLshMultiProbeTopKOracle()}) a
+        JOIN truth USING (query_id, neighbor_id)
+      UNION ALL
+      SELECT 'rp', count(*), coalesce(sum($MrrQuant // rank), 0)
+      FROM (${annRpTopKOracle()}) a JOIN truth USING (query_id, neighbor_id))
+    SELECT v.variant, nq.n_queries, v.found, CAST(v.rr_q AS BIGINT) AS rr_q,
+      v.rr_q * 1.0 / ($MrrQuant * nq.n_queries) AS mrr
+    FROM v, nq"""
+
   def annRrfFusion(spark: SparkSession, dir: String,
       inputK: Int = 10, k: Int = 5, rrfK: Int = 60): DataFrame = {
     import org.apache.spark.sql.expressions.Window

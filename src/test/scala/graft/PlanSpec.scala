@@ -166,6 +166,54 @@ class PlanSpec extends SparkSpec {
       .findFirstIn(p).isDefined)
   }
 
+  test("dsir: histogram-staged — bucket weights broadcast, score " +
+      "fan-back is an equi-join, no pair fan-out anywhere") {
+    // pin the pre-checkpoint score subtree (the eager localCheckpoints
+    // in dsirSelect hide it from the final plan)
+    val p = plan(graft.ops.Curation.dsirScored(spark, Sf0001))
+    assert(!p.contains("CartesianProduct"),
+      "nothing in DSIR is all-pairs")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <=1024-row weight table must broadcast onto the histogram:\n$p")
+    assert(!"Exchange hashpartitioning\\(gram".r.findFirstIn(p).isDefined,
+      "grams collapse into the histogram map-side — no gram-keyed shuffle")
+  }
+
+  test("cross-source matrix: pair-bounded — endpoint labelling is an " +
+      "equi-join, the matrix is a tiny hash aggregate") {
+    val p = plan(graft.ops.Curation.crossSource(spark, Sf0001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "candidates come from banding, labels from doc-keyed joins — " +
+        "all-pairs anywhere is a regression")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findFirstIn(p).isDefined)
+  }
+
+  test("cluster cap + prototype prune: per-cluster windows, no global sort") {
+    val cap = plan(graft.ops.Similarity.clusterCap(spark, Sf0001))
+    assert("Window.*centroid_id".r.findFirstIn(cap).isDefined,
+      s"the cap is a per-cluster window:\n$cap")
+    assert(!cap.contains("CartesianProduct") &&
+      !cap.contains("BroadcastNestedLoopJoin"))
+    val pp = plan(graft.ops.Similarity.prototypePrune(spark, Sf0001))
+    assert("Window.*centroid_id".r.findFirstIn(pp).isDefined)
+    assert(pp.contains("BroadcastHashJoin"),
+      s"the k-row centroid table must broadcast onto the lists:\n$pp")
+    assert(!pp.contains("CartesianProduct") &&
+      !pp.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("quality by source + ppl buckets: group-parallel windows " +
+      "(source / language), never a global rank") {
+    val q = plan(graft.ops.Curation.qualityBySource(spark, Sf0001))
+    assert("Window.*source".r.findFirstIn(q).isDefined,
+      s"ranking partitions by source:\n$q")
+    val b = plan(graft.ops.Curation.pplBuckets(spark, Sf0001))
+    assert("Window.*lang".r.findFirstIn(b).isDefined,
+      s"ranking partitions by language:\n$b")
+  }
+
   test("weighted sample: map-only corpus pass — one scalar-total " +
       "broadcast, no shuffle of the documents") {
     val p = plan(TextOps.weightedSample(spark, Sf0001))
