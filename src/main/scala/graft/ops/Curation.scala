@@ -57,22 +57,24 @@ object Curation {
     * Every threshold compares by integer cross-multiplication
     * (`nonspace >= 3 * word_count`, `top * 5 <= words`), so the verdict
     * column is bit-exact on both engines with no float thresholds at
-    * all. Shape: one narrow per-row pass plus a (doc_id, word) count for
-    * the top-word signal — map-side partial aggregation, linear at any
-    * corpus size; the final join is doc-keyed. */
+    * all. Shape: the text is scanned ONCE — every signal derives from
+    * the same exploded (doc_id, word, count) table (word_count = Σcnt,
+    * nonspace = Σ cnt·len(word), stop_hits = distinct stopwords present,
+    * top = max cnt), so the row is one explode, one map-side-combined
+    * (doc, word) count, and one doc-keyed aggregate — no self-join, no
+    * second pass over the corpus. */
   def gopherRules(spark: SparkSession, dir: String): DataFrame = {
-    val stopArr = GopherStopwords.map(s => s"'$s'").mkString("array(", ",", ")")
-    val d = documents(spark, dir)
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("word_count", size(col("words")).cast("bigint"))
-      .withColumn("nonspace_count",
-        length(regexp_replace(col("text"), " ", "")).cast("bigint"))
-      .withColumn("stop_hits",
-        expr(s"size(filter($stopArr, s -> array_contains(words, s)))").cast("int"))
-    val top = d.select(col("doc_id"), explode(col("words")).as("w"))
+    val stopSet = GopherStopwords
+    val counts = documents(spark, dir)
+      .select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id").agg(max(col("cnt")).as("top_word_count"))
-    d.join(top, Seq("doc_id"))
+    counts.groupBy("doc_id").agg(
+        sum(col("cnt")).as("word_count"),
+        sum(col("cnt") * length(col("w"))).as("nonspace_count"),
+        countDistinct(when(col("w").isin(stopSet: _*), col("w")))
+          .cast("int").as("stop_hits"),
+        max(col("cnt")).as("top_word_count"))
       .withColumn("mean_word_len",
         col("nonspace_count") * lit(1.0) / col("word_count"))
       .withColumn("pass_word_count",
@@ -202,11 +204,14 @@ object Curation {
   /** The pre-checkpoint per-doc score frame of [[dsirSelect]] — split out
     * so PlanSpec can pin the staged shape (the eager checkpoints hide
     * the subtree from the final plan). */
-  private[graft] def dsirScored(spark: SparkSession, dir: String): DataFrame = {
-    val docs = documents(spark, dir)
+  /** The uncheckpointed per-distinct-text bucket histogram of
+    * [[dsirScored]] — split out so PlanSpec can pin the gram stage's
+    * shape (explode collapses into a th-keyed aggregate, never a
+    * gram-keyed shuffle); [[dsirScored]] checkpoints it. */
+  private[graft] def dsirHist(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("th"), col("lang"),
         col("text"))
-    val hist = docs
       .groupBy("th").agg(
         max(col("text")).as("text"),
         count(lit(1)).as("n_docs_t"),
@@ -224,7 +229,11 @@ object Curation {
         (expr(TextOps.md5U16Expr("gram")) % DsirBuckets).cast("int"))
       .groupBy("th", "n_docs_t", "n_tgt_t", "bucket")
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+
+  private[graft] def dsirScored(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("th"))
+    val hist = dsirHist(spark, dir).localCheckpoint()
     val bucketCounts = hist.groupBy("bucket").agg(
       sum(col("cnt") * col("n_tgt_t")).as("ct"),
       sum(col("cnt") * col("n_docs_t")).as("cr"))
@@ -304,7 +313,11 @@ object Curation {
     * window per cluster — cluster-parallel, no global ordering. The
     * quality doubles are exact rationals of integer counts (see
     * textStats), so the DESC ordering agrees bit-for-bit cross-engine. */
-  def bestOfCluster(spark: SparkSession, dir: String): DataFrame = {
+  /** Near-dup clusters joined with member quality and ranked by the
+    * keep-best rule (quality desc, doc_id tie-break) — the ONE place the
+    * election policy lives: [[bestOfCluster]] keeps rn = 1,
+    * [[curationFunnel]] drops rn > 1, so the two can never diverge. */
+  private[ops] def clusterRanked(spark: SparkSession, dir: String): DataFrame = {
     val clusters = Dedup.dedupClusters(spark, dir)
     val quality = TextOps.textStats(spark, dir)
       .select(col("doc_id"), col("quality_score"))
@@ -312,12 +325,15 @@ object Curation {
       .orderBy(col("quality_score").desc, col("doc_id"))
     clusters.join(quality, Seq("doc_id"))
       .withColumn("rn", row_number().over(w))
+  }
+
+  def bestOfCluster(spark: SparkSession, dir: String): DataFrame =
+    clusterRanked(spark, dir)
       .filter(col("rn") === 1)
       .select(col("cluster_id"), col("cluster_size"),
         col("doc_id").as("keeper_doc_id"),
         col("quality_score").as("keeper_quality"),
         (col("cluster_size") - 1L).as("n_dropped"))
-  }
 
   def bestOfClusterOracle: String =
     s"""WITH clusters AS (
@@ -565,16 +581,12 @@ object Curation {
     * corpus-pairwise; the counts shuffle 4 longs. */
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
     val docs = documents(spark, dir).select(col("doc_id"))
-    val reps = documents(spark, dir)
-      .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+    // the SAME staging rule as every near-dup operator (Dedup.distinctDocs)
+    // and the SAME election as bestOfCluster (clusterRanked) — shared
+    // builders, so the funnel counts can't drift from the operators
+    val reps = Dedup.distinctDocs(spark, dir)
       .select(col("doc_id"), lit(1).as("is_rep"))
-    val quality = TextOps.textStats(spark, dir)
-      .select(col("doc_id"), col("quality_score"))
-    val w = Window.partitionBy("cluster_id")
-      .orderBy(col("quality_score").desc, col("doc_id"))
-    val clusterDrops = Dedup.dedupClusters(spark, dir)
-      .join(quality, Seq("doc_id"))
-      .withColumn("rn", row_number().over(w))
+    val clusterDrops = clusterRanked(spark, dir)
       .filter(col("rn") > 1)
       .select(col("doc_id"), lit(1).as("is_cluster_drop"))
     val gopher = gopherRules(spark, dir).select("doc_id", "passes_all")

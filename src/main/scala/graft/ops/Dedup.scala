@@ -42,7 +42,7 @@ object Dedup {
     * the inverted-index/band joins on raw duplicate-heavy corpora blows
     * up quadratically (a 10x-replicated corpus measured 73 s vs 2 s for
     * Jaccard — every twin shares every shingle/band with every other). */
-  private def distinctDocs(spark: SparkSession, dir: String): DataFrame =
+  private[ops] def distinctDocs(spark: SparkSession, dir: String): DataFrame =
     TextOps.documents(spark, dir)
       .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
 

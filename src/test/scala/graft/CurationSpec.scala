@@ -62,8 +62,12 @@ class CurationSpec extends SparkSpec {
   test("dsir: score is the quantized bucket-weight sum (order-invariant)") {
     val a = Curation.dsirSelect(spark, Sf0001)
       .select("doc_id", "score_q").as[(Long, Long)].collect().toMap
-    val b = Curation.dsirSelect(spark.newSession(), Sf0001)
-      .repartition(7)
+    // recompute the whole pipeline under a different aggregation layout
+    // (shuffle-partition count), not just reshuffle the finished output —
+    // this exercises the BIGINT-sum invariance claim for real
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "7")
+    val b = Curation.dsirSelect(s2, Sf0001)
       .select("doc_id", "score_q").as[(Long, Long)].collect().toMap
     assert(a == b, "BIGINT micro-unit scores must not depend on layout")
   }

@@ -168,15 +168,18 @@ class PlanSpec extends SparkSpec {
 
   test("dsir: histogram-staged — bucket weights broadcast, score " +
       "fan-back is an equi-join, no pair fan-out anywhere") {
-    // pin the pre-checkpoint score subtree (the eager localCheckpoints
-    // in dsirSelect hide it from the final plan)
+    // the gram stage is pinned on the UNcheckpointed histogram builder
+    // (dsirScored checkpoints it, which would hide the subtree)
+    val h = plan(graft.ops.Curation.dsirHist(spark, Sf0001))
+    assert(!"Exchange hashpartitioning\\(gram".r.findFirstIn(h).isDefined,
+      s"grams collapse into the th-keyed histogram — no gram-keyed shuffle:\n$h")
+    assert(h.contains("partial_count"),
+      "the histogram count must combine map-side")
     val p = plan(graft.ops.Curation.dsirScored(spark, Sf0001))
     assert(!p.contains("CartesianProduct"),
       "nothing in DSIR is all-pairs")
     assert(p.contains("BroadcastHashJoin"),
       s"the <=1024-row weight table must broadcast onto the histogram:\n$p")
-    assert(!"Exchange hashpartitioning\\(gram".r.findFirstIn(p).isDefined,
-      "grams collapse into the histogram map-side — no gram-keyed shuffle")
   }
 
   test("cross-source matrix: pair-bounded — endpoint labelling is an " +
