@@ -55,40 +55,84 @@ object Macros {
     def contains(name: String): Boolean = defs.contains(name)
 
     /** Call a macro: positional args fill parameters left to right,
-      * `ctx` supplies globals (e.g. `target` → Map("database" → …)),
-      * parameter defaults fill the rest. */
+      * `named` kwargs bind by parameter name (dbt's common
+      * `{{ m(col='x') }}` style), `ctx` supplies globals (e.g. `target`
+      * → Map("database" → …)), parameter defaults fill the rest. */
     def call(name: String, positional: Seq[Any],
-        ctx: Map[String, Any] = Map.empty): String = {
+        ctx: Map[String, Any] = Map.empty,
+        named: Map[String, Any] = Map.empty): String = {
       val d = defs.getOrElse(name,
         throw new IllegalArgumentException(s"unknown macro '$name'"))
       require(positional.size <= d.params.size,
         s"$name: ${positional.size} args for ${d.params.size} params")
+      val paramNames = d.params.map(_._1).toSet
+      named.keys.foreach(k => require(paramNames.contains(k),
+        s"$name: unknown keyword argument '$k'"))
       val defaults = d.params.collect { case (p, Some(dv)) =>
         p -> evalExpr(dv, ctx) }.toMap
       val bound = d.params.map(_._1).zip(positional).toMap
-      render(d.body, ctx ++ defaults ++ bound)
+      bound.keySet.intersect(named.keySet).foreach(k =>
+        throw new IllegalArgumentException(
+          s"$name: argument '$k' given both positionally and by keyword"))
+      render(d.body, ctx ++ defaults ++ bound ++ named)
     }
 
     /** Expand `{{ name(args) }}` call sites of THIS library's macros in
-      * SQL text ('quoted' args become string values, bare tokens pass
-      * through as raw text — both arrive as strings, which is what a
-      * SQL-snippet macro splices). Non-library names (ref, source,
-      * dbt_utils.*) are left for the caller's own substitutions. */
+      * SQL text — 'quoted' strings, integers, none, and `kw=value`
+      * keyword args. Bare identifiers FAIL LOUDLY: expansion happens
+      * before the Jinja render, so a loop/set variable is not bound yet
+      * and splicing its NAME into SQL would silently mis-render (the
+      * module's contract is an error naming the construct instead).
+      * Non-library names (ref, source, dbt_utils.*) are left for the
+      * caller's own substitutions. */
     def expandIn(sql: String, ctx: Map[String, Any] = Map.empty): String = {
       val CallRe = raw"\{\{\s*(\w+)\s*\(([^)]*)\)\s*\}\}".r
       CallRe.replaceAllIn(sql, m =>
         if (!defs.contains(m.group(1))) java.util.regex.Matcher.quoteReplacement(m.matched)
-        else java.util.regex.Matcher.quoteReplacement(
-          call(m.group(1), parseArgs(m.group(2)), ctx)))
+        else {
+          val (pos, named) = parseArgs(m.group(1), m.group(2))
+          java.util.regex.Matcher.quoteReplacement(
+            call(m.group(1), pos, ctx, named))
+        })
     }
 
-    private def parseArgs(raw: String): Seq[Any] =
-      raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map {
-        case s if s.startsWith("'") && s.endsWith("'") && s.length >= 2 =>
-          s.substring(1, s.length - 1)
-        case "none" => null
-        case bare => bare
+    /** Split a call site's argument text on TOP-LEVEL commas (commas
+      * inside quotes belong to the value) into positional and keyword
+      * args. */
+    private def parseArgs(macroName: String,
+        raw: String): (Seq[Any], Map[String, Any]) = {
+      val parts = Vector.newBuilder[String]
+      val cur = new StringBuilder
+      var quote: Char = 0
+      raw.foreach { c =>
+        if (quote != 0) { cur.append(c); if (c == quote) quote = 0 }
+        else if (c == '\'' || c == '"') { cur.append(c); quote = c }
+        else if (c == ',') { parts += cur.toString; cur.clear() }
+        else cur.append(c)
       }
+      parts += cur.toString
+      val KwRe = raw"(?s)(\w+)\s*=\s*(.+)".r
+      def value(macroNm: String, s: String): Any = s match {
+        case v if v.startsWith("'") && v.endsWith("'") && v.length >= 2 =>
+          v.substring(1, v.length - 1)
+        case v if v.startsWith("\"") && v.endsWith("\"") && v.length >= 2 =>
+          v.substring(1, v.length - 1)
+        case "none" => null
+        case "true" | "True" => true
+        case "false" | "False" => false
+        case IntLit() => s.toInt
+        case bare => throw new IllegalArgumentException(
+          s"$macroNm: macro call argument '$bare' is not a literal — " +
+            "expansion runs before the Jinja render, so variables are " +
+            "not bound here; pass 'quoted' strings, numbers, or none")
+      }
+      val trimmed = parts.result().map(_.trim).filter(_.nonEmpty)
+      val (kw, pos) = trimmed.partition(KwRe.pattern.matcher(_).matches())
+      pos.foreach(p => require(kw.isEmpty || trimmed.indexOf(p) < trimmed.indexOf(kw.head),
+        s"$macroName: positional argument after keyword argument"))
+      (pos.map(value(macroName, _)),
+        kw.map { case KwRe(k, v) => k -> value(macroName, v.trim) }.toMap)
+    }
   }
 
   // ---- template AST: tokenize → parse → eval ------------------------
@@ -193,7 +237,7 @@ object Macros {
         // dbt_utils.*) are NOT evaluated here — they re-emit
         // verbatim for the caller's own render-time substitutions,
         // exactly like dbt's env-provided callables
-        if (raw"[\w.]+\(.*\)".r.pattern.matcher(expr).matches())
+        if (raw"(?s)[\w.]+\(.*\)".r.pattern.matcher(expr).matches())
           out.append(s"{{ $expr }}")
         else {
           val v = evalExpr(expr, env)
@@ -235,6 +279,11 @@ object Macros {
     case b: Boolean => b
     case null => false
     case s: String => s.nonEmpty
+    // Jinja truthiness: 0 and empty containers are falsy — the standard
+    // `{% if loop.index0 %}, {% endif %}` separator idiom depends on it
+    case i: Int => i != 0
+    case s: Seq[_] => s.nonEmpty
+    case m: Map[_, _] => m.nonEmpty
     case _ => true
   }
 
@@ -274,6 +323,11 @@ object Macros {
 
   private def evalPrimary(p: String, env: Map[String, Any]): Any = p match {
     case "none" => null
+    // dbt's incremental-phase predicate: bound as a boolean in the env
+    // by the model renderer (SqlModels renders each phase once)
+    case "is_incremental()" => env.getOrElse("is_incremental",
+      throw new IllegalArgumentException(
+        "is_incremental() outside a model render"))
     case "true" | "True" => true
     case "false" | "False" => false
     case IntLit() => p.toInt

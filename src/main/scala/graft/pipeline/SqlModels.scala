@@ -36,11 +36,12 @@ import graft.model.{Clock, SurrogateKey}
   *    build time from [[RawSources]].
   *  - `{{ dbt_utils.generate_surrogate_key(['a', 'b']) }}` → the exact
   *    macro expansion ([[SurrogateKey]] null-sentinel semantics).
-  *  - `{% if is_incremental() %} … {% endif %}` → rendered TWICE, dbt's
-  *    two compilations of an incremental model: a first-run variant with
-  *    the blocks dropped and an incremental variant with them kept; the
-  *    build runs whichever matches the run ([[Registry.ThisKey]] present
-  *    ⇔ the target exists and --full-refresh is off).
+  *  - `{% if is_incremental() %} … {% endif %}` → rendered TWICE through
+  *    the shared Jinja engine with `is_incremental` bound per phase —
+  *    dbt's two compilations of an incremental model (blocks nest freely
+  *    with other `{% if/for %}` blocks); the build runs whichever
+  *    variant matches the run ([[Registry.ThisKey]] present ⇔ the target
+  *    exists and --full-refresh is off).
   *  - `{{ this }}` → a per-model temp view over the CURRENT target
   *    table, registered at build time from the same ThisKey handoff —
   *    the high-water-mark subquery pattern (`WHERE ts > (SELECT max(ts)
@@ -93,12 +94,6 @@ object SqlModels {
     raw"\{\{\s*dbt_utils\.generate_surrogate_key\(\s*\[(.*?)\]\s*\)\s*\}\}".r
   private val NowRe = raw"(?i)current_timestamp\s*\(\s*\)".r
   private val TodayRe = raw"(?i)current_date\s*\(\s*\)".r
-  /** `{% if is_incremental() %} … [{% else %} …] {% endif %}` — the one
-    * Jinja control construct dbt incremental models lean on. Whitespace
-    * trim markers (`{%-`/`-%}`) are accepted and treated as plain
-    * delimiters. */
-  private val IfIncRe = (raw"(?s)\{%-?\s*if\s+is_incremental\(\)\s*-?%\}" +
-    raw"(.*?)(?:\{%-?\s*else\s*-?%\}(.*?))?\{%-?\s*endif\s*-?%\}").r
   private val ThisRe = raw"\{\{\s*this\s*\}\}".r
   /** `{{ var('name') }}` / `{{ var('name', 'default') }}` — resolved
     * against the loaded [[ProjectYaml]] vars. */
@@ -129,23 +124,50 @@ object SqlModels {
     else s"md5(concat_ws('-', ${parts.mkString(", ")}))"
   }
 
+  /** Character positions inside quoted string literals of a config body.
+    * Config KEYS must match outside them: a hook statement like
+    * `post_hook="UPDATE audit SET enabled=false"` must not read as the
+    * model's own `enabled=` (it did, silently dropping the model). */
+  private def quotedSpans(body: String): Seq[(Int, Int)] = {
+    val spans = Seq.newBuilder[(Int, Int)]
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '\'' || c == '"') {
+        val close = body.indexOf(c, i + 1)
+        val end = if (close < 0) body.length else close
+        spans += ((i, end)); i = end + 1
+      } else i += 1
+    }
+    spans.result()
+  }
+
+  /** First match of `re` in `body` whose start lies outside every quoted
+    * string literal. */
+  private def findOutsideQuotes(body: String,
+      re: scala.util.matching.Regex): Option[scala.util.matching.Regex.Match] = {
+    val spans = quotedSpans(body)
+    re.findAllMatchIn(body)
+      .find(m => !spans.exists(s => m.start >= s._1 && m.start <= s._2))
+  }
+
   private def configStr(body: String, key: String): Option[String] =
-    (raw"\b" + key + raw"\s*=\s*'([^']+)'").r
-      .findFirstMatchIn(body).map(_.group(1))
+    findOutsideQuotes(body, (raw"\b" + key + raw"\s*=\s*'([^']+)'").r)
+      .map(_.group(1))
 
   private def configInt(body: String, key: String): Option[Int] =
-    (raw"\b" + key + raw"\s*=\s*(\d+)").r
-      .findFirstMatchIn(body).map(_.group(1).toInt)
+    findOutsideQuotes(body, (raw"\b" + key + raw"\s*=\s*(\d+)").r)
+      .map(_.group(1).toInt)
 
   private def configBool(body: String, key: String): Option[Boolean] =
-    (raw"\b" + key + raw"\s*=\s*(?i)(true|false)").r
-      .findFirstMatchIn(body).map(_.group(1).toLowerCase == "true")
+    findOutsideQuotes(body, (raw"\b" + key + raw"\s*=\s*(?i)(true|false)").r)
+      .map(_.group(1).toLowerCase == "true")
 
   /** A list whose items are double- OR single-quoted — predicates like
     * `incremental_predicates=["order_date >= '2001-06-01'"]` need the
     * double-quoted form because the condition itself carries quotes. */
   private def configQuotedList(body: String, key: String): Seq[String] =
-    (raw"(?s)\b" + key + raw"\s*=\s*\[(.*?)\]").r.findFirstMatchIn(body)
+    findOutsideQuotes(body, (raw"(?s)\b" + key + raw"\s*=\s*\[(.*?)\]").r)
       .map(mm => raw""""([^"]+)"|'([^']+)'""".r.findAllMatchIn(mm.group(1))
         .map(m => Option(m.group(1)).getOrElse(m.group(2))).toSeq)
       .getOrElse(Seq.empty)
@@ -155,13 +177,13 @@ object SqlModels {
   private def configStatements(body: String, key: String): Seq[String] = {
     val listed = configQuotedList(body, key)
     if (listed.nonEmpty) listed
-    else (raw"\b" + key + raw"""\s*=\s*(?:"([^"]+)"|'([^']+)')""").r
-      .findFirstMatchIn(body)
+    else findOutsideQuotes(body,
+      (raw"\b" + key + raw"""\s*=\s*(?:"([^"]+)"|'([^']+)')""").r)
       .map(m => Option(m.group(1)).getOrElse(m.group(2))).toSeq
   }
 
   private def configList(body: String, key: String): Seq[String] =
-    (raw"\b" + key + raw"\s*=\s*\[(.*?)\]").r.findFirstMatchIn(body)
+    findOutsideQuotes(body, (raw"\b" + key + raw"\s*=\s*\[(.*?)\]").r)
       .map(mm => raw"'([^']+)'".r.findAllMatchIn(mm.group(1))
         .map(_.group(1)).toSeq)
       .getOrElse(Seq.empty)
@@ -272,10 +294,12 @@ object SqlModels {
   private[graft] def render(name: String, layer: String, rawText: String,
       macroLib: Macros.Library = Macros.default,
       project: ProjectYaml.Project = ProjectYaml.default): Rendered = {
-    // user macros from macros/*.sql expand FIRST, on the raw text, so a
-    // ref()/source() inside a macro body still registers as a DAG edge
-    // and the body's SQL flows through every later substitution
-    val text = macroLib.expandIn(rawText)
+    // user macros from macros/*.sql expand FIRST, on the raw text (with
+    // the target context, so a macro dereferencing target.* works from
+    // model SQL exactly as it does from Registry), so a ref()/source()
+    // inside a macro body still registers as a DAG edge and the body's
+    // SQL flows through every later substitution
+    val text = macroLib.expandIn(rawText, targetContext)
     // dbt config precedence: the model file's config() wins; a file
     // without one falls back to its layer's dbt_project.yml defaults
     val layerDefaults = project.layer(layer)
@@ -314,20 +338,24 @@ object SqlModels {
       enabled = configBool(body, "enabled").getOrElse(true)
       alias = configStr(body, "alias")
     }
-    val deps = RefRe.findAllMatchIn(text).map(_.group(1)).toSeq.distinct
-    val srcs = SourceRe.findAllMatchIn(text)
-      .map(m => (m.group(1), m.group(2))).toSeq.distinct
-    srcs.foreach(s => require(sources.contains(s),
-      s"$name: unknown source ${s._1}.${s._2} — not in the adapter registry"))
-    // one body per is_incremental() phase: the first-run variant drops
-    // the blocks (keeping any {% else %} arm), the incremental variant
-    // keeps them — dbt renders exactly these two compilations
+    // one body per is_incremental() phase, rendered JINJA-FIRST: the
+    // shared engine evaluates {% if/for/set %} blocks with
+    // is_incremental bound per phase (so the blocks nest freely inside
+    // each other — dbt's two compilations of an incremental model) and
+    // {{ this }} bound to the per-model target view; ref()/source()/
+    // config()/var()-shaped expressions re-emit verbatim from the engine
+    // for the textual substitutions below. Deps/sources are extracted
+    // from the RENDERED variants, so a ref() inside a pruned
+    // {% if target... %} branch never becomes a phantom DAG edge.
     def renderVariant(incremental: Boolean): String = {
-      var sql = IfIncRe.replaceAllIn(text, m =>
-        java.util.regex.Matcher.quoteReplacement(
-          if (incremental) m.group(1) else Option(m.group(2)).getOrElse("")))
-      sql = ConfigRe.replaceAllIn(sql, "")
-      sql = RefRe.replaceAllIn(sql, m => m.group(1))
+      var sql = ConfigRe.replaceAllIn(text, "")
+      if (sql.contains("{%") || sql.contains("{{"))
+        sql = Macros.render(sql, targetContext +
+          ("is_incremental" -> incremental) + ("this" -> thisView(name)))
+      sql
+    }
+    def substitute(rendered: String): String = {
+      var sql = RefRe.replaceAllIn(rendered, m => m.group(1))
       sql = SourceRe.replaceAllIn(sql,
         m => sourceViewName(m.group(1), m.group(2)))
       sql = ThisRe.replaceAllIn(sql, thisView(name))
@@ -341,24 +369,28 @@ object SqlModels {
           project.vars.get(m.group(1)).orElse(Option(m.group(2))).getOrElse(
             throw new IllegalArgumentException(
               s"$name: var('${m.group(1)}') has no project value and no default"))))
-      // remaining {% set %} / {% for %} / {% if %} blocks (beyond
-      // is_incremental, split above) render through the shared Jinja
-      // engine — the loop-generated-columns idiom (a pivot written as
-      // a for over methods) and target-conditional SQL
-      // ("if target.name == 'prod'") work as in dbt
-      if (sql.contains("{%")) sql = Macros.render(sql, targetContext)
       require(!sql.contains("{{") && !sql.contains("{%"),
         s"$name: unresolved template construct remains:\n" +
           sql.linesIterator.filter(l => l.contains("{{") || l.contains("{%"))
             .mkString("\n"))
       sql.trim
     }
-    val base = renderVariant(incremental = false)
+    val hasInc = text.contains("is_incremental()")
+    val baseRendered = renderVariant(incremental = false)
+    val incRendered =
+      if (hasInc) Some(renderVariant(incremental = true)) else None
+    val variants = baseRendered +: incRendered.toSeq
+    val deps = variants.flatMap(v =>
+      RefRe.findAllMatchIn(v).map(_.group(1))).distinct
+    val srcs = variants.flatMap(v => SourceRe.findAllMatchIn(v)
+      .map(m => (m.group(1), m.group(2)))).distinct
+    srcs.foreach(s => require(sources.contains(s),
+      s"$name: unknown source ${s._1}.${s._2} — not in the adapter registry"))
+    val base = substitute(baseRendered)
     require(!base.contains(thisView(name)),
       s"$name: {{ this }} outside an is_incremental() block — the target " +
         "does not exist on the first run")
-    val inc = if (IfIncRe.findFirstIn(text).isDefined)
-      Some(renderVariant(incremental = true)) else None
+    val inc = incRendered.map(substitute)
     inc.foreach(_ => require(
       materialization.isInstanceOf[Registry.Incremental],
       s"$name: is_incremental() blocks require materialized='incremental'"))
@@ -380,14 +412,35 @@ object SqlModels {
         .map(f => (layerDir.getName, f)))
       .sortBy(_._2.getName)
     require(files.nonEmpty, s"no models/<layer>/*.sql under $root")
-    files.toSeq.flatMap { case (layer, f) =>
-      val r = render(f.getName.stripSuffix(".sql"), layer,
-        new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8),
-        macroLib, project)
-      // dbt enabled=false: the model leaves the graph entirely (a ref()
-      // to it from an enabled model fails at run, exactly like dbt)
-      if (r.enabled) Some(toModel(r)) else None
+    val loaded = files.toSeq.flatMap { case (layer, f) =>
+      val raw = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      // dbt enabled=false: the model leaves the graph BEFORE rendering —
+      // it is precisely the escape hatch for not-yet-valid models, so a
+      // disabled model must never abort the project load (a ref() to it
+      // from an enabled model still fails at run, exactly like dbt)
+      if (!enabledInRaw(raw)) None
+      else Some(toModel(render(f.getName.stripSuffix(".sql"), layer, raw,
+        macroLib, project)))
     }
+    requireUniqueRelations(loaded)
+    loaded
+  }
+
+  /** The `enabled=` flag read straight off the raw text's config() —
+    * evaluated before any render so disabling exempts a model from
+    * compilation, as in dbt. */
+  private def enabledInRaw(rawText: String): Boolean =
+    ConfigRe.findFirstMatchIn(rawText)
+      .flatMap(m => configBool(m.group(1), "enabled")).getOrElse(true)
+
+  /** dbt fails parsing when two models materialize the same relation —
+    * without this, an alias colliding with another model's name silently
+    * overwrites its table (and an incremental would merge foreign rows). */
+  private def requireUniqueRelations(models: Seq[Registry.Model]): Unit = {
+    val dup = models.groupBy(_.tableName).filter(_._2.size > 1)
+    require(dup.isEmpty,
+      "models materialize the same relation: " + dup.map { case (t, ms) =>
+        s"'$t' (${ms.map(_.name).mkString(", ")})" }.mkString("; "))
   }
 
   private def toModel(r: Rendered): Registry.Model = {
@@ -438,28 +491,33 @@ object SqlModels {
       project: ProjectYaml.Project = ProjectYaml.default): Seq[Registry.Model] = {
     val files = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".sql")).sortBy(_.getName)
-    files.toSeq.flatMap { f =>
+    val loaded = files.toSeq.flatMap { f =>
       val text = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
       val blocks = SnapshotBlockRe.findAllMatchIn(text).toSeq
       require(blocks.nonEmpty,
         s"${f.getName}: no snapshot block found in a snapshots/ file")
-      blocks.map { m =>
+      blocks.flatMap { m =>
         val (name, body) = (m.group(1), m.group(2))
-        // the block form implies materialized='snapshot' — inject it in
-        // front of the block's config so materializationOf routes right
-        val withMat =
-          if (raw"\bmaterialized\s*=".r.findFirstIn(body).isDefined) body
-          else ConfigRe.findFirstIn(body) match {
-            case Some(_) => body.replaceFirst(raw"\{\{\s*config\(",
-              "{{ config(materialized='snapshot', ")
-            case None => throw new IllegalArgumentException(
-              s"$name: snapshot block needs a config (unique_key=, strategy=)")
-          }
-        val r = render(name, "snapshots", withMat, macroLib, project)
-        require(r.materialization.isInstanceOf[Registry.Snapshot],
-          s"$name: a snapshot block must configure a snapshot materialization")
-        r
-      }.filter(_.enabled).map(toModel)
+        if (!enabledInRaw(body)) None
+        else {
+          // the block form implies materialized='snapshot' — inject it in
+          // front of the block's config so materializationOf routes right
+          val withMat =
+            if (raw"\bmaterialized\s*=".r.findFirstIn(body).isDefined) body
+            else ConfigRe.findFirstIn(body) match {
+              case Some(_) => body.replaceFirst(raw"\{\{\s*config\(",
+                "{{ config(materialized='snapshot', ")
+              case None => throw new IllegalArgumentException(
+                s"$name: snapshot block needs a config (unique_key=, strategy=)")
+            }
+          val r = render(name, "snapshots", withMat, macroLib, project)
+          require(r.materialization.isInstanceOf[Registry.Snapshot],
+            s"$name: a snapshot block must configure a snapshot materialization")
+          Some(r)
+        }
+      }.map(toModel)
     }
+    requireUniqueRelations(loaded)
+    loaded
   }
 }

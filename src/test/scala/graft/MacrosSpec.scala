@@ -98,4 +98,108 @@ class MacrosSpec extends AnyFunSuite {
     assert(lib.call("grade", Seq(9)).trim == "many")
     assert(lib.call("idx", Seq.empty).trim == "1:x;2:y;")
   }
+
+  test("call-site args: kwargs bind by name, quoted commas stay one arg, " +
+      "bare identifiers fail loudly instead of splicing their name") {
+    val lib = new Macros.Library(Macros.parse(
+      "{% macro pair(a, b='dflt') %}[{{ a }}|{{ b }}]{% endmacro %}")
+      .map(d => d.name -> d).toMap)
+    assert(lib.expandIn("{{ pair('x') }}") == "[x|dflt]")
+    assert(lib.expandIn("{{ pair('x', b='y') }}") == "[x|y]")
+    assert(lib.expandIn("{{ pair(b='y', a='x') }}") == "[x|y]")
+    // a comma inside a quoted arg belongs to the value
+    assert(lib.expandIn("{{ pair('x, still x') }}") == "[x, still x|dflt]")
+    // a bare identifier is an unbound variable at expansion time — the
+    // silent wrong-SQL mode this guards was {{ pair(c) }} in a for-loop
+    // splicing the literal name 'c'
+    val e = intercept[IllegalArgumentException](lib.expandIn("{{ pair(c) }}"))
+    assert(e.getMessage.contains("not a literal"))
+    intercept[IllegalArgumentException](
+      lib.expandIn("{{ pair(b='y', nope='z') }}"))
+    intercept[IllegalArgumentException](
+      lib.expandIn("{{ pair('x', a='clash') }}"))
+  }
+
+  test("Jinja truthiness: 0 and empty lists are falsy — the " +
+      "loop.index0 comma-separator idiom renders correctly") {
+    val lib = new Macros.Library(Macros.parse(
+      """{% macro csv() -%}
+        |{%- for c in ['a', 'b', 'c'] %}{% if loop.index0 %}, {% endif %}{{ c }}{%- endfor -%}
+        |{%- endmacro %}""".stripMargin).map(d => d.name -> d).toMap)
+    assert(lib.call("csv", Seq.empty).trim == "a, b, c",
+      "index0 = 0 on the first iteration must be falsy (no leading comma)")
+  }
+
+  test("is_incremental(): bound per render phase, nests with other " +
+      "blocks, errors outside a model render") {
+    val sql =
+      """{{ config(materialized='incremental', unique_key='order_id') }}
+        |SELECT order_id FROM {{ ref('bronze_orders') }}
+        |{% if is_incremental() %}
+        |WHERE order_id > (SELECT max(order_id) FROM {{ this }})
+        |{% if target.name == 'prod' %} AND strict = 1{% else %} AND lax = 1{% endif %}
+        |{% endif %}""".stripMargin
+    val r = SqlModels.render("nested_inc", "silver", sql,
+      macroLib = new Macros.Library(Map.empty))
+    // first-run variant: the whole outer block (inner included) drops
+    assert(!r.sql.contains("WHERE") && !r.sql.contains("lax"))
+    // incremental variant keeps the block and resolves the INNER if
+    // (target defaults to dev → the else arm)
+    val inc = r.sqlIncremental.get
+    assert(inc.contains("max(order_id)") && inc.contains("lax = 1") &&
+      !inc.contains("strict"))
+    // outside a model render there is no phase to bind — loud error
+    val lib = new Macros.Library(Macros.parse(
+      "{% macro m() %}{% if is_incremental() %}x{% endif %}{% endmacro %}")
+      .map(d => d.name -> d).toMap)
+    intercept[IllegalArgumentException](lib.call("m", Seq.empty))
+  }
+
+  test("config keys inside quoted hook strings are NOT the model's " +
+      "config; bare {{ target.name }} renders without any {% block") {
+    val r = SqlModels.render("hooky", "silver",
+      """{{ config(materialized='table', post_hook="UPDATE audit SET enabled=false WHERE alias='x'") }}
+        |SELECT '{{ target.name }}' AS env, 1 AS n""".stripMargin,
+      macroLib = new Macros.Library(Map.empty))
+    assert(r.enabled, "enabled=false inside a hook string is hook text")
+    assert(r.alias.isEmpty, "alias='x' inside a hook string is hook text")
+    assert(r.postHooks == Seq("UPDATE audit SET enabled=false WHERE alias='x'"))
+    assert(r.sql.contains("'dev' AS env"),
+      s"bare {{ target.name }} interpolation must render: ${r.sql}")
+  }
+
+  test("a ref() in a Jinja-pruned branch is not a DAG edge") {
+    val r = SqlModels.render("pruned", "gold",
+      """{{ config(materialized='view') }}
+        |{% if target.name == 'prod' %}SELECT * FROM {{ ref('prod_only') }}
+        |{% else %}SELECT * FROM {{ ref('bronze_orders') }}{% endif %}""".stripMargin,
+      macroLib = new Macros.Library(Map.empty))
+    assert(r.deps == Seq("bronze_orders"),
+      s"dev render must not depend on the pruned prod-only ref: ${r.deps}")
+  }
+
+  test("enabled=false exempts a model from compilation entirely; " +
+      "duplicate relations fail the load") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_models").toFile
+    val silver = new File(root, "silver"); silver.mkdirs()
+    def write(name: String, text: String): Unit =
+      Files.write(new File(silver, name).toPath,
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // a disabled model with an invalid body (unknown source) must not
+    // abort the load — dbt's escape hatch for not-yet-valid models
+    write("broken_but_off.sql",
+      "{{ config(materialized='view', enabled=false) }}\n" +
+        "SELECT * FROM {{ source('new_system', 'tbl') }}")
+    write("ok.sql",
+      "{{ config(materialized='view') }}\nSELECT 1 AS x")
+    val loaded = SqlModels.load(root, macroLib = new Macros.Library(Map.empty))
+    assert(loaded.map(_.name) == Seq("ok"))
+    // two models materializing the same relation (alias collision) fail
+    write("ok2.sql",
+      "{{ config(materialized='view', alias='ok') }}\nSELECT 2 AS x")
+    val e = intercept[IllegalArgumentException](
+      SqlModels.load(root, macroLib = new Macros.Library(Map.empty)))
+    assert(e.getMessage.contains("same relation"))
+  }
 }
