@@ -59,7 +59,7 @@ object Similarity {
     * the old modulus at the test SFs (≤ 5 000 vectors), so results are
     * unchanged there while the asymptotics are fixed. */
   val AnnQueryIds: Seq[Long] = (0 until 20).map(_ * 250L)
-  private val annQueryIdsSql = AnnQueryIds.mkString(", ")
+  private[graft] val annQueryIdsSql = AnnQueryIds.mkString(", ")
   private val annQueryFilter = col("vec_id").isin(AnnQueryIds: _*)
 
   /** Exact cosine top-k for each pinned query vector ([[AnnQueryIds]]):
@@ -955,13 +955,17 @@ object Similarity {
 
   /** Deleted-id predicate for the [[annIvfTopKDeleted]] driver row:
     * `vec_id % 7 == 3`, explicitly excluding the pinned query ids
-    * (multiples of 250 — 500 ≡ 3 mod 7 would otherwise delete a query).
-    * Queries are the CALLER's input to an ANN lookup — deleting a query
-    * id means you stop asking it, which is the caller's choice, not the
-    * index's; the lifecycle contract covers the candidate/database side. */
+    * ([[AnnQueryIds]] — 500 ≡ 3 mod 7 would otherwise delete a query).
+    * The exclusion is the ID LIST, not `% 250` — the list only
+    * coincides with the modulus at ≤ 5000 vectors, and a modulus guard
+    * would wrongly exempt real vectors beyond that. Queries are the
+    * CALLER's input to an ANN lookup — deleting a query id means you
+    * stop asking it, which is the caller's choice, not the index's; the
+    * lifecycle contract covers the candidate/database side. */
   private val annDeletePred =
-    pmod(col("vec_id"), lit(7L)) === 3L && pmod(col("vec_id"), lit(250L)) =!= 0L
-  private val annDeletePredSql = "(vec_id % 7 = 3 AND vec_id % 250 <> 0)"
+    pmod(col("vec_id"), lit(7L)) === 3L && !annQueryFilter
+  private val annDeletePredSql =
+    s"(vec_id % 7 = 3 AND vec_id NOT IN ($annQueryIdsSql))"
 
   /** Driver row for the index deletion lifecycle's SERVING phase: commit
     * a tombstone set through [[IvfIndex.deleteVectors]] (an isolated

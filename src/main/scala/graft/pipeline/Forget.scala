@@ -32,9 +32,10 @@ import graft.ops.{IncrementalDedup, IvfIndex, Similarity, TextOps}
   * ownership column; SQL-expressible so the DuckDB oracle can replay
   * it — a deployment swaps [[ownership]] for its real mapping table and
   * nothing else changes). Documents map to their identically-numbered
-  * vector where one exists; the pinned ANN query ids (multiples of 250)
-  * are excluded exactly as [[Similarity.annIvfTopKDeleted]] documents —
-  * queries are the caller's input, not index content.
+  * vector where one exists; the pinned ANN query ids
+  * ([[Similarity.AnnQueryIds]]) are excluded exactly as
+  * [[Similarity.annIvfTopKDeleted]] documents — queries are the
+  * caller's input, not index content.
   *
   * Scale: the takedown list broadcasts everywhere (it is orders of
   * magnitude below the corpus); the warehouse rebuild is the normal
@@ -53,8 +54,12 @@ object Forget {
 
   /** The single derivation node: (customer_id, doc_id, vec_id?) for the
     * requested customers — vec_id is the doc's identically-numbered
-    * vector when one exists and it is not a pinned query id, else
-    * NULL. */
+    * vector when one exists and it is not a pinned query id, else NULL.
+    * The query exclusion is [[Similarity.AnnQueryIds]] — the ID LIST,
+    * never a `% 250` guard: the list only coincides with the modulus at
+    * ≤ 5000 vectors, and a modulus guard would silently RETAIN an
+    * erased user's vectors beyond that (the one failure mode a takedown
+    * must not have). */
   def idsFor(spark: SparkSession, dir: String,
       customerIds: DataFrame): DataFrame = {
     val vecs = Similarity.embeddings(spark, dir)
@@ -64,7 +69,7 @@ object Forget {
       .join(vecs, Seq("doc_id"), "left")
       .withColumn("vec_id",
         when(coalesce(col("has_vec"), lit(false)) &&
-          pmod(col("doc_id"), lit(250L)) =!= 0, col("doc_id")))
+          !col("doc_id").isin(Similarity.AnnQueryIds: _*), col("doc_id")))
       .select("customer_id", "doc_id", "vec_id")
   }
 
@@ -164,7 +169,8 @@ object Forget {
     val nCust = "(SELECT count(*) FROM customer)"
     val docDeleted = s"(doc_id % $nCust) % $mod = 0"
     val vecDeleted =
-      s"((vec_id % $nCust) % $mod = 0 AND vec_id % 250 <> 0)"
+      s"((vec_id % $nCust) % $mod = 0 AND " +
+        s"vec_id NOT IN (${Similarity.annQueryIdsSql}))"
     s"""SELECT 'warehouse' AS surface,
       (SELECT count(*) FROM customer WHERE c_custkey % $mod = 0)
         AS ids_deleted,

@@ -239,7 +239,8 @@ final class ParquetSink(warehouseDir: String) extends TableSink {
   */
 class CatalogSink(format: String = "parquet",
     targetDatabase: String = "default",
-    mergeCapableOverride: Option[Boolean] = None) extends TableSink {
+    mergeCapableOverride: Option[Boolean] = None,
+    project: ProjectYaml.Project = ProjectYaml.default) extends TableSink {
 
   private val MergeCapableFormats = Set("delta", "iceberg")
 
@@ -255,8 +256,14 @@ class CatalogSink(format: String = "parquet",
   protected def executeMerge(spark: SparkSession, statement: String): Unit =
     spark.sql(statement)
 
+  /** The layer's database: the project file's per-layer `+database`
+    * when declared (dbt's routing input — it was parsed but unread, so a
+    * project declaring `silver: +database: curated` silently landed in
+    * 'silver'), else the layer directory name, both through the
+    * generate_database_name macro. */
   private def database(layer: String): String =
-    Registry.databaseName(Some(layer), targetDatabase)
+    Registry.databaseName(
+      Some(project.layer(layer).database.getOrElse(layer)), targetDatabase)
 
   private def ident(layer: String, name: String): String =
     s"${database(layer)}.$name"

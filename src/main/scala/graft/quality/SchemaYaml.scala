@@ -67,7 +67,8 @@ object SchemaYaml {
     relationships: Seq[(String, String, String, String, String)],
     freshnessWarnHours: Option[Int],
     freshnessErrorHours: Option[Int],
-    configs: Map[String, TestConfig] = Map.empty)
+    configs: Map[String, TestConfig] = Map.empty,
+    freshnessBySource: Map[String, (Option[Int], Option[Int])] = Map.empty)
 
   private def asMap(o: Any): Map[String, Any] = o match {
     case m: java.util.Map[_, _] =>
@@ -129,7 +130,11 @@ object SchemaYaml {
         val cfg = TestConfig(asMap(asMap(body).getOrElse("config", null)))
         if (cfg != TestConfig.default) configs += s"$table.$colName.$test" -> cfg
       }
-      asList(colSpec.getOrElse("tests", null)).foreach {
+      // dbt >= 1.8 renamed the column key to data_tests: (tests: still
+      // accepted); a modern schema.yml must not silently load zero checks
+      val declared = asList(colSpec.getOrElse("tests", null)) ++
+        asList(colSpec.getOrElse("data_tests", null))
+      declared.foreach {
         case "unique" => uniques :+= colName
         case "not_null" => notNulls :+= colName
         case m: java.util.Map[_, _] =>
@@ -167,31 +172,45 @@ object SchemaYaml {
   def parse(texts: Seq[String]): Loaded = {
     var inventory = Vector.empty[DataQuality.TableChecks]
     var relationships = Vector.empty[(String, String, String, String, String)]
-    var warn: Option[Int] = None
-    var error: Option[Int] = None
+    var freshBySource = Map.empty[String, (Option[Int], Option[Int])]
     var configs = Map.empty[String, TestConfig]
+    // an entity declaring no column tests (descriptions only — a normal
+    // dbt pattern) contributes nothing to the inventory: an empty
+    // TableChecks row would crash the summary's checks.head
+    def record(entity: Map[String, Any]): Unit = {
+      val (tc, rels, cfgs) = checksOf(entity)
+      if (tc.uniques.nonEmpty || tc.notNulls.nonEmpty || tc.accepted.nonEmpty)
+        inventory :+= tc
+      relationships ++= rels
+      configs ++= cfgs
+    }
     texts.foreach { text =>
       val doc = asMap(new org.yaml.snakeyaml.Yaml().load[Any](text))
       asList(doc.getOrElse("sources", null)).map(asMap).foreach { src =>
-        val fresh = asMap(asMap(src.getOrElse("config", null))
+        // both dbt freshness forms: the classic block directly under the
+        // source, and the >=1.7 config-nested form (nested wins if both)
+        val classic = asMap(src.getOrElse("freshness", null))
+        val nested = asMap(asMap(src.getOrElse("config", null))
           .getOrElse("freshness", null))
-        fresh.get("warn_after").flatMap(hoursOf).foreach(h => warn = Some(h))
-        fresh.get("error_after").flatMap(hoursOf).foreach(h => error = Some(h))
-        asList(src.getOrElse("tables", null)).map(asMap).foreach { t =>
-          val (tc, rels, cfgs) = checksOf(t)
-          inventory :+= tc
-          relationships ++= rels
-          configs ++= cfgs
-        }
+        val fresh = if (nested.nonEmpty) nested else classic
+        if (fresh.nonEmpty)
+          freshBySource += String.valueOf(src.getOrElse("name", "")) ->
+            ((fresh.get("warn_after").flatMap(hoursOf),
+              fresh.get("error_after").flatMap(hoursOf)))
+        asList(src.getOrElse("tables", null)).map(asMap).foreach(record)
       }
-      asList(doc.getOrElse("models", null)).map(asMap).foreach { m =>
-        val (tc, rels, cfgs) = checksOf(m)
-        inventory :+= tc
-        relationships ++= rels
-        configs ++= cfgs
-      }
+      asList(doc.getOrElse("models", null)).map(asMap).foreach(record)
     }
-    Loaded(inventory, relationships, warn, error, configs)
+    // the engine's freshness check carries ONE threshold pair; distinct
+    // per-source declarations must fail loudly, not last-write-win into
+    // evaluating a source against another source's threshold
+    val pairs = freshBySource.values.toSeq.distinct
+    require(pairs.size <= 1,
+      "per-source freshness thresholds differ " +
+        s"(${freshBySource.map { case (s, p) => s"$s=$p" }.mkString(", ")}) — " +
+        "the single-pass freshness check carries one threshold pair")
+    val (warn, error) = pairs.headOption.getOrElse((None, None))
+    Loaded(inventory, relationships, warn, error, configs, freshBySource)
   }
 
   /** Medallion read order: a relationship's parent may be declared in a

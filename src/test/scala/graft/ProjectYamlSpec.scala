@@ -67,4 +67,38 @@ class ProjectYamlSpec extends AnyFunSuite {
       "SELECT '{{ var('nope') }}' AS x FROM {{ ref('bronze_orders') }}",
       lib, p))
   }
+
+  test("unquoted YAML date vars render ISO; list/map vars fail loudly") {
+    val p = ProjectYaml.parse(
+      """name: t
+        |vars:
+        |  cutoff: 2021-06-01
+        |  n: 7
+        |""".stripMargin)
+    assert(p.vars("cutoff") == "2021-06-01",
+      "SnakeYAML's java.util.Date must render as dbt's ISO form, " +
+        "not 'Tue Jun 01 ...'")
+    assert(p.vars("n") == "7")
+    intercept[IllegalArgumentException](ProjectYaml.parse(
+      "name: t\nvars:\n  bad: [1, 2]\n"))
+  }
+
+  test("project-wide '+' defaults apply to layers without their own " +
+      "block (dbt's models: <project>: +materialized)") {
+    val p = ProjectYaml.parse(
+      """name: t
+        |models:
+        |  t:
+        |    +materialized: table
+        |    +tags: ['all']
+        |    silver:
+        |      +materialized: view
+        |""".stripMargin)
+    assert(p.layer("gold").materialized.contains("table"),
+      "a layer without its own block takes the project-wide default")
+    assert(p.layer("gold").tags == Seq("all"))
+    assert(p.layer("silver").materialized.contains("view"),
+      "a layer's own block wins over the project-wide default")
+    assert(p.layer("silver").tags == Seq("all"))
+  }
 }

@@ -175,4 +175,56 @@ class SchemaYamlSpec extends AnyFunSuite {
         |              field: id
         |""".stripMargin)))
   }
+
+  test("dbt >= 1.8 data_tests: key loads; description-only entities " +
+      "contribute no inventory row") {
+    val loaded = SchemaYaml.parse(Seq(
+      """models:
+        |  - name: m1
+        |    columns:
+        |      - name: a
+        |        data_tests:
+        |          - unique
+        |          - not_null
+        |  - name: docs_only
+        |    description: nothing declared
+        |    columns:
+        |      - name: b
+        |        description: just documentation
+        |""".stripMargin))
+    assert(loaded.inventory.map(_.table) == Seq("m1"),
+      "a description-only model must not become an empty TableChecks " +
+        "row (it would crash the summary's checks.head)")
+    assert(loaded.inventory.head.uniques == Seq("a"))
+    assert(loaded.inventory.head.notNulls == Seq("a"))
+  }
+
+  test("classic source-level freshness form loads; conflicting " +
+      "per-source thresholds fail loudly") {
+    val classic = SchemaYaml.parse(Seq(
+      """sources:
+        |  - name: s1
+        |    freshness:
+        |      warn_after: {count: 6, period: hour}
+        |      error_after: {count: 1, period: day}
+        |    tables:
+        |      - name: t1
+        |        columns:
+        |          - name: id
+        |            tests: [unique]
+        |""".stripMargin))
+    assert(classic.freshnessWarnHours.contains(6))
+    assert(classic.freshnessErrorHours.contains(24))
+    assert(classic.freshnessBySource("s1") == ((Some(6), Some(24))))
+    val e = intercept[IllegalArgumentException](SchemaYaml.parse(Seq(
+      """sources:
+        |  - name: s1
+        |    freshness:
+        |      warn_after: {count: 6, period: hour}
+        |  - name: s2
+        |    freshness:
+        |      warn_after: {count: 2, period: hour}
+        |""".stripMargin)))
+    assert(e.getMessage.contains("freshness"))
+  }
 }
