@@ -171,8 +171,16 @@ object Incremental {
       partitionCols: Seq[String],
       onSchemaChange: OnSchemaChange = Ignore): DataFrame = {
     val (t, inc) = aligned(target, incoming, onSchemaChange)
-    t.join(inc.select(partitionCols.map(col): _*).distinct(),
-        partitionCols, "left_anti")
+    // null-SAFE partition match: dynamic partition overwrite (the
+    // physical fast path) replaces the NULL partition
+    // (__HIVE_DEFAULT_PARTITION__) like any other; a plain equi
+    // anti-join never matches NULLs and would duplicate NULL-partition
+    // rows on every run
+    val incParts = inc
+      .select(partitionCols.map(c => col(c).as(s"_p_$c")): _*).distinct()
+    val cond = partitionCols.map(c => t(c) <=> incParts(s"_p_$c"))
+      .reduce(_ && _)
+    t.join(incParts, cond, "left_anti")
       .unionByName(inc, allowMissingColumns = onSchemaChange == AppendNewColumns)
   }
 
@@ -187,9 +195,17 @@ object Incremental {
         s"microbatch batch_size '$other' unsupported (day|month|year)")
     }
 
-  /** The event-time period (batch) a row belongs to, as a DATE. */
-  private[pipeline] def periodOf(eventTime: Column, unit: String): Column =
+  /** The event-time period (batch) a row belongs to, as a DATE. The unit
+    * is validated HERE, at first use, because the period column is a
+    * DATE: an unsupported finer unit (dbt's 'hour') would otherwise
+    * silently collapse to day buckets on the first build and only throw
+    * at the first refresh, after the table landed with the wrong
+    * granularity. */
+  private[graft] def periodOf(eventTime: Column, unit: String): Column = {
+    require(Set("day", "month", "year").contains(unit),
+      s"microbatch batch_size '$unit' unsupported (day|month|year)")
     date_trunc(unit, eventTime).cast("date")
+  }
 
   /** dbt `incremental_strategy='microbatch'` as a pure transform: the
     * target's newest `lookback` periods AND every newer period are
@@ -208,7 +224,10 @@ object Incremental {
     if (maxB == null) incoming
     else {
       val start = periodsBack(lit(maxB), lookback, unit)
-      target.filter(col(batchCol) < start)
+      // NULL-period rows belong to no refreshable period: they stay with
+      // the strictly-older half (a bare `< start` silently deletes them —
+      // NULL fails both sides of the split)
+      target.filter(col(batchCol) < start || col(batchCol).isNull)
         .unionByName(incoming.filter(col(batchCol) >= start))
     }
   }
@@ -229,7 +248,12 @@ object Incremental {
     /** Advance the snapshot: rows whose tracked columns changed get their
       * current version closed (valid_to = asOf) and a new version opened;
       * new keys open a first version; vanished keys stay open (dbt does
-      * not hard-delete). */
+      * not hard-delete). Contract (dbt's own): the source carries ONE
+      * row per key — duplicate keys would each open a simultaneous
+      * 'current' version, exactly as a dbt snapshot over a non-unique
+      * key corrupts. The change hash joins checked columns with a
+      * \u0000 delimiter and a \u0001 NULL sentinel — boundary- and
+      * NULL-unambiguous for any text content without those bytes. */
     def advance(snapshot: DataFrame, source: DataFrame, key: String,
         checkCols: Seq[String], asOf: Column): DataFrame = {
       val current = snapshot.filter(col(IsCurrent))
@@ -241,19 +265,17 @@ object Incremental {
       val srcKeyed = source.withColumn("_chk", changeKey)
 
       val joined = curKeyed.select(col(key).as("_k"), col("_chk").as("_cur_chk"))
-      // new or changed source rows open a fresh version
-      val opened = srcKeyed
+      // new or changed source rows: ONE anti-join, consumed by both the
+      // opened versions and the set of current versions to close
+      val fresh = srcKeyed
         .join(joined, srcKeyed(key) === joined("_k") &&
           srcKeyed("_chk") === joined("_cur_chk"), "left_anti")
+      val opened = fresh
         .drop("_chk")
         .withColumn(ValidFrom, asOf)
         .withColumn(ValidTo, lit(null).cast("timestamp_ntz"))
         .withColumn(IsCurrent, lit(true))
-      // current versions whose key re-arrived with different content close
-      val changedKeys = srcKeyed
-        .join(joined, srcKeyed(key) === joined("_k") &&
-          srcKeyed("_chk") === joined("_cur_chk"), "left_anti")
-        .select(col(key).as("_closed_k")).distinct()
+      val changedKeys = fresh.select(col(key).as("_closed_k")).distinct()
       val closed = curKeyed
         .join(changedKeys, curKeyed(key) === changedKeys("_closed_k"), "left_semi")
         .drop("_chk")
@@ -280,17 +302,22 @@ object Incremental {
       val history = snapshot.filter(!col(IsCurrent))
       val cur = current.select(col(key).as("_k"),
         col(updatedAtCol).as("_cur_at"))
-      // new keys (no current version) or bumped audit stamps open
-      val opened = source
+      // new keys (no current version) or bumped audit stamps open. The
+      // match condition is "NOT strictly newer" with NULLs folded to a
+      // match: dbt's timestamp strategy counts a row as changed only
+      // when source.updated_at > snapshotted.updated_at is TRUE, so a
+      // NULL stamp (either side) is UNCHANGED — a plain <= comparison
+      // evaluated NULL, dropped the row from the match, and churned a
+      // closed+reopened version for the key on every run forever.
+      val fresh = source
         .join(cur, source(key) === cur("_k") &&
-          source(updatedAtCol) <= cur("_cur_at"), "left_anti")
+          !coalesce(source(updatedAtCol) > cur("_cur_at"), lit(false)),
+          "left_anti")
+      val opened = fresh
         .withColumn(ValidFrom, asOf)
         .withColumn(ValidTo, lit(null).cast("timestamp_ntz"))
         .withColumn(IsCurrent, lit(true))
-      val changedKeys = source
-        .join(cur, source(key) === cur("_k") &&
-          source(updatedAtCol) <= cur("_cur_at"), "left_anti")
-        .select(col(key).as("_closed_k")).distinct()
+      val changedKeys = fresh.select(col(key).as("_closed_k")).distinct()
       val closed = current
         .join(changedKeys, current(key) === changedKeys("_closed_k"), "left_semi")
         .withColumn(ValidTo, asOf)

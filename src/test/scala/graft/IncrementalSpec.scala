@@ -301,6 +301,57 @@ class IncrementalSpec extends SparkSpec {
     assert(snap3.filter(col("id") === 1L && col("_is_current")).count() == 1)
   }
 
+  test("scd2 timestamp strategy: NULL audit stamps are UNCHANGED — no " +
+      "version churn (dbt counts changed only when strictly newer is true)") {
+    def feed(rows: Seq[(Long, String, Option[String])]) =
+      rows.toDF("id", "email", "at")
+        .withColumn("at", col("at").cast("timestamp_ntz"))
+    val snap0 = Incremental.Scd2.init(
+      feed(Seq((1L, "a@x", None), (2L, "b@x", Some("2001-01-01 00:00:00")))),
+      ts("2001-01-02 00:00:00"))
+    // identical re-delivery: key 1 has a NULL stamp both sides, key 2 is
+    // not strictly newer — NOTHING may close or reopen
+    val snap1 = Incremental.Scd2.advanceTimestamp(snap0,
+      feed(Seq((1L, "a@x", None), (2L, "b@x", Some("2001-01-01 00:00:00")))),
+      "id", "at", ts("2001-01-03 00:00:00"))
+    assert(snap1.count() == 2, "a NULL stamp must not churn a version")
+    assert(snap1.filter(!col("_is_current")).count() == 0)
+    // and replaying again stays fixed (the old <= comparison grew the
+    // snapshot by 2 rows per run forever)
+    val snap2 = Incremental.Scd2.advanceTimestamp(snap1,
+      feed(Seq((1L, "a@x", None))), "id", "at", ts("2001-01-04 00:00:00"))
+    assert(snap2.count() == 2)
+  }
+
+  test("insert_overwrite: an incoming NULL partition REPLACES the " +
+      "stored NULL partition (dynamic partition overwrite semantics)") {
+    val target = Seq(
+      (Option("2001-01"), 1L, "keep"), (Option.empty[String], 2L, "old-null"))
+      .toDF("mo", "id", "v")
+    val incoming = Seq((Option.empty[String], 3L, "new-null")).toDF("mo", "id", "v")
+    val out = Incremental.insertOverwrite(target, incoming, Seq("mo"))
+      .as[(Option[String], Long, String)].collect().sortBy(_._2)
+    assert(out.toSeq == Seq((Some("2001-01"), 1L, "keep"), (None, 3L, "new-null")),
+      "a plain equi anti-join never matches NULL and would duplicate " +
+        "NULL-partition rows on every run")
+  }
+
+  test("microbatch: NULL-period target rows survive a refresh; " +
+      "batch_size='hour' fails loudly before anything lands") {
+    val target = Seq((Option("2001-01-02"), 1L), (Option.empty[String], 2L))
+      .toDF("day", "v").withColumn("day", col("day").cast("date"))
+    val incoming = Seq((Option("2001-01-02"), 10L))
+      .toDF("day", "v").withColumn("day", col("day").cast("date"))
+    val out = Incremental.microbatchRefresh(target, incoming, "day",
+      lookback = 0, unit = "day")
+      .select("v").as[Long].collect().sorted
+    assert(out.toSeq == Seq(2L, 10L),
+      "the NULL-period row belongs to no refreshable period and must " +
+        "not be silently deleted")
+    intercept[IllegalArgumentException](
+      Incremental.periodOf(col("ts"), "hour"))
+  }
+
   test("csv seed loads with header and registers a ref()-able view") {
     val dir = java.nio.file.Files.createTempDirectory("graft_seed")
     val f = dir.resolve("country_codes.csv")
