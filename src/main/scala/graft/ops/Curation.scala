@@ -184,16 +184,17 @@ object Curation {
     * 2.9 s, and 1× itself halved to 2.2 s); the checkpoints pin the
     * single pass — without them every
     * eager broadcast below re-derives the explode+hash subtree. The
-    * global rank window is over doc-level rows (corpus-cardinality, not
-    * token-cardinality); at cluster scale the same selection is a
-    * distributed sort on the BIGINT score or a threshold on the k-th
-    * score — the per-doc scores themselves never leave the executors. */
+    * global rank is [[RangeRank]]'s distributed sort over doc-level rows
+    * (range-partitioned, partition-parallel, NO single-task window): the
+    * ranks are bit-identical to `row_number() OVER (ORDER BY score_q
+    * DESC, doc_id)`, the per-doc scores never leave the executors, and
+    * the only driver-adjacent object is the ≤-partitions-row offset
+    * table RangeRank broadcasts. */
   def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
-    val scored = dsirScored(spark, dir).localCheckpoint()
-    val nDocs = scored.agg(count(lit(1)).as("n_docs"))
-    scored.crossJoin(broadcast(nDocs))
-      .withColumn("dsir_rank", row_number().over(
-        Window.orderBy(col("score_q").desc, col("doc_id"))))
+    val scored = dsirScored(spark, dir)
+    RangeRank.rank(scored, Seq.empty,
+        Seq(col("score_q").desc, col("doc_id")),
+        "dsir_rank", Some("n_docs"))
       .withColumn("selected",
         (col("dsir_rank") * DsirSelectDenom <= col("n_docs")).cast("int"))
       .withColumn("score", col("score_q") / lit(DsirQuant))
@@ -362,19 +363,19 @@ object Curation {
     * Documents with < 2 words have no bigram score and no row (the
     * surprisal table's documented domain).
     *
-    * Shape: doc-keyed join for the language label, then one window per
-    * language — language-parallel; at 100 TB each language's ranking is
-    * an independent distributed sort, exactly CCNet's per-language
-    * sharding. */
+    * Shape: doc-keyed join for the language label, then [[RangeRank]]'s
+    * grouped distributed rank over (lang, rare_frac, doc_id) — a window
+    * `PARTITION BY lang` would put each language in ONE task (half the
+    * corpus for a 50%-English crawl); the range sort instead spreads a
+    * dominant language across many contiguous partitions and stitches
+    * ranks with broadcast offsets, so per-language ranking really is
+    * distributed at 100 TB. */
   def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
     val s = TextOps.lmSurprisal(spark, dir)
       .select(col("doc_id"), col("rare_frac"))
     val langs = documents(spark, dir).select(col("doc_id"), col("lang"))
-    val byLang = Window.partitionBy("lang")
-    val j = s.join(langs, Seq("doc_id"))
-      .withColumn("ppl_rank", row_number().over(
-        byLang.orderBy(col("rare_frac"), col("doc_id"))))
-      .withColumn("lang_n", count(lit(1)).over(byLang))
+    val j = RangeRank.rank(s.join(langs, Seq("doc_id")), Seq("lang"),
+      Seq(col("rare_frac"), col("doc_id")), "ppl_rank", Some("lang_n"))
     j.withColumn("ppl_bucket",
         when(col("ppl_rank") * 3 <= col("lang_n"), "head")
           .when(col("ppl_rank") * 3 <= col("lang_n") * 2, "middle")
@@ -458,19 +459,23 @@ object Curation {
     * is deterministic); the keep decision is pure integer arithmetic
     * (`q_rank * 2 <= src_n`), keeping the top half of every source.
     *
-    * Shape: one doc-keyed join (quality ⋈ source label) and one window
-    * per source — source-parallel; at 100 TB each source ranks
-    * independently, and a quantile THRESHOLD per source (computed from a
-    * sketch) replaces the full rank when only the gate is needed. */
+    * Shape: one doc-keyed join (quality ⋈ source label), then
+    * [[RangeRank]]'s grouped distributed rank over (source,
+    * quality_score DESC, doc_id) — a `PARTITION BY source` window is one
+    * task per source (a dominant crawl source = most of the corpus in
+    * one task); the range sort spreads each source across contiguous
+    * partitions and stitches exact ranks with broadcast offsets. The
+    * full rank (not just a median threshold) is kept because `pct` is an
+    * output column; when only the gate is needed, the broadcast offset
+    * table already contains each source's total, so a threshold gate
+    * falls out of the same machinery. */
   def qualityBySource(spark: SparkSession, dir: String): DataFrame = {
     val q = TextOps.textStats(spark, dir)
       .select(col("doc_id"), col("quality_score"))
     val src = documents(spark, dir).select(col("doc_id"), col("source"))
-    val w = Window.partitionBy("source")
-    q.join(src, Seq("doc_id"))
-      .withColumn("q_rank", row_number().over(
-        w.orderBy(col("quality_score").desc, col("doc_id"))).cast("int"))
-      .withColumn("src_n", count(lit(1)).over(w))
+    RangeRank.rank(q.join(src, Seq("doc_id")), Seq("source"),
+        Seq(col("quality_score").desc, col("doc_id")),
+        "q_rank", Some("src_n"))
       .withColumn("pct",
         when(col("src_n") === 1L, 0.0).otherwise(
           (col("q_rank") - 1L).cast("double") /

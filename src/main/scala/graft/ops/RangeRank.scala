@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe exact global / per-group rank — the distributed-sort
+  * replacement for `row_number().over(Window.orderBy(...))` (one task for
+  * the whole corpus) and for per-group windows whose groups are
+  * unbounded (one task per language / source, half the corpus in one
+  * task when one group dominates).
+  *
+  * Shape — the textbook distributed rank, expressed DataFrame-first:
+  *
+  *   1. `repartitionByRange(group ++ order)` — a range exchange: every
+  *      partition holds a contiguous slice of the global (group, order)
+  *      ordering, partitions are balanced by the sampler regardless of
+  *      group skew (a dominant group simply spans many partitions).
+  *   2. `sortWithinPartitions` + `monotonically_increasing_id` — the
+  *      intra-partition position, read straight off the sorted stream
+  *      (ids are consecutive within a partition, so `mid - min(mid) + 1`
+  *      is the local rank). No Window operator ever touches the corpus.
+  *   3. `localCheckpoint` — pins the physical layout. The per-(partition,
+  *      group) offset table below and the ranked rows MUST read the same
+  *      partitioning; exchange reuse would usually deliver that, but it
+  *      is an optimizer courtesy (a re-planned exchange re-samples range
+  *      boundaries under a fresh seed), and an exactness contract cannot
+  *      ride on optimizer luck. The checkpoint is one extra linear,
+  *      partition-parallel materialization — the same order of cost as
+  *      the sort's own shuffle files.
+  *   4. A per-(partition, group) count aggregate — ≤ partitions + groups
+  *      rows (groups are contiguous in range order, so each partition
+  *      holds a handful) — turned into cumulative offsets by a window
+  *      over that TINY frame (the only Window in the plan; its input is
+  *      the aggregate, never the corpus), broadcast-joined back, and the
+  *      global rank is map-only arithmetic: `local + offset`.
+  *
+  * The ranks are bit-identical to the single-task `row_number` they
+  * replace — range partitioning preserves the total order across
+  * partitions — so oracle SQL written with `row_number() OVER (...)`
+  * stays valid verbatim. Ties across the order columns land in one
+  * partition only if the full key ties; callers keep the usual unique
+  * tie-break column (doc_id) so the ordering is total.
+  */
+object RangeRank {
+
+  /** The pre-checkpoint range-staged frame of [[rank]] — split out so
+    * PlanSpec can pin the corpus stage's shape (a range exchange + sort,
+    * zero Window operators); [[rank]] checkpoints it. Adds the working
+    * columns `_rr_mid` (intra-partition position id) and `_rr_pid`. */
+  private[graft] def staged(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[Column]): DataFrame = {
+    val rangeCols = groupCols.map(col) ++ orderCols
+    df.repartitionByRange(rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
+      .withColumn("_rr_mid", monotonically_increasing_id())
+      .withColumn("_rr_pid", spark_partition_id())
+  }
+
+  /** Exact `row_number` over `orderCols` within each `groupCols` group
+    * (global rank when `groupCols` is empty), plus optionally the group's
+    * total row count — both bit-identical to the window forms
+    * `row_number().over(Window.partitionBy(groups).orderBy(order))` and
+    * `count(1).over(Window.partitionBy(groups))`, with no corpus-bound
+    * window partition anywhere in the plan. `orderCols` must be a total
+    * order (include a unique tie-break column). The rank column is
+    * IntegerType to match `row_number`. */
+  def rank(df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column],
+      rankName: String, groupCountName: Option[String] = None): DataFrame = {
+    val parted = staged(df, groupCols, orderCols).localCheckpoint()
+    val keys = "_rr_pid" +: groupCols
+    val grpStats = parted.groupBy(keys.map(col): _*)
+      .agg(min(col("_rr_mid")).as("_rr_m0"), count(lit(1)).as("_rr_cnt"))
+    val (offW, gnW) =
+      if (groupCols.isEmpty)
+        (Window.orderBy(col("_rr_pid")), Window.partitionBy())
+      else
+        (Window.partitionBy(groupCols.map(col): _*).orderBy(col("_rr_pid")),
+          Window.partitionBy(groupCols.map(col): _*))
+    val offs = grpStats
+      .withColumn("_rr_off", coalesce(sum(col("_rr_cnt")).over(
+        offW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_rr_gn", sum(col("_rr_cnt")).over(gnW))
+      .select(keys.map(col) ++ Seq(col("_rr_m0"), col("_rr_off"),
+        col("_rr_gn")): _*)
+    val ranked = parted.join(broadcast(offs), keys)
+      .withColumn(rankName,
+        (col("_rr_mid") - col("_rr_m0") + 1L + col("_rr_off")).cast("int"))
+    val withCount = groupCountName match {
+      case Some(n) => ranked.withColumn(n, col("_rr_gn"))
+      case None    => ranked
+    }
+    withCount.drop("_rr_pid", "_rr_mid", "_rr_m0", "_rr_off", "_rr_gn")
+  }
+}

@@ -258,8 +258,8 @@ object Incremental {
         checkCols: Seq[String], asOf: Column): DataFrame = {
       val current = snapshot.filter(col(IsCurrent))
       val history = snapshot.filter(!col(IsCurrent))
-      val changeKey = sha2(concat_ws(" ",
-        checkCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*), 256)
+      val changeKey = sha2(concat_ws("\u0000",
+        checkCols.map(c => coalesce(col(c).cast("string"), lit("\u0001"))): _*), 256)
 
       val curKeyed = current.withColumn("_chk", changeKey)
       val srcKeyed = source.withColumn("_chk", changeKey)

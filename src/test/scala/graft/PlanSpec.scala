@@ -207,14 +207,41 @@ class PlanSpec extends SparkSpec {
       !pp.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("quality by source + ppl buckets: group-parallel windows " +
-      "(source / language), never a global rank") {
-    val q = plan(graft.ops.Curation.qualityBySource(spark, Sf0001))
-    assert("Window.*source".r.findFirstIn(q).isDefined,
-      s"ranking partitions by source:\n$q")
-    val b = plan(graft.ops.Curation.pplBuckets(spark, Sf0001))
-    assert("Window.*lang".r.findFirstIn(b).isDefined,
-      s"ranking partitions by language:\n$b")
+  test("curation selections: distributed rank — corpus stage is a range " +
+      "exchange + sort with ZERO windows; final plans have no row_number " +
+      "and every Window reads the tiny offset aggregate, never the corpus") {
+    import org.apache.spark.sql.functions.col
+    // corpus stage pinned on the UNcheckpointed builder (RangeRank.rank
+    // checkpoints it, which would hide the subtree from the final plan)
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val st = plan(graft.ops.RangeRank.staged(
+      docs, Seq("lang"), Seq(col("doc_id"))))
+    assert(st.contains("rangepartitioning"),
+      s"the rank's exchange must be a RANGE partitioning (order-aligned " +
+        s"slices), not a hash or single partition:\n$st")
+    assert(!st.contains("Window"),
+      s"no Window operator may touch the corpus — the local position is " +
+        s"read off the sorted stream:\n$st")
+    assert(!st.contains("SinglePartition"),
+      s"a single-partition exchange IS the single-task sort this " +
+        s"operator exists to avoid:\n$st")
+    // final plans: the only windows are the offset sums over the
+    // per-(partition, group) count aggregate (≤ partitions + groups rows)
+    for ((name, df) <- Seq(
+        ("dsir_select", graft.ops.Curation.dsirSelect(spark, Sf0001)),
+        ("ppl_buckets", graft.ops.Curation.pplBuckets(spark, Sf0001)),
+        ("quality_by_source",
+          graft.ops.Curation.qualityBySource(spark, Sf0001)))) {
+      val p = plan(df)
+      assert(!p.contains("row_number"),
+        s"$name: the corpus-bound row_number window must be gone:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: the offset table must broadcast back onto the rows:\n$p")
+      val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+      assert(windows.forall(_.contains("_rr_cnt")),
+        s"$name: every Window must aggregate the tiny offset frame " +
+          s"(_rr_cnt), never corpus rows:\n${windows.mkString("\n")}")
+    }
   }
 
   test("weighted sample: map-only corpus pass — one scalar-total " +

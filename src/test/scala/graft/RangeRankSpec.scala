@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.RangeRank
+
+/** The distributed rank must be BIT-IDENTICAL to the window `row_number`
+  * it replaces — grouped and global, rank and group count — and stable
+  * across recomputation (the internal checkpoint pins the layout). */
+class RangeRankSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+
+  test("global rank == row_number over (score desc, id): bit-identical, " +
+      "a permutation, with the exact total count") {
+    val base = docs.select(col("doc_id"), length(col("text")).as("len"))
+    val got = RangeRank.rank(base, Seq.empty,
+        Seq(col("len").desc, col("doc_id")), "rk", Some("n"))
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Int]("rk"), r.getAs[Long]("n")))).toMap
+    val want = base.withColumn("rk", row_number().over(
+        Window.orderBy(col("len").desc, col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy()))
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Int]("rk"), r.getAs[Long]("n")))).toMap
+    assert(got == want)
+    assert(got.values.map(_._1).toSeq.sorted == (1 to got.size))
+  }
+
+  test("grouped rank == row_number over (group, order): bit-identical " +
+      "ranks and per-group counts, every group a 1..n permutation") {
+    val base = docs.select(col("doc_id"), col("lang"),
+      length(col("text")).as("len"))
+    val got = RangeRank.rank(base, Seq("lang"),
+        Seq(col("len"), col("doc_id")), "rk", Some("n"))
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[String]("lang"), r.getAs[Int]("rk"), r.getAs[Long]("n"))))
+      .toMap
+    val w = Window.partitionBy("lang")
+    val want = base
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("len"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[String]("lang"), r.getAs[Int]("rk"), r.getAs[Long]("n"))))
+      .toMap
+    assert(got == want)
+    got.values.groupBy(_._1).foreach { case (lang, rows) =>
+      val ranks = rows.map(_._2).toSeq.sorted
+      assert(ranks == (1 to ranks.size), s"lang=$lang ranks not 1..n")
+      assert(rows.forall(_._3 == rows.size.toLong), s"lang=$lang count")
+    }
+  }
+
+  test("recomputation-stable: two independent rank() calls agree exactly " +
+      "(the checkpoint pins partition layout — no boundary-resample drift)") {
+    val base = docs.select(col("doc_id"), col("source"),
+      length(col("text")).as("len"))
+    def one() = RangeRank.rank(base, Seq("source"),
+        Seq(col("len").desc, col("doc_id")), "rk")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rk")))
+      .toMap
+    assert(one() == one())
+  }
+}
