@@ -48,6 +48,16 @@ object Macros {
     (raw"(?s)\{%-?\s*macro\s+(\w+)\s*\(([^)]*)\)\s*-?%\}" +
       raw"(.*?)\{%-?\s*endmacro\s*-?%\}").r
 
+  /** dbt custom generic tests: a `test name(model, column_name, …)`
+    * block is sugar dbt itself desugars to a macro named `test_name` —
+    * parsed here the same way, so [[graft.quality.SchemaYaml]]'s
+    * `data_tests:` entries resolve custom test names against this
+    * library as `test_<name>`. The legacy spelling (a plain macro
+    * already named `test_<name>`) needs no special handling. */
+  private val TestRe =
+    (raw"(?s)\{%-?\s*test\s+(\w+)\s*\(([^)]*)\)\s*-?%\}" +
+      raw"(.*?)\{%-?\s*endtest\s*-?%\}").r
+
   private val TagRe = raw"(?s)\{%\s*(.*?)\s*%\}|\{\{\s*(.*?)\s*\}\}".r
 
   final class Library(val defs: Map[String, MacroDef]) {
@@ -346,17 +356,20 @@ object Macros {
       }
   }
 
-  def parse(text: String): Seq[MacroDef] =
-    MacroRe.findAllMatchIn(text).map { m =>
-      val params = m.group(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        .map { p =>
-          p.split("=", 2).map(_.trim) match {
-            case Array(n) => n -> None
-            case Array(n, d) => n -> Some(d)
-          }
+  private def paramsOf(raw: String): Seq[(String, Option[String])] =
+    raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .map { p =>
+        p.split("=", 2).map(_.trim) match {
+          case Array(n) => n -> None
+          case Array(n, d) => n -> Some(d)
         }
-      MacroDef(m.group(1), params, m.group(3))
-    }.toSeq
+      }
+
+  def parse(text: String): Seq[MacroDef] =
+    MacroRe.findAllMatchIn(text).map(m =>
+      MacroDef(m.group(1), paramsOf(m.group(2)), m.group(3))).toSeq ++
+    TestRe.findAllMatchIn(text).map(m =>
+      MacroDef(s"test_${m.group(1)}", paramsOf(m.group(2)), m.group(3))).toSeq
 
   def load(files: Seq[File]): Library =
     new Library(files.flatMap(f => parse(
@@ -370,9 +383,18 @@ object Macros {
       .filter(f => f.isFile && f.getName.endsWith(".sql"))
       .sortBy(_.getName).toSeq)
 
-  /** The engine's default library: the checked-in `macros/` dir (same
-    * working-directory contract as the models dir; override with
-    * -Dgraft.macros.root). */
-  lazy val default: Library = loadDir(new File(
-    sys.props.getOrElse("graft.macros.root", "macros")))
+  /** Load several macro directories into one library (later dirs win on
+    * a name collision, matching dbt's project-over-package shadowing
+    * order for a single project). */
+  def loadDirs(roots: Seq[File]): Library =
+    new Library(roots.map(loadDir).foldLeft(Map.empty[String, MacroDef])(
+      (acc, lib) => acc ++ lib.defs))
+
+  /** The engine's default library: the checked-in `macros/` dir plus
+    * dbt's generic-test home `tests/generic/` (same working-directory
+    * contract as the models dir; override with -Dgraft.macros.root). */
+  lazy val default: Library = loadDirs(Seq(
+    new File(sys.props.getOrElse("graft.macros.root", "macros")),
+    new File(sys.props.getOrElse("graft.generic.tests.root",
+      "tests/generic"))))
 }

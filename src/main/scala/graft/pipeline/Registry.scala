@@ -36,10 +36,22 @@ object Registry {
     * Resolution comes from the LOADED macro file
     * (`macros/generate_database_name.sql`, [[Macros.default]]) — the
     * dbt dispatch path, not hardcoded logic; RegistrySpec pins the
-    * loaded reference file to the same routing. */
-  def databaseName(custom: Option[String], targetDefault: String): String =
-    Macros.default.call("generate_database_name", Seq(custom.orNull),
-      Map("target" -> Map("database" -> targetDefault))).trim
+    * loaded reference file to the same routing. When no such macro is
+    * loaded (the engine jar running outside a project checkout, or a
+    * project that never overrides database routing), the built-in
+    * default applies — dbt's own behavior when a project defines no
+    * `generate_database_name`: the same trim-uppercase-else-target
+    * semantics, so a missing `macros/` dir is not a runtime regression
+    * for every CatalogSink operation. */
+  def databaseName(custom: Option[String], targetDefault: String,
+      lib: Macros.Library = Macros.default): String =
+    if (lib.contains("generate_database_name"))
+      lib.call("generate_database_name", Seq(custom.orNull),
+        Map("target" -> Map("database" -> targetDefault))).trim
+    else custom match {
+      case Some(c) => c.trim.toUpperCase(java.util.Locale.ROOT)
+      case None => targetDefault
+    }
 
   sealed trait Materialization
   case object View extends Materialization
@@ -252,6 +264,20 @@ object Registry {
   def topoOrder: Seq[Model] = topoOrderOf(models)
 
   def topoOrderOf(all: Seq[Model]): Seq[Model] = {
+    // Uniqueness is enforced over the ASSEMBLED run set — code-registered
+    // + SQL-loaded + snapshot-loaded — not per loader: a snapshot block,
+    // SQL model alias, or model name colliding with a code-authored
+    // model's relation would otherwise silently overwrite that table at
+    // materialize time (each loader's own check can only see itself).
+    val dupNames = all.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dupNames.isEmpty,
+      s"run set contains duplicate model names: ${dupNames.mkString(", ")}")
+    val dupRels = all.groupBy(m => (m.layer, m.tableName))
+      .filter(_._2.size > 1)
+    require(dupRels.isEmpty,
+      "run set materializes the same relation twice: " +
+        dupRels.map { case ((layer, t), ms) =>
+          s"'$layer.$t' (${ms.map(_.name).mkString(", ")})" }.mkString("; "))
     val byName = all.map(m => m.name -> m).toMap
     val resolved = scala.collection.mutable.LinkedHashSet.empty[String]
     def visit(n: String, path: Set[String]): Unit = {
@@ -515,17 +541,36 @@ object Registry {
         if (firstRun) sink.overwrite(spark, m.layer, m.tableName, stamped, layout)
         else inc.strategy match {
           case mb: IncStrategy.Microbatch =>
-            import org.apache.spark.sql.functions.{col => c, max => fmax}
+            import org.apache.spark.sql.functions.{col => c, max => fmax, lit => flit}
             val target = sink.read(spark, m.layer, m.tableName)
             val maxB = target.agg(fmax(c(MicrobatchCol))).head().get(0)
             val batch =
               if (maxB == null) stamped
               else stamped.filter(c(MicrobatchCol) >=
-                I.periodsBack(org.apache.spark.sql.functions.lit(maxB),
-                  mb.lookback, mb.batchSize))
-            sink.overwritePartitions(spark, m.layer, m.tableName,
+                I.periodsBack(flit(maxB), mb.lookback, mb.batchSize))
+            // the logical transform (Incremental.microbatchRefresh)
+            // REPLACES every window period >= start; dynamic overwrite
+            // only replaces periods the batch carries, so a window
+            // period whose recompute came back EMPTY must be dropped
+            // explicitly or it silently survives. The stale set is
+            // window-bounded (lookback + new periods), collected tiny.
+            val stale =
+              if (maxB == null) Seq.empty[Any]
+              else target
+                .filter(c(MicrobatchCol) >=
+                  I.periodsBack(flit(maxB), mb.lookback, mb.batchSize))
+                .select(c(MicrobatchCol)).distinct()
+                .join(batch.select(c(MicrobatchCol)).distinct(),
+                  Seq(MicrobatchCol), "left_anti")
+                .collect().map(_.get(0)).toSeq
+            val out = sink.overwritePartitions(spark, m.layer, m.tableName,
               I.align(target, batch, inc.onSchemaChange),
               Seq(MicrobatchCol), layout)
+            if (stale.nonEmpty) {
+              sink.dropPartitions(spark, m.layer, m.tableName,
+                MicrobatchCol, stale)
+              sink.read(spark, m.layer, m.tableName)
+            } else out
           case IncStrategy.DeleteInsert(keys) =>
             sink.deleteInsert(spark, m.layer, m.tableName, df, keys, layout,
               inc.onSchemaChange)

@@ -77,6 +77,16 @@ trait TableSink {
     incoming: DataFrame, partitionBy: Seq[String],
     layout: TableLayout = TableLayout.none): DataFrame
 
+  /** Drop whole partitions by value — the missing half of a windowed
+    * refresh: dynamic partition overwrite only REPLACES partitions the
+    * batch carries, so a window period whose recompute yields zero rows
+    * would silently survive on disk. Callers enumerate the stale period
+    * values (bounded by the refresh window, never table-sized) and drop
+    * them explicitly. On Delta/Iceberg this is a metadata-only
+    * `DELETE WHERE`/partition drop. */
+  def dropPartitions(spark: SparkSession, layer: String, name: String,
+    partCol: String, values: Seq[Any]): Unit
+
   /** Whether `layer`.`name` is already materialized — the first-run test
     * dbt's incremental/snapshot materializations branch on. */
   def exists(spark: SparkSession, layer: String, name: String): Boolean
@@ -212,6 +222,18 @@ final class ParquetSink(warehouseDir: String) extends TableSink {
       .parquet(path(layer, name))
     fs.delete(staging, true)
     read(spark, layer, name)
+  }
+
+  override def dropPartitions(spark: SparkSession, layer: String,
+      name: String, partCol: String, values: Seq[Any]): Unit = {
+    // Hive-style partition directories: <table>/<col>=<value>. One
+    // metadata delete per stale period — window-bounded, never a rewrite.
+    val conf = spark.sessionState.newHadoopConf()
+    values.foreach { v =>
+      val dir = new org.apache.hadoop.fs.Path(
+        s"${path(layer, name)}/$partCol=${String.valueOf(v)}")
+      dir.getFileSystem(conf).delete(dir, true)
+    }
   }
 
   override def exists(spark: SparkSession, layer: String, name: String): Boolean = {
@@ -427,6 +449,14 @@ class CatalogSink(format: String = "parquet",
     w.saveAsTable(ident(layer, name))
     read(spark, layer, name)
   }
+
+  override def dropPartitions(spark: SparkSession, layer: String,
+      name: String, partCol: String, values: Seq[Any]): Unit =
+    // metadata-only partition drops; Delta/Iceberg route the same SQL to
+    // a transactional partition delete
+    values.foreach(v => spark.sql(
+      s"ALTER TABLE ${ident(layer, name)} DROP IF EXISTS " +
+        s"PARTITION ($partCol='${String.valueOf(v)}')"))
 
   override def exists(spark: SparkSession, layer: String, name: String): Boolean =
     spark.catalog.databaseExists(database(layer)) &&

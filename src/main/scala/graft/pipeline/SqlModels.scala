@@ -486,6 +486,48 @@ object SqlModels {
     * [[Registry.Snapshot]] SCD2 machinery as config-authored models. An
     * absent directory yields no models (the reference's own `snapshots/`
     * is empty — the declared intent these blocks complete). */
+  /** dbt `analyses/` — COMPILE-ONLY SQL (the reference declares the
+    * directory, `analyses/.gitkeep`): each file renders through the full
+    * model pipeline — macro expansion, the Jinja engine, ref/source/var/
+    * pinned-clock substitutions — exactly like a model, but is never
+    * materialized and never joins the run DAG; dbt compiles analyses and
+    * stops there. Empty files (the reference's own state) load as
+    * intent-only and are skipped; an absent directory yields none. */
+  def loadAnalyses(root: File,
+      macroLib: Macros.Library = Macros.default,
+      project: ProjectYaml.Project = ProjectYaml.default): Seq[Rendered] =
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".sql")).sortBy(_.getName)
+      .toSeq
+      .map(f => f -> new String(Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8))
+      .filter(_._2.trim.nonEmpty)
+      .map { case (f, raw) =>
+        render(f.getName.stripSuffix(".sql"), "analyses", raw, macroLib,
+          project)
+      }
+
+  /** Compile one rendered analysis into a logical plan over the lazy
+    * model chain — plan construction only (no job runs, nothing is
+    * written), which is precisely dbt's `compile` contract: every ref
+    * must resolve (a malformed one fails loudly by name) and the SQL
+    * must analyze. */
+  def compileAnalysis(spark: SparkSession, dir: String, r: Rendered,
+      extra: Seq[Registry.Model] = Seq.empty): DataFrame = {
+    val acc = scala.collection.mutable.Map.empty[String, DataFrame]
+    Registry.topoOrderOf(Registry.models ++ extra)
+      .foreach(m => acc(m.name) = m.build(spark, dir, acc.toMap))
+    r.deps.foreach { d =>
+      require(acc.contains(d), s"${r.name}: unknown ref('$d')")
+      acc(d).createOrReplaceTempView(d)
+    }
+    r.srcs.foreach { case (s, t) =>
+      sources((s, t))(spark, dir)
+        .createOrReplaceTempView(sourceViewName(s, t))
+    }
+    spark.sql(r.sql)
+  }
+
   def loadSnapshots(root: File,
       macroLib: Macros.Library = Macros.default,
       project: ProjectYaml.Project = ProjectYaml.default): Seq[Registry.Model] = {

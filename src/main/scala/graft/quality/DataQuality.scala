@@ -51,6 +51,32 @@ object DataQuality {
     * warn_if / error_if), keyed by full check name. */
   lazy val testConfigs: Map[String, SchemaYaml.TestConfig] = loaded.configs
 
+  /** Custom (macro-defined) generic tests from the YAML, each resolved
+    * against the macro library (`macros/` + `tests/generic/`) and
+    * rendered ONCE into the violating-rows SQL both engines evaluate:
+    * dbt's `{% test name(model, column_name, …) %}` convention, with
+    * `model` bound to the declaring relation's `{{ ref(…) }}` /
+    * `{{ source(…) }}` form so the SAME downstream resolution as
+    * singular tests applies (Spark temp views over the lazy model
+    * chain; bare CTE names in the DuckDB oracle). A name with no
+    * `test_<name>` macro fails HERE, loudly — the YAML parser stays
+    * resolution-free, matching dbt's parse-then-compile split. */
+  lazy val customTestSql: Seq[(String, String)] =
+    loaded.customTests.map { ct =>
+      val lib = graft.pipeline.Macros.default
+      val macroName = s"test_${ct.test}"
+      require(lib.contains(macroName),
+        s"${ct.checkName}: no macro '$macroName' in macros/ or " +
+          "tests/generic/ — custom generic tests must be defined as " +
+          "{% test " + ct.test + "(model, column_name, ...) %} or " +
+          s"{% macro $macroName(...) %}")
+      val named = Map[String, Any](
+        "model" -> s"{{ ${ct.relation} }}",
+        "column_name" -> ct.column) ++
+        ct.args.map { case (k, v) => k -> (v: Any) }
+      ct.checkName -> lib.call(macroName, Seq.empty, Map.empty, named)
+    }
+
   /** Source freshness thresholds from the YAML `config.freshness` block
     * (bronze.yml: warn 24h / error 48h), with dbt-default-free fallbacks
     * only if a project declares none. */
@@ -116,9 +142,19 @@ object DataQuality {
         .agg(count(lit(1)).as("violations"))
         .select(lit(name).as("check_name"), col("violations"))
 
+    // custom generic tests: arbitrary rendered SELECTs of violating rows,
+    // so each is its own counted branch (it cannot fold into a table's
+    // single-pass conditional agg), evaluated through the same lazy-chain
+    // resolution as singular tests
+    def customRows(name: String, sql: String): DataFrame =
+      SingularTests.violations(spark, dir, name, sql)
+        .agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("check_name"), col("violations"))
+
     val parts =
       inventory.map(tableRows) ++
-      relationshipChecks.map { case (n, c, fk, p, pk) => relRows(n, c, fk, p, pk) }
+      relationshipChecks.map { case (n, c, fk, p, pk) => relRows(n, c, fk, p, pk) } ++
+      customTestSql.map { case (n, sql) => customRows(n, sql) }
     parts.reduce(_ unionByName _)
   }
 
@@ -191,7 +227,10 @@ object DataQuality {
     val singular = Seq(
       "SELECT 'tests.assert_customer_email_format', count(*) FROM silver_customers WHERE NOT (email LIKE '%@%.%')",
       "SELECT 'tests.assert_positive_revenue', count(*) FROM gold_customer_summary WHERE lifetime_value < 0")
-    val unions = (perTable ++ rels ++ singular).mkString("\n  UNION ALL ")
+    val custom = customTestSql.map { case (name, sql) =>
+      s"SELECT '$name', count(*) FROM (${SingularTests.resolveBareNames(sql)}) _ct"
+    }
+    val unions = (perTable ++ rels ++ singular ++ custom).mkString("\n  UNION ALL ")
     s"""${OracleSql.prelude},
   ${OracleSql.customerSummaryCtes},
   gold_customer_summary AS (${OracleSql.customerSummarySelect}),

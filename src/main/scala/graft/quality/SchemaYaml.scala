@@ -62,13 +62,32 @@ object SchemaYaml {
     }
   }
 
+  /** A custom (macro-defined) generic test declared in schema YAML —
+    * any `data_tests:` entry that is not one of dbt's four built-ins.
+    * `relation` is the dbt relation call (`ref('t')` for a model,
+    * `source('s', 't')` for a source table) the test macro's `model`
+    * argument renders to; `args` are the entry's extra keyword
+    * arguments. Resolution against the macro library (`test_<name>`)
+    * happens at evaluation time in [[DataQuality]], where a missing
+    * macro fails loudly by name — YAML parsing stays resolution-free,
+    * matching dbt's parse-then-compile split. */
+  final case class CustomTest(
+    table: String,
+    column: String,
+    test: String,
+    relation: String,
+    args: Map[String, Any]) {
+    def checkName: String = s"$table.$column.$test"
+  }
+
   final case class Loaded(
     inventory: Seq[DataQuality.TableChecks],
     relationships: Seq[(String, String, String, String, String)],
     freshnessWarnHours: Option[Int],
     freshnessErrorHours: Option[Int],
     configs: Map[String, TestConfig] = Map.empty,
-    freshnessBySource: Map[String, (Option[Int], Option[Int])] = Map.empty)
+    freshnessBySource: Map[String, (Option[Int], Option[Int])] = Map.empty,
+    customTests: Seq[CustomTest] = Seq.empty)
 
   private def asMap(o: Any): Map[String, Any] = o match {
     case m: java.util.Map[_, _] =>
@@ -111,16 +130,24 @@ object SchemaYaml {
 
   /** One table's/model's declared tests folded into the inventory row +
     * its relationship tuples + any non-default per-test configs (keyed by
-    * the full check name `table.column.test`). */
-  private def checksOf(entity: Map[String, Any]): (
+    * the full check name `table.column.test`) + custom generic tests.
+    * `sourceSchema` is set when the entity is a source table (its
+    * relation form is `source(schema, table)`, not `ref(table)`). */
+  private def checksOf(entity: Map[String, Any],
+      sourceSchema: Option[String]): (
       DataQuality.TableChecks, Seq[(String, String, String, String, String)],
-      Map[String, TestConfig]) = {
+      Map[String, TestConfig], Seq[CustomTest]) = {
     val table = String.valueOf(entity("name"))
+    val relation = sourceSchema match {
+      case Some(s) => s"source('$s', '$table')"
+      case None => s"ref('$table')"
+    }
     var uniques = Vector.empty[String]
     var notNulls = Vector.empty[String]
     var accepted = Map.empty[String, Seq[String]]
     var rels = Vector.empty[(String, String, String, String, String)]
     var configs = Map.empty[String, TestConfig]
+    var customs = Vector.empty[CustomTest]
     asList(entity.getOrElse("columns", null)).map(asMap).foreach { colSpec =>
       val colName = String.valueOf(colSpec("name"))
       // a test's config lives under its map form's `config:` key; only
@@ -134,9 +161,21 @@ object SchemaYaml {
       // accepted); a modern schema.yml must not silently load zero checks
       val declared = asList(colSpec.getOrElse("tests", null)) ++
         asList(colSpec.getOrElse("data_tests", null))
+      // a custom test name must be a plausible macro identifier — a
+      // mistyped BUILT-IN (e.g. 'uniqe') also lands here, and fails
+      // loudly later when no test_<name> macro exists
+      val IdentRe = raw"^\w+$$".r
+      def customOf(test: String, body: Any): Unit = {
+        require(IdentRe.findFirstIn(test).isDefined,
+          s"$table.$colName: test name '$test' is not an identifier")
+        val args = asMap(body) - "config"
+        customs :+= CustomTest(table, colName, test, relation, args)
+        recordConfig(test, body)
+      }
       declared.foreach {
         case "unique" => uniques :+= colName
         case "not_null" => notNulls :+= colName
+        case s: String => customOf(s, null)
         case m: java.util.Map[_, _] =>
           val tm = asMap(m)
           // map-form unique/not_null carry only a config block
@@ -159,13 +198,13 @@ object SchemaYaml {
             recordConfig("relationships", rel)
           }
           (tm.keySet -- Set("unique", "not_null", "accepted_values",
-            "relationships")).foreach(k =>
-            throw new IllegalArgumentException(s"$table.$colName: unknown test '$k'"))
+            "relationships")).foreach(k => customOf(k, tm(k)))
         case other => throw new IllegalArgumentException(
           s"$table.$colName: unknown test '$other'")
       }
     }
-    (DataQuality.TableChecks(table, uniques, notNulls, accepted), rels, configs)
+    (DataQuality.TableChecks(table, uniques, notNulls, accepted), rels,
+      configs, customs)
   }
 
   /** Parse schema YAML documents (in order) into one loaded inventory. */
@@ -174,15 +213,18 @@ object SchemaYaml {
     var relationships = Vector.empty[(String, String, String, String, String)]
     var freshBySource = Map.empty[String, (Option[Int], Option[Int])]
     var configs = Map.empty[String, TestConfig]
+    var customs = Vector.empty[CustomTest]
     // an entity declaring no column tests (descriptions only — a normal
     // dbt pattern) contributes nothing to the inventory: an empty
     // TableChecks row would crash the summary's checks.head
-    def record(entity: Map[String, Any]): Unit = {
-      val (tc, rels, cfgs) = checksOf(entity)
+    def record(entity: Map[String, Any],
+        sourceSchema: Option[String]): Unit = {
+      val (tc, rels, cfgs, cts) = checksOf(entity, sourceSchema)
       if (tc.uniques.nonEmpty || tc.notNulls.nonEmpty || tc.accepted.nonEmpty)
         inventory :+= tc
       relationships ++= rels
       configs ++= cfgs
+      customs ++= cts
     }
     texts.foreach { text =>
       val doc = asMap(new org.yaml.snakeyaml.Yaml().load[Any](text))
@@ -197,9 +239,12 @@ object SchemaYaml {
           freshBySource += String.valueOf(src.getOrElse("name", "")) ->
             ((fresh.get("warn_after").flatMap(hoursOf),
               fresh.get("error_after").flatMap(hoursOf)))
-        asList(src.getOrElse("tables", null)).map(asMap).foreach(record)
+        val schema = String.valueOf(src.getOrElse("name", ""))
+        asList(src.getOrElse("tables", null)).map(asMap)
+          .foreach(record(_, Some(schema)))
       }
-      asList(doc.getOrElse("models", null)).map(asMap).foreach(record)
+      asList(doc.getOrElse("models", null)).map(asMap)
+        .foreach(record(_, None))
     }
     // the engine's freshness check carries ONE threshold pair; distinct
     // per-source declarations must fail loudly, not last-write-win into
@@ -210,7 +255,8 @@ object SchemaYaml {
         s"(${freshBySource.map { case (s, p) => s"$s=$p" }.mkString(", ")}) — " +
         "the single-pass freshness check carries one threshold pair")
     val (warn, error) = pairs.headOption.getOrElse((None, None))
-    Loaded(inventory, relationships, warn, error, configs, freshBySource)
+    Loaded(inventory, relationships, warn, error, configs, freshBySource,
+      customs)
   }
 
   /** Medallion read order: a relationship's parent may be declared in a
@@ -232,7 +278,11 @@ object SchemaYaml {
         .filter(f => f.isFile &&
           (f.getName.endsWith(".yml") || f.getName.endsWith(".yaml")))
         .sortBy(_.getName))
-    require(files.nonEmpty, s"no models/<layer>/*.yml under $root")
+    require(files.nonEmpty,
+      s"no schema YAML found under ${root.getAbsolutePath} — the check " +
+        "inventory loads the dbt project's per-layer models/ YAML files " +
+        "relative to the working directory; run from the project root " +
+        "or point -Dgraft.models.root at the models directory")
     parse(files.toSeq.map(f =>
       new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)))
   }

@@ -61,6 +61,15 @@ object SingularTests {
     spark.sql(sql)
   }
 
+  /** Resolve ref/source call sites to BARE relation names — the form the
+    * DuckDB oracle prelude declares its CTEs under (`silver_payments`,
+    * `raw_customers`). Used for the oracle twin of any rendered test
+    * SQL; the Spark side goes through [[violations]] instead. */
+  def resolveBareNames(sql: String): String = {
+    val s = RefRe.replaceAllIn(sql, m => m.group(1))
+    SourceRe.replaceAllIn(s, m => m.group(2))
+  }
+
   /** The `dbt test` report: one `(check_name, violations)` row per
     * loaded test. */
   def counts(spark: SparkSession, dir: String, root: File): DataFrame =

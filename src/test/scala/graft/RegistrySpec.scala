@@ -404,6 +404,11 @@ class RegistrySpec extends SparkSpec {
       rec("overwritePartitions", name)
       inner.overwritePartitions(spark, layer, name, incoming, partitionBy, layout)
     }
+    override def dropPartitions(spark: org.apache.spark.sql.SparkSession,
+        layer: String, name: String, partCol: String, values: Seq[Any]): Unit = {
+      rec("dropPartitions", name)
+      inner.dropPartitions(spark, layer, name, partCol, values)
+    }
     override def exists(spark: org.apache.spark.sql.SparkSession, layer: String,
         name: String): Boolean = inner.exists(spark, layer, name)
     override def read(spark: org.apache.spark.sql.SparkSession, layer: String,
@@ -639,6 +644,87 @@ class RegistrySpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L, 20L, 30L),
       "late data inside the lookback lands; beyond it, it waits for a backfill")
     assert(day1Files() == before, "day-1 partition untouched on disk")
+  }
+
+  test("registry microbatch strategy: a window period whose recompute " +
+      "yields ZERO rows is dropped, not silently retained") {
+    import spark.implicits._
+    def feed(rows: Seq[(String, Long)]) = rows.toDF("ts_s", "id")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("id"))
+    var src = feed(Seq(("2001-01-01 10:00:00", 1L),
+      ("2001-01-02 10:00:00", 2L), ("2001-01-03 10:00:00", 3L)))
+    val mdl = Seq(Registry.Model("mb_zero_probe", "gold",
+      Registry.Incremental(None, "ts",
+        strategy = Registry.IncStrategy.Microbatch("ts", "day", lookback = 1)),
+      Seq.empty, (_, _, _) => src))
+    val wh = Files.createTempDirectory("graft_wh_mbz").toString
+    val spy = new SpySink(new graft.pipeline.ParquetSink(wh))
+    Registry.run(spark, Sf0001, spy, all = mdl)
+    spy.reset()
+    // refresh: window = [day2, ...] (maxB=day3, lookback 1). Day 3's
+    // recompute comes back EMPTY (a takedown wiped it); day 2 gains a
+    // late row. Dynamic overwrite alone would keep day 3's stale rows —
+    // the logical transform (microbatchRefresh) deletes every window
+    // period >= start, and the materialization must agree.
+    src = feed(Seq(("2001-01-01 10:00:00", 1L),
+      ("2001-01-02 10:00:00", 2L), ("2001-01-02 11:00:00", 20L)))
+    val out = Registry.run(spark, Sf0001, spy, all = mdl)
+    assert(spy.of("overwritePartitions") == Seq("mb_zero_probe"))
+    assert(spy.of("dropPartitions") == Seq("mb_zero_probe"),
+      "the emptied window period must be explicitly dropped")
+    val ids = out("mb_zero_probe").select("id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 20L),
+      "day 3 (zero-row recompute inside the window) must vanish; day 1 " +
+        "(outside the window) must survive")
+    assert(!new java.io.File(s"$wh/gold/mb_zero_probe/_batch=2001-01-03")
+      .exists(), "the stale partition directory is gone from disk")
+  }
+
+  test("run-set uniqueness: a loaded model colliding with a code model's " +
+      "relation fails at assembly, never silently overwrites") {
+    val dup = Registry.Model("silver_orders_alias", "silver", Registry.Table,
+      Seq.empty, (s, d, _) => graft.silver.Silver.orders(s, d),
+      alias = Some("silver_orders"))
+    val e = intercept[IllegalArgumentException](
+      Registry.topoOrderOf(Registry.models :+ dup))
+    assert(e.getMessage.contains("silver.silver_orders"))
+    val dupName = Registry.Model("silver_orders", "silver", Registry.Table,
+      Seq.empty, (s, d, _) => graft.silver.Silver.orders(s, d))
+    val e2 = intercept[IllegalArgumentException](
+      Registry.topoOrderOf(Registry.models :+ dupName))
+    assert(e2.getMessage.contains("duplicate model names"))
+  }
+
+  test("databaseName falls back to built-in trim/upper routing when the " +
+      "macro library lacks generate_database_name") {
+    val empty = new graft.pipeline.Macros.Library(Map.empty)
+    assert(Registry.databaseName(Some("  gold "), "dflt", empty) == "GOLD")
+    assert(Registry.databaseName(None, "dflt", empty) == "dflt")
+    // and the loaded-macro path still routes identically
+    assert(Registry.databaseName(Some("  gold "), "dflt") == "GOLD")
+  }
+
+  test("analyses/ compile-only: the checked-in analysis renders, its " +
+      "refs resolve, and the plan analyzes with ZERO jobs; a malformed " +
+      "ref fails loudly by name") {
+    import graft.pipeline.SqlModels
+    val loaded = SqlModels.loadAnalyses(new java.io.File("analyses"))
+    assert(loaded.map(_.name) == Seq("revenue_pareto"))
+    val r = loaded.head
+    assert(r.deps == Seq("gold_revenue_analysis"))
+    assert(r.sql.contains("> 0"), "var() default must substitute")
+    val df = SqlModels.compileAnalysis(spark, Sf0001, r)
+    // compile-only: the plan must ANALYZE (schema resolves) without the
+    // analysis ever executing — accessing the schema and optimized plan
+    // is plan work; the query itself never runs an action here
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("order_year_month", "total_revenue", "ytd_revenue"))
+    assert(df.queryExecution.optimizedPlan != null)
+    val bad = SqlModels.loadAnalyses(new java.io.File("analyses")).head
+      .copy(deps = Seq("no_such_model"))
+    val e = intercept[IllegalArgumentException](
+      SqlModels.compileAnalysis(spark, Sf0001, bad))
+    assert(e.getMessage.contains("no_such_model"))
   }
 
   test("SQL microbatch model config loads into the Microbatch strategy") {

@@ -156,13 +156,16 @@ class SchemaYamlSpec extends AnyFunSuite {
   }
 
   test("loader rejects what it cannot faithfully evaluate") {
+    // an unknown identifier is now a CUSTOM test (resolved against the
+    // macro library at evaluation time), but a non-identifier still
+    // fails at parse
     intercept[IllegalArgumentException](SchemaYaml.parse(Seq(
       """models:
         |  - name: t
         |    columns:
         |      - name: c
         |        tests:
-        |          - exotic_test
+        |          - 'exotic test!'
         |""".stripMargin)))
     intercept[IllegalArgumentException](SchemaYaml.parse(Seq(
       """models:
@@ -226,5 +229,66 @@ class SchemaYamlSpec extends AnyFunSuite {
         |      warn_after: {count: 2, period: hour}
         |""".stripMargin)))
     assert(e.getMessage.contains("freshness"))
+  }
+
+  test("custom generic tests: bare and keyword-arg forms parse with the " +
+      "declaring relation; model entities get ref(), source tables get " +
+      "source(); config blocks record beside them") {
+    val loaded = SchemaYaml.parse(Seq(
+      """version: 2
+        |sources:
+        |  - name: ecommerce
+        |    tables:
+        |      - name: raw_t
+        |        columns:
+        |          - name: amt
+        |            data_tests:
+        |              - my_src_test
+        |models:
+        |  - name: m1
+        |    columns:
+        |      - name: v
+        |        tests:
+        |          - within_range:
+        |              min_value: 0
+        |              max_value: 10
+        |              config:
+        |                severity: warn
+        |          - not_empty_string
+        |""".stripMargin))
+    val byName = loaded.customTests.map(ct => ct.checkName -> ct).toMap
+    assert(byName.keySet == Set("raw_t.amt.my_src_test",
+      "m1.v.within_range", "m1.v.not_empty_string"))
+    assert(byName("raw_t.amt.my_src_test").relation ==
+      "source('ecommerce', 'raw_t')")
+    val wr = byName("m1.v.within_range")
+    assert(wr.relation == "ref('m1')")
+    assert(wr.args == Map("min_value" -> 0, "max_value" -> 10))
+    assert(loaded.configs("m1.v.within_range").severity == "warn")
+    assert(byName("m1.v.not_empty_string").args.isEmpty)
+    // non-identifier test names still fail loudly at parse
+    val bad = intercept[IllegalArgumentException](SchemaYaml.parse(Seq(
+      """models:
+        |  - name: m1
+        |    columns:
+        |      - name: v
+        |        tests: ['no spaces allowed']
+        |""".stripMargin)))
+    assert(bad.getMessage.contains("identifier"))
+  }
+
+  test("custom generic tests render through the macro library into the " +
+      "violating-rows SQL dq_summary evaluates (both dbt spellings)") {
+    // the checked-in tests/generic/ definitions + silver.yml attachment
+    val sqls = graft.quality.DataQuality.customTestSql.toMap
+    val wr = sqls("silver_payments.payment_amount.within_range")
+    assert(wr.contains("{{ ref('silver_payments') }}"))
+    assert(wr.contains("payment_amount < 0") &&
+      wr.contains("payment_amount > 1000000"))
+    val ne = sqls("silver_payments.payment_method.not_empty_string")
+    assert(ne.contains("trim(payment_method) = ''"))
+    // oracle twin: bare relation names for the DuckDB prelude CTEs
+    assert(graft.quality.SingularTests.resolveBareNames(wr)
+      .contains("from silver_payments"))
   }
 }
