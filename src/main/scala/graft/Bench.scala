@@ -32,6 +32,31 @@ object Bench {
     // it): run only the named queries, e.g. for per-row 10x A/B pairs
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // ANN index BUILD/SERVE split: the fingerprint-cached index tables
+    // (IVF centroids/lists, PQ codebooks/codes, int8 codes) are
+    // build-once/serve-many; unsplit, whichever ANN row runs first
+    // alphabetically (ann_delete_topk) absorbs the entire one-time build
+    // and cross-round diffs misread it as a per-query regression. The
+    // build is paid HERE, timed, and reported as its own
+    // "ann_index_build" field — still included in "value" so totals stay
+    // comparable across rounds — leaving every per-query time below a
+    // pure serve cost. Skipped in probe mode when no selected row
+    // touches the index.
+    val needsIndex = only.forall(_.exists(n =>
+      n.startsWith("ann_") || n.startsWith("emb_")))
+    val annBuild =
+      if (!needsIndex) 0.0
+      else {
+        val tb = System.nanoTime()
+        try {
+          graft.ops.IvfIndex.centroids(spark, sfDir).count()
+          graft.ops.IvfIndex.lists(spark, sfDir).count()
+          graft.ops.IvfIndex.pqCodebooks(spark, sfDir).count()
+          graft.ops.IvfIndex.pqCodes(spark, sfDir).count()
+          graft.ops.IvfIndex.int8Codes(spark, sfDir).count()
+        } catch { case _: Throwable => () }
+        (System.nanoTime() - tb) / 1e9
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -45,8 +70,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val total =
+      (if (results.nonEmpty) results.map(_._2).sum else 0.0) + annBuild
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","ann_index_build":$annBuild,"queries":$qs,"sf":"$sfDir"}"""
     // stdout first — it is the channel the driver parses and must survive
     // even if the file copy fails (unwritable cwd, bad env override)
     println(json)
