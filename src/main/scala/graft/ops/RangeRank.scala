@@ -81,9 +81,15 @@ object RangeRank {
       .withColumn("_rr_off", coalesce(sum(col("_rr_cnt")).over(
         offW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("_rr_gn", sum(col("_rr_cnt")).over(gnW))
-      .select(keys.map(col) ++ Seq(col("_rr_m0"), col("_rr_off"),
-        col("_rr_gn")): _*)
-    val ranked = parted.join(broadcast(offs), keys)
+      .select(keys.map(k => col(k).as(s"_rr_k_$k")) ++
+        Seq(col("_rr_m0"), col("_rr_off"), col("_rr_gn")): _*)
+    // NULL-SAFE join back: `Window.partitionBy(group)` ranks a NULL
+    // group as its own ordinary group, and bit-equality with the window
+    // form is the contract — a null-unsafe equi-join would silently DROP
+    // every NULL-group row instead
+    val cond = keys.map(k => col(k) <=> col(s"_rr_k_$k")).reduce(_ && _)
+    val ranked = parted.join(broadcast(offs), cond)
+      .drop(keys.map(k => s"_rr_k_$k"): _*)
       .withColumn(rankName,
         (col("_rr_mid") - col("_rr_m0") + 1L + col("_rr_off")).cast("int"))
     val withCount = groupCountName match {

@@ -272,7 +272,11 @@ object Registry {
     val dupNames = all.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupNames.isEmpty,
       s"run set contains duplicate model names: ${dupNames.mkString(", ")}")
-    val dupRels = all.groupBy(m => (m.layer, m.tableName))
+    // relation uniqueness applies only to models that WRITE a relation —
+    // a View never materializes through the sink, so it cannot clobber a
+    // same-named table
+    val dupRels = all.filter(_.materialization != View)
+      .groupBy(m => (m.layer, m.tableName))
       .filter(_._2.size > 1)
     require(dupRels.isEmpty,
       "run set materializes the same relation twice: " +
@@ -552,20 +556,28 @@ object Registry {
             // REPLACES every window period >= start; dynamic overwrite
             // only replaces periods the batch carries, so a window
             // period whose recompute came back EMPTY must be dropped
-            // explicitly or it silently survives. The stale set is
-            // window-bounded (lookback + new periods), collected tiny.
+            // explicitly or it silently survives. The batch is PINNED
+            // (localCheckpoint) before anything reads it twice: the
+            // stale-set derivation and the partition write MUST see the
+            // same rows — re-evaluating a nondeterministic or
+            // moved-underneath source between the two jobs could
+            // otherwise drop a freshly written period — and the window-
+            // bounded batch is the cheap thing to materialize. The stale
+            // set itself (target periods >= start absent from the batch)
+            // is lookback-bounded, collected tiny.
+            val aligned = I.align(target, batch, inc.onSchemaChange)
+              .localCheckpoint()
             val stale =
               if (maxB == null) Seq.empty[Any]
               else target
                 .filter(c(MicrobatchCol) >=
                   I.periodsBack(flit(maxB), mb.lookback, mb.batchSize))
                 .select(c(MicrobatchCol)).distinct()
-                .join(batch.select(c(MicrobatchCol)).distinct(),
+                .join(aligned.select(c(MicrobatchCol)).distinct(),
                   Seq(MicrobatchCol), "left_anti")
                 .collect().map(_.get(0)).toSeq
             val out = sink.overwritePartitions(spark, m.layer, m.tableName,
-              I.align(target, batch, inc.onSchemaChange),
-              Seq(MicrobatchCol), layout)
+              aligned, Seq(MicrobatchCol), layout)
             if (stale.nonEmpty) {
               sink.dropPartitions(spark, m.layer, m.tableName,
                 MicrobatchCol, stale)

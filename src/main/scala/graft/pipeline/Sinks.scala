@@ -226,13 +226,24 @@ final class ParquetSink(warehouseDir: String) extends TableSink {
 
   override def dropPartitions(spark: SparkSession, layer: String,
       name: String, partCol: String, values: Seq[Any]): Unit = {
-    // Hive-style partition directories: <table>/<col>=<value>. One
-    // metadata delete per stale period — window-bounded, never a rewrite.
+    // Hive-style partition directories: <table>/<col>=<value>, with the
+    // value HIVE-ESCAPED exactly as the partitioned write produced it (a
+    // ':' or ' ' in a string period is %-encoded on disk — an unescaped
+    // lookup would miss the directory and silently keep the stale
+    // partition this method exists to remove). One metadata delete per
+    // stale period — window-bounded, never a rewrite — and the removal
+    // is VERIFIED: fs.delete returns false instead of throwing on a
+    // miss, so success is the directory being gone, not the call
+    // returning.
     val conf = spark.sessionState.newHadoopConf()
     values.foreach { v =>
-      val dir = new org.apache.hadoop.fs.Path(
-        s"${path(layer, name)}/$partCol=${String.valueOf(v)}")
-      dir.getFileSystem(conf).delete(dir, true)
+      val dir = new org.apache.hadoop.fs.Path(path(layer, name) + "/" +
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(partCol, String.valueOf(v)))
+      val fs = dir.getFileSystem(conf)
+      fs.delete(dir, true)
+      require(!fs.exists(dir),
+        s"dropPartitions: $dir still exists after delete")
     }
   }
 
@@ -428,9 +439,21 @@ class CatalogSink(format: String = "parquet",
         ordered.write.mode("overwrite").format(format).saveAsTable(staging)
         spark.table(staging)
       }
-    writeDf.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .insertInto(ident(layer, name))
+    // Dynamic mode must come from the SESSION conf here:
+    // DataFrameWriter.insertInto drops writer options on the catalog
+    // path (unlike path-based writes, where ParquetSink's option works),
+    // so an `.option("partitionOverwriteMode", "dynamic")` silently
+    // degrades to STATIC overwrite — replacing the WHOLE table with the
+    // batch. Caught by the catalog-sink microbatch spec; conf is
+    // save-and-restored so a shared session keeps its setting.
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try writeDf.write.mode("overwrite").insertInto(ident(layer, name))
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
     if (selfRead) spark.sql(s"DROP TABLE $staging")
     read(spark, layer, name)
   }
@@ -452,11 +475,20 @@ class CatalogSink(format: String = "parquet",
 
   override def dropPartitions(spark: SparkSession, layer: String,
       name: String, partCol: String, values: Seq[Any]): Unit =
-    // metadata-only partition drops; Delta/Iceberg route the same SQL to
-    // a transactional partition delete
-    values.foreach(v => spark.sql(
-      s"ALTER TABLE ${ident(layer, name)} DROP IF EXISTS " +
-        s"PARTITION ($partCol='${String.valueOf(v)}')"))
+    // Two DDL dialects: Hive-catalog tables (the parquet default) take
+    // `ALTER TABLE … DROP PARTITION`; Delta/Iceberg do NOT support that
+    // statement — their idiom is `DELETE FROM … WHERE partCol = v`,
+    // which both formats execute as a transactional, partition-aligned
+    // metadata delete (no row rewrite when the predicate covers whole
+    // partitions). Routed on the same seam as MERGE capability.
+    values.foreach { v =>
+      val lit = s"'${String.valueOf(v).replace("'", "''")}'"
+      if (mergeCapable)
+        spark.sql(s"DELETE FROM ${ident(layer, name)} WHERE $partCol = $lit")
+      else
+        spark.sql(s"ALTER TABLE ${ident(layer, name)} DROP IF EXISTS " +
+          s"PARTITION ($partCol=$lit)")
+    }
 
   override def exists(spark: SparkSession, layer: String, name: String): Boolean =
     spark.catalog.databaseExists(database(layer)) &&

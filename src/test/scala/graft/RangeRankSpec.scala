@@ -54,6 +54,28 @@ class RangeRankSpec extends SparkSpec {
     }
   }
 
+  test("NULL group: ranks match the window form — a NULL group is its " +
+      "own ordinary group, never silently dropped") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, Some("en"), 5), (2L, None, 3), (3L, None, 7),
+      (4L, Some("de"), 1), (5L, None, 3))
+      .toDF("id", "grp", "v")
+      .select(col("id"), col("grp"), col("v"))
+    val got = RangeRank.rank(base, Seq("grp"),
+        Seq(col("v"), col("id")), "rk", Some("n"))
+      .collect().map(r => (r.getAs[Long]("id"),
+        (r.getAs[Int]("rk"), r.getAs[Long]("n")))).toMap
+    val w = Window.partitionBy("grp")
+    val want = base
+      .withColumn("rk", row_number().over(w.orderBy(col("v"), col("id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .collect().map(r => (r.getAs[Long]("id"),
+        (r.getAs[Int]("rk"), r.getAs[Long]("n")))).toMap
+    assert(got.size == 5, "no row may vanish through the offsets join")
+    assert(got == want)
+  }
+
   test("recomputation-stable: two independent rank() calls agree exactly " +
       "(the checkpoint pins partition layout — no boundary-resample drift)") {
     val base = docs.select(col("doc_id"), col("source"),

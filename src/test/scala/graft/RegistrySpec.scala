@@ -693,6 +693,35 @@ class RegistrySpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       Registry.topoOrderOf(Registry.models :+ dupName))
     assert(e2.getMessage.contains("duplicate model names"))
+    // a VIEW never writes through the sink, so sharing a relation name
+    // with a table is not a materialization collision
+    val viewTwin = Registry.Model("silver_orders_view", "silver",
+      Registry.View, Seq.empty,
+      (s, d, _) => graft.silver.Silver.orders(s, d),
+      alias = Some("silver_orders"))
+    Registry.topoOrderOf(Registry.models :+ viewTwin)
+  }
+
+  test("catalog sink microbatch: the zero-row window period drops via " +
+      "catalog partition DDL, not just directory deletes") {
+    import spark.implicits._
+    def feed(rows: Seq[(String, Long)]) = rows.toDF("ts_s", "id")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("id"))
+    var src = feed(Seq(("2001-01-01 10:00:00", 1L),
+      ("2001-01-02 10:00:00", 2L), ("2001-01-03 10:00:00", 3L)))
+    val mdl = Seq(Registry.Model("mb_cat_zero", "gold",
+      Registry.Incremental(None, "ts",
+        strategy = Registry.IncStrategy.Microbatch("ts", "day", lookback = 1)),
+      Seq.empty, (_, _, _) => src))
+    val sink = new graft.pipeline.CatalogSink()
+    Registry.run(spark, Sf0001, sink, all = mdl)
+    src = feed(Seq(("2001-01-01 10:00:00", 1L),
+      ("2001-01-02 10:00:00", 2L), ("2001-01-02 11:00:00", 20L)))
+    val out = Registry.run(spark, Sf0001, sink, all = mdl)
+    val ids = out("mb_cat_zero").select("id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 20L),
+      "day 3 (zero-row recompute inside the window) must vanish from " +
+        "the catalog table; day 1 (outside the window) survives")
   }
 
   test("databaseName falls back to built-in trim/upper routing when the " +
