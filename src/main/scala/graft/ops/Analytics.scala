@@ -188,19 +188,19 @@ object Analytics {
     * `quantile_cont`) differ across engines by summation-formula ulps AND
     * Spark's exact `percentile` buffers whole groups in memory — so this
     * uses the nearest-rank definition instead: the value at row
-    * ⌈p·n⌉ of the group's sort order, computed with a rank window and
-    * pure integer rank arithmetic (`⌈p·n⌉` as `(p·n + denom-1) div
-    * denom`), bit-identical in both engines and scale-safe (one window
-    * sort per group — Spark's standard disk-spilling sort, no in-memory
-    * group buffer). */
+    * ⌈p·n⌉ of the group's sort order, computed with pure integer rank
+    * arithmetic (`⌈p·n⌉` as `(p·n + denom-1) div denom`), bit-identical
+    * in both engines. The rank itself is
+    * [[graft.ops.RangeRank.rank]]'s distributed sort — a
+    * `PARTITION BY order_year` window would put each year (corpus/years
+    * rows) through ONE task; the range-staged rank is bit-identical and
+    * partition-parallel, so the oracle's window form stays verbatim. */
   def orderPercentiles(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("order_year").orderBy("order_amount", "order_id")
-    val n = Window.partitionBy("order_year")
-    val ranked = graft.silver.Silver.orders(spark, dir)
-      .select(col("order_year"), col("order_id"), col("order_amount"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(n))
+    val ranked = graft.ops.RangeRank.rank(
+      graft.silver.Silver.orders(spark, dir)
+        .select(col("order_year"), col("order_id"), col("order_amount")),
+      Seq("order_year"), Seq(col("order_amount"), col("order_id")),
+      "rn", Some("n"))
     ranked.groupBy("order_year")
       .agg(
         max(col("n")).as("n_orders"),

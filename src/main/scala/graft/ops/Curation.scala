@@ -415,9 +415,12 @@ object Curation {
     *
     * Shape: the key is a map-side expression; shard assignment is the
     * 16-bit nibble slice mod [[ShuffleShards]] (uniform across shards);
-    * the per-shard `row_number` is shard-parallel — at 100 TB each shard
-    * sequence is an independent distributed sort of |corpus|/shards
-    * keys, and a reader of shard s touches only its partition. */
+    * the per-shard sequence is [[RangeRank]]'s distributed rank — a
+    * `PARTITION BY shard_id` window would make each shard ONE task
+    * (|corpus|/16 rows through a single sort at 100 TB, the same weak
+    * class the round-10 selection fixes removed); the range-staged rank
+    * is bit-identical and partition-parallel, and a reader of shard s
+    * still touches only its rows. */
   def shuffleShards(spark: SparkSession, dir: String,
       epoch: Int = 0): DataFrame = {
     val keyed = documents(spark, dir)
@@ -426,10 +429,9 @@ object Curation {
       .withColumn("shard_id",
         (expr(TextOps.md5U16Expr(s"concat('epoch$epoch:', cast(doc_id as string))"))
           % ShuffleShards).cast("int"))
-    keyed
-      .withColumn("seq", row_number().over(
-        Window.partitionBy("shard_id")
-          .orderBy(col("order_key"), col("doc_id"))).cast("bigint"))
+    RangeRank.rank(keyed, Seq("shard_id"),
+        Seq(col("order_key"), col("doc_id")), "seq")
+      .withColumn("seq", col("seq").cast("bigint"))
       .select("doc_id", "shard_id", "seq", "order_key")
   }
 

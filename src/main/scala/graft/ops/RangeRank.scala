@@ -98,4 +98,40 @@ object RangeRank {
     }
     withCount.drop("_rr_pid", "_rr_mid", "_rr_m0", "_rr_off", "_rr_gn")
   }
+
+  /** Exact running SUM of `valueCol` over `orderCols` within each group —
+    * bit-identical to `sum(v).over(Window.partitionBy(groups)
+    * .orderBy(order).rowsBetween(unboundedPreceding, currentRow))`, with
+    * no corpus-bound window partition: the same range-stage + pinned
+    * layout as [[rank]], per-(partition, group) VALUE sums turned into
+    * broadcast offsets, and the only data-sized window partitioned by
+    * (partition id, group) — one range slice per task, never one group
+    * per task. This is what sequence PACKING needs at 100 TB: a
+    * per-stratum running token total where one stratum may be most of
+    * the corpus. */
+  def cumSum(df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column],
+      valueCol: String, cumName: String): DataFrame = {
+    val parted = staged(df, groupCols, orderCols).localCheckpoint()
+    val keys = "_rr_pid" +: groupCols
+    val grpStats = parted.groupBy(keys.map(col): _*)
+      .agg(sum(col(valueCol)).as("_rr_cnt"))
+    val offW =
+      if (groupCols.isEmpty) Window.orderBy(col("_rr_pid"))
+      else Window.partitionBy(groupCols.map(col): _*).orderBy(col("_rr_pid"))
+    val offs = grpStats
+      .withColumn("_rr_off", coalesce(sum(col("_rr_cnt")).over(
+        offW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(keys.map(k => col(k).as(s"_rr_k_$k")) :+ col("_rr_off"): _*)
+    val cond = keys.map(k => col(k) <=> col(s"_rr_k_$k")).reduce(_ && _)
+    // the running sum within the range slice: window partition =
+    // (pid, group) = one slice of one partition — bounded by the range
+    // partitioner's row balance, NOT by group size
+    val localW = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted.join(broadcast(offs), cond)
+      .drop(keys.map(k => s"_rr_k_$k"): _*)
+      .withColumn(cumName, sum(col(valueCol)).over(localW) + col("_rr_off"))
+      .drop("_rr_pid", "_rr_mid", "_rr_off")
+  }
 }

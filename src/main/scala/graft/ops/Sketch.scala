@@ -453,8 +453,12 @@ object Sketch {
       min(when(col("cum") >= expr("(n * 50 + 99) div 100"), col("upper"))).as("e50"),
       min(when(col("cum") >= expr("(n * 90 + 99) div 100"), col("upper"))).as("e90"),
       min(when(col("cum") >= expr("(n * 99 + 99) div 100"), col("upper"))).as("e99"))
-    val wr = Window.orderBy("c")
-    val exact = cents.withColumn("rn", row_number().over(wr))
+    // the exact side's global rank is RangeRank's distributed sort (an
+    // unpartitioned row_number window is one task for every event at
+    // scale); ties on c get arbitrary rank order either way, but the
+    // VALUE extracted at rank k is deterministic — all ties carry the
+    // same c, which is the column being read
+    val exact = RangeRank.rank(cents, Seq.empty, Seq(col("c")), "rn")
       .crossJoin(broadcast(est))
       .agg(
         max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("c"))).as("x50"),

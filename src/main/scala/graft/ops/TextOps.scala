@@ -795,22 +795,20 @@ object TextOps {
     * the sequence holding its first token. Emits the per-sequence audit
     * (docs, tokens, fill) a packing job publishes before training.
     *
-    * Shape: one cumulative-sum window per stratum + one hash aggregate —
-    * integer arithmetic throughout (token estimate = ceil(n_chars/4),
-    * the [[textStats]] budget column), deterministic total order
-    * (doc_id). Scale: the window partitions by stratum, so parallelism =
-    * number of strata — which is exactly how production packing runs
-    * (per-shard packing inside a deterministically hash-split corpus,
-    * [[hashSplit]]); a single global pack order would serialize the
-    * corpus through one partition AND make every sequence boundary
-    * depend on every earlier byte. */
+    * Shape: one distributed running sum per stratum ([[RangeRank.cumSum]]
+    * — range exchange + broadcast offsets, bit-identical to the
+    * per-stratum window form) + one hash aggregate — integer arithmetic
+    * throughout (token estimate = ceil(n_chars/4), the [[textStats]]
+    * budget column), deterministic total order (doc_id). Scale: a
+    * `PARTITION BY lang` window would put each stratum in ONE task
+    * (most of the corpus for a dominant language); the range-staged
+    * cumulative sum keeps parallelism at the partition count while the
+    * sequence boundaries stay exactly the declared per-stratum running
+    * order. */
   def pack(spark: SparkSession, dir: String, seqLen: Int = PackSeqLen): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents(spark, dir)
+    val docs = documents(spark, dir)
       .withColumn("tok", ceil(col("n_chars") / lit(4.0)).cast("bigint"))
-      .withColumn("cum", sum(col("tok")).over(w))
+    RangeRank.cumSum(docs, Seq("lang"), Seq(col("doc_id")), "tok", "cum")
       .withColumn("seq_id", expr(s"(cum - tok) div $seqLen"))
       .groupBy("lang", "seq_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))

@@ -34,14 +34,13 @@ object CorpusPipeline {
 
   /** [[graft.ops.TextOps.pack]] over an arbitrary (stratum, doc_id,
     * token count) frame — the DAG variant packs the CLEAN corpus using
-    * token estimates already materialized in `corpus_clean`. */
+    * token estimates already materialized in `corpus_clean`. The running
+    * total is [[graft.ops.RangeRank.cumSum]] (range-staged, broadcast
+    * offsets), not a per-stratum window — one stratum is NOT one task. */
   def packFrom(docs: DataFrame, stratumCol: String, tokCol: String,
       seqLen: Int = TextOps.PackSeqLen): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(stratumCol).orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .withColumn("cum", sum(col(tokCol)).over(w))
+    graft.ops.RangeRank.cumSum(docs, Seq(stratumCol),
+        Seq(col("doc_id")), tokCol, "cum")
       .withColumn("seq_id", expr(s"(cum - $tokCol) div $seqLen"))
       .groupBy(stratumCol, "seq_id")
       .agg(count(lit(1)).as("n_docs"), sum(col(tokCol)).as("n_tokens"))

@@ -76,6 +76,25 @@ class RangeRankSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("cumSum == running sum window over (group, order): bit-identical, " +
+      "including NULL groups") {
+    import spark.implicits._
+    val base = docs.select(col("doc_id"), col("lang"),
+      length(col("text")).cast("long").as("v"))
+      .unionByName(Seq((900001L, null.asInstanceOf[String], 7L))
+        .toDF("doc_id", "lang", "v"))
+    val got = graft.ops.RangeRank.cumSum(base, Seq("lang"),
+        Seq(col("doc_id")), "v", "cum")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum")))
+      .toMap
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = base.withColumn("cum", sum(col("v")).over(w))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum")))
+      .toMap
+    assert(got == want)
+  }
+
   test("recomputation-stable: two independent rank() calls agree exactly " +
       "(the checkpoint pins partition layout — no boundary-resample drift)") {
     val base = docs.select(col("doc_id"), col("source"),
