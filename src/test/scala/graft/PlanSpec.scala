@@ -226,12 +226,17 @@ class PlanSpec extends SparkSpec {
       s"a single-partition exchange IS the single-task sort this " +
         s"operator exists to avoid:\n$st")
     // final plans: the only windows are the offset sums over the
-    // per-(partition, group) count aggregate (≤ partitions + groups rows)
+    // per-(partition, group) aggregate (≤ partitions + groups rows) and,
+    // for cumSum consumers, the (partition id, group)-bounded local
+    // running sum — never a group- or corpus-bound partition
     for ((name, df) <- Seq(
         ("dsir_select", graft.ops.Curation.dsirSelect(spark, Sf0001)),
         ("ppl_buckets", graft.ops.Curation.pplBuckets(spark, Sf0001)),
         ("quality_by_source",
-          graft.ops.Curation.qualityBySource(spark, Sf0001)))) {
+          graft.ops.Curation.qualityBySource(spark, Sf0001)),
+        ("shuffle_shards", graft.ops.Curation.shuffleShards(spark, Sf0001)),
+        ("order_percentiles",
+          graft.ops.Analytics.orderPercentiles(spark, Sf0001)))) {
       val p = plan(df)
       assert(!p.contains("row_number"),
         s"$name: the corpus-bound row_number window must be gone:\n$p")
@@ -242,6 +247,16 @@ class PlanSpec extends SparkSpec {
         s"$name: every Window must aggregate the tiny offset frame " +
           s"(_rr_cnt), never corpus rows:\n${windows.mkString("\n")}")
     }
+    // cumSum consumers (pack): the local running sum is a Window, but
+    // its partition spec leads with _rr_pid — one range slice per task,
+    // never one stratum per task
+    val pk = plan(graft.ops.TextOps.pack(spark, Sf0001))
+    assert(!pk.contains("row_number"), s"pack must not rank:\n$pk")
+    val pkWindows = pk.linesIterator.filter(_.contains("Window")).toSeq
+    assert(pkWindows.forall(w =>
+      w.contains("_rr_cnt") || w.contains("_rr_pid")),
+      s"pack: every Window is either the tiny offset sum or the " +
+        s"(pid, stratum)-bounded local running sum:\n${pkWindows.mkString("\n")}")
   }
 
   test("weighted sample: map-only corpus pass — one scalar-total " +
