@@ -70,10 +70,12 @@ object DataQuality {
           "tests/generic/ — custom generic tests must be defined as " +
           "{% test " + ct.test + "(model, column_name, ...) %} or " +
           s"{% macro $macroName(...) %}")
-      val named = Map[String, Any](
-        "model" -> s"{{ ${ct.relation} }}",
-        "column_name" -> ct.column) ++
-        ct.args.map { case (k, v) => k -> (v: Any) }
+      // model-level tests (empty column) bind only `model` + kwargs —
+      // the dbt calling convention for entity-scoped generic tests
+      val base = Map[String, Any]("model" -> s"{{ ${ct.relation} }}")
+      val named =
+        (if (ct.column.isEmpty) base else base + ("column_name" -> ct.column)) ++
+          ct.args.map { case (k, v) => k -> (v: Any) }
       ct.checkName -> lib.call(macroName, Seq.empty, Map.empty, named)
     }
 

@@ -77,7 +77,9 @@ object SchemaYaml {
     test: String,
     relation: String,
     args: Map[String, Any]) {
-    def checkName: String = s"$table.$column.$test"
+    /** Model-level tests (empty `column`) name as `table.test`. */
+    def checkName: String =
+      if (column.isEmpty) s"$table.$test" else s"$table.$column.$test"
   }
 
   final case class Loaded(
@@ -148,6 +150,33 @@ object SchemaYaml {
     var rels = Vector.empty[(String, String, String, String, String)]
     var configs = Map.empty[String, TestConfig]
     var customs = Vector.empty[CustomTest]
+    // MODEL-LEVEL data_tests (dbt: tests declared on the entity, not a
+    // column) — necessarily custom generic tests: the four built-ins are
+    // column-scoped by definition, so a built-in name here is a schema
+    // error, not a check. The test macro receives `model` (and kwargs)
+    // with no column_name; its check name is table.<test>.
+    val IdentRe = raw"^\w+$$".r
+    val Builtins = Set("unique", "not_null", "accepted_values",
+      "relationships")
+    def modelLevel(test: String, body: Any): Unit = {
+      require(IdentRe.findFirstIn(test).isDefined,
+        s"$table: test name '$test' is not an identifier")
+      require(!Builtins.contains(test),
+        s"$table: built-in test '$test' is column-scoped — declare it " +
+          "under a column, not on the model")
+      customs :+= CustomTest(table, "", test, relation,
+        asMap(body) - "config")
+      val cfg = TestConfig(asMap(asMap(body).getOrElse("config", null)))
+      if (cfg != TestConfig.default) configs += s"$table.$test" -> cfg
+    }
+    (asList(entity.getOrElse("tests", null)) ++
+      asList(entity.getOrElse("data_tests", null))).foreach {
+      case s: String => modelLevel(s, null)
+      case m: java.util.Map[_, _] =>
+        asMap(m).foreach { case (k, body) => modelLevel(k, body) }
+      case other => throw new IllegalArgumentException(
+        s"$table: unknown model-level test '$other'")
+    }
     asList(entity.getOrElse("columns", null)).map(asMap).foreach { colSpec =>
       val colName = String.valueOf(colSpec("name"))
       // a test's config lives under its map form's `config:` key; only
@@ -164,7 +193,6 @@ object SchemaYaml {
       // a custom test name must be a plausible macro identifier — a
       // mistyped BUILT-IN (e.g. 'uniqe') also lands here, and fails
       // loudly later when no test_<name> macro exists
-      val IdentRe = raw"^\w+$$".r
       def customOf(test: String, body: Any): Unit = {
         require(IdentRe.findFirstIn(test).isDefined,
           s"$table.$colName: test name '$test' is not an identifier")

@@ -452,12 +452,14 @@ class PlanSpec extends SparkSpec {
       "minhash_lsh" -> shuffles(Dedup.minhashLsh(spark, Sf0001)),
       "tpch_q2" -> shuffles(TpchSuite.minCostSupplier(spark, Sf0001)),
       "corpus_clean" -> shuffles(Corpus.corpusClean(spark, Sf0001)))
-    // dq_summary 33 → 35 in round 10: the two checked-in custom generic
-    // tests (within_range, not_empty_string) each add one counted branch
-    // over the silver_payments chain — justified: a custom test is
-    // arbitrary SQL and cannot fold into the table's single-pass agg.
+    // dq_summary 33 → 36 in round 10: the three checked-in custom
+    // generic tests (within_range, not_empty_string, and the
+    // model-level at_least_n_rows) each add one counted branch over the
+    // silver_payments chain — justified: a custom test is arbitrary SQL
+    // and cannot fold into the table's single-pass agg (dbt runs each
+    // test as its own query too).
     assert(counts == Map(
-      "dq_summary" -> 35, "minhash_lsh" -> 15,
+      "dq_summary" -> 36, "minhash_lsh" -> 15,
       "tpch_q2" -> 5, "corpus_clean" -> 26), counts.toString)
   }
 

@@ -277,6 +277,36 @@ class SchemaYamlSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("identifier"))
   }
 
+  test("model-level data_tests: entity-scoped custom tests parse with " +
+      "empty column and table.test naming; built-ins there are rejected") {
+    val loaded = SchemaYaml.parse(Seq(
+      """models:
+        |  - name: m1
+        |    data_tests:
+        |      - at_least_n_rows:
+        |          n: 5
+        |    columns:
+        |      - name: v
+        |        tests: [unique]
+        |""".stripMargin))
+    val ct = loaded.customTests.find(_.test == "at_least_n_rows").get
+    assert(ct.column.isEmpty && ct.checkName == "m1.at_least_n_rows")
+    assert(ct.args == Map("n" -> 5))
+    assert(loaded.inventory.head.uniques == Seq("v"),
+      "column tests still load beside model-level ones")
+    val e = intercept[IllegalArgumentException](SchemaYaml.parse(Seq(
+      """models:
+        |  - name: m1
+        |    data_tests: [unique]
+        |""".stripMargin)))
+    assert(e.getMessage.contains("column-scoped"))
+    // the checked-in model-level test renders with model + kwargs only
+    val sql = graft.quality.DataQuality.customTestSql.toMap
+      .apply("silver_payments.at_least_n_rows")
+    assert(sql.contains("{{ ref('silver_payments') }}") &&
+      sql.contains("c < 1") && !sql.contains("column_name"))
+  }
+
   test("custom generic tests render through the macro library into the " +
       "violating-rows SQL dq_summary evaluates (both dbt spellings)") {
     // the checked-in tests/generic/ definitions + silver.yml attachment
