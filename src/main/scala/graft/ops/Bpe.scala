@@ -104,7 +104,7 @@ object Bpe {
   private def trainLoopUncached(spark: SparkSession, dir: String,
       numMerges: Int): (Seq[(Int, String, String, String, Long)], DataFrame) = {
     import spark.implicits._
-    var v = dict0(spark, dir).localCheckpoint()
+    var v = graft.model.Stage.pin(dict0(spark, dir))
     val out = Seq.newBuilder[(Int, String, String, String, Long)]
     for (i <- 1 to numMerges) {
       val pairs = v

@@ -234,7 +234,7 @@ object Curation {
   private[graft] def dsirScored(spark: SparkSession, dir: String): DataFrame = {
     val docs = documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("th"))
-    val hist = dsirHist(spark, dir).localCheckpoint()
+    val hist = graft.model.Stage.pin(dsirHist(spark, dir))
     val bucketCounts = hist.groupBy("bucket").agg(
       sum(col("cnt") * col("n_tgt_t")).as("ct"),
       sum(col("cnt") * col("n_docs_t")).as("cr"))

@@ -289,7 +289,7 @@ object Dedup {
     // both sides of the pair join); checkpoint the exploded list so the
     // gram hashing runs once, not once per consumer
     val reps = docs.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
-    val fp = TextOps.winnowFingerprints(reps).localCheckpoint()
+    val fp = graft.model.Stage.pin(TextOps.winnowFingerprints(reps))
     val keep = fp.groupBy("fingerprint").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, MaxFingerprintDocFrequency))
       .select("fingerprint")
@@ -349,12 +349,13 @@ object Dedup {
     * — an O(rounds) driver scalar, not a data collect. Rounds are bounded
     * by `maxRounds` with a clear error rather than looping forever.
     *
-    * Lineage per round is truncated by `localCheckpoint` (blocks on this
-    * JVM's executors; recomputed-from-nothing on executor loss). Passing
-    * `checkpointDir` switches to reliable `checkpoint()` — blocks persisted
-    * to the shared directory survive executor loss, the right trade on a
-    * long-running 1000-executor job where a lost executor mid-iteration
-    * would otherwise kill the whole run. */
+    * Lineage per round is truncated by [[graft.model.Stage.pin]] —
+    * executor-local blocks by default, durable scratch-dir parquet when
+    * `spark.graft.stage.dir` is set (the cluster-grade form: stage files
+    * survive executor loss, so a lost executor mid-iteration recomputes
+    * instead of killing the run). Passing `checkpointDir` explicitly
+    * instead switches to reliable RDD `checkpoint()` under that
+    * directory — same fault-tolerance, Spark's own mechanism. */
   /** One propagate step: every node takes the min label among itself and
     * its neighbors. Exactly one shuffle pair — the edge⋈label equi-join
     * on `node` and the min aggregate (PlanSpec pins the Exchange count so
@@ -403,7 +404,7 @@ object Dedup {
       case Some(d) =>
         spark.sparkContext.setCheckpointDir(d)
         df => df.checkpoint()
-      case None => df => df.localCheckpoint()
+      case None => graft.model.Stage.pin
     }
     try {
     // materialize the pair list FIRST: `pairs` is typically an expensive
@@ -502,11 +503,11 @@ object Dedup {
   private[graft] def pagerankFrom(pairs: DataFrame,
       iters: Int = PagerankIters,
       damping: Double = PagerankDamping): DataFrame = {
-    val ab = pairs.toDF("doc_a", "doc_b").localCheckpoint()
+    val ab = graft.model.Stage.pin(pairs.toDF("doc_a", "doc_b"))
     val edges = ab.union(ab.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+    val deg = graft.model.Stage.pin(
+      edges.groupBy("src").agg(count(lit(1)).as("deg")))
     val n = deg.count()
     val teleport = (1.0 - damping) / n
     var ranks = deg.select(col("src").as("doc_id"),

@@ -235,9 +235,8 @@ object IncrementalDedup {
     // seen-before check touches only the index's key column (pruned scan);
     // RAW members, not the tombstone-filtered view — a text whose fps are
     // still physically present must not be re-fingerprinted (see [[members]])
-    val unseen = newTexts.join(
-      members(spark, root).select("text_hash"), Seq("text_hash"), "left_anti")
-      .localCheckpoint()
+    val unseen = graft.model.Stage.pin(newTexts.join(
+      members(spark, root).select("text_hash"), Seq("text_hash"), "left_anti"))
     val committed = commitStaged(spark, root,
       s"${batchesRoot(root)}/batch=$batchId") { staging =>
       // the one text-processing pass of the ingest: winnow ONLY unseen

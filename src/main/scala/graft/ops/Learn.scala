@@ -96,7 +96,7 @@ object Learn {
     * all. */
   def logregQuality(spark: SparkSession, dir: String,
       iters: Int = LogRegIters, lr: Double = LogRegLr): DataFrame = {
-    val feats = featurized(spark, dir).localCheckpoint()
+    val feats = graft.model.Stage.pin(featurized(spark, dir))
     var w = Array(0.0, 0.0, 0.0) // bias, x1, x2
     (1 to iters).foreach { _ =>
       val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")

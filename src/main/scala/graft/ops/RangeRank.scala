@@ -20,14 +20,17 @@ import org.apache.spark.sql.functions._
   *      intra-partition position, read straight off the sorted stream
   *      (ids are consecutive within a partition, so `mid - min(mid) + 1`
   *      is the local rank). No Window operator ever touches the corpus.
-  *   3. `localCheckpoint` — pins the physical layout. The per-(partition,
-  *      group) offset table below and the ranked rows MUST read the same
-  *      partitioning; exchange reuse would usually deliver that, but it
-  *      is an optimizer courtesy (a re-planned exchange re-samples range
-  *      boundaries under a fresh seed), and an exactness contract cannot
-  *      ride on optimizer luck. The checkpoint is one extra linear,
-  *      partition-parallel materialization — the same order of cost as
-  *      the sort's own shuffle files.
+  *   3. [[graft.model.Stage.pin]] — freezes one evaluation. The
+  *      per-(partition, group) offset table below and the ranked rows MUST
+  *      read the same (pid, mid) assignment; exchange reuse would usually
+  *      deliver that, but it is an optimizer courtesy (a re-planned
+  *      exchange re-samples range boundaries under a fresh seed), and an
+  *      exactness contract cannot ride on optimizer luck. The pin is one
+  *      extra linear, partition-parallel materialization — the same order
+  *      of cost as the sort's own shuffle files — and its backend is the
+  *      deployment's choice: executor-local blocks on `local[n]`, durable
+  *      scratch-dir parquet (executor-loss-tolerant) on a cluster. Both
+  *      are safe because the ids are STORED columns after the pin.
   *   4. A per-(partition, group) count aggregate — ≤ partitions + groups
   *      rows (groups are contiguous in range order, so each partition
   *      holds a handful) — turned into cumulative offsets by a window
@@ -67,7 +70,7 @@ object RangeRank {
     * IntegerType to match `row_number`. */
   def rank(df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column],
       rankName: String, groupCountName: Option[String] = None): DataFrame = {
-    val parted = staged(df, groupCols, orderCols).localCheckpoint()
+    val parted = graft.model.Stage.pin(staged(df, groupCols, orderCols))
     val keys = "_rr_pid" +: groupCols
     val grpStats = parted.groupBy(keys.map(col): _*)
       .agg(min(col("_rr_mid")).as("_rr_m0"), count(lit(1)).as("_rr_cnt"))
@@ -101,7 +104,11 @@ object RangeRank {
 
   /** Exact running SUM of `valueCol` over `orderCols` within each group —
     * bit-identical to `sum(v).over(Window.partitionBy(groups)
-    * .orderBy(order).rowsBetween(unboundedPreceding, currentRow))`, with
+    * .orderBy(order).rowsBetween(unboundedPreceding, currentRow))` for
+    * EXACT value types (integral / decimal — asserted below: the offset
+    * decomposition re-associates addition, which a float/double running
+    * sum is not invariant under; ulp drift from the sequential window
+    * form would break the bit-equality contract), with
     * no corpus-bound window partition: the same range-stage + pinned
     * layout as [[rank]], per-(partition, group) VALUE sums turned into
     * broadcast offsets, and the only data-sized window partitioned by
@@ -111,7 +118,17 @@ object RangeRank {
     * the corpus. */
   def cumSum(df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column],
       valueCol: String, cumName: String): DataFrame = {
-    val parted = staged(df, groupCols, orderCols).localCheckpoint()
+    import org.apache.spark.sql.types._
+    val vt = df.schema(valueCol).dataType
+    val exact = vt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    require(exact,
+      s"cumSum($valueCol): exact (integral/decimal) value type required " +
+        s"for bit-equality with the window running sum; got ${vt.simpleString}")
+    val parted = graft.model.Stage.pin(staged(df, groupCols, orderCols))
     val keys = "_rr_pid" +: groupCols
     val grpStats = parted.groupBy(keys.map(col): _*)
       .agg(sum(col(valueCol)).as("_rr_cnt"))

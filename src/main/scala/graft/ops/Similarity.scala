@@ -836,12 +836,12 @@ object Similarity {
     * rounds over the [[MmrCandidates]] IVF-served candidates.
     *
     * Scale shape: candidates come from the index ([[annIvfTopK]] —
-    * DPP-pruned lists), are localCheckpoint'ed once, and everything
-    * after is bounded per query: the pairwise-cosine table is
+    * DPP-pruned lists), are pinned once ([[graft.model.Stage.pin]]), and
+    * everything after is bounded per query: the pairwise-cosine table is
     * ≤ nCand² rows per query (the candidate POOL is the unit of work,
     * never the corpus), and each greedy round is one anti-join + one
     * grouped max + one per-query window over ≤ nCand rows. Selected
-    * sets are localCheckpoint'ed per round so the 5-round loop plans
+    * sets are pinned per round so the 5-round loop plans
     * flat instead of exponentially nesting.
     *
     * Round 1 has an empty selected set, so its score is `λ·cos` (the
@@ -851,7 +851,7 @@ object Similarity {
       nCand: Int = MmrCandidates, lam: Double = MmrLambda): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorFunctions.register(spark)
-    val cand = annIvfTopK(spark, dir, nCand).localCheckpoint()
+    val cand = graft.model.Stage.pin(annIvfTopK(spark, dir, nCand))
     val v = withNorm(spark, dir)
     val a = cand.select(col("query_id"), col("neighbor_id").as("id_a"))
       .join(v.select(col("vec_id").as("id_a"), col("vec").as("a_vec"),
@@ -859,15 +859,14 @@ object Similarity {
     val b = cand.select(col("query_id"), col("neighbor_id").as("id_b"))
       .join(v.select(col("vec_id").as("id_b"), col("vec").as("b_vec"),
         col("nrm").as("nb")), Seq("id_b"))
-    val pairs = a.join(b, Seq("query_id"))
+    val pairs = graft.model.Stage.pin(a.join(b, Seq("query_id"))
       .filter(col("id_a") =!= col("id_b"))
       .withColumn("pcos", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
-      .select("query_id", "id_a", "id_b", "pcos").localCheckpoint()
-    var selected = cand.filter(col("rank") === 1)
+      .select("query_id", "id_a", "id_b", "pcos"))
+    var selected = graft.model.Stage.pin(cand.filter(col("rank") === 1)
       .select(col("query_id"), col("neighbor_id"),
         lit(1).as("mmr_rank"), col("cosine").as("relevance"),
-        (lit(lam) * col("cosine")).as("mmr_score"))
-      .localCheckpoint()
+        (lit(lam) * col("cosine")).as("mmr_score")))
     (2 to k).foreach { r =>
       val selIds = selected.select(col("query_id"),
         col("neighbor_id").as("id_b"))
@@ -879,15 +878,14 @@ object Similarity {
         Seq("query_id", "neighbor_id"), "left_anti")
       val w = Window.partitionBy("query_id")
         .orderBy(col("mmr").desc, col("neighbor_id"))
-      selected = selected.union(
+      selected = graft.model.Stage.pin(selected.union(
         rem.join(divers, Seq("query_id", "neighbor_id"))
           .withColumn("mmr",
             lit(lam) * col("cosine") - lit(1 - lam) * col("max_sel"))
           .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
           .select(col("query_id"), col("neighbor_id"),
             lit(r).as("mmr_rank"), col("cosine").as("relevance"),
-            col("mmr").as("mmr_score")))
-        .localCheckpoint()
+            col("mmr").as("mmr_score"))))
     }
     selected
   }

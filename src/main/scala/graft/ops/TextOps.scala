@@ -1031,15 +1031,15 @@ object TextOps {
   def lmGreedyDecode(spark: SparkSession, dir: String,
       steps: Int = LmDecodeSteps): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nxt = bigramLm(spark, dir).filter(col("next_rank") === 1)
-      .select(col("w1"), col("w2")).localCheckpoint()
-    val seed = documents(spark, dir)
+    val nxt = graft.model.Stage.pin(
+      bigramLm(spark, dir).filter(col("next_rank") === 1)
+        .select(col("w1"), col("w2")))
+    val seed = graft.model.Stage.pin(documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(1)
-      .select(lit(0).as("step"), col("w").as("word"))
-      .localCheckpoint()
+      .select(lit(0).as("step"), col("w").as("word")))
     (1 to steps).foldLeft(seed) { (acc, i) =>
       val prev = acc.filter(col("step") === i - 1)
         .select(col("word").as("w1"))

@@ -432,6 +432,10 @@ object Registry {
       deferTo: Option[TableSink] = None): Map[String, DataFrame] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
+    // dbt compiles the whole project before any model runs: a custom test
+    // name with no matching macro fails HERE on every run, not on the
+    // first dq evaluation that happens to force the rendered test SQL
+    graft.quality.DataQuality.validateTestNames()
     val ordered = topoOrderOf(all)
     // dbt --state: resolve state:modified selectors against the previous
     // run's manifest (fingerprints compared by [[modifiedSince]]) — but
@@ -557,7 +561,7 @@ object Registry {
             // only replaces periods the batch carries, so a window
             // period whose recompute came back EMPTY must be dropped
             // explicitly or it silently survives. The batch is PINNED
-            // (localCheckpoint) before anything reads it twice: the
+            // ([[graft.model.Stage.pin]]) before anything reads it twice: the
             // stale-set derivation and the partition write MUST see the
             // same rows — re-evaluating a nondeterministic or
             // moved-underneath source between the two jobs could
@@ -565,8 +569,8 @@ object Registry {
             // bounded batch is the cheap thing to materialize. The stale
             // set itself (target periods >= start absent from the batch)
             // is lookback-bounded, collected tiny.
-            val aligned = I.align(target, batch, inc.onSchemaChange)
-              .localCheckpoint()
+            val aligned = graft.model.Stage.pin(
+              I.align(target, batch, inc.onSchemaChange))
             val stale =
               if (maxB == null) Seq.empty[Any]
               else target

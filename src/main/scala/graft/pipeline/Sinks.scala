@@ -234,13 +234,23 @@ final class ParquetSink(warehouseDir: String) extends TableSink {
     // stale period — window-bounded, never a rewrite — and the removal
     // is VERIFIED: fs.delete returns false instead of throwing on a
     // miss, so success is the directory being gone, not the call
-    // returning.
+    // returning. The directory must also exist BEFORE the delete: the
+    // values were just read from the target table, so a computed path
+    // that is absent means String.valueOf(v) diverged from Spark's
+    // on-disk partition-value rendering (e.g. a timestamp's trailing
+    // '.0') — without this gate the delete silently misses, the
+    // post-check still passes, and the stale partition survives: the
+    // exact failure this method exists to prevent.
     val conf = spark.sessionState.newHadoopConf()
     values.foreach { v =>
       val dir = new org.apache.hadoop.fs.Path(path(layer, name) + "/" +
         org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .getPartitionPathString(partCol, String.valueOf(v)))
       val fs = dir.getFileSystem(conf)
+      require(fs.exists(dir),
+        s"dropPartitions: $dir not found — the stale value '$v' was read " +
+          "from the table, so its directory must exist; the rendered " +
+          "path diverges from the partitioned write's layout")
       fs.delete(dir, true)
       require(!fs.exists(dir),
         s"dropPartitions: $dir still exists after delete")

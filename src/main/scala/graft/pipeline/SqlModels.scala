@@ -475,17 +475,6 @@ object SqlModels {
     (raw"(?s)\{%-?\s*snapshot\s+(\w+)\s*-?%\}" +
       raw"(.*?)\{%-?\s*endsnapshot\s*-?%\}").r
 
-  /** Load dbt snapshot blocks from a `snapshots/` directory — dbt's
-    * native snapshot authoring form: each file carries one or more
-    * `snapshot <name>` … `endsnapshot` blocks whose body is a config
-    * (`unique_key=`, `strategy=`, `updated_at=`/`check_cols=`,
-    * `invalidate_hard_deletes=`) plus a SELECT; the `snapshot`
-    * materialization is implied by the block form, exactly as in dbt.
-    * Blocks land in the `snapshots` layer (dbt's default
-    * target-schema-adjacent placement) and run through the same
-    * [[Registry.Snapshot]] SCD2 machinery as config-authored models. An
-    * absent directory yields no models (the reference's own `snapshots/`
-    * is empty — the declared intent these blocks complete). */
   /** dbt `analyses/` — COMPILE-ONLY SQL (the reference declares the
     * directory, `analyses/.gitkeep`): each file renders through the full
     * model pipeline — macro expansion, the Jinja engine, ref/source/var/
@@ -528,6 +517,17 @@ object SqlModels {
     spark.sql(r.sql)
   }
 
+  /** Load dbt snapshot blocks from a `snapshots/` directory — dbt's
+    * native snapshot authoring form: each file carries one or more
+    * `snapshot <name>` … `endsnapshot` blocks whose body is a config
+    * (`unique_key=`, `strategy=`, `updated_at=`/`check_cols=`,
+    * `invalidate_hard_deletes=`) plus a SELECT; the `snapshot`
+    * materialization is implied by the block form, exactly as in dbt.
+    * Blocks land in the `snapshots` layer (dbt's default
+    * target-schema-adjacent placement) and run through the same
+    * [[Registry.Snapshot]] SCD2 machinery as config-authored models. An
+    * absent directory yields no models (the reference's own `snapshots/`
+    * is empty — the declared intent these blocks complete). */
   def loadSnapshots(root: File,
       macroLib: Macros.Library = Macros.default,
       project: ProjectYaml.Project = ProjectYaml.default): Seq[Registry.Model] = {

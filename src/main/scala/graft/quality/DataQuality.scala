@@ -79,6 +79,23 @@ object DataQuality {
       ct.checkName -> lib.call(macroName, Seq.empty, Map.empty, named)
     }
 
+  /** dbt's parse-then-compile gate, forced by [[graft.pipeline.Registry.run]]
+    * on every run set: every YAML-declared custom test name must resolve
+    * to a `test_<name>` macro — dbt surfaces "no matching test macro" at
+    * compile on EVERY invocation, so a mistyped built-in ('uniqe', which
+    * parses as a CustomTest) must fail loudly on runs that never evaluate
+    * a dq check, not lie dormant until [[customTestSql]] is forced. A
+    * working directory with no layer YAML (the engine jar running outside
+    * a project checkout) has nothing to validate and skips. */
+  def validateTestNames(): Unit = {
+    val root = new java.io.File(
+      sys.props.getOrElse("graft.models.root", "models"))
+    val hasYaml = Option(root.listFiles()).getOrElse(Array.empty).exists(d =>
+      d.isDirectory && Option(d.listFiles()).getOrElse(Array.empty)
+        .exists(f => f.getName.endsWith(".yml") || f.getName.endsWith(".yaml")))
+    if (hasYaml) customTestSql.foreach(_ => ())
+  }
+
   /** Source freshness thresholds from the YAML `config.freshness` block
     * (bronze.yml: warn 24h / error 48h), with dbt-default-free fallbacks
     * only if a project declares none. */

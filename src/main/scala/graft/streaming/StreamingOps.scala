@@ -669,8 +669,8 @@ object StreamingOps {
             // past the drift budget mid-stream: retrain from the
             // warehouse rows, rewrite the assignments, and hand the new
             // quantizer to every batch after this one
-            val all = sink.read(spark, layer, name)
-              .select("vec_id", "vec", "nrm").localCheckpoint()
+            val all = graft.model.Stage.pin(sink.read(spark, layer, name)
+              .select("vec_id", "vec", "nrm"))
             val fresh = Similarity.retrainFrom(spark, all, all.count())
             sink.overwrite(spark, layer, name,
               Similarity.buildListsFrom(all, fresh)

@@ -105,4 +105,59 @@ class RangeRankSpec extends SparkSpec {
       .toMap
     assert(one() == one())
   }
+
+  test("cumSum rejects inexact value types: the offset decomposition " +
+      "re-associates addition, which only integral/decimal survive") {
+    val base = docs.select(col("doc_id"), col("lang"),
+      (length(col("text")) * 0.5).as("v"))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.RangeRank.cumSum(base, Seq("lang"), Seq(col("doc_id")),
+        "v", "cum")
+    }
+    assert(e.getMessage.contains("exact (integral/decimal)"))
+  }
+
+  test("reliable stage backend (spark.graft.stage.dir): rank and cumSum " +
+      "bit-identical to the window forms through durable scratch parquet") {
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_stage").toString
+    spark.conf.set(graft.model.Stage.DirKey, scratch)
+    try {
+      val base = docs.select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("v"))
+      val gotRk = RangeRank.rank(base, Seq("lang"),
+          Seq(col("v").desc, col("doc_id")), "rk", Some("n"))
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          (r.getAs[Int]("rk"), r.getAs[Long]("n")))).toMap
+      val w = Window.partitionBy("lang")
+      val wantRk = base.withColumn("rk", row_number().over(
+          w.orderBy(col("v").desc, col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(w))
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          (r.getAs[Int]("rk"), r.getAs[Long]("n")))).toMap
+      assert(gotRk == wantRk)
+      val gotCum = RangeRank.cumSum(base, Seq("lang"),
+          Seq(col("doc_id")), "v", "cum")
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum")))
+        .toMap
+      val wantCum = base.withColumn("cum", sum(col("v")).over(
+          Window.partitionBy("lang").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum")))
+        .toMap
+      assert(gotCum == wantCum)
+      // the reliable path was actually taken: stage directories exist on
+      // the scratch filesystem (this is what survives an executor loss —
+      // downstream stages recompute from these files instead of aborting
+      // on vanished executor-local blocks)
+      val staged = new java.io.File(scratch).listFiles()
+        .filter(_.getName.startsWith("stage-"))
+      assert(staged.length >= 2, "every pin must write a durable stage")
+      assert(staged.forall(d => new java.io.File(d, "_SUCCESS").exists()),
+        "each stage is a completed parquet write")
+      // recycling the scratch dir between runs is the caller's contract
+      graft.model.Stage.clear(spark)
+      assert(!new java.io.File(scratch).exists())
+    } finally spark.conf.unset(graft.model.Stage.DirKey)
+  }
 }
