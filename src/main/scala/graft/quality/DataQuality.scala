@@ -102,22 +102,38 @@ object DataQuality {
   lazy val freshnessWarnHours: Int = loaded.freshnessWarnHours.getOrElse(24)
   lazy val freshnessErrorHours: Int = loaded.freshnessErrorHours.getOrElse(48)
 
-  /** One row per declared test, evaluated over the lazy model chains in
-    * one 17-branch union job (single-pass conditional agg per table;
-    * Catalyst prunes each branch down to the 1–3 checked columns).
+  /** One row per declared test, one UNDERLYING EVALUATION per table.
     *
-    * Production note: at warehouse scale `dbt test` semantics run these
-    * same [[Checks]] against the *materialized* Registry outputs — compact
-    * parquet scans instead of re-derived chains. At bench scale the write
-    * barrier costs more than the recompute (measured: 12 s materialize vs
-    * 6 s lazy end-to-end), so the driver-checked query stays lazy; the
-    * materialized path is exercised by RegistrySpec. */
+    * Each table's generic checks are a single-pass conditional agg
+    * (Catalyst prunes the branch to the 1–3 checked columns), and —
+    * load-bearing at 100× — the silver/gold model chains are PINNED once
+    * ([[graft.model.Stage.pin]]) before the union fans out: without the
+    * pin, every union branch (per-table aggs, relationship joins reading
+    * child AND parent, singular + custom tests) re-derives its table's
+    * whole upstream chain, making the dq rows check-count × chain-linear
+    * — the measured 100× bench tail. Pinning is exactly dbt's own
+    * semantics (`dbt test` runs against MATERIALIZED relations, one
+    * build + N cheap test scans), expressed in-query: the pin is the
+    * materialization barrier, every branch after it is a pruned scan of
+    * the pinned table. Raw/bronze "tables" stay unpinned — they are
+    * direct pruned parquet scans with map-only renames, cheaper to
+    * re-scan than to copy. On a cluster the pin backend is the durable
+    * scratch dir (`spark.graft.stage.dir`), locally executor blocks —
+    * either way the oracle sees identical rows (the pin freezes values,
+    * not semantics). */
   def summary(spark: SparkSession, dir: String): DataFrame = {
     import Checks._
     val dfs: Map[String, DataFrame] = {
-      val sc = graft.silver.Silver.customers(spark, dir)
-      val so = graft.silver.Silver.orders(spark, dir)
-      val sp = graft.silver.Silver.payments(spark, dir)
+      val pin = graft.model.Stage.pin _
+      // silver chains build on each other and gold builds on silver, so
+      // pin bottom-up THROUGH the From-composition: each layer's one
+      // evaluation reads the pinned layer below, never re-derives it
+      val sc = pin(graft.silver.Silver.customersFrom(
+        graft.bronze.Bronze.customers(spark, dir)))
+      val so = pin(graft.silver.Silver.ordersFrom(
+        graft.bronze.Bronze.orders(spark, dir), sc))
+      val sp = pin(graft.silver.Silver.paymentsFrom(
+        graft.bronze.Bronze.payments(spark, dir), so))
       Map(
         "raw_customers" -> RawSources.rawCustomers(spark, dir),
         "raw_orders" -> RawSources.rawOrders(spark, dir),
@@ -128,9 +144,15 @@ object DataQuality {
         "silver_customers" -> sc,
         "silver_orders" -> so,
         "silver_payments" -> sp,
-        "gold_customer_summary" -> graft.gold.Gold.customerSummary(spark, dir),
-        "gold_order_metrics" -> graft.gold.Gold.orderMetrics(spark, dir),
-        "gold_revenue_analysis" -> graft.gold.Gold.revenueAnalysis(spark, dir))
+        // gold stays LAZY over the pinned silvers: each gold table is
+        // read by only 1–2 branches, so deriving it is one cheap agg of
+        // a pinned input — pinning it too would pay a full-width
+        // materialization to save a single pruned re-agg (measured a
+        // net loss at sf0.1; the silver pins are the ones shared by
+        // ~a dozen branches each)
+        "gold_customer_summary" -> graft.gold.Gold.customerSummaryFrom(sc, so, sp),
+        "gold_order_metrics" -> graft.gold.Gold.orderMetricsFrom(so),
+        "gold_revenue_analysis" -> graft.gold.Gold.revenueAnalysisFrom(so, sp))
     }
 
     // Singular-test reconstructions folded into the same single-pass agg as
@@ -163,10 +185,10 @@ object DataQuality {
 
     // custom generic tests: arbitrary rendered SELECTs of violating rows,
     // so each is its own counted branch (it cannot fold into a table's
-    // single-pass conditional agg), evaluated through the same lazy-chain
-    // resolution as singular tests
+    // single-pass conditional agg) — but its refs resolve to the PINNED
+    // tables above, so the branch is a scan, not a chain re-derivation
     def customRows(name: String, sql: String): DataFrame =
-      SingularTests.violations(spark, dir, name, sql)
+      SingularTests.violations(spark, dir, name, sql, provided = dfs)
         .agg(count(lit(1)).as("violations"))
         .select(lit(name).as("check_name"), col("violations"))
 

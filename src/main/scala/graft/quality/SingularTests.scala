@@ -40,12 +40,18 @@ object SingularTests {
       .filter(_._2.trim.nonEmpty)
       .toSeq
 
-  /** Violating rows of one test over the lazily-built model chain. */
+  /** Violating rows of one test over the lazily-built model chain.
+    * `provided` overrides chain nodes with caller-supplied frames — the
+    * [[DataQuality.summary]] fusion hands its PINNED silver/gold tables
+    * here so a custom/singular test branch scans the one materialized
+    * evaluation instead of re-deriving the whole upstream chain (and
+    * downstream chain nodes build FROM the provided upstreams too). */
   def violations(spark: SparkSession, dir: String, name: String,
-      rawSql: String): DataFrame = {
+      rawSql: String,
+      provided: Map[String, DataFrame] = Map.empty): DataFrame = {
     val acc = scala.collection.mutable.Map.empty[String, DataFrame]
     graft.pipeline.Registry.topoOrder.foreach(m =>
-      acc(m.name) = m.build(spark, dir, acc.toMap))
+      acc(m.name) = provided.getOrElse(m.name, m.build(spark, dir, acc.toMap)))
     RefRe.findAllMatchIn(rawSql).map(_.group(1)).toSeq.distinct.foreach { r =>
       require(acc.contains(r), s"$name: unknown ref('$r')")
       acc(r).createOrReplaceTempView(r)
