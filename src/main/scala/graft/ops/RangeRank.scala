@@ -44,8 +44,52 @@ import org.apache.spark.sql.functions._
   * stays valid verbatim. Ties across the order columns land in one
   * partition only if the full key ties; callers keep the usual unique
   * tie-break column (doc_id) so the ordering is total.
+  *
+  * Inputs small enough for one task skip all of this: see
+  * [[WindowBytesKey]] — the distributed machinery's constant factor
+  * (pin write + offset join, ~0.5–1 s) is pure overhead below ~10⁷
+  * rows, so the gate picks the plain window form there, exactly like
+  * Spark's own stats-driven broadcast-vs-shuffle join choice.
   */
 object RangeRank {
+
+  /** Adaptive small-input fallback threshold (bytes). When the SUM OF
+    * LEAF SCAN SIZES of the input plan is at or below this, [[rank]] /
+    * [[cumSum]] use the plain `row_number()` / running-sum window forms
+    * instead of the distributed range stage — a single-task window over
+    * a few MB is 2–4× cheaper than the range exchange + pin + offset
+    * join (measured: `order_percentiles` 1.03→0.46 s, the histogram
+    * truth rank 0.57→0.18 s at sf0.1), and both forms are bit-identical
+    * (RangeRankSpec), so the choice is a pure physical-strategy pick —
+    * the same stats-driven adaptivity as Spark's own broadcast-join
+    * threshold.
+    *
+    * Why LEAF sizes, not the plan's own estimate: Catalyst's
+    * size-in-bytes propagation multiplies through joins (a 10 MB
+    * silver-orders chain estimates at 57 GB), which would never choose
+    * the window form; the bytes actually READ track the leaves. An
+    * exploding transform (posexplode of token streams) can exceed the
+    * leaf sum, which is why the default stays at one comfortable task's
+    * worth (128 MB — `spark.sql.files.maxPartitionBytes`'s scale) rather
+    * than anything ambitious: a borderline misclassification costs one
+    * slow task, never a wrong rank. At 100-TB inputs the leaves are TBs
+    * and the distributed path always wins the gate. Set to 0 to force
+    * the distributed form everywhere (PlanSpec does, to pin its shape);
+    * frames with unknown leaf stats (LogicalRDD from a localCheckpoint)
+    * default to `spark.sql.defaultSizeInBytes` = Long.Max → distributed,
+    * the safe direction. */
+  val WindowBytesKey = "spark.graft.rangerank.window.bytes"
+  private val DefaultWindowBytes: Long = 128L << 20
+
+  private def smallInput(df: DataFrame): Boolean = {
+    val threshold = df.sparkSession.conf.getOption(WindowBytesKey)
+      .map(_.trim.toLong).getOrElse(DefaultWindowBytes)
+    threshold > 0 && {
+      val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+      leaves.nonEmpty &&
+        leaves.map(_.stats.sizeInBytes).sum <= BigInt(threshold)
+    }
+  }
 
   /** The pre-checkpoint range-staged frame of [[rank]] — split out so
     * PlanSpec can pin the corpus stage's shape (a range exchange + sort,
@@ -70,6 +114,22 @@ object RangeRank {
     * IntegerType to match `row_number`. */
   def rank(df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column],
       rankName: String, groupCountName: Option[String] = None): DataFrame = {
+    if (smallInput(df)) {
+      // small-input fallback: the plain window forms — bit-identical
+      // (the order is total by contract), single task by construction,
+      // and that task's input fits the [[WindowBytesKey]] bound
+      val w =
+        if (groupCols.isEmpty) Window.orderBy(orderCols: _*)
+        else Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
+      val ranked = df.withColumn(rankName, row_number().over(w))
+      return groupCountName match {
+        case Some(n) =>
+          val cw = if (groupCols.isEmpty) Window.partitionBy()
+            else Window.partitionBy(groupCols.map(col): _*)
+          ranked.withColumn(n, count(lit(1)).over(cw))
+        case None => ranked
+      }
+    }
     val parted = graft.model.Stage.pin(staged(df, groupCols, orderCols))
     val keys = "_rr_pid" +: groupCols
     val grpStats = parted.groupBy(keys.map(col): _*)
@@ -128,6 +188,16 @@ object RangeRank {
     require(exact,
       s"cumSum($valueCol): exact (integral/decimal) value type required " +
         s"for bit-equality with the window running sum; got ${vt.simpleString}")
+    // both paths must agree on the result TYPE too: the window sum's
+    // result type is the contract (the distributed offset addition could
+    // widen a decimal once more)
+    val sumType = df.select(sum(col(valueCol)).as("s")).schema.head.dataType
+    if (smallInput(df)) {
+      val w = (if (groupCols.isEmpty) Window.orderBy(orderCols: _*)
+        else Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return df.withColumn(cumName, sum(col(valueCol)).over(w))
+    }
     val parted = graft.model.Stage.pin(staged(df, groupCols, orderCols))
     val keys = "_rr_pid" +: groupCols
     val grpStats = parted.groupBy(keys.map(col): _*)
@@ -148,7 +218,8 @@ object RangeRank {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     parted.join(broadcast(offs), cond)
       .drop(keys.map(k => s"_rr_k_$k"): _*)
-      .withColumn(cumName, sum(col(valueCol)).over(localW) + col("_rr_off"))
+      .withColumn(cumName,
+        (sum(col(valueCol)).over(localW) + col("_rr_off")).cast(sumType))
       .drop("_rr_pid", "_rr_mid", "_rr_off")
   }
 }

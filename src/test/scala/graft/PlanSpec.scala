@@ -211,6 +211,10 @@ class PlanSpec extends SparkSpec {
       "exchange + sort with ZERO windows; final plans have no row_number " +
       "and every Window reads the tiny offset aggregate, never the corpus") {
     import org.apache.spark.sql.functions.col
+    // force the DISTRIBUTED path: sf0.001 leaves are far below the
+    // adaptive gate's default threshold (RangeRank.WindowBytesKey), and
+    // this test pins the at-scale shape, not the small-input fallback
+    spark.conf.set(graft.ops.RangeRank.WindowBytesKey, "0")
     // corpus stage pinned on the UNcheckpointed builder (RangeRank.rank
     // checkpoints it, which would hide the subtree from the final plan)
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
@@ -257,6 +261,25 @@ class PlanSpec extends SparkSpec {
       w.contains("_rr_cnt") || w.contains("_rr_pid")),
       s"pack: every Window is either the tiny offset sum or the " +
         s"(pid, stratum)-bounded local running sum:\n${pkWindows.mkString("\n")}")
+    spark.conf.unset(graft.ops.RangeRank.WindowBytesKey)
+  }
+
+  test("RangeRank adaptive gate: sf0.001 leaves sit under the default " +
+      "threshold, so the DEFAULT plan is the plain window form (no range " +
+      "exchange, no pin); conf=0 forces the distributed form back") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val small = plan(graft.ops.RangeRank.rank(
+      docs, Seq.empty, Seq(col("doc_id")), "rn"))
+    assert(small.contains("row_number") && !small.contains("_rr_pid"),
+      s"small input must take the single-window form:\n$small")
+    spark.conf.set(graft.ops.RangeRank.WindowBytesKey, "0")
+    try {
+      val dist = plan(graft.ops.RangeRank.rank(
+        docs, Seq.empty, Seq(col("doc_id")), "rn"))
+      assert(!dist.contains("row_number"),
+        s"conf=0 must force the distributed rank:\n$dist")
+    } finally spark.conf.unset(graft.ops.RangeRank.WindowBytesKey)
   }
 
   test("weighted sample: map-only corpus pass — one scalar-total " +

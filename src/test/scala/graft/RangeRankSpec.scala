@@ -7,8 +7,19 @@ import graft.ops.RangeRank
 
 /** The distributed rank must be BIT-IDENTICAL to the window `row_number`
   * it replaces — grouped and global, rank and group count — and stable
-  * across recomputation (the internal checkpoint pins the layout). */
-class RangeRankSpec extends SparkSpec {
+  * across recomputation (the internal checkpoint pins the layout).
+  *
+  * The adaptive small-input gate ([[RangeRank.WindowBytesKey]]) is forced
+  * OFF for the whole suite (threshold 0): sf0.001 inputs all sit under the
+  * default threshold, and these tests exist to exercise the DISTRIBUTED
+  * machinery. The gate itself gets its own equality test at the end. */
+class RangeRankSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+
+  override def beforeAll(): Unit =
+    spark.conf.set(RangeRank.WindowBytesKey, "0")
+  override def afterAll(): Unit =
+    spark.conf.unset(RangeRank.WindowBytesKey)
 
   private def docs = spark.read.parquet(s"$Sf0001/documents.parquet")
 
@@ -159,5 +170,30 @@ class RangeRankSpec extends SparkSpec {
       graft.model.Stage.clear(spark)
       assert(!new java.io.File(scratch).exists())
     } finally spark.conf.unset(graft.model.Stage.DirKey)
+  }
+
+  test("adaptive gate: default-threshold (window) and forced-distributed " +
+      "outputs are identical — the gate is a pure physical-strategy pick") {
+    val base = docs.select(col("doc_id"), col("lang"),
+      length(col("text")).cast("long").as("v"))
+    def rkOf() = RangeRank.rank(base, Seq("lang"),
+        Seq(col("v").desc, col("doc_id")), "rk", Some("n"))
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Int]("rk"), r.getAs[Long]("n")))).toMap
+    def cumOf() = RangeRank.cumSum(base, Seq("lang"),
+        Seq(col("doc_id")), "v", "cum")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum")))
+      .toMap
+    val (distRk, distCum) = (rkOf(), cumOf())   // suite-wide conf=0
+    spark.conf.unset(RangeRank.WindowBytesKey)  // default 128 MB → window
+    try {
+      assert(rkOf() == distRk)
+      assert(cumOf() == distCum)
+      // and the small path really is windowed (no pin, no range stage)
+      val p = RangeRank.rank(base, Seq("lang"), Seq(col("doc_id")), "rk")
+        .queryExecution.executedPlan.toString
+      assert(p.contains("row_number") || p.contains("RunningWindowFunction") ||
+        !p.contains("_rr_pid"), s"default gate must pick the window form:\n$p")
+    } finally spark.conf.set(RangeRank.WindowBytesKey, "0")
   }
 }
