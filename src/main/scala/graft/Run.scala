@@ -10,6 +10,7 @@ import org.apache.spark.sql.SparkSession
   *   sbt "runMain graft.Run <sourceDir> <wh> --select=silver_orders+"  # dbt graph selector
   *   sbt "runMain graft.Run <sourceDir> <wh> --full-refresh"       # rebuild incrementals
   *   sbt "runMain graft.Run <sourceDir> <wh> --corpus --ann-index" # + corpus release + ANN index builds
+  *   sbt "runMain graft.Run <sourceDir> --docs=<outDir>"           # docs bundle, nothing materializes
   *
   * Materializes the nine-model DAG into the warehouse (bronze views,
   * silver/gold tables — path-routed parquet, or `--catalog` for the
@@ -22,6 +23,24 @@ object Run {
     if (args.contains("--docs")) {
       // dbt docs generate analog: print the lineage DOT and exit
       println(pipeline.Registry.lineageDot())
+      return
+    }
+    // --docs=<dir>: write the full docs bundle (manifest.json node graph,
+    // catalog.json column types off the ANALYZED plans, lineage.dot) and
+    // exit — like `dbt docs generate`, nothing materializes
+    args.collectFirst { case a if a.startsWith("--docs=") =>
+        a.stripPrefix("--docs=") }.foreach { outDir =>
+      val srcDir = args.filterNot(_.startsWith("--")).headOption
+        .getOrElse("/root/testdata/sf0.001")
+      val s = SparkSession.builder().master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      pipeline.Docs.write(s, srcDir, outDir)
+      println(s"== docs bundle (manifest.json, catalog.json, lineage.dot) -> $outDir")
+      s.stop()
       return
     }
     val catalogMode = args.contains("--catalog")

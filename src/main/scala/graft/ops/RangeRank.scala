@@ -69,17 +69,19 @@ object RangeRank {
     * silver-orders chain estimates at 57 GB), which would never choose
     * the window form; the bytes actually READ track the leaves. An
     * exploding transform (posexplode of token streams) can exceed the
-    * leaf sum, which is why the default stays at one comfortable task's
-    * worth (128 MB — `spark.sql.files.maxPartitionBytes`'s scale) rather
-    * than anything ambitious: a borderline misclassification costs one
-    * slow task, never a wrong rank. At 100-TB inputs the leaves are TBs
+    * leaf sum, which is why the default stays at a few comfortable
+    * seconds of one task (32 MB — the 100× probe measured a 42 MB /
+    * 16M-row single-task sort at 4.4 s vs 3.1 s distributed, so the
+    * crossover sits just below that) rather than anything ambitious: a
+    * borderline misclassification costs one slow task, never a wrong
+    * rank. At 100-TB inputs the leaves are TBs
     * and the distributed path always wins the gate. Set to 0 to force
     * the distributed form everywhere (PlanSpec does, to pin its shape);
     * frames with unknown leaf stats (LogicalRDD from a localCheckpoint)
     * default to `spark.sql.defaultSizeInBytes` = Long.Max → distributed,
     * the safe direction. */
   val WindowBytesKey = "spark.graft.rangerank.window.bytes"
-  private val DefaultWindowBytes: Long = 128L << 20
+  private val DefaultWindowBytes: Long = 32L << 20
 
   private def smallInput(df: DataFrame): Boolean = {
     val threshold = df.sparkSession.conf.getOption(WindowBytesKey)

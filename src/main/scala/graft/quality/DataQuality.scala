@@ -124,7 +124,12 @@ object DataQuality {
   def summary(spark: SparkSession, dir: String): DataFrame = {
     import Checks._
     val dfs: Map[String, DataFrame] = {
-      val pin = graft.model.Stage.pin _
+      // COLUMNAR pin: ~a dozen narrow branches read each pinned silver
+      // table, and a row-oriented localCheckpoint block deserializes
+      // full-width rows per branch — measured 2× worse than no pin at
+      // all at 100× (dq_summary 71→155 s); the parquet stage keeps the
+      // one-evaluation semantics AND per-branch column pruning
+      val pin = graft.model.Stage.pinColumnar _
       // silver chains build on each other and gold builds on silver, so
       // pin bottom-up THROUGH the From-composition: each layer's one
       // evaluation reads the pinned layer below, never re-derives it

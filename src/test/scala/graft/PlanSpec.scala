@@ -480,9 +480,12 @@ class PlanSpec extends SparkSpec {
     // model-level at_least_n_rows) each add one counted branch over the
     // silver_payments chain — justified: a custom test is arbitrary SQL
     // and cannot fold into the table's single-pass agg (dbt runs each
-    // test as its own query too).
+    // test as its own query too). 36 → 35 in round 11: the columnar
+    // silver pin (Stage.pinColumnar) stages the chains through parquet,
+    // and every branch after it is a pruned SCAN — one silver-chain
+    // exchange no longer appears in the dq plan at all.
     assert(counts == Map(
-      "dq_summary" -> 36, "minhash_lsh" -> 15,
+      "dq_summary" -> 35, "minhash_lsh" -> 15,
       "tpch_q2" -> 5, "corpus_clean" -> 26), counts.toString)
   }
 
