@@ -172,6 +172,32 @@ class RangeRankSpec extends SparkSpec
     } finally spark.conf.unset(graft.model.Stage.DirKey)
   }
 
+  test("pinColumnar: parquet-staged either way — scratch dir when " +
+      "configured, local tmpdir otherwise; values frozen, columns pruned") {
+    val base = docs.select(col("doc_id"), col("lang"), col("text"))
+    // default (no scratch dir): still a parquet stage, so a narrow
+    // consumer's scan prunes to its columns — the property the dq fuse
+    // needs (a localCheckpoint block would deserialize whole rows)
+    val pinned = graft.model.Stage.pinColumnar(base)
+    val narrow = pinned.select("lang").distinct()
+    val scan = narrow.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema") && !scan.contains("text"),
+      s"narrow consumer must prune the pinned stage's columns:\n$scan")
+    assert(pinned.count() == base.count())
+    // configured scratch dir: the stage lands under IT (the durable,
+    // executor-loss-tolerant location), not java.io.tmpdir
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_stage_col").toString
+    spark.conf.set(graft.model.Stage.DirKey, scratch)
+    try {
+      graft.model.Stage.pinColumnar(base).count()
+      val staged = new java.io.File(scratch).listFiles()
+        .filter(_.getName.startsWith("stage-"))
+      assert(staged.length == 1, "columnar pin must stage under the scratch dir")
+      assert(new java.io.File(staged.head, "_SUCCESS").exists())
+    } finally spark.conf.unset(graft.model.Stage.DirKey)
+  }
+
   test("adaptive gate: default-threshold (window) and forced-distributed " +
       "outputs are identical — the gate is a pure physical-strategy pick") {
     val base = docs.select(col("doc_id"), col("lang"),
