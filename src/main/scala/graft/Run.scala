@@ -32,13 +32,22 @@ object Run {
         a.stripPrefix("--docs=") }.foreach { outDir =>
       val srcDir = args.filterNot(_.startsWith("--")).headOption
         .getOrElse("/root/testdata/sf0.001")
+      // the docs bundle covers the same run set the flags select: the
+      // nine-model DAG plus any opted-in extensions
+      val docModels = pipeline.Registry.models ++
+        (if (args.contains("--corpus")) pipeline.CorpusPipeline.models
+         else Seq.empty) ++
+        (if (args.contains("--ann-index"))
+          Seq(ops.IvfIndex.registryModel, ops.IvfIndex.listsRegistryModel,
+            ops.IvfIndex.pqRegistryModel)
+         else Seq.empty)
       val s = SparkSession.builder().master("local[2]")
         .config("spark.sql.shuffle.partitions", "2")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false").getOrCreate()
       s.sparkContext.setLogLevel("WARN")
-      pipeline.Docs.write(s, srcDir, outDir)
+      pipeline.Docs.write(s, srcDir, outDir, docModels)
       println(s"== docs bundle (manifest.json, catalog.json, lineage.dot) -> $outDir")
       s.stop()
       return

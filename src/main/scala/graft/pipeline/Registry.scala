@@ -362,7 +362,8 @@ object Registry {
     }.toSet
 
   def selectClosure(selector: String, all: Seq[Model] = models,
-      stateModified: Option[Set[String]] = None): Set[String] = {
+      stateModified: Option[Set[String]] = None,
+      stateNew: Option[Set[String]] = None): Set[String] = {
     val byName = all.map(m => m.name -> m).toMap
     val children = all.flatMap(m => m.deps.map(_ -> m.name))
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
@@ -380,6 +381,13 @@ object Registry {
         require(stateModified.isDefined,
           "state:modified requires a state manifest (run with state=<dir>)")
         stateModified.get.toSeq.filter(byName.contains)
+      } else if (core == "state:new") {
+        // dbt `state:new`: models absent from the prior manifest — the
+        // "what did this PR add" selector (state:modified includes these
+        // too; state:new isolates them)
+        require(stateNew.isDefined,
+          "state:new requires a state manifest (run with state=<dir>)")
+        stateNew.get.toSeq.filter(byName.contains)
       } else if (core.startsWith("tag:")) {
         val t = core.stripPrefix("tag:")
         val hits = all.filter(_.effectiveTags.contains(t)).map(_.name)
@@ -441,18 +449,27 @@ object Registry {
     // run's manifest (fingerprints compared by [[modifiedSince]]) — but
     // only pay the full-DAG plan-fingerprint pass when a selector
     // actually uses it
-    val usesState = (select.toSeq ++ exclude.toSeq)
-      .exists(_.contains("state:modified"))
+    val selectors = select.toSeq ++ exclude.toSeq
     val modified: Option[Set[String]] =
-      if (usesState)
+      if (selectors.exists(_.contains("state:modified")))
         state.map(d => modifiedSince(spark, sourceDir, readManifest(d), all))
+      else None
+    // state:new needs only the prior manifest's NAME SET (no
+    // fingerprinting pass): a model is new when the old manifest has no
+    // entry for it at all
+    val fresh: Option[Set[String]] =
+      if (selectors.exists(_.contains("state:new")))
+        state.map { d =>
+          val prior = readManifest(d).keySet
+          all.map(_.name).filterNot(prior).toSet
+        }
       else None
     // dbt semantics: --exclude removes its graph closure from whatever
     // --select picked (or from everything)
     val selected: Set[String] =
-      select.map(selectClosure(_, all, modified))
+      select.map(selectClosure(_, all, modified, fresh))
         .getOrElse(ordered.map(_.name).toSet) --
-        exclude.map(selectClosure(_, all, modified)).getOrElse(Set.empty)
+        exclude.map(selectClosure(_, all, modified, fresh)).getOrElse(Set.empty)
     // the provided (read-only) frontier: transitive deps of the selection
     val byName = all.map(m => m.name -> m).toMap
     val needed = scala.collection.mutable.Set.empty[String]

@@ -1096,6 +1096,20 @@ class RegistrySpec extends SparkSpec {
     // selector integration: state:modified composes like any other method
     assert(Registry.selectClosure("state:modified", edited, Some(mod)) == mod)
     intercept[IllegalArgumentException](Registry.selectClosure("state:modified"))
+    // state:new — models ABSENT from the prior manifest, isolated from
+    // edits (silver_orders is modified but not new); an added model and
+    // its graph-op closure select like any other method
+    val added = Registry.models :+ Registry.Model(
+      "gold_orders_copy", "gold", Registry.Table, Seq("silver_orders"),
+      (_, _, up) => up("silver_orders"))
+    val newNames = added.map(_.name).filterNot(m1.keySet).toSet
+    assert(newNames == Set("gold_orders_copy"))
+    assert(Registry.selectClosure("state:new", added, stateNew = Some(newNames))
+      == Set("gold_orders_copy"))
+    assert(Registry.selectClosure("+state:new", added, stateNew = Some(newNames))
+      == Set("gold_orders_copy", "silver_orders", "silver_customers",
+        "bronze_orders", "bronze_customers"))
+    intercept[IllegalArgumentException](Registry.selectClosure("state:new", added))
     // --defer: a selected model whose upstream is only in the "prod"
     // warehouse builds against that warehouse instead of failing
     val prodWh = java.nio.file.Files.createTempDirectory("graft_prod").toString
