@@ -25,39 +25,10 @@ object Run {
       println(pipeline.Registry.lineageDot())
       return
     }
-    // --docs=<dir>: write the full docs bundle (manifest.json node graph,
-    // catalog.json column types off the ANALYZED plans, lineage.dot) and
-    // exit — like `dbt docs generate`, nothing materializes
-    args.collectFirst { case a if a.startsWith("--docs=") =>
-        a.stripPrefix("--docs=") }.foreach { outDir =>
-      val srcDir = args.filterNot(_.startsWith("--")).headOption
-        .getOrElse("/root/testdata/sf0.001")
-      // the docs bundle covers the same run set the flags select: the
-      // nine-model DAG plus any opted-in extensions
-      val docModels = pipeline.Registry.models ++
-        (if (args.contains("--corpus")) pipeline.CorpusPipeline.models
-         else Seq.empty) ++
-        (if (args.contains("--ann-index"))
-          Seq(ops.IvfIndex.registryModel, ops.IvfIndex.listsRegistryModel,
-            ops.IvfIndex.pqRegistryModel)
-         else Seq.empty)
-      val s = SparkSession.builder().master("local[2]")
-        .config("spark.sql.shuffle.partitions", "2")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.ui.enabled", "false").getOrCreate()
-      s.sparkContext.setLogLevel("WARN")
-      pipeline.Docs.write(s, srcDir, outDir, docModels)
-      println(s"== docs bundle (manifest.json, catalog.json, lineage.dot) -> $outDir")
-      s.stop()
-      return
-    }
-    val catalogMode = args.contains("--catalog")
-    val fullRefresh = args.contains("--full-refresh")
     // opt-in DAG extensions: the corpus-release pipeline
     // (clean → chunks/pack) and the ANN index builds (IVF quantizer +
     // partitioned lists, PQ codebooks) join the run as ordinary models —
-    // selectors, threads, and sinks compose
+    // selectors, threads, sinks, and the docs bundle all see one list
     val extraModels =
       (if (args.contains("--corpus")) pipeline.CorpusPipeline.models
        else Seq.empty) ++
@@ -65,6 +36,32 @@ object Run {
         Seq(ops.IvfIndex.registryModel, ops.IvfIndex.listsRegistryModel,
           ops.IvfIndex.pqRegistryModel)
        else Seq.empty)
+    // --docs=<dir>: write the docs bundle (manifest.json node graph,
+    // catalog.json column types off the ANALYZED plans, lineage.dot) and
+    // exit — like `dbt docs generate`, nothing materializes. The
+    // MANIFEST covers the whole selected run set (metadata only); the
+    // CATALOG sticks to the core DAG: an extension model's build is not
+    // plan-only (index builds train k-means at DataFrame-construction
+    // time), and docs generation must never pay a training job.
+    args.collectFirst { case a if a.startsWith("--docs=") =>
+        a.stripPrefix("--docs=") }.foreach { outDir =>
+      val srcDir = args.filterNot(_.startsWith("--")).headOption
+        .getOrElse("/root/testdata/sf0.001")
+      val s = SparkSession.builder().master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      pipeline.Docs.write(s, srcDir, outDir,
+        pipeline.Registry.models ++ extraModels,
+        catalogModels = Some(pipeline.Registry.models))
+      println(s"== docs bundle (manifest.json, catalog.json, lineage.dot) -> $outDir")
+      s.stop()
+      return
+    }
+    val catalogMode = args.contains("--catalog")
+    val fullRefresh = args.contains("--full-refresh")
     val select = args.collectFirst { case a if a.startsWith("--select=") =>
       a.stripPrefix("--select=") }
     val exclude = args.collectFirst { case a if a.startsWith("--exclude=") =>

@@ -78,19 +78,54 @@ object Stage {
     * dq check branch reads 1–3 columns of the pinned silver tables, and
     * at 100× deserializing full rows per branch measured 2× WORSE than
     * re-deriving the chains (dq_summary 71→155 s), while the columnar
-    * stage beats both. Uses the configured scratch dir when set, else a
-    * fresh directory under `java.io.tmpdir` (single-JVM local runs); the
-    * files are job-scoped like every stage. For frames whose consumers
-    * read every column (RangeRank's range stage), [[pin]]'s default
-    * backend stays the cheaper choice. */
+    * stage beats both. Uses the configured scratch dir when set; on a
+    * single-JVM (`local[n]`) session it falls back to a shared
+    * shutdown-hook-cleaned tmpdir, and on a multi-executor session with
+    * NO scratch dir it degrades to `localCheckpoint` — a driver-local
+    * tmpdir is unreadable from remote executors, and a correct
+    * row-oriented stage beats a columnar one that loses rows. For frames
+    * whose consumers read every column (RangeRank's range stage),
+    * [[pin]]'s default backend stays the cheaper choice. */
   def pinColumnar(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val base = scratchDir(spark).getOrElse(
-      java.nio.file.Files.createTempDirectory("graft-stage").toString)
-    val path = s"$base/stage-${System.identityHashCode(spark).toHexString}" +
-      s"-${counter.incrementAndGet()}"
-    df.write.parquet(path)
-    spark.read.parquet(path)
+    scratchDir(spark) match {
+      case Some(dir) =>
+        val path = s"$dir/stage-${System.identityHashCode(spark).toHexString}" +
+          s"-${counter.incrementAndGet()}"
+        df.write.parquet(path)
+        spark.read.parquet(path)
+      case None if spark.sparkContext.isLocal =>
+        // single-JVM fallback: a shutdown-hook-cleaned tmpdir — every
+        // executor IS the driver, so a driver-local path is readable
+        val path = s"$localScratch/stage-" +
+          s"${System.identityHashCode(spark).toHexString}" +
+          s"-${counter.incrementAndGet()}"
+        df.write.parquet(path)
+        spark.read.parquet(path)
+      case None =>
+        // multi-executor with no configured scratch dir: a driver-local
+        // tmpdir is NOT readable from the executors (file:// resolves to
+        // each machine's own disk) — fall back to the row-oriented but
+        // universally-correct localCheckpoint rather than produce a
+        // stage that loses rows; configure DirKey to get the columnar
+        // form on a cluster
+        df.localCheckpoint()
+    }
+  }
+
+  /** One JVM-wide tmpdir for [[pinColumnar]]'s local fallback, deleted
+    * recursively at JVM exit — without the hook, every dq summary's three
+    * silver-table stages would outlive the process. */
+  private lazy val localScratch: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-stage")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+    p.toString
   }
 
   /** Delete everything under the configured scratch dir — for a caller

@@ -87,10 +87,16 @@ object Docs {
 
   /** Column name→type per model, read off the ANALYZED plan of the
     * build chained over `sourceDir` — dbt's catalog.json, without
-    * needing the warehouse to exist yet (planning only, no job runs).
-    * Declared-contract models are additionally cross-checked by
-    * [[Registry.assertDeclaredSchema]] at materialize time, so the
-    * catalog and the contract cannot drift apart silently. */
+    * needing the warehouse to exist yet. Planning-only FOR PLAN-ONLY
+    * BUILDS, which all nine core models are; an extension model whose
+    * build executes jobs at DataFrame-construction time (the ANN index
+    * builders train k-means; a staged cumSum pins its range stage)
+    * would pay that work here too — callers wanting cheap docs pass
+    * only plan-only models (Run's `--docs` catalogs the core DAG and
+    * manifests everything). Declared-contract models are additionally
+    * cross-checked by [[Registry.assertDeclaredSchema]] at materialize
+    * time, so the catalog and the contract cannot drift apart
+    * silently. */
   def catalogJson(spark: SparkSession, sourceDir: String,
       all: Seq[Model] = Registry.models): String = {
     val acc = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame]
@@ -115,15 +121,19 @@ object Docs {
 
   /** Write the full docs bundle — `manifest.json`, `catalog.json`,
     * `lineage.dot` ([[Registry.lineageDot]], renderable with
-    * `dot -Tsvg`) — under `outDir` (dbt: `target/`). */
+    * `dot -Tsvg`) — under `outDir` (dbt: `target/`). `catalogModels`
+    * defaults to the manifest set; pass a plan-only subset when `all`
+    * carries extension models whose builds execute jobs (see
+    * [[catalogJson]]). */
   def write(spark: SparkSession, sourceDir: String, outDir: String,
-      all: Seq[Model] = Registry.models): Unit = {
+      all: Seq[Model] = Registry.models,
+      catalogModels: Option[Seq[Model]] = None): Unit = {
     val p = java.nio.file.Paths.get(outDir)
     java.nio.file.Files.createDirectories(p)
     def put(name: String, content: String): Unit =
       java.nio.file.Files.write(p.resolve(name), content.getBytes("UTF-8"))
     put("manifest.json", manifestJson(all))
-    put("catalog.json", catalogJson(spark, sourceDir, all))
+    put("catalog.json", catalogJson(spark, sourceDir, catalogModels.getOrElse(all)))
     put("lineage.dot", Registry.lineageDot(all))
   }
 }

@@ -214,7 +214,10 @@ class PlanSpec extends SparkSpec {
     // force the DISTRIBUTED path: sf0.001 leaves are far below the
     // adaptive gate's default threshold (RangeRank.WindowBytesKey), and
     // this test pins the at-scale shape, not the small-input fallback
+    // (try/finally: a leaked 0 would force the distributed form on the
+    // gate test below and cascade the failure)
     spark.conf.set(graft.ops.RangeRank.WindowBytesKey, "0")
+    try {
     // corpus stage pinned on the UNcheckpointed builder (RangeRank.rank
     // checkpoints it, which would hide the subtree from the final plan)
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
@@ -261,7 +264,7 @@ class PlanSpec extends SparkSpec {
       w.contains("_rr_cnt") || w.contains("_rr_pid")),
       s"pack: every Window is either the tiny offset sum or the " +
         s"(pid, stratum)-bounded local running sum:\n${pkWindows.mkString("\n")}")
-    spark.conf.unset(graft.ops.RangeRank.WindowBytesKey)
+    } finally spark.conf.unset(graft.ops.RangeRank.WindowBytesKey)
   }
 
   test("RangeRank adaptive gate: sf0.001 leaves sit under the default " +

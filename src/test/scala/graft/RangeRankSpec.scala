@@ -211,7 +211,7 @@ class RangeRankSpec extends SparkSpec
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum")))
       .toMap
     val (distRk, distCum) = (rkOf(), cumOf())   // suite-wide conf=0
-    spark.conf.unset(RangeRank.WindowBytesKey)  // default 128 MB → window
+    spark.conf.unset(RangeRank.WindowBytesKey)  // default 32 MB → window
     try {
       assert(rkOf() == distRk)
       assert(cumOf() == distCum)

@@ -60,11 +60,14 @@ def main():
         txt = open(sbt_log, errors="replace").read()
         m = re.search(
             r"Total number of tests run: (\d+).*?"
-            r"Suites: completed (\d+).*?"
+            r"Suites: completed (\d+), aborted (\d+).*?"
             r"Tests: succeeded (\d+), failed (\d+)", txt, re.S)
         if m:
-            total, suites, ok, failed = map(int, m.groups())
-            status = "green" if failed == 0 and ok == total else f"FAILED={failed}"
+            total, suites, aborted, ok, failed = map(int, m.groups())
+            # an aborted suite runs ZERO of its tests, so failed==0 alone
+            # would report a crippled run as healthy
+            status = ("green" if failed == 0 and ok == total and aborted == 0
+                      else f"FAILED={failed}, ABORTED={aborted}")
             out.append(f"**{total} tests / {suites} suites** ({status})")
         else:
             out.append("(no scalatest summary found in sbt log)")
