@@ -47,17 +47,23 @@ object Run {
         a.stripPrefix("--docs=") }.foreach { outDir =>
       val srcDir = args.filterNot(_.startsWith("--")).headOption
         .getOrElse("/root/testdata/sf0.001")
-      val s = SparkSession.builder().master("local[2]")
+      val b = SparkSession.builder()
         .config("spark.sql.shuffle.partitions", "2")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.ui.enabled", "false").getOrCreate()
+        .config("spark.ui.enabled", "false")
+      // respect an externally-configured master (spark-submit --master
+      // sets the spark.master system property); default local[2] only
+      // when none is — docs generation is planning-only either way
+      if (!sys.props.contains("spark.master")) b.master("local[2]")
+      val s = b.getOrCreate()
       s.sparkContext.setLogLevel("WARN")
-      pipeline.Docs.write(s, srcDir, outDir,
-        pipeline.Registry.models ++ extraModels,
-        catalogModels = Some(pipeline.Registry.models))
-      println(s"== docs bundle (manifest.json, catalog.json, lineage.dot) -> $outDir")
-      s.stop()
+      try {
+        pipeline.Docs.write(s, srcDir, outDir,
+          pipeline.Registry.models ++ extraModels,
+          catalogModels = Some(pipeline.Registry.models))
+        println(s"== docs bundle (manifest.json, catalog.json, lineage.dot) -> $outDir")
+      } finally s.stop()
       return
     }
     val catalogMode = args.contains("--catalog")

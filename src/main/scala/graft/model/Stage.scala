@@ -51,21 +51,45 @@ object Stage {
 
   private val counter = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Local-fallback stage directories created by [[pinColumnar]] this
+    * JVM — tracked so [[clear]] (and the JVM-exit hook) can delete them;
+    * without the per-run clear, a long-lived session repeatedly
+    * evaluating dq summaries accumulates tmp-disk for the process
+    * lifetime. */
+  private val localStages =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
   def scratchDir(spark: SparkSession): Option[String] =
     spark.conf.getOption(DirKey).map(_.trim).filter(_.nonEmpty)
       .map(_.stripSuffix("/"))
+
+  /** This application's OWN subtree of the scratch dir. Stage paths embed
+    * `sparkContext.applicationId` — the one identifier the cluster
+    * manager guarantees unique per application — precisely because the
+    * realistic fleet deployment points MANY concurrent applications at
+    * one shared scratch location (`hdfs:///tmp/graft-stage`): a
+    * JVM-local discriminator (an identity hash, a counter) is not unique
+    * across JVMs and two apps could generate the same path, killing an
+    * innocent job on the ErrorIfExists write. The id is assigned once at
+    * application start (no per-pin wall clock), so paths stay
+    * deterministic within a run. */
+  private[model] def appSubtree(dir: String, appId: String): String =
+    s"$dir/app-$appId"
+
+  private def stagePath(spark: SparkSession, dir: String): String =
+    s"${appSubtree(dir, spark.sparkContext.applicationId)}" +
+      s"/stage-${counter.incrementAndGet()}"
 
   /** Freeze one evaluation of `df` (see object doc for backend choice). */
   def pin(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     scratchDir(spark) match {
       case Some(dir) =>
-        // unique per pin: a JVM-wide counter + session hash, no wall clock
-        // (deterministic-environment discipline) — collisions across
-        // concurrent sessions sharing one scratch dir are avoided by the
-        // session hash, across pins within a session by the counter
-        val path = s"$dir/stage-${System.identityHashCode(spark).toHexString}" +
-          s"-${counter.incrementAndGet()}"
+        // unique per pin: the cluster-manager-unique applicationId scopes
+        // the subtree to THIS app; the JVM-wide counter separates pins
+        // within it (two sessions of one SparkContext share the app id
+        // AND the counter, so they cannot collide either)
+        val path = stagePath(spark, dir)
         df.write.parquet(path)
         spark.read.parquet(path)
       case None => df.localCheckpoint()
@@ -90,17 +114,15 @@ object Stage {
     val spark = df.sparkSession
     scratchDir(spark) match {
       case Some(dir) =>
-        val path = s"$dir/stage-${System.identityHashCode(spark).toHexString}" +
-          s"-${counter.incrementAndGet()}"
+        val path = stagePath(spark, dir)
         df.write.parquet(path)
         spark.read.parquet(path)
       case None if spark.sparkContext.isLocal =>
         // single-JVM fallback: a shutdown-hook-cleaned tmpdir — every
         // executor IS the driver, so a driver-local path is readable
-        val path = s"$localScratch/stage-" +
-          s"${System.identityHashCode(spark).toHexString}" +
-          s"-${counter.incrementAndGet()}"
+        val path = s"$localScratch/stage-${counter.incrementAndGet()}"
         df.write.parquet(path)
+        localStages.add(path)
         spark.read.parquet(path)
       case None =>
         // multi-executor with no configured scratch dir: a driver-local
@@ -112,6 +134,24 @@ object Stage {
         df.localCheckpoint()
     }
   }
+
+  /** The DataFrame's parquet stage location when (and only when) the
+    * frame is one [[pinColumnar]]/[[pin]] just returned — recovered from
+    * the plan's file index so callers that can exploit the staged files'
+    * FOOTERS (e.g. answering `not_null` checks from null-count
+    * statistics without a row scan) need no side-channel. None for the
+    * `localCheckpoint` backends (no files to read footers from). */
+  def parquetPathOf(df: DataFrame): Option[String] =
+    // analyzed, not logical: Spark 4 reads are lazy (UnresolvedDataSource
+    // until analysis); analysis is planning-only, never a job
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+    }.filter(_.size == 1).map(_.head)
 
   /** One JVM-wide tmpdir for [[pinColumnar]]'s local fallback, deleted
     * recursively at JVM exit — without the hook, every dq summary's three
@@ -128,12 +168,29 @@ object Stage {
     p.toString
   }
 
-  /** Delete everything under the configured scratch dir — for a caller
-    * recycling a per-run scratch location BETWEEN runs (never mid-run:
-    * live stage frames read their files lazily). No-op when unset. */
-  def clear(spark: SparkSession): Unit = scratchDir(spark).foreach { dir =>
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) fs.delete(p, true)
+  /** Delete THIS application's stages — for a caller recycling a per-run
+    * scratch location BETWEEN runs (never mid-run: live stage frames read
+    * their files lazily). Scoped to the app's own [[appSubtree]]: on the
+    * shared fleet scratch dir, another application's live stage files are
+    * its to delete, not ours. Also drops the local-fallback stage dirs
+    * [[pinColumnar]] accumulated this JVM (they are this app's by
+    * construction), so a long-lived session can reclaim tmp-disk without
+    * waiting for the exit hook. */
+  def clear(spark: SparkSession): Unit = {
+    scratchDir(spark).foreach { dir =>
+      val p = new org.apache.hadoop.fs.Path(
+        appSubtree(dir, spark.sparkContext.applicationId))
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    var path = localStages.poll()
+    while (path != null) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(path))
+      path = localStages.poll()
+    }
   }
 }

@@ -85,7 +85,15 @@ object RangeRank {
 
   private def smallInput(df: DataFrame): Boolean = {
     val threshold = df.sparkSession.conf.getOption(WindowBytesKey)
-      .map(_.trim.toLong).getOrElse(DefaultWindowBytes)
+      .map { raw =>
+        // name the conf key in the failure: a bare NumberFormatException
+        // from deep inside query construction is undiagnosable
+        try raw.trim.toLong
+        catch { case e: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$WindowBytesKey must be a byte count (long), got '$raw'", e)
+        }
+      }.getOrElse(DefaultWindowBytes)
     threshold > 0 && {
       val leaves = df.queryExecution.optimizedPlan.collectLeaves()
       leaves.nonEmpty &&

@@ -158,17 +158,25 @@ class RangeRankSpec extends SparkSpec
         .toMap
       assert(gotCum == wantCum)
       // the reliable path was actually taken: stage directories exist on
-      // the scratch filesystem (this is what survives an executor loss —
-      // downstream stages recompute from these files instead of aborting
-      // on vanished executor-local blocks)
-      val staged = new java.io.File(scratch).listFiles()
+      // the scratch filesystem under THIS application's subtree (this is
+      // what survives an executor loss — downstream stages recompute from
+      // these files instead of aborting on vanished executor-local
+      // blocks)
+      val appDir = new java.io.File(scratch,
+        s"app-${spark.sparkContext.applicationId}")
+      val staged = appDir.listFiles()
         .filter(_.getName.startsWith("stage-"))
       assert(staged.length >= 2, "every pin must write a durable stage")
       assert(staged.forall(d => new java.io.File(d, "_SUCCESS").exists()),
         "each stage is a completed parquet write")
-      // recycling the scratch dir between runs is the caller's contract
+      // recycling the scratch dir between runs is the caller's contract —
+      // scoped to this app's subtree: another application's live stages
+      // under the same shared scratch dir must survive our clear
+      val other = new java.io.File(scratch, "app-other-application/stage-1")
+      assert(other.mkdirs())
       graft.model.Stage.clear(spark)
-      assert(!new java.io.File(scratch).exists())
+      assert(!appDir.exists(), "clear removes this app's subtree")
+      assert(other.exists(), "clear must not touch another app's stages")
     } finally spark.conf.unset(graft.model.Stage.DirKey)
   }
 
@@ -191,11 +199,42 @@ class RangeRankSpec extends SparkSpec
     spark.conf.set(graft.model.Stage.DirKey, scratch)
     try {
       graft.model.Stage.pinColumnar(base).count()
-      val staged = new java.io.File(scratch).listFiles()
+      val staged = new java.io.File(scratch,
+          s"app-${spark.sparkContext.applicationId}").listFiles()
         .filter(_.getName.startsWith("stage-"))
       assert(staged.length == 1, "columnar pin must stage under the scratch dir")
       assert(new java.io.File(staged.head, "_SUCCESS").exists())
     } finally spark.conf.unset(graft.model.Stage.DirKey)
+  }
+
+  test("clear drops the local-fallback stage dirs pinColumnar accumulated " +
+      "— a long-lived session reclaims tmp-disk without the JVM-exit hook") {
+    val base = docs.select(col("doc_id"), col("lang"))
+    val pinned = graft.model.Stage.pinColumnar(base) // no DirKey → tmpdir
+    val path = graft.model.Stage.parquetPathOf(pinned)
+    assert(path.isDefined, "local pinColumnar must be parquet-backed " +
+      "(parquetPathOf recovers the stage location from the plan)")
+    val dir = new java.io.File(
+      new org.apache.hadoop.fs.Path(path.get).toUri.getPath)
+    assert(dir.isDirectory)
+    assert(pinned.count() == base.count())
+    graft.model.Stage.clear(spark) // between-runs contract: frame is dead
+    assert(!dir.exists(), "clear must delete the tracked local stage")
+    // and a localCheckpoint-backed frame has no parquet location
+    assert(graft.model.Stage.parquetPathOf(base.localCheckpoint()).isEmpty)
+  }
+
+  test("a malformed window-bytes conf fails naming the conf key, not as " +
+      "a bare NumberFormatException from inside query construction") {
+    spark.conf.set(RangeRank.WindowBytesKey, "32mb")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        RangeRank.rank(docs.select(col("doc_id")), Seq.empty,
+          Seq(col("doc_id")), "rk")
+      }
+      assert(e.getMessage.contains(RangeRank.WindowBytesKey))
+      assert(e.getMessage.contains("32mb"))
+    } finally spark.conf.set(RangeRank.WindowBytesKey, "0")
   }
 
   test("adaptive gate: default-threshold (window) and forced-distributed " +
@@ -218,8 +257,11 @@ class RangeRankSpec extends SparkSpec
       // and the small path really is windowed (no pin, no range stage)
       val p = RangeRank.rank(base, Seq("lang"), Seq(col("doc_id")), "rk")
         .queryExecution.executedPlan.toString
-      assert(p.contains("row_number") || p.contains("RunningWindowFunction") ||
-        !p.contains("_rr_pid"), s"default gate must pick the window form:\n$p")
+      // strict form (same as PlanSpec): the window operator must be
+      // present AND the distributed machinery absent — a disjunction
+      // would let a wrongly-distributed plan pass on one clause
+      assert(p.contains("row_number") && !p.contains("_rr_pid"),
+        s"default gate must pick the window form:\n$p")
     } finally spark.conf.set(RangeRank.WindowBytesKey, "0")
   }
 }
