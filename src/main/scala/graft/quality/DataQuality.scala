@@ -102,6 +102,42 @@ object DataQuality {
   lazy val freshnessWarnHours: Int = loaded.freshnessWarnHours.getOrElse(24)
   lazy val freshnessErrorHours: Int = loaded.freshnessErrorHours.getOrElse(48)
 
+  // ---- footer fast-path (see [[FooterStats]]) ----
+
+  /** Check names answered from parquet footer statistics by the most
+    * recent [[summary]] construction, with the answered violation counts
+    * — test/ops visibility into which checks skipped their row scan. */
+  @volatile var lastFooterAnswered: Map[String, Long] = Map.empty
+
+  /** Footer-provable shapes recognized in a RENDERED custom-test SQL.
+    * Recognition is by the SQL the macro actually rendered — not the test
+    * NAME — so a user who redefines `within_range` to different semantics
+    * automatically loses the fast path (regex miss → scan fallback)
+    * instead of getting a wrong metadata answer. */
+  private[quality] sealed trait FooterKind
+  private[quality] final case class RangeKind(col: String, lo: BigDecimal,
+    hi: BigDecimal) extends FooterKind
+  private[quality] final case class NotEmptyKind(col: String) extends FooterKind
+  private[quality] final case class RowFloorKind(n: Long) extends FooterKind
+
+  private val RangeSql =
+    ("""(?is)\s*select\s+\*\s+from\s+.*?\s+where\s+(\w+)\s+is\s+not\s+null""" +
+      """\s+and\s+\(\s*\1\s*<\s*(-?[\d.]+)\s+or\s+\1\s*>\s*(-?[\d.]+)\s*\)\s*""").r
+  private val NotEmptySql =
+    ("""(?is)\s*select\s+\*\s+from\s+.*?\s+where\s+(\w+)\s+is\s+not\s+null""" +
+      """\s+and\s+trim\(\s*\1\s*\)\s*=\s*''\s*""").r
+  private val RowFloorSql =
+    ("""(?is)\s*select\s+c\s+as\s+n_rows\s+from\s+\(\s*select\s+count\(\*\)""" +
+      """\s+as\s+c\s+from\s+.*?\)\s*where\s+c\s*<\s*(\d+)\s*""").r
+
+  private[quality] def footerKindOf(sql: String): Option[FooterKind] = sql match {
+    case RangeSql(col, lo, hi) =>
+      Some(RangeKind(col, BigDecimal(lo), BigDecimal(hi)))
+    case NotEmptySql(col) => Some(NotEmptyKind(col))
+    case RowFloorSql(n) => Some(RowFloorKind(n.toLong))
+    case _ => None
+  }
+
   /** One row per declared test, one UNDERLYING EVALUATION per table.
     *
     * Each table's generic checks are a single-pass conditional agg
@@ -160,6 +196,78 @@ object DataQuality {
         "gold_revenue_analysis" -> graft.gold.Gold.revenueAnalysisFrom(so, sp))
     }
 
+    // ---- footer fast-path: answer eligible checks from the parquet
+    // footers the pins/sources already wrote ([[FooterStats]]) — a
+    // not_null count IS the summed null-count statistic, a range-style
+    // custom check is provably zero when every row group's min/max sits
+    // inside the bounds, a row-floor check reads only row counts. One
+    // footer pass per distinct root path (raw and bronze share files);
+    // anything unprovable (derived column, missing stats, min/max outside
+    // the bounds, non-parquet frame) stays on the scan path below, whose
+    // semantics remain the oracle's. Answers are EXACT, so the emitted
+    // rows hash identically either way. ----
+    // kill switch (spark.graft.dq.footer=false): forces every check onto
+    // the scan path — the operational escape hatch for a store whose
+    // footer statistics are distrusted, and the spec's A/B lever proving
+    // both paths emit identical rows
+    val footerEnabled =
+      spark.conf.getOption("spark.graft.dq.footer").forall(_ != "false")
+    val customKinds: Seq[(String, String, FooterKind)] =
+      if (!footerEnabled) Seq.empty
+      else customTestSql.flatMap { case (name, sql) =>
+        loaded.customTests.find(_.checkName == name).flatMap(ct =>
+          footerKindOf(sql).map(k => (name, ct.table, k)))
+      }
+    val wantedCols: Map[String, Set[String]] =
+      ((if (footerEnabled) inventory else Seq.empty)
+        .map(tc => tc.table -> tc.notNulls.toSet) ++
+        customKinds.map {
+          case (_, t, RangeKind(c, _, _)) => t -> Set(c)
+          case (_, t, NotEmptyKind(c)) => t -> Set(c)
+          case (_, t, RowFloorKind(_)) => t -> Set.empty[String]
+        }).groupMapReduce(_._1)(_._2)(_ ++ _)
+    val originByTable: Map[String, (String, Map[String, String])] =
+      wantedCols.keys.flatMap(t =>
+        dfs.get(t).flatMap(FooterStats.origin).map(t -> _)).toMap
+    val statsByRoot: Map[String, FooterStats.TableStats] =
+      originByTable.toSeq
+        .map { case (t, (root, byName)) =>
+          root -> wantedCols(t).flatMap(byName.get) }
+        .groupMapReduce(_._1)(_._2)(_ ++ _)
+        .map { case (root, cols) => root -> FooterStats.read(spark, root, cols) }
+    def colStats(table: String, c: String): Option[FooterStats.ColStats] =
+      originByTable.get(table).flatMap { case (root, byName) =>
+        byName.get(c).flatMap(statsByRoot(root).cols.get) }
+    def rowCountOf(table: String): Option[Long] =
+      originByTable.get(table).map { case (root, _) => statsByRoot(root).rowCount }
+    val footerAnswers: Map[String, Long] =
+      (inventory.flatMap { tc =>
+        tc.notNulls.flatMap(c => colStats(tc.table, c).flatMap(_.nullCount)
+          .map(s"${tc.table}.$c.not_null" -> _))
+      } ++ customKinds.flatMap {
+        case (name, t, RangeKind(c, lo, hi)) =>
+          colStats(t, c).collect {
+            case s if s.allNull => name -> 0L
+            case s if s.numRange.exists { case (mn, mx) => mn >= lo && mx <= hi } =>
+              name -> 0L
+          }
+        case (name, t, NotEmptyKind(c)) =>
+          colStats(t, c).collect {
+            case s if s.allNull => name -> 0L
+            // min's first byte above 0x20 ⇒ no value is empty/all-spaces
+            case s if s.strMinFirstByte.exists(_ > 0x20) => name -> 0L
+          }
+        case (name, t, RowFloorKind(n)) =>
+          rowCountOf(t).map(rc => name -> (if (rc < n) 1L else 0L))
+      }).toMap
+    lastFooterAnswered = footerAnswers
+    // one visible line per summary: which checks resolved footer-only
+    if (footerAnswers.nonEmpty && spark.conf
+        .getOption("spark.graft.dq.footer.log").forall(_ != "false"))
+      System.err.println(s"[graft.dq] footer-only resolution for " +
+        s"${footerAnswers.size} checks: " +
+        footerAnswers.keys.toSeq.sorted.mkString(", "))
+
     // Singular-test reconstructions folded into the same single-pass agg as
     // the table's generic checks, so their (large) model subtree appears in
     // the union plan exactly once (/root/reference/tests/, SURVEY.md §2.12).
@@ -169,18 +277,23 @@ object DataQuality {
       "gold_customer_summary" -> Seq("tests.assert_positive_revenue" ->
         sum(when(col("lifetime_value") < 0, 1L).otherwise(0L))))
 
-    def tableRows(tc: TableChecks): DataFrame = {
+    def tableRows(tc: TableChecks): Option[DataFrame] = {
+      // footer-answered not_nulls leave the agg: the branch's ReadSchema
+      // narrows to the columns that still need rows
+      val scanNotNulls = tc.notNulls
+        .filterNot(c => footerAnswers.contains(s"${tc.table}.$c.not_null"))
       val checks: Seq[Column] =
         tc.uniques.map(uniqueViolations) ++
-        tc.notNulls.map(notNullViolations) ++
+        scanNotNulls.map(notNullViolations) ++
         tc.accepted.map { case (c, vals) => acceptedValuesViolations(c, vals) }.toSeq ++
         extraChecks.getOrElse(tc.table, Seq.empty).map { case (n, c) => c.as(n) }
+      if (checks.isEmpty) return None // every check answered from footers
       val agged = dfs(tc.table).agg(checks.head, checks.tail: _*)
       val entries = agged.schema.fieldNames.toSeq.flatMap { n =>
         val name = if (n.startsWith("tests.")) n else s"${tc.table}.$n"
         Seq(lit(name), col(s"`$n`").cast("long"))
       }
-      agged.select(explode(map(entries: _*)).as(Seq("check_name", "violations")))
+      Some(agged.select(explode(map(entries: _*)).as(Seq("check_name", "violations"))))
     }
 
     def relRows(name: String, child: String, fk: String, parent: String, pk: String) =
@@ -197,10 +310,21 @@ object DataQuality {
         .agg(count(lit(1)).as("violations"))
         .select(lit(name).as("check_name"), col("violations"))
 
+    // footer answers enter as literal rows — exact values, zero scans
+    val footerRows: Option[DataFrame] =
+      if (footerAnswers.isEmpty) None
+      else Some(spark.createDataFrame(
+        java.util.Arrays.asList(footerAnswers.toSeq.sortBy(_._1).map {
+          case (n, v) => org.apache.spark.sql.Row(n, v) }: _*),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "check_name STRING, violations BIGINT")))
+
     val parts =
-      inventory.map(tableRows) ++
+      inventory.flatMap(tableRows) ++
       relationshipChecks.map { case (n, c, fk, p, pk) => relRows(n, c, fk, p, pk) } ++
-      customTestSql.map { case (n, sql) => customRows(n, sql) }
+      customTestSql.collect { case (n, sql) if !footerAnswers.contains(n) =>
+        customRows(n, sql) } ++
+      footerRows
     parts.reduce(_ unionByName _)
   }
 

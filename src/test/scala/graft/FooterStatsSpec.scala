@@ -1,0 +1,115 @@
+package graft.quality
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Footer-statistics dq resolution ([[FooterStats]], the fast path wired
+  * into [[DataQuality.summary]]): answers must be BIT-IDENTICAL to the
+  * scan path's, eligibility must collapse on anything the footers don't
+  * exactly describe (filters, derived columns, out-of-range data, edited
+  * test macros), and the proofs must hold on raw parquet statistics. */
+class FooterStatsSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+
+  test("summary: footer path and forced-scan path emit identical rows, " +
+      "and the footer really answered the silver not_nulls") {
+    def rows() = DataQuality.summary(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val withFooter = rows()
+    val answered = DataQuality.lastFooterAnswered
+    assert(answered.nonEmpty, "footer resolution must fire on sf0.001")
+    // the pinned silver stages are parquet → their not_nulls are
+    // metadata-answerable; so are the bronze keys (bare renames of the
+    // raw scan) and the row-floor / not-empty custom tests
+    Seq("silver_customers.email.not_null",
+        "silver_orders.order_amount.not_null",
+        "silver_payments.payment_key.not_null",
+        "bronze_customers.customer_id.not_null",
+        "silver_payments.at_least_n_rows",
+        "silver_payments.payment_method.not_empty_string")
+      .foreach(n => assert(answered.contains(n), s"$n missing from $answered"))
+    // within_range must NOT be footer-answered on this data: the raw
+    // fan-out keeps negative payment amounts, so min < 0 breaks the
+    // containment proof and the count needs the scan
+    assert(!answered.contains("silver_payments.payment_amount.within_range"))
+    assert(withFooter.contains("silver_payments.payment_amount.within_range"))
+    spark.conf.set("spark.graft.dq.footer", "false")
+    try {
+      val scanOnly = rows()
+      assert(DataQuality.lastFooterAnswered.isEmpty)
+      assert(withFooter == scanOnly,
+        "footer answers must be value-identical to the scan path")
+    } finally spark.conf.unset("spark.graft.dq.footer")
+  }
+
+  test("origin: maps rename chains to footer columns, rejects filters " +
+      "and derived columns") {
+    // bronze customer_id ← raw id ← c_custkey: two bare-alias hops
+    val bronze = graft.bronze.Bronze.customers(spark, Sf0001)
+    val o = FooterStats.origin(bronze)
+    assert(o.isDefined)
+    val (root, byName) = o.get
+    assert(root.endsWith("customer.parquet"))
+    assert(byName("customer_id") == "c_custkey")
+    // email is a CASE expression — present in the frame, absent from the
+    // mapping (derived values have no footer)
+    assert(!byName.contains("email"))
+    // a Filter anywhere breaks eligibility: footer rows ≠ frame rows
+    assert(FooterStats.origin(bronze.filter(col("customer_id") > 10)).isEmpty)
+    // an aggregate too
+    assert(FooterStats.origin(bronze.groupBy("customer_id").count()).isEmpty)
+  }
+
+  test("read: null counts exact, numeric range and string-min proofs " +
+      "hold on freshly written parquet") {
+    import spark.implicits._
+    val dir = graft.model.Scratch.dir("graft_footer_probe")
+    Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 5.0, "abc"), (2L, null, "zz"), (null, 7.5, "m"), (4L, 0.5, "abc"))
+      .toDF("k", "x", "s").repartition(2).write.mode("overwrite")
+      .parquet(s"$dir/t")
+    val stats = FooterStats.read(spark, s"$dir/t", Set("k", "x", "s"))
+    assert(stats.rowCount == 4L)
+    assert(stats.cols("k").nullCount.contains(1L))
+    assert(stats.cols("x").nullCount.contains(1L))
+    assert(stats.cols("s").nullCount.contains(0L))
+    val (lo, hi) = stats.cols("x").numRange.get
+    assert(lo == BigDecimal(0.5) && hi == BigDecimal(7.5))
+    assert(stats.cols("s").strMinFirstByte.contains('a'.toInt))
+    assert(stats.cols("s").numRange.isEmpty, "strings carry no num range")
+    // an empty string kills the string-min proof (its min is empty) —
+    // the check falls back to the scan rather than claim zero
+    Seq(("", 1L), ("ok", 2L)).toDF("s", "k")
+      .write.mode("overwrite").parquet(s"$dir/t2")
+    val s2 = FooterStats.read(spark, s"$dir/t2", Set("s"))
+    assert(s2.cols("s").strMinFirstByte.isEmpty)
+    // an all-null column: no range, allNull flagged
+    Seq[(java.lang.Double, Long)]((null, 1L), (null, 2L)).toDF("x", "k")
+      .write.mode("overwrite").parquet(s"$dir/t3")
+    val s3 = FooterStats.read(spark, s"$dir/t3", Set("x"))
+    assert(s3.cols("x").allNull && s3.cols("x").numRange.isEmpty)
+    assert(s3.cols("x").nullCount.contains(2L))
+  }
+
+  test("footerKindOf: recognizes the three shipped macro shapes by their " +
+      "RENDERED SQL and refuses anything edited") {
+    val range = DataQuality.footerKindOf(
+      """select * from {{ ref('t') }} where amt is not null
+        |  and (amt < 0 or amt > 100)""".stripMargin)
+    assert(range.contains(DataQuality.RangeKind("amt", BigDecimal(0),
+      BigDecimal(100))))
+    val ne = DataQuality.footerKindOf(
+      "select * from x where m is not null and trim(m) = ''")
+    assert(ne.contains(DataQuality.NotEmptyKind("m")))
+    val floor = DataQuality.footerKindOf(
+      "select c as n_rows from (select count(*) as c from x) where c < 5")
+    assert(floor.contains(DataQuality.RowFloorKind(5L)))
+    // a user-edited macro (different predicate) silently loses the fast
+    // path — the scan evaluates whatever the new SQL says
+    assert(DataQuality.footerKindOf(
+      "select * from x where m is not null and trim(m) = '' or 1=1").isEmpty)
+    assert(DataQuality.footerKindOf(
+      "select * from x where amt < 0 or amt > 100").isEmpty)
+  }
+}

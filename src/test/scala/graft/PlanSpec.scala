@@ -486,9 +486,14 @@ class PlanSpec extends SparkSpec {
     // test as its own query too). 36 → 35 in round 11: the columnar
     // silver pin (Stage.pinColumnar) stages the chains through parquet,
     // and every branch after it is a pruned SCAN — one silver-chain
-    // exchange no longer appears in the dq plan at all.
+    // exchange no longer appears in the dq plan at all. 35 → 33 in
+    // round 12: footer-statistics resolution (FooterStats) answers the
+    // not_empty_string and at_least_n_rows custom tests from the pinned
+    // stage's parquet metadata, so their two counted branches leave the
+    // plan entirely (within_range stays — this data really has
+    // out-of-range payment amounts, so its count needs the scan).
     assert(counts == Map(
-      "dq_summary" -> 35, "minhash_lsh" -> 15,
+      "dq_summary" -> 33, "minhash_lsh" -> 15,
       "tpch_q2" -> 5, "corpus_clean" -> 26), counts.toString)
   }
 
