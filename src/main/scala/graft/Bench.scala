@@ -23,15 +23,17 @@ object Bench {
     // compilation + parquet reader init once, so the measured pass below
     // reflects steady-state, data-proportional cost instead of charging
     // ~10 s of JVM warm-up to whichever query happens to run first.
-    val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
-      }
     // optional row filter (local probe tooling — the driver never sets
     // it): run only the named queries, e.g. for per-row 10x A/B pairs
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .foreach { case (_, fn) =>
+          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        }
     // ANN index BUILD/SERVE split: the fingerprint-cached index tables
     // (IVF centroids/lists, PQ codebooks/codes, int8 codes) are
     // build-once/serve-many; unsplit, whichever ANN row runs first
@@ -66,6 +68,25 @@ object Bench {
             -1.0
         }
       }
+    // Steady-state takedown store: same build/serve split as the ANN
+    // index — takedown_steady prices the marginal request against an
+    // EXISTING store, so its build-once store is paid (and reported)
+    // here, not inside the row's wall clock.
+    val needsStore = only.forall(_.contains("takedown_steady"))
+    val storeBuild =
+      if (!needsStore) 0.0
+      else {
+        val tb = System.nanoTime()
+        try {
+          graft.ops.IncrementalDedup.steadyStore(spark, sfDir)
+          (System.nanoTime() - tb) / 1e9
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"steady store prebuild failed " +
+              s"(takedown_steady will pay the build): $e")
+            -1.0
+        }
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -81,8 +102,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total =
       (if (results.nonEmpty) results.map(_._2).sum else 0.0) +
-        math.max(annBuild, 0.0)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","ann_index_build":$annBuild,"queries":$qs,"sf":"$sfDir"}"""
+        math.max(annBuild, 0.0) + math.max(storeBuild, 0.0)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","ann_index_build":$annBuild,"takedown_store_build":$storeBuild,"queries":$qs,"sf":"$sfDir"}"""
     // stdout first — it is the channel the driver parses and must survive
     // even if the file copy fails (unwritable cwd, bad env override)
     println(json)

@@ -43,10 +43,17 @@ object Run {
     // CATALOG sticks to the core DAG: an extension model's build is not
     // plan-only (index builds train k-means at DataFrame-construction
     // time), and docs generation must never pay a training job.
+    // --docs-warehouse=<dir> (after a --corpus/--ann-index run into that
+    // warehouse) additionally catalogs the extension relations from
+    // their written parquet footers — schema reads only, still no job.
     args.collectFirst { case a if a.startsWith("--docs=") =>
         a.stripPrefix("--docs=") }.foreach { outDir =>
       val srcDir = args.filterNot(_.startsWith("--")).headOption
         .getOrElse("/root/testdata/sf0.001")
+      val docsSink = args.collectFirst {
+        case a if a.startsWith("--docs-warehouse=") =>
+          new pipeline.ParquetSink(a.stripPrefix("--docs-warehouse="))
+      }
       val b = SparkSession.builder()
         .config("spark.sql.shuffle.partitions", "2")
         .config("spark.sql.session.timeZone", "UTC")
@@ -61,7 +68,7 @@ object Run {
       try {
         pipeline.Docs.write(s, srcDir, outDir,
           pipeline.Registry.models ++ extraModels,
-          catalogModels = Some(pipeline.Registry.models))
+          catalogModels = Some(pipeline.Registry.models), sink = docsSink)
         println(s"== docs bundle (manifest.json, catalog.json, lineage.dot) -> $outDir")
       } finally s.stop()
       return

@@ -502,6 +502,84 @@ object IncrementalDedup {
     FROM f a JOIN f b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
     GROUP BY 1, 2 HAVING count(*) >= ${Dedup.MinSharedFingerprints}"""
 
+  // ---- steady-state takedown against an EXISTING store ----
+  //
+  // [[graft.pipeline.Forget.takedownReceipt]] deliberately replays a
+  // fresh store per invocation — that row prices the full lifecycle.
+  // Production, however, repeats a much smaller operation: append a
+  // tombstone to a store that ALREADY EXISTS and read back a receipt.
+  // The store here is built once per corpus fingerprint (the
+  // [[IvfIndex.fingerprint]]/renameIfAbsent discipline the ANN caches
+  // use) and every later takedown against it costs one takedown-sized
+  // tombstone write plus pruned one-column scans of the member index —
+  // never a re-ingest, never a detection replay.
+
+  /** Cache root for build-once steady-state stores. JVM-tmpdir default
+    * keeps the (spark, dir) query contract self-contained; a deployment
+    * points it at the real crawl store's filesystem. */
+  @volatile var steadyCacheRoot: String =
+    sys.props.getOrElse("graft.dedup.steady.root",
+      s"${sys.props("java.io.tmpdir")}/graft_dedup_steady")
+
+  /** Version component of the steady-store cache key: the cache persists
+    * across JVMs, so a change to the ingest recipe must invalidate
+    * stores built by old code. */
+  private val SteadyVersion = s"s1m$ReplayMod"
+
+  /** Cold steady-store builds JVM-wide (test-visible proof that repeated
+    * takedowns reuse the cached store instead of re-ingesting). */
+  val steadyBuilds = new AtomicLong(0L)
+
+  /** The EXISTING store for `dir`'s corpus: built on first use (the
+    * corpus ingested as [[ReplayMod]] crawl shards under a staging name,
+    * committed with one atomic rename — concurrent cold builds
+    * last-writer-lose like every other fingerprint-keyed cache), reused
+    * by content fingerprint afterwards. Returns the store root. */
+  def steadyStore(spark: SparkSession, dir: String): String = {
+    val fp = IvfIndex.fingerprint(spark, dir, "documents.parquet")
+    val root = s"$steadyCacheRoot/store_${SteadyVersion}_$fp"
+    val fs = hadoopFs(spark, root)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    if (fs.exists(rootPath)) return root
+    val staging = s"$steadyCacheRoot/.build_" +
+      java.util.UUID.randomUUID.toString.take(12)
+    val docs = TextOps.documents(spark, dir)
+    (0 until ReplayMod).foreach { b =>
+      ingest(spark, staging, b, docs.filter(pmod(col("doc_id"),
+        lit(ReplayMod.toLong)) === b))
+    }
+    fs.mkdirs(rootPath.getParent)
+    IvfIndex.renameIfAbsent(fs,
+      new org.apache.hadoop.fs.Path(staging), rootPath)
+    steadyBuilds.incrementAndGet()
+    root
+  }
+
+  /** The steady-state operation itself: tombstone `docIds` (a `doc_id`
+    * column) in the existing store at `root`, then emit a receipt read
+    * from the store's post-delete LOGICAL view — requested ids, surviving
+    * (text, doc) members, surviving distinct texts. Hash-equality against
+    * the never-ingested oracle proves the tombstone is honored by every
+    * read from the instant of the append (the physical fold is the
+    * store's own [[compact]] cadence). Idempotent by construction:
+    * re-deleting the same ids (tombstones dedup logically; a post-fold
+    * re-delete anti-joins nothing) leaves every receipt value unchanged,
+    * so repeated driver runs against the cached store stay bit-stable. */
+  def steadyTakedown(spark: SparkSession, root: String,
+      docIds: DataFrame): DataFrame = {
+    delete(spark, root, docIds)
+    val requested = docIds.select("doc_id").distinct()
+      .agg(count(lit(1)).as("requested"))
+    val survivors = reps(spark, root).agg(
+      count(lit(1)).as("members"),
+      countDistinct(col("text_hash")).as("texts"))
+    requested.crossJoin(survivors)
+      .select(explode(map(
+        lit("docs_tombstoned"), col("requested"),
+        lit("surviving_members"), col("members"),
+        lit("surviving_texts"), col("texts"))).as(Seq("metric", "value")))
+  }
+
   /** Warehouse root for the DAG-scheduled store — same pattern as
     * [[IvfIndex.cacheRoot]]: JVM-tmpdir default keeps the (spark, dir)
     * query contract self-contained; a deployment points it at the real

@@ -98,12 +98,28 @@ object Docs {
     * time, so the catalog and the contract cannot drift apart
     * silently. */
   def catalogJson(spark: SparkSession, sourceDir: String,
-      all: Seq[Model] = Registry.models): String = {
+      all: Seq[Model] = Registry.models,
+      fromSink: Seq[Model] = Seq.empty,
+      sink: Option[TableSink] = None): String = {
     val acc = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame]
     val ordered = Registry.topoOrderOf(all)
     ordered.foreach(m => acc(m.name) = m.build(spark, sourceDir, acc.toMap))
-    val nodes = ordered.map { m =>
-      val cols = acc(m.name).schema.map(f =>
+    val planSchemas = ordered.map(m => m -> acc(m.name).schema)
+    // POST-MATERIALIZATION entries: a model whose build is not plan-only
+    // (index builders train k-means at DataFrame-construction time) is
+    // never built here — but once a run has materialized it, its schema
+    // sits in the written parquet footers, and the sink's read is a
+    // metadata-only schema resolution. Relations the sink does not hold
+    // are skipped (docs still never pay a job); plan-built entries win on
+    // a name collision.
+    val planNames = ordered.map(_.name).toSet
+    val sinkSchemas = sink.toSeq.flatMap { sk =>
+      fromSink.filterNot(m => planNames.contains(m.name))
+        .filter(m => sk.exists(spark, m.layer, m.tableName))
+        .map(m => m -> sk.read(spark, m.layer, m.tableName).schema)
+    }
+    val nodes = (planSchemas ++ sinkSchemas).map { case (m, schema) =>
+      val cols = schema.map(f =>
         s"""        "${esc(f.name)}": "${esc(f.dataType.simpleString)}"""")
       s"""    "${esc(m.name)}": {
          |      "columns": {
@@ -124,16 +140,22 @@ object Docs {
     * `dot -Tsvg`) — under `outDir` (dbt: `target/`). `catalogModels`
     * defaults to the manifest set; pass a plan-only subset when `all`
     * carries extension models whose builds execute jobs (see
-    * [[catalogJson]]). */
+    * [[catalogJson]]). With a `sink`, models in `all` outside the
+    * plan-only set are additionally cataloged from their MATERIALIZED
+    * relation's parquet footers — so a `--docs` after a
+    * `--corpus`/`--ann-index` run covers the extension relations too,
+    * still without executing anything. */
   def write(spark: SparkSession, sourceDir: String, outDir: String,
       all: Seq[Model] = Registry.models,
-      catalogModels: Option[Seq[Model]] = None): Unit = {
+      catalogModels: Option[Seq[Model]] = None,
+      sink: Option[TableSink] = None): Unit = {
     val p = java.nio.file.Paths.get(outDir)
     java.nio.file.Files.createDirectories(p)
     def put(name: String, content: String): Unit =
       java.nio.file.Files.write(p.resolve(name), content.getBytes("UTF-8"))
     put("manifest.json", manifestJson(all))
-    put("catalog.json", catalogJson(spark, sourceDir, catalogModels.getOrElse(all)))
+    put("catalog.json", catalogJson(spark, sourceDir,
+      catalogModels.getOrElse(all), fromSink = all, sink = sink))
     put("lineage.dot", Registry.lineageDot(all))
   }
 }

@@ -158,6 +158,45 @@ object Forget {
           .agg(sum(col("neighbor_id")).cast("bigint").as("result_metric"))))
   }
 
+  /** Driver row: STEADY-STATE takedown — the per-request operation a
+    * production fleet actually repeats, priced without the store build.
+    * [[IncrementalDedup.steadyStore]] is built once per corpus
+    * fingerprint and cached (`takedown_receipt` keeps measuring the full
+    * fresh-store lifecycle; this row measures the marginal request):
+    * one tombstone append for the erased customers' documents plus a
+    * receipt over the member index — takedown-sized write, index-sized
+    * pruned scans, seconds at any corpus scale. The ids are the same
+    * ownership derivation as the full receipt ([[idsFor]]), so the two
+    * rows price the same request at the two cadences. */
+  def takedownSteady(spark: SparkSession, dir: String): DataFrame = {
+    val store = IncrementalDedup.steadyStore(spark, dir)
+    val docIds = idsFor(spark, dir, erasedCustomers(spark, dir))
+      .select("doc_id").distinct()
+    IncrementalDedup.steadyTakedown(spark, store, docIds)
+  }
+
+  /** DuckDB twin of [[takedownSteady]]: the requested ids by the same
+    * `mod |customers|` ownership arithmetic, and the survivor metrics
+    * recomputed from never-ingested first principles over `documents` —
+    * members are distinct (text, doc) pairs of surviving docs, texts are
+    * the distinct surviving text values (md5(text) equality ≡ text
+    * equality, as everywhere in the dedup oracles). */
+  def takedownSteadyOracle: String = {
+    val mod = Erasure.ErasureMod
+    val nCust = "(SELECT count(*) FROM customer)"
+    val deleted = s"(doc_id % $nCust) % $mod = 0"
+    s"""SELECT 'docs_tombstoned' AS metric,
+      (SELECT count(*) FROM (
+        SELECT DISTINCT doc_id FROM documents WHERE $deleted) t) AS value
+    UNION ALL
+    SELECT 'surviving_members',
+      (SELECT count(*) FROM (
+        SELECT DISTINCT text, doc_id FROM documents WHERE NOT ($deleted)) t)
+    UNION ALL
+    SELECT 'surviving_texts',
+      (SELECT count(DISTINCT text) FROM documents WHERE NOT ($deleted))"""
+  }
+
   /** DuckDB twin: each surface's post-state recomputed from
     * never-ingested first principles (erased summary over filtered
     * bronze; winnow pairs over surviving docs only; IVF top-k with the

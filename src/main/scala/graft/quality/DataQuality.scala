@@ -166,6 +166,10 @@ object DataQuality {
       // all at 100× (dq_summary 71→155 s); the parquet stage keeps the
       // one-evaluation semantics AND per-branch column pruning
       val pin = graft.model.Stage.pinColumnar _
+      val goldPin: DataFrame => DataFrame =
+        if (spark.conf.getOption("spark.graft.dq.pingold").contains("true"))
+          pin
+        else identity
       // silver chains build on each other and gold builds on silver, so
       // pin bottom-up THROUGH the From-composition: each layer's one
       // evaluation reads the pinned layer below, never re-derives it
@@ -185,15 +189,17 @@ object DataQuality {
         "silver_customers" -> sc,
         "silver_orders" -> so,
         "silver_payments" -> sp,
-        // gold stays LAZY over the pinned silvers: each gold table is
-        // read by only 1–2 branches, so deriving it is one cheap agg of
-        // a pinned input — pinning it too would pay a full-width
-        // materialization to save a single pruned re-agg (measured a
-        // net loss at sf0.1; the silver pins are the ones shared by
-        // ~a dozen branches each)
-        "gold_customer_summary" -> graft.gold.Gold.customerSummaryFrom(sc, so, sp),
-        "gold_order_metrics" -> graft.gold.Gold.orderMetricsFrom(so),
-        "gold_revenue_analysis" -> graft.gold.Gold.revenueAnalysisFrom(so, sp))
+        // gold stays LAZY over the pinned silvers by default: each gold
+        // table is read by only 1–2 branches, so deriving it is one
+        // cheap agg of a pinned input — pinning it too would pay a
+        // full-width materialization to save a single pruned re-agg.
+        // Measured BOTH ways, at sf0.1 AND at the 100× replica (SURVEY
+        // §21 A/B): lazy wins or ties at every point, so the default is
+        // not a guess; spark.graft.dq.pingold=true is the A/B lever (and
+        // the escape hatch for a deployment whose gold fan-out grows)
+        "gold_customer_summary" -> goldPin(graft.gold.Gold.customerSummaryFrom(sc, so, sp)),
+        "gold_order_metrics" -> goldPin(graft.gold.Gold.orderMetricsFrom(so)),
+        "gold_revenue_analysis" -> goldPin(graft.gold.Gold.revenueAnalysisFrom(so, sp)))
     }
 
     // ---- footer fast-path: answer eligible checks from the parquet

@@ -52,4 +52,28 @@ class DocsSpec extends SparkSpec {
     assert(dot == Registry.lineageDot())
     assert(dot.contains("\"silver_orders\" -> \"gold_order_metrics\""))
   }
+
+  test("materialized extension models catalog from their parquet footers") {
+    import graft.pipeline.{CorpusPipeline, ParquetSink}
+    val wh = Files.createTempDirectory("graft_docs_wh").toString
+    val sink = new ParquetSink(wh)
+    // materialize ONE extension model only: the other (corpus_chunks)
+    // stays unbuilt, proving absent relations are skipped, not executed
+    Registry.run(spark, Sf0001, sink,
+      all = Registry.models ++ CorpusPipeline.models,
+      select = Some("corpus_clean"), registerViews = false)
+    val all = Registry.models ++ CorpusPipeline.models
+    val json = Docs.catalogJson(spark, Sf0001,
+      all = Registry.models, fromSink = all, sink = Some(sink))
+    // the materialized extension relation is cataloged, column types from
+    // the written footers (corpus_clean's declared contract)
+    val node = json.split("\"corpus_clean\": \\{")(1).split("\\}\\s*\\}")(0)
+    CorpusPipeline.models.find(_.name == "corpus_clean").get
+      .declaredSchema.get.foreach { case (c, t) =>
+        assert(node.contains(s""""$c": "$t""""), s"corpus_clean.$c") }
+    // unmaterialized extension models are absent — never built, never read
+    assert(!json.contains("\"corpus_pack\""))
+    // the core plan-only catalog is untouched by the sink path
+    assert(json.contains("\"gold_order_metrics\""))
+  }
 }

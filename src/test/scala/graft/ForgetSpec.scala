@@ -74,4 +74,43 @@ class ForgetSpec extends SparkSpec {
     served.select("neighbor_id").collect().map(_.getLong(0)).foreach(id =>
       assert(!deletedSet.contains(id), s"deleted vector $id was served"))
   }
+
+  test("steady-state takedown: build-once store, exact receipt, idempotent " +
+      "through the tombstone fold") {
+    val prevRoot = IncrementalDedup.steadyCacheRoot
+    IncrementalDedup.steadyCacheRoot =
+      Files.createTempDirectory("graft_spec_steady").toString
+    try {
+      val docs = TextOps.documents(spark, Sf0001)
+      val nCust = Bronze.customers(spark, Sf0001).count()
+      val deletedPred = pmod(pmod(col("doc_id"), lit(nCust)),
+        lit(Erasure.ErasureMod.toLong)) === 0
+      val truth = Map(
+        "docs_tombstoned" ->
+          docs.filter(deletedPred).select("doc_id").distinct().count(),
+        "surviving_members" -> docs.filter(!deletedPred)
+          .select("text", "doc_id").distinct().count(),
+        "surviving_texts" -> docs.filter(!deletedPred)
+          .select("text").distinct().count())
+      def receipt(): Map[String, Long] =
+        Forget.takedownSteady(spark, Sf0001).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+      val builds0 = IncrementalDedup.steadyBuilds.get
+      val first = receipt()
+      assert(IncrementalDedup.steadyBuilds.get == builds0 + 1,
+        "first takedown pays exactly one store build")
+      assert(first == truth,
+        "receipt must equal the never-ingested first-principles counts")
+
+      // repeat past the CompactEvery tombstone auto-fold: the 4th delete
+      // folds the tombstones physical; receipts must not move, and no
+      // invocation may rebuild (or re-ingest into) the store
+      (1 to IncrementalDedup.CompactEvery).foreach { i =>
+        assert(receipt() == truth, s"receipt drifted on invocation ${i + 1}")
+      }
+      assert(IncrementalDedup.steadyBuilds.get == builds0 + 1,
+        "later takedowns must reuse the cached store, never rebuild")
+    } finally IncrementalDedup.steadyCacheRoot = prevRoot
+  }
 }
