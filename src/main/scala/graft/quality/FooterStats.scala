@@ -100,84 +100,146 @@ object FooterStats {
     }
   }
 
-  /** Read every data file's footer under `root` (driver-side; the same
-    * metadata cost class as planning the scan) and fold the row-group
-    * statistics of the requested FOOTER columns. */
+  /** One file's folded footer statistics — associative-merge carrier, so
+    * the per-file work can run driver-side (few files) or as executor
+    * tasks (many files) with IDENTICAL semantics: both paths call this
+    * function and [[merge]], nothing else. */
+  private final case class Partial(
+      rows: Long,
+      nulls: Long, nullsUnset: Boolean,
+      lo: BigDecimal, hi: BigDecimal, badRange: Boolean,
+      strMin: Int, badStr: Boolean, nonNull: Boolean)
+
+  private def emptyPartial: Partial =
+    Partial(0L, 0L, nullsUnset = false, null, null, badRange = false,
+      Int.MaxValue, badStr = false, nonNull = false)
+
+  private def merge(a: Partial, b: Partial): Partial = Partial(
+    rows = a.rows + b.rows,
+    nulls = a.nulls + b.nulls,
+    nullsUnset = a.nullsUnset || b.nullsUnset,
+    lo = if (a.lo == null) b.lo else if (b.lo == null || a.lo < b.lo) a.lo else b.lo,
+    hi = if (a.hi == null) b.hi else if (b.hi == null || a.hi > b.hi) a.hi else b.hi,
+    badRange = a.badRange || b.badRange,
+    strMin = math.min(a.strMin, b.strMin),
+    badStr = a.badStr || b.badStr,
+    nonNull = a.nonNull || b.nonNull)
+
+  /** Fold one data file's row-group statistics for `footerCols`. */
+  private def statsOfFile(pathStr: String, footerCols: Set[String],
+      conf: org.apache.hadoop.conf.Configuration): (Long, Map[String, Partial]) = {
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val footer = try reader.getFooter finally reader.close()
+    var rowCount = 0L
+    val acc = scala.collection.mutable.Map.empty[String, Partial]
+      .withDefaultValue(emptyPartial)
+    footer.getBlocks.forEach { block =>
+      rowCount += block.getRowCount
+      block.getColumns.forEach { chunk =>
+        val path = chunk.getPath
+        if (path.size == 1 && footerCols.contains(path.toDotString)) {
+          var a = acc(path.toDotString)
+          val stats = chunk.getStatistics
+          if (stats == null || !stats.isNumNullsSet)
+            a = a.copy(nullsUnset = true)
+          else a = a.copy(nulls = a.nulls + stats.getNumNulls)
+          val groupAllNull = stats != null && stats.isNumNullsSet &&
+            stats.getNumNulls == block.getRowCount
+          if (!groupAllNull) {
+            a = a.copy(nonNull = true)
+            if (stats == null || !stats.hasNonNullValue) {
+              a = a.copy(badRange = true, badStr = true)
+            } else {
+              import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+              val pt = chunk.getPrimitiveType
+              val ann = pt.getLogicalTypeAnnotation
+              val plain = ann == null
+              val str = ann != null && ann.isInstanceOf[
+                org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+              def num(v: Any): BigDecimal = v match {
+                case i: java.lang.Integer => BigDecimal(i.intValue)
+                case l: java.lang.Long => BigDecimal(l.longValue)
+                case f: java.lang.Float => BigDecimal.decimal(f.floatValue)
+                case d: java.lang.Double => BigDecimal(d.doubleValue)
+              }
+              pt.getPrimitiveTypeName match {
+                case INT32 | INT64 | FLOAT | DOUBLE if plain =>
+                  val (mn, mx) = (num(stats.genericGetMin), num(stats.genericGetMax))
+                  a = a.copy(
+                    lo = if (a.lo == null || mn < a.lo) mn else a.lo,
+                    hi = if (a.hi == null || mx > a.hi) mx else a.hi,
+                    badStr = true)
+                case BINARY if str =>
+                  val bytes = stats.genericGetMin
+                    .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+                  a =
+                    if (bytes.isEmpty) a.copy(badStr = true, badRange = true)
+                    else a.copy(
+                      strMin = math.min(a.strMin, bytes(0) & 0xff),
+                      badRange = true)
+                case _ => a = a.copy(badRange = true, badStr = true)
+              }
+            }
+          }
+          acc(path.toDotString) = a
+        }
+      }
+    }
+    (rowCount, acc.toMap)
+  }
+
+  /** Files per footer-read task on the distributed path; also the
+    * driver-side cutoff — at or below this many files the footers are
+    * read in-process (no job is worth launching), above it the reads fan
+    * out as one lightweight metadata task per [[FilesPerTask]] files (a
+    * 100-TB table has tens of thousands of data files; reading every
+    * footer sequentially on the driver would serialize exactly the
+    * latency a cluster exists to parallelize — rows are still never
+    * read on either path). */
+  private[quality] val FilesPerTask = 64
+
+  /** Test seam: forces the distributed path regardless of file count. */
+  @volatile private[quality] var forceDistributed = false
+
+  /** Read every data file's footer under `root` (row-group METADATA only,
+    * never rows) and fold the statistics of the requested FOOTER columns.
+    * Driver-side up to [[FilesPerTask]] files; a parallel metadata-only
+    * job above that. */
   private[quality] def read(spark: org.apache.spark.sql.SparkSession,
       root: String, footerCols: Set[String]): TableStats = {
     val conf = spark.sessionState.newHadoopConf()
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(conf)
-    def files(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    def files(p: org.apache.hadoop.fs.Path): Seq[String] =
       fs.listStatus(p).toSeq.flatMap { st =>
         val n = st.getPath.getName
         if (n.startsWith("_") || n.startsWith(".")) Seq.empty
         else if (st.isDirectory) files(st.getPath)
-        else Seq(st)
+        else Seq(st.getPath.toString)
       }
-    var rowCount = 0L
-    // per column: (nullCount, sawUnsetNulls, numMin, numMax, sawBadRange,
-    //              strMinByte, sawBadStr, sawNonNull)
-    final case class Acc(
-        var nulls: Long = 0L, var nullsUnset: Boolean = false,
-        var lo: BigDecimal = null, var hi: BigDecimal = null,
-        var badRange: Boolean = false,
-        var strMin: Int = Int.MaxValue, var badStr: Boolean = false,
-        var nonNull: Boolean = false)
-    val acc = footerCols.iterator.map(_ -> Acc()).toMap
-    files(rootPath).foreach { st =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      val footer = try reader.getFooter finally reader.close()
-      footer.getBlocks.forEach { block =>
-        rowCount += block.getRowCount
-        block.getColumns.forEach { chunk =>
-          val path = chunk.getPath
-          if (path.size == 1 && footerCols.contains(path.toDotString)) {
-            val a = acc(path.toDotString)
-            val stats = chunk.getStatistics
-            if (stats == null || !stats.isNumNullsSet) a.nullsUnset = true
-            else a.nulls += stats.getNumNulls
-            val groupAllNull = stats != null && stats.isNumNullsSet &&
-              stats.getNumNulls == block.getRowCount
-            if (!groupAllNull) {
-              a.nonNull = true
-              if (stats == null || !stats.hasNonNullValue) {
-                a.badRange = true; a.badStr = true
-              } else {
-                import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-                val pt = chunk.getPrimitiveType
-                val ann = pt.getLogicalTypeAnnotation
-                val plain = ann == null
-                val str = ann != null && ann.isInstanceOf[
-                  org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
-                def num(v: Any): BigDecimal = v match {
-                  case i: java.lang.Integer => BigDecimal(i.intValue)
-                  case l: java.lang.Long => BigDecimal(l.longValue)
-                  case f: java.lang.Float => BigDecimal.decimal(f.floatValue)
-                  case d: java.lang.Double => BigDecimal(d.doubleValue)
-                }
-                pt.getPrimitiveTypeName match {
-                  case INT32 | INT64 | FLOAT | DOUBLE if plain =>
-                    val (mn, mx) = (num(stats.genericGetMin), num(stats.genericGetMax))
-                    a.lo = if (a.lo == null || mn < a.lo) mn else a.lo
-                    a.hi = if (a.hi == null || mx > a.hi) mx else a.hi
-                    a.badStr = true
-                  case BINARY if str =>
-                    val bytes = stats.genericGetMin
-                      .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
-                    if (bytes.isEmpty) a.badStr = true
-                    else a.strMin = math.min(a.strMin, bytes(0) & 0xff)
-                    a.badRange = true
-                  case _ => a.badRange = true; a.badStr = true
-                }
-              }
-            }
-          }
-        }
+    val paths = files(rootPath)
+    val cols = footerCols // capture only serializable values in the tasks
+    val perFile: Seq[(Long, Map[String, Partial])] =
+      if (paths.size <= FilesPerTask && !forceDistributed)
+        paths.map(statsOfFile(_, cols, conf))
+      else {
+        // ship the SESSION hadoop conf (fs credentials, spark.hadoop.*
+        // overrides) to the tasks — executor-default Configuration would
+        // silently drop them on object stores
+        val bc = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(conf))
+        spark.sparkContext
+          .parallelize(paths, math.max(1, paths.size / FilesPerTask))
+          .map(statsOfFile(_, cols, bc.value.value))
+          .collect().toSeq
       }
-    }
-    TableStats(rowCount, acc.map { case (name, a) =>
+    val rowCount = perFile.map(_._1).sum
+    val folded: Map[String, Partial] = footerCols.iterator.map { c =>
+      c -> perFile.flatMap(_._2.get(c)).foldLeft(emptyPartial)(merge)
+    }.toMap
+    TableStats(rowCount, folded.map { case (name, a) =>
       name -> ColStats(
         nullCount = if (a.nullsUnset) None else Some(a.nulls),
         numRange =

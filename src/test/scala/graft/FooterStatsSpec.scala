@@ -92,6 +92,29 @@ class FooterStatsSpec extends SparkSpec {
     assert(s3.cols("x").nullCount.contains(2L))
   }
 
+  test("read: distributed footer tasks fold to the exact driver-path " +
+      "result (many-file tables read footers on executors)") {
+    import spark.implicits._
+    val dir = graft.model.Scratch.dir("graft_footer_dist")
+    // enough files that the distributed path forms several tasks
+    Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 5.0, "abc"), (2L, null, "zz"), (null, 7.5, "m"), (4L, 0.5, "abc"),
+      (5L, -1.5, "q"), (null, null, "abc"))
+      .toDF("k", "x", "s").repartition(6).write.mode("overwrite")
+      .parquet(s"$dir/t")
+    val driverSide = FooterStats.read(spark, s"$dir/t", Set("k", "x", "s"))
+    FooterStats.forceDistributed = true
+    try {
+      val distributed = FooterStats.read(spark, s"$dir/t", Set("k", "x", "s"))
+      assert(distributed == driverSide,
+        "both footer-read paths must fold identical statistics")
+    } finally FooterStats.forceDistributed = false
+    assert(driverSide.rowCount == 6L)
+    assert(driverSide.cols("k").nullCount.contains(2L))
+    val (lo, hi) = driverSide.cols("x").numRange.get
+    assert(lo == BigDecimal(-1.5) && hi == BigDecimal(7.5))
+  }
+
   test("footerKindOf: recognizes the three shipped macro shapes by their " +
       "RENDERED SQL and refuses anything edited") {
     val range = DataQuality.footerKindOf(
