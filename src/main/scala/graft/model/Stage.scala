@@ -140,42 +140,58 @@ object Stage {
     * the plan's file index so callers that can exploit the staged files'
     * FOOTERS (e.g. answering `not_null` checks from null-count
     * statistics without a row scan) need no side-channel. None for the
-    * `localCheckpoint` backends (no files to read footers from). */
-  def parquetPathOf(df: DataFrame): Option[String] =
+    * `localCheckpoint` backends (no files to read footers from), and
+    * None for ANY transformed frame: the match demands the plan BE the
+    * bare scan (modulo aliasing) — a Filter/Project/Join on top means
+    * the files no longer describe the frame's rows, and a path returned
+    * for them would let a caller read footers that contradict the
+    * frame. */
+  def parquetPathOf(df: DataFrame): Option[String] = {
     // analyzed, not logical: Spark 4 reads are lazy (UnresolvedDataSource
     // until analysis); analysis is planning-only, never a job
-    df.queryExecution.analyzed.collectFirst {
+    def strip(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = p match {
+      case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        strip(s.child)
+      case other => other
+    }
+    strip(df.queryExecution.analyzed) match {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         r.relation match {
-          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            h.location.rootPaths.map(_.toString)
-          case _ => Seq.empty
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+              if h.location.rootPaths.size == 1 =>
+            Some(h.location.rootPaths.head.toString)
+          case _ => None
         }
-    }.filter(_.size == 1).map(_.head)
+      case _ => None
+    }
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(); ()
+  }
 
   /** One JVM-wide tmpdir for [[pinColumnar]]'s local fallback, deleted
     * recursively at JVM exit — without the hook, every dq summary's three
     * silver-table stages would outlive the process. */
   private lazy val localScratch: String = {
     val p = java.nio.file.Files.createTempDirectory("graft-stage")
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(p.toFile)
-    }
+    sys.addShutdownHook { rmTree(p.toFile) }
     p.toString
   }
 
   /** Delete THIS application's stages — for a caller recycling a per-run
-    * scratch location BETWEEN runs (never mid-run: live stage frames read
-    * their files lazily). Scoped to the app's own [[appSubtree]]: on the
-    * shared fleet scratch dir, another application's live stage files are
-    * its to delete, not ours. Also drops the local-fallback stage dirs
-    * [[pinColumnar]] accumulated this JVM (they are this app's by
-    * construction), so a long-lived session can reclaim tmp-disk without
-    * waiting for the exit hook. */
+    * scratch location BETWEEN runs of the application (never mid-run, and
+    * APPLICATION-wide: every session sharing the JVM/SparkContext shares
+    * the app subtree AND the local-fallback queue, so clear only when no
+    * session still holds a live pinned frame). Scoped to the app's own
+    * [[appSubtree]]: on the shared fleet scratch dir, another
+    * application's live stage files are its to delete, not ours —
+    * crashed applications' leftovers are reclaimed by [[clearAll]]. Also
+    * drops the local-fallback stage dirs [[pinColumnar]] accumulated this
+    * JVM, so a long-lived session can reclaim tmp-disk without waiting
+    * for the exit hook. */
   def clear(spark: SparkSession): Unit = {
     scratchDir(spark).foreach { dir =>
       val p = new org.apache.hadoop.fs.Path(
@@ -185,12 +201,21 @@ object Stage {
     }
     var path = localStages.poll()
     while (path != null) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(path))
+      rmTree(new java.io.File(path))
       path = localStages.poll()
     }
   }
+
+  /** Delete EVERY application's stages under the configured scratch dir —
+    * the operator's sweep for a shared fleet scratch location where
+    * crashed applications left app subtrees no surviving [[clear]] will
+    * ever scope to (an app-scoped clear reclaims only its own subtree by
+    * design). Run it only when no application using the dir is live. */
+  def clearAll(spark: SparkSession): Unit =
+    scratchDir(spark).foreach { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      ()
+    }
 }

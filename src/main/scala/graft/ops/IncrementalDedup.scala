@@ -514,12 +514,24 @@ object IncrementalDedup {
   // tombstone write plus pruned one-column scans of the member index —
   // never a re-ingest, never a detection replay.
 
-  /** Cache root for build-once steady-state stores. JVM-tmpdir default
-    * keeps the (spark, dir) query contract self-contained; a deployment
-    * points it at the real crawl store's filesystem. */
+  /** Cache root for build-once steady-state stores. The default is a
+    * JVM-PRIVATE scratch dir (exit-hook-cleaned): unlike the immutable
+    * ANN caches, this store is MUTATED by every takedown (tombstone
+    * append, occasionally an auto-fold that deletes folded directories),
+    * and two processes sharing one root would race a reader in one
+    * against a compaction in the other. Build-once still holds where it
+    * matters — within the process that repeats takedowns (and Bench's
+    * build/serve split is same-process). A deployment pointing this at
+    * the real crawl store must serialize takedowns through one operator
+    * — which a production takedown queue does anyway. */
   @volatile var steadyCacheRoot: String =
-    sys.props.getOrElse("graft.dedup.steady.root",
-      s"${sys.props("java.io.tmpdir")}/graft_dedup_steady")
+    sys.props.getOrElse("graft.dedup.steady.root", null)
+
+  private lazy val jvmSteadyRoot: String =
+    graft.model.Scratch.dir("graft_dedup_steady")
+
+  private def steadyRootDir: String =
+    Option(steadyCacheRoot).getOrElse(jvmSteadyRoot)
 
   /** Version component of the steady-store cache key: the cache persists
     * across JVMs, so a change to the ingest recipe must invalidate
@@ -537,11 +549,12 @@ object IncrementalDedup {
     * by content fingerprint afterwards. Returns the store root. */
   def steadyStore(spark: SparkSession, dir: String): String = {
     val fp = IvfIndex.fingerprint(spark, dir, "documents.parquet")
-    val root = s"$steadyCacheRoot/store_${SteadyVersion}_$fp"
+    val cacheRoot = steadyRootDir
+    val root = s"$cacheRoot/store_${SteadyVersion}_$fp"
     val fs = hadoopFs(spark, root)
     val rootPath = new org.apache.hadoop.fs.Path(root)
     if (fs.exists(rootPath)) return root
-    val staging = s"$steadyCacheRoot/.build_" +
+    val staging = s"$cacheRoot/.build_" +
       java.util.UUID.randomUUID.toString.take(12)
     val docs = TextOps.documents(spark, dir)
     (0 until ReplayMod).foreach { b =>

@@ -125,7 +125,15 @@ object FooterStats {
     badStr = a.badStr || b.badStr,
     nonNull = a.nonNull || b.nonNull)
 
-  /** Fold one data file's row-group statistics for `footerCols`. */
+  /** Fold one data file's row-group statistics for `footerCols`.
+    *
+    * Schema evolution is handled EXACTLY, not optimistically: a requested
+    * column absent from THIS file's schema is read as NULL for every one
+    * of its rows by Spark's scan, so the file contributes its whole row
+    * count to the column's null count (and no non-null values — the
+    * range/string proofs see an all-null group); a column present but
+    * non-primitive (a group the scan would read as a struct) has no
+    * usable chunk statistics and poisons every proof for the column. */
   private def statsOfFile(pathStr: String, footerCols: Set[String],
       conf: org.apache.hadoop.conf.Configuration): (Long, Map[String, Partial]) = {
     val p = new org.apache.hadoop.fs.Path(pathStr)
@@ -186,6 +194,17 @@ object FooterStats {
           acc(path.toDotString) = a
         }
       }
+    }
+    val schema = footer.getFileMetaData.getSchema
+    footerCols.foreach { c =>
+      if (!schema.containsField(c))
+        // missing column ⇒ the scan reads NULL for every row of this file
+        acc(c) = merge(acc(c), emptyPartial.copy(nulls = rowCount))
+      else if (!schema.getType(schema.getFieldIndex(c)).isPrimitive)
+        // a group column has no usable chunk statistics: poison every
+        // proof rather than report Some(0) for rows we cannot see
+        acc(c) = merge(acc(c), emptyPartial.copy(
+          nullsUnset = true, badRange = true, badStr = true, nonNull = true))
     }
     (rowCount, acc.toMap)
   }
@@ -252,16 +271,4 @@ object FooterStats {
     })
   }
 
-  /** Footer statistics for `df`'s columns named in `cols`, or None when
-    * the frame is not footer-resolvable at all. Columns of `cols` that
-    * don't map to a footer column are simply absent from the result. */
-  def forColumns(df: DataFrame, cols: Set[String]): Option[TableStats] =
-    origin(df).map { case (root, byName) =>
-      val wanted = byName.filter { case (frameCol, _) => cols(frameCol) }
-      val stats = read(df.sparkSession, root, wanted.values.toSet)
-      TableStats(stats.rowCount,
-        wanted.flatMap { case (frameCol, footerCol) =>
-          stats.cols.get(footerCol).map(frameCol -> _)
-        })
-    }
 }

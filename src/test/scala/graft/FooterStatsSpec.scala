@@ -92,6 +92,27 @@ class FooterStatsSpec extends SparkSpec {
     assert(s3.cols("x").nullCount.contains(2L))
   }
 
+  test("read: schema evolution stays exact — files missing the column " +
+      "contribute their whole row count as nulls") {
+    import spark.implicits._
+    val dir = graft.model.Scratch.dir("graft_footer_evo")
+    // old file written before `email` existed; new file has it with 1 null
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "other")
+      .coalesce(1).write.parquet(s"$dir/t")
+    Seq[(java.lang.Long, String)]((4L, "x@y.z"), (5L, null))
+      .toDF("k", "email").coalesce(1).write.mode("append").parquet(s"$dir/t")
+    val stats = FooterStats.read(spark, s"$dir/t", Set("email", "k"))
+    assert(stats.rowCount == 5L)
+    // the scan reads NULL for the 3 old-file rows: 3 + 1 explicit null
+    assert(stats.cols("email").nullCount.contains(4L),
+      "missing-column files must count every row as a null")
+    assert(!stats.cols("email").allNull)
+    assert(stats.cols("k").nullCount.contains(0L))
+    // a column absent from EVERY file is all-null with a full null count
+    val gone = FooterStats.read(spark, s"$dir/t", Set("nope"))
+    assert(gone.cols("nope").nullCount.contains(5L) && gone.cols("nope").allNull)
+  }
+
   test("read: distributed footer tasks fold to the exact driver-path " +
       "result (many-file tables read footers on executors)") {
     import spark.implicits._

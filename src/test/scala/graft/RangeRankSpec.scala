@@ -222,6 +222,14 @@ class RangeRankSpec extends SparkSpec
     assert(!dir.exists(), "clear must delete the tracked local stage")
     // and a localCheckpoint-backed frame has no parquet location
     assert(graft.model.Stage.parquetPathOf(base.localCheckpoint()).isEmpty)
+    // a TRANSFORMED pinned frame has none either: its rows no longer
+    // match the staged files, so footers must not be offered for it
+    val pinned2 = graft.model.Stage.pinColumnar(base)
+    assert(graft.model.Stage.parquetPathOf(
+      pinned2.filter(col("doc_id") > 10)).isEmpty)
+    assert(graft.model.Stage.parquetPathOf(
+      pinned2.select(col("doc_id"))).isEmpty)
+    graft.model.Stage.clear(spark)
   }
 
   test("a malformed window-bytes conf fails naming the conf key, not as " +
