@@ -167,6 +167,25 @@ object Stage {
     }
   }
 
+  /** Release a [[pin]]'s executor-storage blocks NOW instead of waiting
+    * for the RDD to be garbage-collected — for callers whose pinned
+    * frame is provably DEAD (a local variable whose last action has
+    * run). After unpin the frame must never be read again: a
+    * localCheckpoint's lineage is truncated, so its blocks are the only
+    * copy. Parquet-staged pins are untouched (no LogicalRDD in the
+    * plan; their files are reclaimed by [[clear]]/exit hooks and
+    * re-reads stay valid). Without an eager release, a build that pins
+    * inside a loop (store ingest per crawl shard) parks every
+    * iteration's blocks in executor storage until the context cleaner
+    * happens to collect them, squeezing execution memory for everything
+    * else running in the JVM. */
+  def unpin(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
     f.delete(); ()

@@ -250,6 +250,11 @@ object IncrementalDedup {
     }
     require(committed, s"batch $batchId already committed")
     val n = unseen.count()
+    // the pin is dead from here (fps written, n counted): release its
+    // executor-storage blocks eagerly — a replay/store build ingests
+    // many shards per JVM and the parked blocks otherwise squeeze
+    // execution memory until the context cleaner runs
+    graft.model.Stage.unpin(unseen)
     lastIngestFingerprinted.set(n)
     if (batchIds(spark, root).count(_ > watermark(spark, root)) >= CompactEvery)
       compact(spark, root)
