@@ -433,9 +433,19 @@ object Dedup {
       changed = next
         .join(labels.select(col("node"), col("cluster_id").as("prev")), Seq("node"))
         .filter(col("cluster_id") < col("prev")).count()
+      // `next` is materialized and the convergence count has read the
+      // old labels: both the propagate stage and the replaced labels are
+      // dead — release their blocks (pointer-doubling runs ~log n rounds;
+      // parking every round's frames holds 2×rounds label-table copies).
+      // No-op for the reliable-checkpoint backend, whose data is files.
+      graft.model.Stage.unpin(prop)
+      graft.model.Stage.unpin(labels)
       labels = next
     }
     lastCcRounds.set(round)
+    // the loop is done with the pair list; the returned frame reads only
+    // the final labels
+    graft.model.Stage.unpin(ab)
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     labels.select(col("node").as("doc_id"), col("cluster_id"))
       .join(sizes, Seq("cluster_id"))

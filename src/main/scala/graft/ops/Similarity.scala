@@ -878,6 +878,7 @@ object Similarity {
         Seq("query_id", "neighbor_id"), "left_anti")
       val w = Window.partitionBy("query_id")
         .orderBy(col("mmr").desc, col("neighbor_id"))
+      val prev = selected
       selected = graft.model.Stage.pin(selected.union(
         rem.join(divers, Seq("query_id", "neighbor_id"))
           .withColumn("mmr",
@@ -886,7 +887,14 @@ object Similarity {
           .select(col("query_id"), col("neighbor_id"),
             lit(r).as("mmr_rank"), col("cosine").as("relevance"),
             col("mmr").as("mmr_score"))))
+      // the pin is eager, so the replaced round's frame is dead — release
+      // its blocks instead of parking k generations of the selected set
+      graft.model.Stage.unpin(prev)
     }
+    // the final pinned `selected` is self-contained: the candidate and
+    // pairwise-cosine stages fed the rounds, not the returned frame
+    graft.model.Stage.unpin(cand)
+    graft.model.Stage.unpin(pairs)
     selected
   }
 
