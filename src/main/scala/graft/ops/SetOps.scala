@@ -13,14 +13,35 @@ object SetOps {
   /** INTERSECT/EXCEPT audit over the silver layer: which customers ever
     * ordered, which never did, which ordered but never successfully paid.
     * Spark `intersect`/`except` carry SQL set semantics (distinct), same
-    * as the oracle's INTERSECT/EXCEPT. */
+    * as the oracle's INTERSECT/EXCEPT.
+    *
+    * The shared silver-orders chain is composed once (From-composition,
+    * three columns) and the paid join runs on the INT `order_id` rather
+    * than the md5 `order_key` — the keys are bijective
+    * (`order_key = md5(order_id)`), so the result is identical, but a
+    * string key forces the surrogate-md5 computation onto both fact-table
+    * sides of the join where an int key lets Catalyst prune it. Measured
+    * at the collision-free 100× replica: 17 s (the round-12 probe that
+    * first flagged this row at 120 s turned out to be measuring a
+    * replica-tooling defect — colliding order keys fanning the join out
+    * 7× — fixed in tools/make_10x.py; a pinColumnar variant was also
+    * measured and LOST at both scales, 20 s at 100× and +1.4 s at 1×,
+    * so the chains stay lazy). */
   def customerSetAudit(spark: SparkSession, dir: String): DataFrame = {
-    val customers = Silver.customers(spark, dir).select("customer_key")
-    val orders = Silver.orders(spark, dir)
-    val ordered = orders.select("customer_key")
-    val paid = Silver.payments(spark, dir)
+    val sc = graft.silver.Silver.customersFrom(
+      graft.bronze.Bronze.customers(spark, dir))
+    val so = Silver.ordersFrom(graft.bronze.Bronze.orders(spark, dir), sc)
+      .select("order_key", "order_id", "customer_key")
+    val customers = sc.select("customer_key")
+    val ordered = so.select("customer_key")
+    // join back on the INT order_id, not the md5 order_key: the keys are
+    // bijective (order_key = md5(order_id)), so the result is identical,
+    // but an int join key prunes the surrogate-md5 computation off both
+    // 15M-row sides at 100× where a string key forces it
+    val paid = Silver.paymentsFrom(graft.bronze.Bronze.payments(spark, dir), so)
       .filter(col("is_successful_payment"))
-      .join(orders.select("order_key", "customer_key"), Seq("order_key"))
+      .select("order_id")
+      .join(so.select("order_id", "customer_key"), Seq("order_id"))
       .select("customer_key")
     val tag = (name: String, df: DataFrame) =>
       df.select(lit(name).as("segment"), col("customer_key"))

@@ -26,10 +26,25 @@ src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf10x"
 copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
-KEY_SHIFT = 10_000_000  # > every natural key in any test SF
-
 os.makedirs(dst, exist_ok=True)
 con = duckdb.connect()
+
+# The shift must clear every key in the SOURCE — which, when this tool is
+# applied to its OWN output (100x = 10x of 10x), is far above any natural
+# testdata key. A fixed 10M shift collided order keys on the second
+# application (keys up to ~96M re-shifted by 10M increments), silently
+# fanning out every payments/orders join ~7x at 100x and overstating the
+# superlinear tail. Derive it from the measured max key instead.
+_max_key = 0
+for _t, _c in [("orders", "o_orderkey"), ("lineitem", "l_orderkey"),
+               ("events", "event_id"), ("events", "user_id"),
+               ("documents", "doc_id"), ("embeddings", "vec_id")]:
+    _p = f"{src}/{_t}.parquet"
+    if os.path.exists(_p):
+        _max_key = max(_max_key, con.execute(
+            f"SELECT max({_c}) FROM read_parquet('{_p}')").fetchone()[0] or 0)
+KEY_SHIFT = 10 ** len(str(_max_key))  # next power of 10 above every key
+print(f"key shift: {KEY_SHIFT} (max source key {_max_key})")
 
 
 def rep(table, select_per_copy):
