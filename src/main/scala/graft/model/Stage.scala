@@ -49,7 +49,24 @@ object Stage {
     * through durable parquet under it instead of `localCheckpoint`. */
   val DirKey = "spark.graft.stage.dir"
 
+  /** Runtime conf key: `true` records every localCheckpoint-backed pin in
+    * the [[livePins]] ledger (creation site captured). Off by default —
+    * the ledger exists so the round-12 leak class (a pin whose blocks
+    * outlive their last read, squeezing unified memory for every later
+    * query in the JVM) fails a SPEC instead of requiring bench
+    * archaeology; production runs leave it off and pay nothing. */
+  val LedgerKey = "spark.graft.stage.ledger"
+
   private val counter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Live localCheckpoint pins by RDD id → creation site. Entries are
+    * added by [[pin]]/[[pinColumnar]] only when [[LedgerKey]] is `true`,
+    * removed by [[unpin]], and IGNORED by [[livePins]] once the RDD is no
+    * longer persisted (explicit unpersist or ContextCleaner collection) —
+    * the ledger stores ids, never RDD references, so it cannot itself
+    * extend a pin's lifetime. */
+  private val ledger =
+    new java.util.concurrent.ConcurrentHashMap[Int, String]()
 
   /** Local-fallback stage directories created by [[pinColumnar]] this
     * JVM — tracked so [[clear]] (and the JVM-exit hook) can delete them;
@@ -80,6 +97,34 @@ object Stage {
     s"${appSubtree(dir, spark.sparkContext.applicationId)}" +
       s"/stage-${counter.incrementAndGet()}"
 
+  /** Lease marker name under an app subtree — written once at the app's
+    * FIRST durable pin, deleted by [[clear]]; [[clearAll]] skips subtrees
+    * whose marker is fresh, so an operator sweep cannot delete a live
+    * application's stages out from under it. */
+  private[model] val LeaseName = "_live"
+
+  /** Conf key: hours after which a `_live` marker no longer protects its
+    * subtree from [[clearAll]] — a crashed application's marker must not
+    * shield its leftovers forever (the sweep exists for exactly those). */
+  val LeaseHoursKey = "spark.graft.stage.lease.hours"
+  private val DefaultLeaseHours = 24
+
+  /** App subtrees whose lease this JVM already wrote — one marker write
+    * per (app, scratch dir), not one per pin. */
+  private val leased =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def ensureLease(spark: SparkSession, dir: String): Unit = {
+    val sub = appSubtree(dir, spark.sparkContext.applicationId)
+    if (leased.add(sub)) {
+      val p = new org.apache.hadoop.fs.Path(s"$sub/$LeaseName")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true)
+      out.close()
+    }
+  }
+
   /** Freeze one evaluation of `df` (see object doc for backend choice). */
   def pin(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -90,9 +135,10 @@ object Stage {
         // within it (two sessions of one SparkContext share the app id
         // AND the counter, so they cannot collide either)
         val path = stagePath(spark, dir)
+        ensureLease(spark, dir)
         df.write.parquet(path)
         spark.read.parquet(path)
-      case None => df.localCheckpoint()
+      case None => ledgered(spark, df.localCheckpoint())
     }
   }
 
@@ -115,6 +161,7 @@ object Stage {
     scratchDir(spark) match {
       case Some(dir) =>
         val path = stagePath(spark, dir)
+        ensureLease(spark, dir)
         df.write.parquet(path)
         spark.read.parquet(path)
       case None if spark.sparkContext.isLocal =>
@@ -131,9 +178,80 @@ object Stage {
         // universally-correct localCheckpoint rather than produce a
         // stage that loses rows; configure DirKey to get the columnar
         // form on a cluster
-        df.localCheckpoint()
+        ledgered(spark, df.localCheckpoint())
     }
   }
+
+  /** Record a freshly-checkpointed frame's pin in the ledger (when
+    * enabled) and return it. The recorded creation site is the first
+    * stack frame outside this object — the operator that asked for the
+    * pin, which is what a failing [[livePins]] assertion needs to name. */
+  private def ledgered(spark: SparkSession, pinned: DataFrame): DataFrame = {
+    if (spark.conf.getOption(LedgerKey).contains("true")) {
+      val site = Thread.currentThread.getStackTrace.iterator
+        .find { e =>
+          val c = e.getClassName
+          !c.startsWith("java.lang.Thread") && !c.startsWith("graft.model.Stage")
+        }
+        .map(e => s"${e.getClassName}.${e.getMethodName}" +
+          s"(${e.getFileName}:${e.getLineNumber})")
+        .getOrElse("unknown")
+      rddIdsOf(pinned).foreach(id => ledger.put(id, site))
+    }
+    pinned
+  }
+
+  /** The localCheckpoint RDD ids referenced ANYWHERE in the frame's
+    * analyzed plan — the "still lazily read" set a leak check must
+    * except (a returned frame may embed its pins arbitrarily deep:
+    * BPE's dict, pagerank's degree table). */
+  private def rddIdsOf(df: DataFrame): Set[Int] = {
+    val b = Set.newBuilder[Int]
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => b += l.rdd.id
+      case _ => ()
+    }
+    b.result()
+  }
+
+  /** Pins marked as intentional cross-query CACHES via [[retain]] —
+    * excluded from [[livePins]]. */
+  private val retained =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** Declare a pinned frame's blocks an INTENTIONAL session-lifetime
+    * cache (a memoized dictionary served to later queries) and return
+    * it. The pin ledger's contract is "after a query's terminal action,
+    * every pin is unpinned, lazily referenced by the returned frame, or
+    * retained" — a memo whose blocks outlive the query that built it is
+    * legitimate only when the owner says so HERE, where the ownership is
+    * visible in code review, instead of an allowlist inside the check. */
+  def retain(df: DataFrame): DataFrame = {
+    rddIdsOf(df).foreach(id => retained.add(id))
+    df
+  }
+
+  /** Ledgered pins whose blocks are STILL persisted, minus every pin any
+    * `except` frame's plan lazily references and minus [[retain]]ed
+    * caches — after a driver query's terminal action, this must be
+    * empty: a surviving entry is exactly the round-12 leak class (a dead
+    * pin parked in executor storage, taxing every later query in the
+    * JVM). Returns rddId → creation site so the failing assertion names
+    * the operator that leaked. Requires [[LedgerKey]] to have been
+    * `true` when the pins were created; otherwise trivially empty. */
+  def livePins(spark: SparkSession,
+      except: Seq[DataFrame] = Seq.empty): Map[Int, String] = {
+    val keep = except.flatMap(rddIdsOf).toSet
+    val persisted = spark.sparkContext.getPersistentRDDs.keySet
+    import scala.jdk.CollectionConverters._
+    ledger.asScala.toMap.filter { case (id, _) =>
+      persisted.contains(id) && !keep.contains(id) && !retained.contains(id)
+    }
+  }
+
+  /** Drop every ledger entry — test isolation between ledgered runs.
+    * [[retain]] markers survive: the caches they mark do too. */
+  def ledgerReset(): Unit = ledger.clear()
 
   /** The DataFrame's parquet stage location when (and only when) the
     * frame is one [[pinColumnar]]/[[pin]] just returned — recovered from
@@ -172,19 +290,37 @@ object Stage {
     * frame is provably DEAD (a local variable whose last action has
     * run). After unpin the frame must never be read again: a
     * localCheckpoint's lineage is truncated, so its blocks are the only
-    * copy. Parquet-staged pins are untouched (no LogicalRDD in the
-    * plan; their files are reclaimed by [[clear]]/exit hooks and
+    * copy. Parquet-staged pins are untouched (no LogicalRDD at the
+    * plan root; their files are reclaimed by [[clear]]/exit hooks and
     * re-reads stay valid). Without an eager release, a build that pins
     * inside a loop (store ingest per crawl shard) parks every
     * iteration's blocks in executor storage until the context cleaner
     * happens to collect them, squeezing execution memory for everything
-    * else running in the JVM. */
-  def unpin(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
+    * else running in the JVM.
+    *
+    * Matches only the plan ROOT (modulo SubqueryAlias), mirroring
+    * [[parquetPathOf]]'s strictness: the contract is "pass the bare
+    * frame [[pin]] returned". A tree-wide sweep would let a caller
+    * passing a DERIVED frame silently drop a still-live shared pin
+    * embedded in its lineage — the one copy of blocks a later read
+    * needs ('checkpoint block not found'). A derived frame here is a
+    * caller bug; root-only matching makes it a no-op instead of a
+    * delayed crash. */
+  def unpin(df: DataFrame): Unit = {
+    def strip(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = p match {
+      case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        strip(s.child)
+      case other => other
+    }
+    strip(df.queryExecution.analyzed) match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
+        ledger.remove(l.rdd.id)
+        retained.remove(l.rdd.id)
         l.rdd.unpersist(blocking = false); ()
       case _ => ()
     }
+  }
 
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
@@ -213,10 +349,13 @@ object Stage {
     * for the exit hook. */
   def clear(spark: SparkSession): Unit = {
     scratchDir(spark).foreach { dir =>
-      val p = new org.apache.hadoop.fs.Path(
-        appSubtree(dir, spark.sparkContext.applicationId))
+      val sub = appSubtree(dir, spark.sparkContext.applicationId)
+      val p = new org.apache.hadoop.fs.Path(sub)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(p)) fs.delete(p, true)
+      // the subtree (and its lease marker) is gone; a later pin in this
+      // app must re-write the lease, not assume it survives
+      leased.remove(sub); ()
     }
     var path = localStages.poll()
     while (path != null) {
@@ -225,16 +364,34 @@ object Stage {
     }
   }
 
-  /** Delete EVERY application's stages under the configured scratch dir —
-    * the operator's sweep for a shared fleet scratch location where
-    * crashed applications left app subtrees no surviving [[clear]] will
+  /** Delete crashed/finished applications' stages under the configured
+    * scratch dir — the operator's sweep for a shared fleet scratch
+    * location where dead apps left subtrees no surviving [[clear]] will
     * ever scope to (an app-scoped clear reclaims only its own subtree by
-    * design). Run it only when no application using the dir is live. */
-  def clearAll(spark: SparkSession): Unit =
+    * design). A subtree whose `_live` lease marker is FRESH (younger
+    * than [[LeaseHoursKey]], default 24h) is presumed to belong to a
+    * still-running application and is SKIPPED — the sweep can run on a
+    * live fleet without deleting an innocent app's stages out from under
+    * it; a crashed app's stale marker ages out and the next sweep
+    * reclaims it. `force = true` restores the unconditional delete (the
+    * "I know nothing is live" maintenance-window form). */
+  def clearAll(spark: SparkSession, force: Boolean = false): Unit =
     scratchDir(spark).foreach { dir =>
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(p)) fs.delete(p, true)
-      ()
+      if (fs.exists(p)) {
+        if (force) { fs.delete(p, true); () }
+        else {
+          val leaseMs = spark.conf.getOption(LeaseHoursKey)
+            .map(_.toInt).getOrElse(DefaultLeaseHours) * 3600L * 1000L
+          val now = System.currentTimeMillis()
+          fs.listStatus(p).foreach { st =>
+            val lease = new org.apache.hadoop.fs.Path(st.getPath, LeaseName)
+            val fresh = st.isDirectory && fs.exists(lease) &&
+              now - fs.getFileStatus(lease).getModificationTime < leaseMs
+            if (!fresh) fs.delete(st.getPath, true)
+          }
+        }
+      }
     }
 }

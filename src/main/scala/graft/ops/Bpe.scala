@@ -87,7 +87,15 @@ object Bpe {
     trainCache.getOrElseUpdate(
       (spark, IvfIndex.fingerprint(spark, dir, "documents.parquet"),
         numMerges),
-      trainLoopUncached(spark, dir, numMerges))
+      {
+        // the memoized dictionary lazily reads the training loop's pin,
+        // and [[merges]] returns a frame built from the LIST alone — so
+        // the pin legitimately outlives queries that never read the
+        // frame half of the memo. Declare the ownership to the pin
+        // ledger instead of leaving it indistinguishable from a leak.
+        val (ms, dict) = trainLoopUncached(spark, dir, numMerges)
+        (ms, graft.model.Stage.retain(dict))
+      })
 
   /** DRIVER-SYNCHRONIZATION BOUND: greedy BPE is inherently sequential —
     * merge i+1's pair statistics depend on merge i having been applied —

@@ -551,11 +551,25 @@ object IncrementalDedup {
     * corpus ingested as [[ReplayMod]] crawl shards under a staging name,
     * committed with one atomic rename — concurrent cold builds
     * last-writer-lose like every other fingerprint-keyed cache), reused
-    * by content fingerprint afterwards. Returns the store root. */
+    * by content fingerprint afterwards. Returns the store root.
+    *
+    * The cache key folds in the CUSTOMER table's fingerprint alongside
+    * the documents': unlike the immutable ANN caches, this store is
+    * MUTATED by takedown tombstones whose ids derive from the customer
+    * dimension (`doc_id mod |customers| mod ErasureMod`) — with a
+    * persistent [[steadyCacheRoot]], two corpora sharing identical
+    * documents but different customer tables (or one corpus whose
+    * customer dimension changed) must NOT share a store, or the second
+    * reader inherits the first's erasure tombstones and its survivor
+    * metrics silently drift from the oracle. A corpus with no customer
+    * table keys on the documents alone. */
   def steadyStore(spark: SparkSession, dir: String): String = {
     val fp = IvfIndex.fingerprint(spark, dir, "documents.parquet")
+    val cfp =
+      try IvfIndex.fingerprint(spark, dir, "customer.parquet").take(12)
+      catch { case _: java.io.FileNotFoundException => "nocust" }
     val cacheRoot = steadyRootDir
-    val root = s"$cacheRoot/store_${SteadyVersion}_$fp"
+    val root = s"$cacheRoot/store_${SteadyVersion}_${fp}_c$cfp"
     val fs = hadoopFs(spark, root)
     val rootPath = new org.apache.hadoop.fs.Path(root)
     if (fs.exists(rootPath)) return root
@@ -567,9 +581,13 @@ object IncrementalDedup {
         lit(ReplayMod.toLong)) === b))
     }
     fs.mkdirs(rootPath.getParent)
-    IvfIndex.renameIfAbsent(fs,
-      new org.apache.hadoop.fs.Path(staging), rootPath)
-    steadyBuilds.incrementAndGet()
+    // count only the build that WON the commit race: the counter is
+    // documented (and spec-asserted) as cold store builds, and a lost
+    // race's discarded staging build must not spuriously fail the
+    // build-once assertion under concurrent cold starts
+    if (IvfIndex.renameIfAbsent(fs,
+        new org.apache.hadoop.fs.Path(staging), rootPath))
+      steadyBuilds.incrementAndGet()
     root
   }
 
