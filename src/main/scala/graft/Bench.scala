@@ -87,6 +87,25 @@ object Bench {
             -1.0
         }
       }
+    // dq silver trio: same build/serve split — the three dq rows serve
+    // from one fingerprint-keyed staged build (SilverStage), so the
+    // build is paid (and reported) here, not inside whichever dq row
+    // runs first.
+    val needsDq = only.forall(_.exists(_.startsWith("dq_")))
+    val dqBuild =
+      if (!needsDq) 0.0
+      else {
+        val tb = System.nanoTime()
+        try {
+          graft.quality.SilverStage.tables(spark, sfDir)
+          (System.nanoTime() - tb) / 1e9
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"dq silver stage prebuild failed " +
+              s"(first dq row will pay the build): $e")
+            -1.0
+        }
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -102,8 +121,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total =
       (if (results.nonEmpty) results.map(_._2).sum else 0.0) +
-        math.max(annBuild, 0.0) + math.max(storeBuild, 0.0)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","ann_index_build":$annBuild,"takedown_store_build":$storeBuild,"queries":$qs,"sf":"$sfDir"}"""
+        math.max(annBuild, 0.0) + math.max(storeBuild, 0.0) +
+        math.max(dqBuild, 0.0)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","ann_index_build":$annBuild,"takedown_store_build":$storeBuild,"dq_silver_build":$dqBuild,"queries":$qs,"sf":"$sfDir"}"""
     // stdout first — it is the channel the driver parses and must survive
     // even if the file copy fails (unwritable cwd, bad env override)
     println(json)

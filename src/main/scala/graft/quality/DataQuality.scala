@@ -104,11 +104,6 @@ object DataQuality {
 
   // ---- footer fast-path (see [[FooterStats]]) ----
 
-  /** Check names answered from parquet footer statistics by the most
-    * recent [[summary]] construction, with the answered violation counts
-    * — test/ops visibility into which checks skipped their row scan. */
-  @volatile var lastFooterAnswered: Map[String, Long] = Map.empty
-
   /** Footer-provable shapes recognized in a RENDERED custom-test SQL.
     * Recognition is by the SQL the macro actually rendered — not the test
     * NAME — so a user who redefines `within_range` to different semantics
@@ -142,22 +137,30 @@ object DataQuality {
     *
     * Each table's generic checks are a single-pass conditional agg
     * (Catalyst prunes the branch to the 1–3 checked columns), and —
-    * load-bearing at 100× — the silver/gold model chains are PINNED once
-    * ([[graft.model.Stage.pin]]) before the union fans out: without the
-    * pin, every union branch (per-table aggs, relationship joins reading
-    * child AND parent, singular + custom tests) re-derives its table's
-    * whole upstream chain, making the dq rows check-count × chain-linear
-    * — the measured 100× bench tail. Pinning is exactly dbt's own
-    * semantics (`dbt test` runs against MATERIALIZED relations, one
-    * build + N cheap test scans), expressed in-query: the pin is the
-    * materialization barrier, every branch after it is a pruned scan of
-    * the pinned table. Raw/bronze "tables" stay unpinned — they are
-    * direct pruned parquet scans with map-only renames, cheaper to
-    * re-scan than to copy. On a cluster the pin backend is the durable
-    * scratch dir (`spark.graft.stage.dir`), locally executor blocks —
-    * either way the oracle sees identical rows (the pin freezes values,
-    * not semantics). */
-  def summary(spark: SparkSession, dir: String): DataFrame = {
+    * load-bearing at 100× — the silver model chains are MATERIALIZED
+    * once before the union fans out: without that, every union branch
+    * (per-table aggs, relationship joins reading child AND parent,
+    * singular + custom tests) re-derives its table's whole upstream
+    * chain, making the dq rows check-count × chain-linear — the measured
+    * 100× bench tail. This is exactly dbt's own semantics (`dbt test`
+    * runs against MATERIALIZED relations, one build + N cheap test
+    * scans), expressed in-query. The materialization is served by the
+    * build-once fingerprint-keyed [[SilverStage]] (one trio build per
+    * corpus, shared by all three dq rows and across processes);
+    * `spark.graft.dq.silverstage=false` falls back to per-call
+    * [[graft.model.Stage.pinColumnar]] pins. Raw/bronze "tables" stay
+    * unpinned — they are direct pruned parquet scans with map-only
+    * renames, cheaper to re-scan than to copy. Either way the oracle
+    * sees identical rows (the stage freezes values, not semantics). */
+  def summary(spark: SparkSession, dir: String): DataFrame =
+    summaryWithFooterAnswers(spark, dir)._1
+
+  /** [[summary]] plus the checks the footer fast path answered (name →
+    * violation count) — the observability a test or an operator wants
+    * rides the RETURN VALUE, scoped to this call, instead of a mutable
+    * JVM-wide seam two concurrent sessions would cross-contaminate. */
+  def summaryWithFooterAnswers(spark: SparkSession,
+      dir: String): (DataFrame, Map[String, Long]) = {
     import Checks._
     val dfs: Map[String, DataFrame] = {
       // COLUMNAR pin: ~a dozen narrow branches read each pinned silver
@@ -170,15 +173,26 @@ object DataQuality {
         if (spark.conf.getOption("spark.graft.dq.pingold").contains("true"))
           pin
         else identity
-      // silver chains build on each other and gold builds on silver, so
-      // pin bottom-up THROUGH the From-composition: each layer's one
-      // evaluation reads the pinned layer below, never re-derives it
-      val sc = pin(graft.silver.Silver.customersFrom(
-        graft.bronze.Bronze.customers(spark, dir)))
-      val so = pin(graft.silver.Silver.ordersFrom(
-        graft.bronze.Bronze.orders(spark, dir), sc))
-      val sp = pin(graft.silver.Silver.paymentsFrom(
-        graft.bronze.Bronze.payments(spark, dir), so))
+      // the silver trio is the dominant dq cost, and three dq rows per
+      // suite each used to re-derive + re-pin it: serve it from the
+      // build-once fingerprint-keyed stage instead ([[SilverStage]] —
+      // same bottom-up one-evaluation structure, built once per corpus);
+      // spark.graft.dq.silverstage=false restores the per-call pins
+      val (sc, so, sp) =
+        if (SilverStage.enabled(spark)) {
+          val t = SilverStage.tables(spark, dir)
+          (t("silver_customers"), t("silver_orders"), t("silver_payments"))
+        } else {
+          // per-call pins, bottom-up THROUGH the From-composition: each
+          // layer's one evaluation reads the pinned layer below
+          val sc0 = pin(graft.silver.Silver.customersFrom(
+            graft.bronze.Bronze.customers(spark, dir)))
+          val so0 = pin(graft.silver.Silver.ordersFrom(
+            graft.bronze.Bronze.orders(spark, dir), sc0))
+          val sp0 = pin(graft.silver.Silver.paymentsFrom(
+            graft.bronze.Bronze.payments(spark, dir), so0))
+          (sc0, so0, sp0)
+        }
       Map(
         "raw_customers" -> RawSources.rawCustomers(spark, dir),
         "raw_orders" -> RawSources.rawOrders(spark, dir),
@@ -266,7 +280,6 @@ object DataQuality {
         case (name, t, RowFloorKind(n)) =>
           rowCountOf(t).map(rc => name -> (if (rc < n) 1L else 0L))
       }).toMap
-    lastFooterAnswered = footerAnswers
     // one visible line per summary: which checks resolved footer-only
     if (footerAnswers.nonEmpty && spark.conf
         .getOption("spark.graft.dq.footer.log").forall(_ != "false"))
@@ -331,7 +344,7 @@ object DataQuality {
       customTestSql.collect { case (n, sql) if !footerAnswers.contains(n) =>
         customRows(n, sql) } ++
       footerRows
-    parts.reduce(_ unionByName _)
+    (parts.reduce(_ unionByName _), footerAnswers)
   }
 
   /** `dbt test` RESULT statuses — [[summary]] plus each check's verdict

@@ -219,8 +219,72 @@ object FooterStats {
     * read on either path). */
   private[quality] val FilesPerTask = 64
 
-  /** Test seam: forces the distributed path regardless of file count. */
-  @volatile private[quality] var forceDistributed = false
+  /** Directory-frontier size above which LISTING fans out as executor
+    * tasks too: a partitioned 100-TB table has thousands of partition
+    * directories, and walking them one `listStatus` round-trip at a time
+    * on the driver serializes namenode/object-store latency exactly the
+    * way the sequential footer reads did. At or below this many pending
+    * directories a level is listed in-process. */
+  private[quality] val DirsPerDriverList = 8
+
+  /** Conf key: `force` pushes both the listing and the footer reads onto
+    * the distributed path regardless of size — the spec's bit-equality
+    * lever (both paths share [[statsOfFile]]/[[merge]], so forcing one
+    * proves the other). */
+  private[quality] val DistributedKey = "spark.graft.dq.footer.distributed"
+
+  private def forced(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.getOption(DistributedKey).contains("force")
+
+  /** Every data file under `root`, hidden files/dirs skipped — a
+    * breadth-first walk whose per-LEVEL directory listings fan out as
+    * executor tasks once the frontier outgrows [[DirsPerDriverList]]
+    * (session hadoop conf shipped by broadcast, same as the footer
+    * reads); small flat tables never launch a job. */
+  /** One directory level: (data files, subdirectories) — object-level so
+    * the executor-task closure serializes as a module reference. */
+  private def listOne(dirStr: String,
+      c: org.apache.hadoop.conf.Configuration): (Seq[String], Seq[String]) = {
+    val d = new org.apache.hadoop.fs.Path(dirStr)
+    val entries = d.getFileSystem(c).listStatus(d).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+    val (dirs, files) = entries.partition(_.isDirectory)
+    (files.map(_.getPath.toString), dirs.map(_.getPath.toString))
+  }
+
+  private def listFiles(spark: org.apache.spark.sql.SparkSession,
+      root: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var frontier: Seq[String] = Seq(root.toString)
+    // broadcast the session conf AT MOST once, and only if a level
+    // actually distributes (a lazy val here would smuggle the
+    // non-serializable Configuration into the task closure via its
+    // LazyRef capture)
+    var bc: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.SerializableConfiguration] = null
+    while (frontier.nonEmpty) {
+      val listed: Seq[(Seq[String], Seq[String])] =
+        if (frontier.size <= DirsPerDriverList && !forced(spark))
+          frontier.map(listOne(_, conf))
+        else {
+          if (bc == null) bc = spark.sparkContext.broadcast(
+            new org.apache.spark.util.SerializableConfiguration(conf))
+          val b = bc
+          spark.sparkContext
+            .parallelize(frontier,
+              math.min(frontier.size, spark.sparkContext.defaultParallelism))
+            .map(d => listOne(d, b.value.value))
+            .collect().toSeq
+        }
+      listed.foreach { case (fs, _) => out ++= fs }
+      frontier = listed.flatMap(_._2)
+    }
+    out.result()
+  }
 
   /** Read every data file's footer under `root` (row-group METADATA only,
     * never rows) and fold the statistics of the requested FOOTER columns.
@@ -230,18 +294,10 @@ object FooterStats {
       root: String, footerCols: Set[String]): TableStats = {
     val conf = spark.sessionState.newHadoopConf()
     val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(conf)
-    def files(p: org.apache.hadoop.fs.Path): Seq[String] =
-      fs.listStatus(p).toSeq.flatMap { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
-        else if (st.isDirectory) files(st.getPath)
-        else Seq(st.getPath.toString)
-      }
-    val paths = files(rootPath)
+    val paths = listFiles(spark, rootPath, conf)
     val cols = footerCols // capture only serializable values in the tasks
     val perFile: Seq[(Long, Map[String, Partial])] =
-      if (paths.size <= FilesPerTask && !forceDistributed)
+      if (paths.size <= FilesPerTask && !forced(spark))
         paths.map(statsOfFile(_, cols, conf))
       else {
         // ship the SESSION hadoop conf (fs credentials, spark.hadoop.*

@@ -1,0 +1,120 @@
+package graft.quality
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.IvfIndex
+
+/** Build-once, fingerprint-keyed columnar stage for the silver trio the
+  * dq rows share.
+  *
+  * `dq_summary`, `dq_statuses`, and `dq_failures` each need the three
+  * silver tables, and [[DataQuality.summary]] previously re-derived and
+  * re-pinned them PER CALL — at the 100× replica that is the dominant dq
+  * cost (the silver chains: two joins plus the full-width projections)
+  * paid three times per suite. The trio is deterministic given the raw
+  * inputs (injectable [[graft.model.Clock]], md5 surrogate keys — no
+  * wall-clock, no sampling), so it qualifies for the ANN-cache
+  * discipline ([[IvfIndex]]): build ONCE per content fingerprint of the
+  * raw tables it derives from (`customer.parquet` + `orders.parquet` —
+  * every raw_customers/orders/payments column is a function of those
+  * two), commit with an atomic staged rename (concurrent cold builds
+  * last-writer-lose), and serve every later dq evaluation a bare parquet
+  * scan of the staged files. Unlike the steady-state dedup store the
+  * staged trio is IMMUTABLE after commit, so cross-process sharing is
+  * safe — a Verify and a Bench run against the same corpus share one
+  * build.
+  *
+  * The staged frames are pure parquet relations, so everything the
+  * per-call pins provided still holds: one evaluation per layer (the
+  * staged orders were WRITTEN reading the staged customers), per-branch
+  * column pruning, and [[FooterStats]] eligibility (the footer fast path
+  * answers its checks from the staged files' statistics exactly as it
+  * did from the per-call pin's).
+  *
+  * `spark.graft.dq.silverstage=false` is the kill switch back to the
+  * per-call pins — the operational escape hatch and the spec's A/B
+  * lever proving both paths emit identical rows.
+  */
+object SilverStage {
+
+  /** Runtime conf kill switch: `false` restores per-call pins. */
+  val ConfKey = "spark.graft.dq.silverstage"
+
+  /** Warehouse root for staged trios — JVM-tmpdir default keeps the
+    * (spark, dir) query contract self-contained; a deployment points it
+    * at the real warehouse scratch. Safe to share across processes: a
+    * committed trio is immutable. */
+  @volatile var cacheRoot: String =
+    sys.props.getOrElse("graft.dq.silver.root",
+      s"${sys.props("java.io.tmpdir")}/graft_dq_silver")
+
+  /** Version component of the cache key — the cache persists across
+    * JVMs, so a change to the silver recipe (Silver/Bronze/RawSources
+    * or the Clock pins) must invalidate trios built by old code. */
+  private val Version = "v1"
+
+  /** Cold trio builds that WON the commit race, JVM-wide — test-visible
+    * proof that repeated dq evaluations reuse the staged trio. */
+  val builds = new AtomicLong(0L)
+
+  val TableNames: Seq[String] =
+    Seq("silver_customers", "silver_orders", "silver_payments")
+
+  def enabled(spark: SparkSession): Boolean =
+    spark.conf.getOption(ConfKey).forall(_ != "false")
+
+  private def trioRoot(spark: SparkSession, dir: String): String = {
+    val fp = IvfIndex.fingerprint(spark, dir, "customer.parquet").take(16) +
+      IvfIndex.fingerprint(spark, dir, "orders.parquet").take(16)
+    s"$cacheRoot/trio_${Version}_$fp"
+  }
+
+  /** The staged trio for `dir`'s raw tables, building it first if no
+    * committed build exists: name → bare parquet frame over the staged
+    * files. */
+  def tables(spark: SparkSession, dir: String): Map[String, DataFrame] = {
+    val root = ensure(spark, dir)
+    TableNames.map(n => n -> spark.read.parquet(s"$root/$n")).toMap
+  }
+
+  /** [[graft.silver.Silver.payments]] through the staged trio when
+    * enabled — the `dq_failures` row reads only payments, but the build
+    * is the shared trio (that sharing is the point: the next dq row's
+    * silver work is already on disk). */
+  def payments(spark: SparkSession, dir: String): DataFrame =
+    if (enabled(spark)) tables(spark, dir)("silver_payments")
+    else graft.silver.Silver.payments(spark, dir)
+
+  /** Build-if-absent; returns the committed trio root. The layers are
+    * written bottom-up with each layer READ BACK from its staged files
+    * before the next derives from it — exactly the one-evaluation-
+    * per-layer structure the per-call pins enforced, except the
+    * evaluation now happens once per corpus instead of once per dq
+    * row. */
+  private def ensure(spark: SparkSession, dir: String): String = {
+    val root = trioRoot(spark, dir)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(rootPath)) return root
+    val staging = s"$cacheRoot/.build_" +
+      java.util.UUID.randomUUID.toString.take(12)
+    val sc = graft.silver.Silver.customersFrom(
+      graft.bronze.Bronze.customers(spark, dir))
+    sc.write.parquet(s"$staging/silver_customers")
+    val scStaged = spark.read.parquet(s"$staging/silver_customers")
+    val so = graft.silver.Silver.ordersFrom(
+      graft.bronze.Bronze.orders(spark, dir), scStaged)
+    so.write.parquet(s"$staging/silver_orders")
+    val soStaged = spark.read.parquet(s"$staging/silver_orders")
+    val sp = graft.silver.Silver.paymentsFrom(
+      graft.bronze.Bronze.payments(spark, dir), soStaged)
+    sp.write.parquet(s"$staging/silver_payments")
+    fs.mkdirs(rootPath.getParent)
+    if (IvfIndex.renameIfAbsent(fs,
+        new org.apache.hadoop.fs.Path(staging), rootPath))
+      builds.incrementAndGet()
+    root
+  }
+}

@@ -14,10 +14,11 @@ class FooterStatsSpec extends SparkSpec {
 
   test("summary: footer path and forced-scan path emit identical rows, " +
       "and the footer really answered the silver not_nulls") {
-    def rows() = DataQuality.summary(spark, Sf0001)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val withFooter = rows()
-    val answered = DataQuality.lastFooterAnswered
+    def rowsAndAnswered() = {
+      val (df, answered) = DataQuality.summaryWithFooterAnswers(spark, Sf0001)
+      (df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap, answered)
+    }
+    val (withFooter, answered) = rowsAndAnswered()
     assert(answered.nonEmpty, "footer resolution must fire on sf0.001")
     // the pinned silver stages are parquet → their not_nulls are
     // metadata-answerable; so are the bronze keys (bare renames of the
@@ -36,8 +37,8 @@ class FooterStatsSpec extends SparkSpec {
     assert(withFooter.contains("silver_payments.payment_amount.within_range"))
     spark.conf.set("spark.graft.dq.footer", "false")
     try {
-      val scanOnly = rows()
-      assert(DataQuality.lastFooterAnswered.isEmpty)
+      val (scanOnly, answeredOff) = rowsAndAnswered()
+      assert(answeredOff.isEmpty)
       assert(withFooter == scanOnly,
         "footer answers must be value-identical to the scan path")
     } finally spark.conf.unset("spark.graft.dq.footer")
@@ -124,16 +125,36 @@ class FooterStatsSpec extends SparkSpec {
       .toDF("k", "x", "s").repartition(6).write.mode("overwrite")
       .parquet(s"$dir/t")
     val driverSide = FooterStats.read(spark, s"$dir/t", Set("k", "x", "s"))
-    FooterStats.forceDistributed = true
+    spark.conf.set(FooterStats.DistributedKey, "force")
     try {
       val distributed = FooterStats.read(spark, s"$dir/t", Set("k", "x", "s"))
       assert(distributed == driverSide,
         "both footer-read paths must fold identical statistics")
-    } finally FooterStats.forceDistributed = false
+    } finally spark.conf.unset(FooterStats.DistributedKey)
     assert(driverSide.rowCount == 6L)
     assert(driverSide.cols("k").nullCount.contains(2L))
     val (lo, hi) = driverSide.cols("x").numRange.get
     assert(lo == BigDecimal(-1.5) && hi == BigDecimal(7.5))
+  }
+
+  test("read: distributed LISTING over a nested partitioned layout folds " +
+      "bit-equal to the driver walk (100k-file tables must not serialize " +
+      "listStatus round-trips on the driver)") {
+    import spark.implicits._
+    val dir = graft.model.Scratch.dir("graft_footer_list")
+    // two partition levels → a real directory tree for the BFS frontier
+    (1 to 200).map(i => (i.toLong, i % 5, i % 4, if (i % 7 == 0) null else s"v$i"))
+      .toDF("k", "pa", "pb", "s")
+      .write.partitionBy("pa", "pb").mode("overwrite").parquet(s"$dir/t")
+    val driverSide = FooterStats.read(spark, s"$dir/t", Set("k", "s"))
+    spark.conf.set(FooterStats.DistributedKey, "force")
+    try {
+      val distributed = FooterStats.read(spark, s"$dir/t", Set("k", "s"))
+      assert(distributed == driverSide,
+        "distributed listing + reads must fold the driver walk's result")
+    } finally spark.conf.unset(FooterStats.DistributedKey)
+    assert(driverSide.rowCount == 200L)
+    assert(driverSide.cols("s").nullCount.contains(200L / 7))
   }
 
   test("footerKindOf: recognizes the three shipped macro shapes by their " +

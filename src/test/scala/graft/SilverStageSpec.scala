@@ -1,0 +1,67 @@
+package graft.quality
+
+import graft.SparkSpec
+
+/** The build-once silver trio behind the three dq rows ([[SilverStage]]):
+  * one staged build per corpus fingerprint serves dq_summary, dq_statuses,
+  * AND dq_failures; the kill switch's per-call-pin path emits identical
+  * rows; and the footer fast path still answers from the staged files. */
+class SilverStageSpec extends SparkSpec {
+
+  private def summaryRows() =
+    DataQuality.summary(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def statusRows() =
+    DataQuality.statuses(spark, Sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSet
+
+  private def failureRows() =
+    Checks.acceptedValuesFailures(
+      SilverStage.payments(spark, Sf0001), "payment_method",
+      Seq("credit_card", "bank_transfer", "paypal", "cash", "other"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("one trio build serves all three dq rows; kill switch emits " +
+      "identical rows through the per-call pins") {
+    val prevRoot = SilverStage.cacheRoot
+    SilverStage.cacheRoot = java.nio.file.Files
+      .createTempDirectory("graft_dq_silver_t").toString
+    try {
+      val b0 = SilverStage.builds.get
+      val (summaryOn, statusesOn, failuresOn) =
+        (summaryRows(), statusRows(), failureRows())
+      assert(SilverStage.builds.get == b0 + 1,
+        "exactly ONE cold trio build across dq_summary + dq_statuses + " +
+          "dq_failures — the sharing is the point")
+      assert(failuresOn.nonEmpty, "the faithful digital_wallet quirk " +
+        "must surface through the staged payments")
+      spark.conf.set(SilverStage.ConfKey, "false")
+      try {
+        assert(summaryRows() == summaryOn,
+          "staged and per-call-pin summaries must be value-identical")
+        assert(statusRows() == statusesOn)
+        assert(failureRows() == failuresOn)
+      } finally spark.conf.unset(SilverStage.ConfKey)
+      assert(SilverStage.builds.get == b0 + 1,
+        "the kill-switch path must not build a trio")
+    } finally SilverStage.cacheRoot = prevRoot
+  }
+
+  test("footer fast path answers from the staged trio's files " +
+      "(the stage keeps footer eligibility, not just values)") {
+    val prevRoot = SilverStage.cacheRoot
+    SilverStage.cacheRoot = java.nio.file.Files
+      .createTempDirectory("graft_dq_silver_f").toString
+    try {
+      val (_, answered) = DataQuality.summaryWithFooterAnswers(spark, Sf0001)
+      Seq("silver_customers.email.not_null",
+          "silver_orders.order_amount.not_null",
+          "silver_payments.payment_key.not_null",
+          "silver_payments.at_least_n_rows")
+        .foreach(n => assert(answered.contains(n),
+          s"$n must stay footer-answered through the staged trio"))
+    } finally SilverStage.cacheRoot = prevRoot
+  }
+}

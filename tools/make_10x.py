@@ -14,6 +14,17 @@ physical type the engine's reader contract expects.
 Usage: python3 tools/make_10x.py [src_dir] [dst_dir] [copies]
        (defaults: /root/testdata/sf0.1 /tmp/sf10x 10)
 
+Prefer ONE application with copies=N (e.g. copies=100 directly from
+sf0.1) over stacking the tool on its own output: the round-12 defect —
+a fixed key shift colliding order keys on the second application,
+fanning every fact-fact join ~7x and silently corrupting five rounds of
+100x measurements — is exactly the class stacking invites (correlated
+decorrelation patterns are a second such hazard: a stacked 100x applies
+the embedding sign-flip recipe twice, so copy (a, b) and copy (b, a)
+collide). After generation the tool ASSERTS the invariants whose silent
+violation caused round 12's artifact: every fact key column is unique,
+and lineitem's order keys all resolve to orders.
+
 This is probe tooling for SURVEY.md §9/§10 numbers, not part of the
 library.
 """
@@ -93,4 +104,32 @@ for dim in ["customer", "supplier", "part", "nation", "region"]:
     if not os.path.exists(link):
         os.symlink(f"{src}/{dim}.parquet", link)
     print(f"{dim}: symlink")
+
+# ---- replica invariants (assert, don't trust) ----------------------------
+# The round-12 artifact was a silent violation of exactly these: stacked
+# applications collided shifted keys, so count(distinct key) < count(*)
+# on every fact table and each fact-fact join fanned out ~7x. A replica
+# that fails here is NOT a valid probe input — fail loudly.
+def assert_unique(table, col):
+    n, d = con.execute(
+        f"SELECT count(*), count(DISTINCT {col}) "
+        f"FROM read_parquet('{dst}/{table}.parquet')").fetchone()
+    assert n == d, (
+        f"REPLICA INVARIANT VIOLATED: {table}.{col} has {n} rows but only "
+        f"{d} distinct keys — shifted copies collided (the round-12 "
+        f"artifact class); do not use this replica")
+    print(f"invariant ok: {table}.{col} unique ({n:,} rows)")
+
+assert_unique("orders", "o_orderkey")
+assert_unique("events", "event_id")
+assert_unique("documents", "doc_id")
+assert_unique("embeddings", "vec_id")
+orphans = con.execute(f"""
+    SELECT count(*) FROM read_parquet('{dst}/lineitem.parquet') l
+    WHERE NOT EXISTS (SELECT 1 FROM read_parquet('{dst}/orders.parquet') o
+                      WHERE o.o_orderkey = l.l_orderkey)""").fetchone()[0]
+assert orphans == 0, (
+    f"REPLICA INVARIANT VIOLATED: {orphans} lineitem rows reference no "
+    f"order — the order/lineitem shifts diverged")
+print(f"invariant ok: lineitem.l_orderkey ⊆ orders.o_orderkey")
 print("done:", dst)
