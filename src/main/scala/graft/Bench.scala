@@ -19,6 +19,14 @@ object Bench {
       .withExtensions(new graft.plans.GraftExtensions()(_))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional runtime-conf overrides (probe tooling — the driver never
+    // sets it): SPARK_GRAFT_CONF="spark.graft.dq.silverstage=false,..."
+    // is how kill-switch A/B pairs run without code edits
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").map(_.trim)
+      .filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     // Warm-up pass at the smallest SF: triggers JIT + whole-stage-codegen
     // compilation + parquet reader init once, so the measured pass below
     // reflects steady-state, data-proportional cost instead of charging

@@ -270,6 +270,33 @@ object Maintenance {
     } yield n
   }
 
+  /** GC a fingerprint-keyed cache ROOT — the dq silver trios
+    * ([[graft.quality.SilverStage.cacheRoot]], entries
+    * `trio_<ver>_<fp>`) and the steady dedup stores
+    * (`graft.dedup.steady.root`, entries `store_<ver>_<fp>_c<fp>`)
+    * accumulate one entry per superseded data version plus `.build_*`
+    * staging leftovers from builds that lost a commit race or crashed,
+    * exactly like the ANN cache. Keeps entries whose name CONTAINS a
+    * live fingerprint (callers pass the same — possibly truncated —
+    * fingerprint form the cache key embeds); deletes everything else
+    * older than `retentionMs` (retention, not immediate: a query
+    * started against the old data version may still be serving from its
+    * entry). Returns deleted entry names. */
+  def vacuumFingerprintCache(spark: SparkSession, cacheRoot: String,
+      liveFingerprints: Set[String], retentionMs: Long,
+      nowMs: Long): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(cacheRoot)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Seq.empty
+    for {
+      st <- fs.listStatus(root).toSeq
+      n = st.getPath.getName
+      if !liveFingerprints.exists(fp => fp.nonEmpty && n.contains(fp)) &&
+        st.getModificationTime < nowMs - retentionMs &&
+        fs.delete(st.getPath, true)
+    } yield n
+  }
+
   /** Refresh catalog statistics for a [[CatalogSink]]-materialized table:
     * row count + size, then per-column min/max/ndv/null counts. This is
     * what turns Catalyst's cost-based optimizer on for real — without

@@ -120,6 +120,26 @@ class MaintenanceSpec extends SparkSpec {
     assert(recent.exists(), "a non-live table inside retention survives")
   }
 
+  test("vacuumFingerprintCache sweeps superseded trios/stores and staging " +
+      "leftovers, keeps live fingerprints and fresh entries") {
+    val root = java.nio.file.Files.createTempDirectory("graft_fpvac").toString
+    val live = "bbbb2222cccc3333"
+    val mk = (n: String) => {
+      val d = new java.io.File(s"$root/$n"); d.mkdirs(); d
+    }
+    val keep = mk(s"trio_v1_${live}dddd4444eeee5555")
+    keep.setLastModified(1000L) // live fingerprint survives at ANY age
+    val stale = mk("trio_v1_dead00000000000000000000000000000000")
+    stale.setLastModified(1000L)
+    val lostRace = mk(".build_a1b2c3d4e5f6"); lostRace.setLastModified(1000L)
+    val recent = mk("trio_v1_new000000000000000000000000000000000")
+    val now = recent.lastModified()
+    val deleted = Maintenance.vacuumFingerprintCache(spark, root, Set(live),
+      retentionMs = 3600_000L, nowMs = now).toSet
+    assert(deleted == Set(stale.getName, lostRace.getName))
+    assert(keep.exists() && recent.exists())
+  }
+
   test("compaction aborts instead of discarding concurrently appended rows") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft_compact_cc").toString
