@@ -99,7 +99,8 @@ object Bench {
     // from one fingerprint-keyed staged build (SilverStage), so the
     // build is paid (and reported) here, not inside whichever dq row
     // runs first.
-    val needsDq = only.forall(_.exists(_.startsWith("dq_")))
+    val needsDq = only.forall(_.exists(_.startsWith("dq_"))) &&
+      graft.quality.SilverStage.enabled(spark)
     val dqBuild =
       if (!needsDq) 0.0
       else {

@@ -109,14 +109,25 @@ object Stage {
   val LeaseHoursKey = "spark.graft.stage.lease.hours"
   private val DefaultLeaseHours = 24
 
-  /** App subtrees whose lease this JVM already wrote — one marker write
-    * per (app, scratch dir), not one per pin. */
+  /** App subtrees this JVM holds a lease on → the last marker-write
+    * time. The marker is REFRESHED by any pin once it has aged past a
+    * quarter of the default horizon: an application that runs (and
+    * pins) longer than the horizon must keep looking alive to
+    * [[clearAll]], or a sweep would reclaim a live app's stages the
+    * moment its first-write marker went stale. (An app that stops
+    * pinning for a whole horizon while still lazily READING old stages
+    * remains exposed — run sweeps in maintenance windows or raise
+    * [[LeaseHoursKey]] for such deployments.) */
   private val leased =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private def ensureLease(spark: SparkSession, dir: String): Unit = {
     val sub = appSubtree(dir, spark.sparkContext.applicationId)
-    if (leased.add(sub)) {
+    val now = System.currentTimeMillis()
+    val refreshMs = DefaultLeaseHours * 3600L * 1000L / 4
+    val last = leased.get(sub)
+    if (last == null || now - last >= refreshMs) {
+      leased.put(sub, now)
       val p = new org.apache.hadoop.fs.Path(s"$sub/$LeaseName")
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       fs.mkdirs(p.getParent)
@@ -355,7 +366,8 @@ object Stage {
       if (fs.exists(p)) fs.delete(p, true)
       // the subtree (and its lease marker) is gone; a later pin in this
       // app must re-write the lease, not assume it survives
-      leased.remove(sub); ()
+      leased.remove(sub)
+      ()
     }
     var path = localStages.poll()
     while (path != null) {

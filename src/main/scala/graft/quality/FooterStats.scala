@@ -236,11 +236,6 @@ object FooterStats {
   private def forced(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.conf.getOption(DistributedKey).contains("force")
 
-  /** Every data file under `root`, hidden files/dirs skipped — a
-    * breadth-first walk whose per-LEVEL directory listings fan out as
-    * executor tasks once the frontier outgrows [[DirsPerDriverList]]
-    * (session hadoop conf shipped by broadcast, same as the footer
-    * reads); small flat tables never launch a job. */
   /** One directory level: (data files, subdirectories) — object-level so
     * the executor-task closure serializes as a module reference. */
   private def listOne(dirStr: String,
@@ -255,6 +250,11 @@ object FooterStats {
     (files.map(_.getPath.toString), dirs.map(_.getPath.toString))
   }
 
+  /** Every data file under `root`, hidden files/dirs skipped — a
+    * breadth-first walk whose per-LEVEL directory listings fan out as
+    * executor tasks once the frontier outgrows [[DirsPerDriverList]]
+    * (session hadoop conf shipped by broadcast, same as the footer
+    * reads); small flat tables never launch a job. */
   private def listFiles(spark: org.apache.spark.sql.SparkSession,
       root: org.apache.hadoop.fs.Path,
       conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
