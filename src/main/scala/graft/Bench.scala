@@ -24,8 +24,13 @@ object Bench {
     // is how kill-switch A/B pairs run without code edits
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").map(_.trim)
       .filter(_.nonEmpty).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k, v)
+          case _ => sys.error(
+            s"SPARK_GRAFT_CONF: token '$kv' has no '=' — expected " +
+              "key=value[,key=value...]; note conf VALUES must not " +
+              "contain commas through this env var")
+        }
       })
     // Warm-up pass at the smallest SF: triggers JIT + whole-stage-codegen
     // compilation + parquet reader init once, so the measured pass below

@@ -109,9 +109,13 @@ object Stage {
   val LeaseHoursKey = "spark.graft.stage.lease.hours"
   private val DefaultLeaseHours = 24
 
+  private def leaseHours(spark: SparkSession): Int =
+    spark.conf.getOption(LeaseHoursKey).map(_.toInt)
+      .getOrElse(DefaultLeaseHours)
+
   /** App subtrees this JVM holds a lease on → the last marker-write
     * time. The marker is REFRESHED by any pin once it has aged past a
-    * quarter of the default horizon: an application that runs (and
+    * quarter of the configured horizon: an application that runs (and
     * pins) longer than the horizon must keep looking alive to
     * [[clearAll]], or a sweep would reclaim a live app's stages the
     * moment its first-write marker went stale. (An app that stops
@@ -124,7 +128,11 @@ object Stage {
   private def ensureLease(spark: SparkSession, dir: String): Unit = {
     val sub = appSubtree(dir, spark.sparkContext.applicationId)
     val now = System.currentTimeMillis()
-    val refreshMs = DefaultLeaseHours * 3600L * 1000L / 4
+    // cadence derives from the SESSION's configured horizon, not the
+    // default: an operator who lowers the lease horizon for faster crash
+    // reclaim must not open a window where a live, actively-pinning
+    // app's marker goes stale between refreshes
+    val refreshMs = leaseHours(spark) * 3600L * 1000L / 4
     val last = leased.get(sub)
     if (last == null || now - last >= refreshMs) {
       leased.put(sub, now)
@@ -394,14 +402,22 @@ object Stage {
       if (fs.exists(p)) {
         if (force) { fs.delete(p, true); () }
         else {
-          val leaseMs = spark.conf.getOption(LeaseHoursKey)
-            .map(_.toInt).getOrElse(DefaultLeaseHours) * 3600L * 1000L
+          val leaseMs = leaseHours(spark) * 3600L * 1000L
           val now = System.currentTimeMillis()
           fs.listStatus(p).foreach { st =>
-            val lease = new org.apache.hadoop.fs.Path(st.getPath, LeaseName)
-            val fresh = st.isDirectory && fs.exists(lease) &&
-              now - fs.getFileStatus(lease).getModificationTime < leaseMs
-            if (!fresh) fs.delete(st.getPath, true)
+            // per-subtree try/catch: the freshness check races the owning
+            // app's own clear() (exists → getFileStatus is a TOCTOU) — a
+            // subtree/lease that vanishes mid-check is ALREADY reclaimed,
+            // and one racing app must not abort the sweep before later
+            // stale subtrees are visited
+            try {
+              val lease = new org.apache.hadoop.fs.Path(st.getPath, LeaseName)
+              val fresh = st.isDirectory && fs.exists(lease) &&
+                now - fs.getFileStatus(lease).getModificationTime < leaseMs
+              if (!fresh) fs.delete(st.getPath, true)
+            } catch {
+              case _: java.io.FileNotFoundException => ()
+            }
           }
         }
       }

@@ -115,6 +115,15 @@ object SilverStage {
     if (IvfIndex.renameIfAbsent(fs,
         new org.apache.hadoop.fs.Path(staging), rootPath))
       builds.incrementAndGet()
+    else if (!fs.exists(rootPath))
+      // a false return normally means another process won the commit race
+      // — but if no winner's trio is in place the rename genuinely FAILED
+      // (IO error, permissions) and the staging dir is already dropped;
+      // surface that here instead of letting callers read a nonexistent
+      // path and misdiagnose a confusing path-not-found
+      sys.error(s"SilverStage: commit rename of $staging -> $root failed " +
+        "with no concurrent winner in place — staged trio lost; check " +
+        "filesystem permissions/health under the trio cache root")
     root
   }
 }
