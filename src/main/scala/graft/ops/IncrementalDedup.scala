@@ -529,14 +529,15 @@ object IncrementalDedup {
     * build/serve split is same-process). A deployment pointing this at
     * the real crawl store must serialize takedowns through one operator
     * — which a production takedown queue does anyway. */
-  @volatile var steadyCacheRoot: String =
-    sys.props.getOrElse("graft.dedup.steady.root", null)
+  val SteadyRootKey = "spark.graft.dedup.steady.root"
 
   private lazy val jvmSteadyRoot: String =
     graft.model.Scratch.dir("graft_dedup_steady")
 
-  private def steadyRootDir: String =
-    Option(steadyCacheRoot).getOrElse(jvmSteadyRoot)
+  private def steadyRootDir(spark: SparkSession): String =
+    spark.conf.getOption(SteadyRootKey).map(_.trim).filter(_.nonEmpty)
+      .orElse(sys.props.get("graft.dedup.steady.root"))
+      .getOrElse(jvmSteadyRoot)
 
   /** Version component of the steady-store cache key: the cache persists
     * across JVMs, so a change to the ingest recipe must invalidate
@@ -568,7 +569,7 @@ object IncrementalDedup {
     val cfp =
       try IvfIndex.fingerprint(spark, dir, "customer.parquet").take(12)
       catch { case _: java.io.FileNotFoundException => "nocust" }
-    val cacheRoot = steadyRootDir
+    val cacheRoot = steadyRootDir(spark)
     val root = s"$cacheRoot/store_${SteadyVersion}_${fp}_c$cfp"
     val fs = hadoopFs(spark, root)
     val rootPath = new org.apache.hadoop.fs.Path(root)
@@ -616,13 +617,18 @@ object IncrementalDedup {
         lit("surviving_texts"), col("texts"))).as(Seq("metric", "value")))
   }
 
-  /** Warehouse root for the DAG-scheduled store — same pattern as
-    * [[IvfIndex.cacheRoot]]: JVM-tmpdir default keeps the (spark, dir)
-    * query contract self-contained; a deployment points it at the real
-    * crawl store. */
-  @volatile var storeRoot: String =
-    sys.props.getOrElse("graft.dedup.store.root",
-      s"${sys.props("java.io.tmpdir")}/graft_dedup_store")
+  /** Runtime conf key selecting the warehouse root for the DAG-scheduled
+    * store — same session-scoped pattern as [[IvfIndex.cacheRoot]]:
+    * session conf, then the `graft.dedup.store.root` system property,
+    * then a JVM-tmpdir default that keeps the (spark, dir) query
+    * contract self-contained; a deployment points it at the real crawl
+    * store. */
+  val StoreRootKey = "spark.graft.dedup.store.root"
+
+  def storeRoot(spark: SparkSession): String =
+    spark.conf.getOption(StoreRootKey).map(_.trim).filter(_.nonEmpty)
+      .getOrElse(sys.props.getOrElse("graft.dedup.store.root",
+        s"${sys.props("java.io.tmpdir")}/graft_dedup_store"))
 
   private def nextBatchId(spark: SparkSession, root: String): Int =
     (batchIds(spark, root) :+ watermark(spark, root)).max + 1
@@ -635,8 +641,8 @@ object IncrementalDedup {
     graft.pipeline.Registry.Model("dedup_store_ingest", "dedup",
       graft.pipeline.Registry.Table, Seq.empty,
       (s, dir, _) => {
-        val next = nextBatchId(s, storeRoot)
-        val n = ingest(s, storeRoot, next, TextOps.documents(s, dir))
+        val next = nextBatchId(s, storeRoot(s))
+        val n = ingest(s, storeRoot(s), next, TextOps.documents(s, dir))
         s.createDataFrame(
           java.util.Arrays.asList(org.apache.spark.sql.Row(next, n)),
           org.apache.spark.sql.types.StructType.fromDDL(
@@ -649,7 +655,7 @@ object IncrementalDedup {
   val pairsRegistryModel: graft.pipeline.Registry.Model =
     graft.pipeline.Registry.Model("dedup_store_pairs", "dedup",
       graft.pipeline.Registry.Table, Seq("dedup_store_ingest"),
-      (s, _, _) => nearDupPairs(s, storeRoot))
+      (s, _, _) => nearDupPairs(s, storeRoot(s)))
 
   /** The fold as a schedulable DAG node (downstream of the tick, so a
     * `Registry.run` lands ingest → fold in order): compacts batches AND
@@ -660,13 +666,13 @@ object IncrementalDedup {
     graft.pipeline.Registry.Model("dedup_store_compact", "dedup",
       graft.pipeline.Registry.Table, Seq("dedup_store_ingest"),
       (s, _, _) => {
-        compact(s, storeRoot)
-        val gen = newestGen(s, storeRoot)
+        compact(s, storeRoot(s))
+        val gen = newestGen(s, storeRoot(s))
           .map { case (k, t) => genName(k, t) }.getOrElse("")
         s.createDataFrame(
           java.util.Arrays.asList(org.apache.spark.sql.Row(gen,
-            batchIds(s, storeRoot).count(_ > watermark(s, storeRoot)),
-            tombDirIds(s, storeRoot).size)),
+            batchIds(s, storeRoot(s)).count(_ > watermark(s, storeRoot(s))),
+            tombDirIds(s, storeRoot(s)).size)),
           org.apache.spark.sql.types.StructType.fromDDL(
             "generation STRING, pending_batches INT, pending_tombstones INT"))
       })

@@ -35,12 +35,20 @@ object IvfIndex {
     * warm-index query path executes ZERO Lloyd iterations. */
   val trainings = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Warehouse root for cached index tables. Defaults to a JVM-tmpdir
-    * location so the driver's (spark, dir) query contract stays
-    * self-contained; a deployment points it at the real warehouse. */
-  @volatile var cacheRoot: String =
-    sys.props.getOrElse("graft.ann.index.root",
-      s"${sys.props("java.io.tmpdir")}/graft_ann_index")
+  /** Runtime conf key selecting the warehouse root for cached index
+    * tables — a SESSION-scoped seam, not a mutable JVM global (two
+    * concurrent sessions can point at different warehouses without
+    * racing a `@volatile var`). Resolution: session conf, then the
+    * `graft.ann.index.root` system property (launcher-level override),
+    * then a shared JVM-tmpdir default that keeps the driver's
+    * (spark, dir) query contract self-contained; a deployment points it
+    * at the real warehouse. */
+  val RootKey = "spark.graft.ann.index.root"
+
+  def cacheRoot(spark: SparkSession): String =
+    spark.conf.getOption(RootKey).map(_.trim).filter(_.nonEmpty)
+      .getOrElse(sys.props.getOrElse("graft.ann.index.root",
+        s"${sys.props("java.io.tmpdir")}/graft_ann_index"))
 
   private val layer = "ann"
 
@@ -93,10 +101,10 @@ object IvfIndex {
     if (sink.exists(spark, layer, name)) return
     val tmp = s"${name}_b${java.util.UUID.randomUUID.toString.take(8)}"
     sink.overwrite(spark, layer, tmp, build, layout)
-    val fs = new org.apache.hadoop.fs.Path(cacheRoot)
+    val fs = new org.apache.hadoop.fs.Path(cacheRoot(spark))
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val src = new org.apache.hadoop.fs.Path(s"$cacheRoot/$layer/$tmp")
-    val dst = new org.apache.hadoop.fs.Path(s"$cacheRoot/$layer/$name")
+    val src = new org.apache.hadoop.fs.Path(s"${cacheRoot(spark)}/$layer/$tmp")
+    val dst = new org.apache.hadoop.fs.Path(s"${cacheRoot(spark)}/$layer/$name")
     renameIfAbsent(fs, src, dst)
     ()
   }
@@ -156,7 +164,7 @@ object IvfIndex {
 
   /** The deletion ledger root for `dir`'s corpus. */
   def defaultLedger(spark: SparkSession, dir: String): String =
-    s"$cacheRoot/$layer/del_${fingerprint(spark, dir)}"
+    s"${cacheRoot(spark)}/$layer/del_${fingerprint(spark, dir)}"
 
   private def resolveLedger(spark: SparkSession, dir: String,
       ledger: Option[String]): String =
@@ -274,7 +282,7 @@ object IvfIndex {
     // 4. sweep the previous generation: every cached table keyed by the
     //    old corpus fingerprint (they still carry deleted rows at rest),
     //    plus the old survivor snapshot
-    val tables = new org.apache.hadoop.fs.Path(s"$cacheRoot/$layer")
+    val tables = new org.apache.hadoop.fs.Path(s"${cacheRoot(spark)}/$layer")
     if (fs.exists(tables)) fs.listStatus(tables).toSeq.foreach { st =>
       val n = st.getPath.getName
       if (n.endsWith(s"_$prevFp") && !n.startsWith("del_") &&
@@ -295,7 +303,7 @@ object IvfIndex {
   def centroids(spark: SparkSession, dir: String,
       ledger: Option[String] = None): DataFrame = synchronized {
     val eff = effectiveDir(spark, dir, ledger)
-    val sink = new ParquetSink(cacheRoot)
+    val sink = new ParquetSink(cacheRoot(spark))
     val name = s"ivf_${algoVersion}_${fingerprint(spark, eff)}"
     buildIfAbsent(spark, sink, name)(Similarity.ivfCentroids(spark, eff))
     sink.read(spark, layer, name)
@@ -326,7 +334,7 @@ object IvfIndex {
   private def listsRaw(spark: SparkSession, dir: String,
       ledger: Option[String]): DataFrame = synchronized {
     val eff = effectiveDir(spark, dir, ledger)
-    val sink = new ParquetSink(cacheRoot)
+    val sink = new ParquetSink(cacheRoot(spark))
     val name = s"ivf_lists_${algoVersion}_${fingerprint(spark, eff)}"
     // repartition on the partition key so each list directory gets one
     // file instead of one-per-writing-task — without it a k-way
@@ -360,7 +368,7 @@ object IvfIndex {
   def pqCodebooks(spark: SparkSession, dir: String,
       ledger: Option[String] = None): DataFrame = synchronized {
     val eff = effectiveDir(spark, dir, ledger)
-    val sink = new ParquetSink(cacheRoot)
+    val sink = new ParquetSink(cacheRoot(spark))
     val name = s"pq_${pqAlgoVersion}_${fingerprint(spark, eff)}"
     buildIfAbsent(spark, sink, name)(Similarity.pqCodebooks(spark, eff))
     sink.read(spark, layer, name)
@@ -407,7 +415,7 @@ object IvfIndex {
       ledger: Option[String] = None): DataFrame = synchronized {
     val led = resolveLedger(spark, dir, ledger)
     val eff = effectiveDir(spark, dir, ledger)
-    val sink = new ParquetSink(cacheRoot)
+    val sink = new ParquetSink(cacheRoot(spark))
     val name = s"int8_codes_${Int8Version}_${fingerprint(spark, eff)}"
     buildIfAbsent(spark, sink, name,
       TableLayout(partitionBy = Seq("ivf_centroid"))) {
@@ -435,7 +443,7 @@ object IvfIndex {
       ledger: Option[String] = None): DataFrame = synchronized {
     val led = resolveLedger(spark, dir, ledger)
     val eff = effectiveDir(spark, dir, ledger)
-    val sink = new ParquetSink(cacheRoot)
+    val sink = new ParquetSink(cacheRoot(spark))
     val name = s"pq_codes_${PqCodesVersion}_${pqAlgoVersion}_${fingerprint(spark, eff)}"
     buildIfAbsent(spark, sink, name,
       TableLayout(partitionBy = Seq("ivf_centroid"))) {
@@ -452,7 +460,7 @@ object IvfIndex {
   /** Drop every cached index under [[cacheRoot]] (tests; data migrations
     * would instead let fingerprints age out naturally). */
   def clearCache(spark: SparkSession): Unit = synchronized {
-    val p = new org.apache.hadoop.fs.Path(cacheRoot)
+    val p = new org.apache.hadoop.fs.Path(cacheRoot(spark))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) fs.delete(p, true)
   }

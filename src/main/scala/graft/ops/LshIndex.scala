@@ -54,7 +54,7 @@ object LshIndex {
       build: String => DataFrame): DataFrame = synchronized {
     val led = IvfIndex.defaultLedger(spark, dir)
     val eff = IvfIndex.effectiveDir(spark, dir)
-    val sink = new ParquetSink(IvfIndex.cacheRoot)
+    val sink = new ParquetSink(IvfIndex.cacheRoot(spark))
     val name =
       s"lsh_sigs_${SigVersion}p${planes}_${IvfIndex.fingerprint(spark, eff)}"
     // one file per prefix directory (see IvfIndex.lists: a p-way

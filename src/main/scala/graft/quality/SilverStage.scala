@@ -42,13 +42,19 @@ object SilverStage {
   /** Runtime conf kill switch: `false` restores per-call pins. */
   val ConfKey = "spark.graft.dq.silverstage"
 
-  /** Warehouse root for staged trios — JVM-tmpdir default keeps the
-    * (spark, dir) query contract self-contained; a deployment points it
-    * at the real warehouse scratch. Safe to share across processes: a
-    * committed trio is immutable. */
-  @volatile var cacheRoot: String =
-    sys.props.getOrElse("graft.dq.silver.root",
-      s"${sys.props("java.io.tmpdir")}/graft_dq_silver")
+  /** Runtime conf key selecting the warehouse root for staged trios —
+    * session-scoped like every other graft seam, not a mutable JVM
+    * global. Resolution: session conf, then the `graft.dq.silver.root`
+    * system property (launcher-level override), then a JVM-tmpdir
+    * default that keeps the (spark, dir) query contract self-contained;
+    * a deployment points it at the real warehouse scratch. Safe to share
+    * across processes: a committed trio is immutable. */
+  val RootKey = "spark.graft.dq.silver.root"
+
+  def cacheRoot(spark: SparkSession): String =
+    spark.conf.getOption(RootKey).map(_.trim).filter(_.nonEmpty)
+      .getOrElse(sys.props.getOrElse("graft.dq.silver.root",
+        s"${sys.props("java.io.tmpdir")}/graft_dq_silver"))
 
   /** Version component of the cache key — the cache persists across
     * JVMs, so a change to the silver recipe (Silver/Bronze/RawSources
@@ -68,7 +74,7 @@ object SilverStage {
   private def trioRoot(spark: SparkSession, dir: String): String = {
     val fp = IvfIndex.fingerprint(spark, dir, "customer.parquet").take(16) +
       IvfIndex.fingerprint(spark, dir, "orders.parquet").take(16)
-    s"$cacheRoot/trio_${Version}_$fp"
+    s"${cacheRoot(spark)}/trio_${Version}_$fp"
   }
 
   /** The staged trio for `dir`'s raw tables, building it first if no
@@ -98,7 +104,7 @@ object SilverStage {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(rootPath)) return root
-    val staging = s"$cacheRoot/.build_" +
+    val staging = s"${cacheRoot(spark)}/.build_" +
       java.util.UUID.randomUUID.toString.take(12)
     val sc = graft.silver.Silver.customersFrom(
       graft.bronze.Bronze.customers(spark, dir))

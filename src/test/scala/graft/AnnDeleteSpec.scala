@@ -10,13 +10,12 @@ import graft.ops.{IvfIndex, Similarity}
 class AnnDeleteSpec extends SparkSpec {
 
   private def withFreshCache[A](body: => A): A = {
-    val prev = IvfIndex.cacheRoot
-    IvfIndex.cacheRoot =
-      java.nio.file.Files.createTempDirectory("graft_ann_del_idx").toString
+    spark.conf.set(IvfIndex.RootKey,
+      java.nio.file.Files.createTempDirectory("graft_ann_del_idx").toString)
     try body
     finally {
       IvfIndex.clearCache(spark)
-      IvfIndex.cacheRoot = prev
+      spark.conf.unset(IvfIndex.RootKey)
     }
   }
 
@@ -88,7 +87,7 @@ class AnnDeleteSpec extends SparkSpec {
         Similarity.annPqAdc(spark, freshDir).collect().map(_.toSeq).toSet)
       // physical sweep: no cached table still keyed by the pre-delete
       // corpus (those carried deleted rows at rest)
-      val leftovers = new java.io.File(s"${IvfIndex.cacheRoot}/ann")
+      val leftovers = new java.io.File(s"${IvfIndex.cacheRoot(spark)}/ann")
         .listFiles().map(_.getName)
         .filter(n => n.endsWith(s"_$baseFp") && !n.startsWith("del_"))
       assert(leftovers.isEmpty,

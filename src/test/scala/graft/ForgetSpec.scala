@@ -77,9 +77,8 @@ class ForgetSpec extends SparkSpec {
 
   test("steady-state takedown: build-once store, exact receipt, idempotent " +
       "through the tombstone fold") {
-    val prevRoot = IncrementalDedup.steadyCacheRoot
-    IncrementalDedup.steadyCacheRoot =
-      Files.createTempDirectory("graft_spec_steady").toString
+    spark.conf.set(IncrementalDedup.SteadyRootKey,
+      Files.createTempDirectory("graft_spec_steady").toString)
     try {
       val docs = TextOps.documents(spark, Sf0001)
       val nCust = Bronze.customers(spark, Sf0001).count()
@@ -111,6 +110,6 @@ class ForgetSpec extends SparkSpec {
       }
       assert(IncrementalDedup.steadyBuilds.get == builds0 + 1,
         "later takedowns must reuse the cached store, never rebuild")
-    } finally IncrementalDedup.steadyCacheRoot = prevRoot
+    } finally spark.conf.unset(IncrementalDedup.SteadyRootKey)
   }
 }

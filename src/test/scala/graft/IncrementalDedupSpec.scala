@@ -134,9 +134,8 @@ class IncrementalDedupSpec extends SparkSpec {
   }
 
   test("store ingest + detection run as registry DAG nodes") {
-    val prevRoot = IncrementalDedup.storeRoot
-    IncrementalDedup.storeRoot =
-      java.nio.file.Files.createTempDirectory("inc_dedup_dag").toString
+    spark.conf.set(IncrementalDedup.StoreRootKey,
+      java.nio.file.Files.createTempDirectory("inc_dedup_dag").toString)
     try {
       val wh = java.nio.file.Files.createTempDirectory("inc_dedup_wh").toString
       val sink = new graft.pipeline.ParquetSink(wh)
@@ -153,7 +152,7 @@ class IncrementalDedupSpec extends SparkSpec {
         "the DAG-landed pair table equals the from-scratch operator")
       // the fold runs as a DAG node too: a pending delete is applied and
       // the receipt reports a clean store
-      IncrementalDedup.delete(spark, IncrementalDedup.storeRoot,
+      IncrementalDedup.delete(spark, IncrementalDedup.storeRoot(spark),
         TextOps.documents(spark, Sf0001).limit(1).select("doc_id"))
       graft.pipeline.Registry.run(spark, Sf0001, sink,
         all = Seq(IncrementalDedup.ingestRegistryModel,
@@ -165,7 +164,7 @@ class IncrementalDedupSpec extends SparkSpec {
         foldReceipt(0).getInt(1) == 0 && foldReceipt(0).getInt(2) == 0,
         s"the scheduled fold leaves no pending batches or tombstones: " +
           foldReceipt.mkString)
-    } finally IncrementalDedup.storeRoot = prevRoot
+    } finally spark.conf.unset(IncrementalDedup.StoreRootKey)
   }
 
   test("delete: tombstones are visible immediately and fold to bit-equality " +

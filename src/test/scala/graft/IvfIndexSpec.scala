@@ -8,13 +8,12 @@ import graft.ops.{IvfIndex, Similarity}
 class IvfIndexSpec extends SparkSpec {
 
   private def withFreshCache[A](body: => A): A = {
-    val prev = IvfIndex.cacheRoot
-    IvfIndex.cacheRoot =
-      java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    spark.conf.set(IvfIndex.RootKey,
+      java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString)
     try body
     finally {
       IvfIndex.clearCache(spark)
-      IvfIndex.cacheRoot = prev
+      spark.conf.unset(IvfIndex.RootKey)
     }
   }
 
@@ -113,7 +112,7 @@ class IvfIndexSpec extends SparkSpec {
         "warm rerank serves codes at rest — zero encode passes")
       // the on-disk layout IS the candidate index: one directory per IVF
       // list, so a probe set is an nprobe-directory read
-      val annDir = new java.io.File(s"${IvfIndex.cacheRoot}/ann")
+      val annDir = new java.io.File(s"${IvfIndex.cacheRoot(spark)}/ann")
       val codesDir = annDir.listFiles()
         .find(_.getName.startsWith("pq_codes_"))
         .getOrElse(fail("code table was not materialized"))
@@ -165,7 +164,7 @@ class IvfIndexSpec extends SparkSpec {
   test("inverted lists: one directory per centroid, probes prune via DPP") {
     withFreshCache {
       assert(Similarity.annIvfTopK(spark, Sf0001).count() > 0)
-      val annDir = new java.io.File(s"${IvfIndex.cacheRoot}/ann")
+      val annDir = new java.io.File(s"${IvfIndex.cacheRoot(spark)}/ann")
       val listsDir = annDir.listFiles()
         .find(_.getName.startsWith("ivf_lists_"))
         .getOrElse(fail("lists table was not materialized"))
@@ -184,7 +183,7 @@ class IvfIndexSpec extends SparkSpec {
   test("LSH signatures served from the index; prefix directories prune via DPP") {
     withFreshCache {
       assert(Similarity.annLshTopK(spark, Sf0001).count() > 0)
-      val annDir = new java.io.File(s"${IvfIndex.cacheRoot}/ann")
+      val annDir = new java.io.File(s"${IvfIndex.cacheRoot(spark)}/ann")
       val sigs = annDir.listFiles().find(_.getName.startsWith("lsh_sigs_"))
         .getOrElse(fail("signature table was not materialized"))
       assert(sigs.listFiles().exists(_.getName.startsWith("bucket_prefix=p")),

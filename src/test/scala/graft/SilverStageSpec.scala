@@ -25,9 +25,8 @@ class SilverStageSpec extends SparkSpec {
 
   test("one trio build serves all three dq rows; kill switch emits " +
       "identical rows through the per-call pins") {
-    val prevRoot = SilverStage.cacheRoot
-    SilverStage.cacheRoot = java.nio.file.Files
-      .createTempDirectory("graft_dq_silver_t").toString
+    spark.conf.set(SilverStage.RootKey, java.nio.file.Files
+      .createTempDirectory("graft_dq_silver_t").toString)
     try {
       val b0 = SilverStage.builds.get
       val (summaryOn, statusesOn, failuresOn) =
@@ -46,14 +45,13 @@ class SilverStageSpec extends SparkSpec {
       } finally spark.conf.unset(SilverStage.ConfKey)
       assert(SilverStage.builds.get == b0 + 1,
         "the kill-switch path must not build a trio")
-    } finally SilverStage.cacheRoot = prevRoot
+    } finally spark.conf.unset(SilverStage.RootKey)
   }
 
   test("footer fast path answers from the staged trio's files " +
       "(the stage keeps footer eligibility, not just values)") {
-    val prevRoot = SilverStage.cacheRoot
-    SilverStage.cacheRoot = java.nio.file.Files
-      .createTempDirectory("graft_dq_silver_f").toString
+    spark.conf.set(SilverStage.RootKey, java.nio.file.Files
+      .createTempDirectory("graft_dq_silver_f").toString)
     try {
       val (_, answered) = DataQuality.summaryWithFooterAnswers(spark, Sf0001)
       Seq("silver_customers.email.not_null",
@@ -62,6 +60,6 @@ class SilverStageSpec extends SparkSpec {
           "silver_payments.at_least_n_rows")
         .foreach(n => assert(answered.contains(n),
           s"$n must stay footer-answered through the staged trio"))
-    } finally SilverStage.cacheRoot = prevRoot
+    } finally spark.conf.unset(SilverStage.RootKey)
   }
 }
