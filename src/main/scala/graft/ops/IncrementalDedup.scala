@@ -224,14 +224,32 @@ object IncrementalDedup {
     * together atomically. Returns the number of texts fingerprinted (the
     * expensive work actually done). Batch ids must be monotone: a
     * generation's watermark fences everything at or below it. */
+  /** Per-batch distinct (text_hash, doc) membership rows — extracted so
+    * [[steadyRecipeHash]] hashes the SAME transform the ingest runs. */
+  private def ingestReps(batch: DataFrame): DataFrame =
+    batch.select(md5(col("text")).as("text_hash"), col("doc_id"))
+      .distinct()
+
+  /** Per-batch distinct texts with min-doc representatives (the
+    * re-fingerprint gate's input) — extracted for [[steadyRecipeHash]]. */
+  private def ingestNewTexts(batch: DataFrame): DataFrame =
+    batch
+      .select(col("doc_id"), col("text"), md5(col("text")).as("text_hash"))
+      .groupBy("text_hash")
+      .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
+
+  /** Winnowing fingerprints of unseen texts — the one text-processing
+    * pass of the ingest; extracted for [[steadyRecipeHash]]. */
+  private def ingestFps(unseen: DataFrame): DataFrame =
+    TextOps.winnowFingerprints(
+        unseen.select(col("text_hash").as("doc_id"), col("text")))
+      .select(col("doc_id").as("text_hash"), col("fingerprint"))
+
   def ingest(spark: SparkSession, root: String, batchId: Int,
       batch: DataFrame): Long = {
     require(batchId > watermark(spark, root),
       s"batch $batchId is at or below the compaction watermark")
-    val newTexts = batch
-      .select(col("doc_id"), col("text"), md5(col("text")).as("text_hash"))
-      .groupBy("text_hash")
-      .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
+    val newTexts = ingestNewTexts(batch)
     // seen-before check touches only the index's key column (pruned scan);
     // RAW members, not the tombstone-filtered view — a text whose fps are
     // still physically present must not be re-fingerprinted (see [[members]])
@@ -240,13 +258,8 @@ object IncrementalDedup {
     val committed = commitStaged(spark, root,
       s"${batchesRoot(root)}/batch=$batchId") { staging =>
       // the one text-processing pass of the ingest: winnow ONLY unseen
-      TextOps.winnowFingerprints(
-          unseen.select(col("text_hash").as("doc_id"), col("text")))
-        .select(col("doc_id").as("text_hash"), col("fingerprint"))
-        .write.parquet(s"$staging/fps")
-      batch.select(md5(col("text")).as("text_hash"), col("doc_id"))
-        .distinct()
-        .write.parquet(s"$staging/reps")
+      ingestFps(unseen).write.parquet(s"$staging/fps")
+      ingestReps(batch).write.parquet(s"$staging/reps")
     }
     require(committed, s"batch $batchId already committed")
     val n = unseen.count()
@@ -541,8 +554,35 @@ object IncrementalDedup {
 
   /** Version component of the steady-store cache key: the cache persists
     * across JVMs, so a change to the ingest recipe must invalidate
-    * stores built by old code. */
-  private val SteadyVersion = s"s1m$ReplayMod"
+    * stores built by old code. Semantic changes are covered by
+    * [[steadyRecipeHash]] (the analyzed-plan hash of the exact
+    * transforms ingest runs); the hand-bumped literal remains for
+    * changes the plans cannot see (directory layout, commit protocol,
+    * compaction fold rules). */
+  private val SteadyVersion = s"s2m$ReplayMod"
+
+  /** Code-identity component of the steady-store key — [[graft.model
+    * .PlanIdentity]] over the SAME extracted transforms [[ingest]]
+    * executes ([[ingestReps]]/[[ingestNewTexts]]/[[ingestFps]]) plus the
+    * replay-shard predicate, composed over an empty in-memory frame with
+    * the documents schema. Analysis-only; computed once per JVM (the
+    * canonical string is session-independent). A recipe edit without a
+    * [[SteadyVersion]] bump now misses the cache instead of serving a
+    * store ingested by old code. */
+  private lazy val steadyRecipeHashMemo =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
+  private def steadyRecipeHash(spark: SparkSession): String = {
+    val got = steadyRecipeHashMemo.get()
+    if (got != null) return got
+    val dummy = emptyOf(spark, "doc_id BIGINT, text STRING")
+    val unseenShaped = emptyOf(spark, "text_hash STRING, doc_id BIGINT, text STRING")
+    val shard = dummy.filter(pmod(col("doc_id"), lit(ReplayMod.toLong)) === 0L)
+    val h = graft.model.PlanIdentity.planHash(Seq(
+      ingestReps(dummy), ingestNewTexts(dummy), ingestFps(unseenShaped), shard))
+    steadyRecipeHashMemo.compareAndSet(null, h)
+    h
+  }
 
   /** Cold steady-store builds JVM-wide (test-visible proof that repeated
     * takedowns reuse the cached store instead of re-ingesting). */
@@ -570,7 +610,8 @@ object IncrementalDedup {
       try IvfIndex.fingerprint(spark, dir, "customer.parquet").take(12)
       catch { case _: java.io.FileNotFoundException => "nocust" }
     val cacheRoot = steadyRootDir(spark)
-    val root = s"$cacheRoot/store_${SteadyVersion}_${fp}_c$cfp"
+    val root =
+      s"$cacheRoot/store_${SteadyVersion}r${steadyRecipeHash(spark)}_${fp}_c$cfp"
     val fs = hadoopFs(spark, root)
     val rootPath = new org.apache.hadoop.fs.Path(root)
     if (fs.exists(rootPath)) return root

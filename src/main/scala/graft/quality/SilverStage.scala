@@ -56,10 +56,39 @@ object SilverStage {
       .getOrElse(sys.props.getOrElse("graft.dq.silver.root",
         s"${sys.props("java.io.tmpdir")}/graft_dq_silver"))
 
-  /** Version component of the cache key — the cache persists across
-    * JVMs, so a change to the silver recipe (Silver/Bronze/RawSources
-    * or the Clock pins) must invalidate trios built by old code. */
-  private val Version = "v1"
+  /** Hand-bumped version component of the cache key — kept for recipe
+    * changes the plan hash below cannot see (the staged WRITE layout,
+    * the bottom-up build order). Semantic changes are covered
+    * automatically by [[recipeHash]]. */
+  private val Version = "v2"
+
+  /** Code-identity component of the cache key: md5 of the trio's
+    * ANALYZED canonical plans (schema + expression tree), composed
+    * lazily over the raw inputs — analysis only, never a job. The trio
+    * cache persists across JVMs, so a change to Silver/Bronze/RawSources
+    * semantics (or the Clock pins) must invalidate trios built by old
+    * code; with a hand-bumped constant alone, a recipe edit that forgot
+    * the bump would serve stale rows as a baffling oracle mismatch on
+    * untouched dq code. Any expression or schema change reaches the
+    * canonical plan string and therefore the key; a spurious difference
+    * (Spark upgrade changing canonicalization) only costs one rebuild,
+    * never staleness. */
+  private def recipeHash(spark: SparkSession, dir: String): String =
+    recipeHashes.computeIfAbsent(dir, _ => {
+      val sc = graft.silver.Silver.customersFrom(
+        graft.bronze.Bronze.customers(spark, dir))
+      val so = graft.silver.Silver.ordersFrom(
+        graft.bronze.Bronze.orders(spark, dir), sc)
+      val sp = graft.silver.Silver.paymentsFrom(
+        graft.bronze.Bronze.payments(spark, dir), so)
+      planHash(Seq(sc, so, sp))
+    })
+
+  private val recipeHashes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def planHash(frames: Seq[DataFrame]): String =
+    graft.model.PlanIdentity.planHash(frames)
 
   /** Cold trio builds that WON the commit race, JVM-wide — test-visible
     * proof that repeated dq evaluations reuse the staged trio. */
@@ -71,10 +100,10 @@ object SilverStage {
   def enabled(spark: SparkSession): Boolean =
     spark.conf.getOption(ConfKey).forall(_ != "false")
 
-  private def trioRoot(spark: SparkSession, dir: String): String = {
+  private[quality] def trioRoot(spark: SparkSession, dir: String): String = {
     val fp = IvfIndex.fingerprint(spark, dir, "customer.parquet").take(16) +
       IvfIndex.fingerprint(spark, dir, "orders.parquet").take(16)
-    s"${cacheRoot(spark)}/trio_${Version}_$fp"
+    s"${cacheRoot(spark)}/trio_${Version}r${recipeHash(spark, dir)}_$fp"
   }
 
   /** The staged trio for `dir`'s raw tables, building it first if no

@@ -48,6 +48,29 @@ class SilverStageSpec extends SparkSpec {
     } finally spark.conf.unset(SilverStage.RootKey)
   }
 
+  test("trio cache key folds the silver recipe's plan identity — a " +
+      "recipe change misses the cache instead of serving stale rows") {
+    import org.apache.spark.sql.functions.col
+    val sc = graft.silver.Silver.customersFrom(
+      graft.bronze.Bronze.customers(spark, Sf0001))
+    val so = graft.silver.Silver.ordersFrom(
+      graft.bronze.Bronze.orders(spark, Sf0001), sc)
+    val sp = graft.silver.Silver.paymentsFrom(
+      graft.bronze.Bronze.payments(spark, Sf0001), so)
+    val real = graft.model.PlanIdentity.planHash(Seq(sc, so, sp))
+    assert(SilverStage.trioRoot(spark, Sf0001).contains(s"r${real}_"),
+      "the trio root must embed the hash of the ACTUAL composed silver " +
+        "plans — that derivation is what makes any recipe edit move the key")
+    assert(graft.model.PlanIdentity.planHash(Seq(sc, so, sp)) == real,
+      "plan identity must be deterministic across computations")
+    // the 'deliberate one-line silver change with no version bump': one
+    // added expression must move the hash, so the key misses and the
+    // trio rebuilds — never serves rows built by the old recipe
+    val edited = sp.filter(col("payment_amount") > -1)
+    assert(graft.model.PlanIdentity.planHash(Seq(sc, so, edited)) != real,
+      "a one-expression recipe change must change the cache key")
+  }
+
   test("footer fast path answers from the staged trio's files " +
       "(the stage keeps footer eligibility, not just values)") {
     spark.conf.set(SilverStage.RootKey, java.nio.file.Files
