@@ -20,11 +20,20 @@ import graft.ops.IvfIndex
   * raw tables it derives from (`customer.parquet` + `orders.parquet` —
   * every raw_customers/orders/payments column is a function of those
   * two), commit with an atomic staged rename (concurrent cold builds
-  * last-writer-lose), and serve every later dq evaluation a bare parquet
-  * scan of the staged files. Unlike the steady-state dedup store the
+  * last-writer-lose), and serve every later dq evaluation a pruned scan
+  * of the staged files. Unlike the steady-state dedup store the
   * staged trio is IMMUTABLE after commit, so cross-process sharing is
   * safe — a Verify and a Bench run against the same corpus share one
   * build.
+  *
+  * The staged layout serves the CHECKS, not just the values: each table
+  * is written bucketed by the key the dq family probes ([[BucketKeys]]),
+  * so the `unique` fold needs no key-wide exchange and the
+  * payments→orders `relationships` anti-join — the dq suite's dominant
+  * remaining shuffle at 100× once the silver build itself is amortized —
+  * joins bucket-aligned with zero exchanges (PlanSpec pins both).
+  * Bucketing is paid once at build by the processes' shared cold build
+  * and amortized over every check of every dq row afterwards.
   *
   * The staged frames are pure parquet relations, so everything the
   * per-call pins provided still holds: one evaluation per layer (the
@@ -97,21 +106,96 @@ object SilverStage {
   val TableNames: Seq[String] =
     Seq("silver_customers", "silver_orders", "silver_payments")
 
+  /** Conf key: buckets per staged trio table; `0` disables bucketing
+    * (plain parquet, the pre-round-14 layout — the A/B lever). The trio
+    * is immutable and probed by a FIXED check family, so its layout can
+    * serve the checks: CLUSTERED BY the checked key, uniqueness folds
+    * per-bucket without an exchange and the payments→orders
+    * `relationships` anti-join — the one fact-fact join in the dq suite,
+    * its dominant remaining shuffle at 100× — runs bucket-aligned with
+    * ZERO exchanges on either side. The bucket count folds into the
+    * cache key (a process configured differently builds its own trio
+    * rather than misreading another layout's files). 32 matches the
+    * engine's shuffle-partition default; a 1000-executor deployment
+    * raises it with the same conf. */
+  val BucketsKey = "spark.graft.dq.silver.buckets"
+  private val DefaultBuckets = 32
+
+  def buckets(spark: SparkSession): Int =
+    spark.conf.getOption(BucketsKey).map(_.toInt).getOrElse(DefaultBuckets)
+
+  /** Bucket key per trio table — the column the dq family probes.
+    * payments clusters by its FK (order_key, serving the fact-fact
+    * relationships join) rather than its unique key: the FK check
+    * shuffles BOTH fact sides when unaligned, while payment_key's
+    * uniqueness costs one single-column shuffle — the cheaper residual. */
+  private[quality] val BucketKeys: Map[String, String] = Map(
+    "silver_customers" -> "customer_key",
+    "silver_orders" -> "order_key",
+    "silver_payments" -> "order_key")
+
   def enabled(spark: SparkSession): Boolean =
     spark.conf.getOption(ConfKey).forall(_ != "false")
 
   private[quality] def trioRoot(spark: SparkSession, dir: String): String = {
     val fp = IvfIndex.fingerprint(spark, dir, "customer.parquet").take(16) +
       IvfIndex.fingerprint(spark, dir, "orders.parquet").take(16)
-    s"${cacheRoot(spark)}/trio_${Version}r${recipeHash(spark, dir)}_$fp"
+    s"${cacheRoot(spark)}/trio_${Version}r${recipeHash(spark, dir)}" +
+      s"b${buckets(spark)}_$fp"
   }
 
   /** The staged trio for `dir`'s raw tables, building it first if no
-    * committed build exists: name → bare parquet frame over the staged
-    * files. */
+    * committed build exists: name → frame over the staged files — a
+    * catalog-registered bucketed table when bucketing is on (the
+    * bucket-aligned plans need the catalog's layout metadata; a bare
+    * path read would discard it), a bare parquet scan when off. */
   def tables(spark: SparkSession, dir: String): Map[String, DataFrame] = {
     val root = ensure(spark, dir)
-    TableNames.map(n => n -> spark.read.parquet(s"$root/$n")).toMap
+    val n = buckets(spark)
+    TableNames.map { name =>
+      name -> (if (n <= 0) spark.read.parquet(s"$root/$name")
+               else bucketedTable(spark, s"$root/$name", name, n))
+    }.toMap
+  }
+
+  /** The staged table at `loc` served THROUGH the session catalog so the
+    * planner sees its bucketing (`HashPartitioning(key, n)` on the scan).
+    * Spark attaches bucket metadata only to catalog tables, so each trio
+    * table is registered once per session as an EXTERNAL table over the
+    * committed files — named by a hash of its location (one entry per
+    * trio generation; IF NOT EXISTS absorbs races and repeat calls). */
+  private def bucketedTable(spark: SparkSession, loc: String,
+      name: String, n: Int): DataFrame = {
+    val key = BucketKeys(name)
+    val id = java.security.MessageDigest.getInstance("MD5")
+      .digest(loc.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val tbl = s"graft_dq_trio_${id}_$name"
+    if (!spark.catalog.tableExists(tbl)) {
+      val schema = spark.read.parquet(loc).schema.toDDL
+      spark.sql(s"CREATE TABLE IF NOT EXISTS `$tbl` ($schema) " +
+        s"USING PARQUET CLUSTERED BY ($key) SORTED BY ($key) " +
+        s"INTO $n BUCKETS LOCATION '$loc'")
+    }
+    spark.table(tbl)
+  }
+
+  /** Write one staged table: bucketed by its checked key when bucketing
+    * is on (`bucketBy` requires the catalog writer, so the table routes
+    * through a transient EXTERNAL name at the staging path and is
+    * dropped immediately — the files stay, the commit rename moves them
+    * into place like any other build). */
+  private def writeStaged(spark: SparkSession, df: DataFrame,
+      path: String, name: String): Unit = {
+    val n = buckets(spark)
+    if (n <= 0) df.write.parquet(path)
+    else {
+      val key = BucketKeys(name)
+      val tmp = "graft_dq_stage_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      df.write.format("parquet").bucketBy(n, key).sortBy(key)
+        .option("path", path).saveAsTable(tmp)
+      spark.sql(s"DROP TABLE `$tmp`")
+    }
   }
 
   /** [[graft.silver.Silver.payments]] through the staged trio when
@@ -137,15 +221,15 @@ object SilverStage {
       java.util.UUID.randomUUID.toString.take(12)
     val sc = graft.silver.Silver.customersFrom(
       graft.bronze.Bronze.customers(spark, dir))
-    sc.write.parquet(s"$staging/silver_customers")
+    writeStaged(spark, sc, s"$staging/silver_customers", "silver_customers")
     val scStaged = spark.read.parquet(s"$staging/silver_customers")
     val so = graft.silver.Silver.ordersFrom(
       graft.bronze.Bronze.orders(spark, dir), scStaged)
-    so.write.parquet(s"$staging/silver_orders")
+    writeStaged(spark, so, s"$staging/silver_orders", "silver_orders")
     val soStaged = spark.read.parquet(s"$staging/silver_orders")
     val sp = graft.silver.Silver.paymentsFrom(
       graft.bronze.Bronze.payments(spark, dir), soStaged)
-    sp.write.parquet(s"$staging/silver_payments")
+    writeStaged(spark, sp, s"$staging/silver_payments", "silver_payments")
     fs.mkdirs(rootPath.getParent)
     if (IvfIndex.renameIfAbsent(fs,
         new org.apache.hadoop.fs.Path(staging), rootPath))

@@ -492,8 +492,14 @@ class PlanSpec extends SparkSpec {
     // stage's parquet metadata, so their two counted branches leave the
     // plan entirely (within_range stays — this data really has
     // out-of-range payment amounts, so its count needs the scan).
+    // 33 → 29 in round 14: the staged trio is written BUCKETED by the
+    // checked keys (SilverStage.BucketKeys), so the payments→orders
+    // relationships anti-join runs bucket-aligned (two exchanges gone)
+    // and the order_key/customer_key unique/distinct folds group on the
+    // scans' own partitioning (two more) — the dedicated "dq bucketed
+    // trio" test pins the zero-exchange shapes directly.
     assert(counts == Map(
-      "dq_summary" -> 33, "minhash_lsh" -> 15,
+      "dq_summary" -> 29, "minhash_lsh" -> 15,
       "tpch_q2" -> 5, "corpus_clean" -> 26), counts.toString)
   }
 
@@ -681,5 +687,43 @@ class PlanSpec extends SparkSpec {
     val p = Silver.payments(spark, Sf0001).queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
     assert(p.contains("WholeStageCodegen subtree"))
+  }
+
+  test("dq bucketed trio: the fact-fact relationships anti-join and the " +
+      "unique fold run with ZERO hash exchanges over the staged layout") {
+    import org.apache.spark.sql.functions._
+    import graft.quality.{Checks, SilverStage}
+    // broadcast off: at test scale AQE would broadcast the parent side,
+    // which also has no exchange but would not pin the property this
+    // layout buys at 100x — the bucket-aligned sort-merge join
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(SilverStage.RootKey, java.nio.file.Files
+      .createTempDirectory("graft_dq_silver_plan").toString)
+    try {
+      val t = SilverStage.tables(spark, Sf0001)
+      // payments(fk=order_key) anti-join orders(pk=order_key): both facts
+      // CLUSTERED BY order_key into the same bucket count, so neither
+      // side exchanges — the shape that holds at 100x where this join is
+      // the dq suite's dominant remaining shuffle
+      val rel = Checks.relationships(t("silver_payments"), "order_key",
+        t("silver_orders"), "order_key").agg(count(lit(1)))
+      val relPlan = plan(rel)
+      assert(!relPlan.contains("Exchange hashpartitioning"),
+        s"bucket-aligned relationships check must not shuffle either " +
+          s"fact side:\n$relPlan")
+      // unique on the bucket key: the distinct fold groups by order_key,
+      // already the scan's partitioning — no key-wide exchange (the
+      // one-row global fold's SinglePartition exchange is metadata-sized)
+      val uniq = t("silver_orders").agg(Checks.uniqueViolations("order_key"))
+      val uPlan = plan(uniq)
+      assert(!"Exchange hashpartitioning\\(order_key".r.findFirstIn(uPlan)
+        .isDefined,
+        s"unique fold over the bucketed key must not exchange the " +
+          s"table:\n$uPlan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.unset(SilverStage.RootKey)
+    }
   }
 }

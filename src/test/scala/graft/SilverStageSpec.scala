@@ -58,7 +58,7 @@ class SilverStageSpec extends SparkSpec {
     val sp = graft.silver.Silver.paymentsFrom(
       graft.bronze.Bronze.payments(spark, Sf0001), so)
     val real = graft.model.PlanIdentity.planHash(Seq(sc, so, sp))
-    assert(SilverStage.trioRoot(spark, Sf0001).contains(s"r${real}_"),
+    assert(SilverStage.trioRoot(spark, Sf0001).contains(s"r${real}b"),
       "the trio root must embed the hash of the ACTUAL composed silver " +
         "plans — that derivation is what makes any recipe edit move the key")
     assert(graft.model.PlanIdentity.planHash(Seq(sc, so, sp)) == real,

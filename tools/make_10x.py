@@ -91,10 +91,21 @@ rep("documents", """
   SELECT doc_id + {c} * {ks} AS doc_id, text, lang, source, n_chars
   FROM read_parquet('{src}')""".replace("{ks}", str(KEY_SHIFT)))
 
+# The flip class must have FULL RANK across copies: the round-13 recipe
+# (i*37 + c*101) % 3 collapsed to 3 distinct flip patterns over 100
+# direct copies (the class depends on c only through c*101 mod 3, which
+# cycles with period 3), densifying every LSH bucket ~33x and
+# mis-pricing the ANN family at 100x. hash(i:c:KEY_SHIFT) decorrelates
+# every copy; salting with KEY_SHIFT additionally decorrelates STACKED
+# applications (each application's shift differs, so the two layers'
+# flip families can't cancel as (a,b)/(b,a) pairs or (c,c) identities
+# would under one shared family). Copy 0 stays unflipped so the source
+# rows survive verbatim.
 rep("embeddings", """
   SELECT vec_id + {c} * {ks} AS vec_id,
          list_transform(embedding, (x, i) ->
-           x * (CASE WHEN (i * 37 + {c} * 101) % 3 = 0 AND {c} > 0
+           x * (CASE WHEN {c} > 0
+                      AND hash(i || ':' || {c} || ':' || {ks}) % 3 = 0
                 THEN -1 ELSE 1 END))::FLOAT[] AS embedding,
          label
   FROM read_parquet('{src}')""".replace("{ks}", str(KEY_SHIFT)))
@@ -124,6 +135,22 @@ assert_unique("orders", "o_orderkey")
 assert_unique("events", "event_id")
 assert_unique("documents", "doc_id")
 assert_unique("embeddings", "vec_id")
+# Embedding flip-class diversity: every source vector's `copies` replicas
+# must be pairwise-distinct embeddings — if two copies shared a flip
+# pattern (the round-13 collapse: 3 patterns across 100 copies), their
+# replicas of EVERY vector coincide, LSH buckets densify, and the replica
+# mis-prices the ANN family. Distinct-count per source id detects any
+# pattern collision directly on the generated bytes.
+min_cls = con.execute(f"""
+    SELECT min(cnt) FROM (
+      SELECT vec_id % {KEY_SHIFT} AS src,
+             count(DISTINCT embedding::VARCHAR) AS cnt
+      FROM read_parquet('{dst}/embeddings.parquet') GROUP BY 1)""").fetchone()[0]
+assert min_cls == copies, (
+    f"REPLICA INVARIANT VIOLATED: some source vector has only {min_cls} "
+    f"distinct embeddings across {copies} copies — flip classes collided "
+    f"(the round-13 LSH-densification class); do not use this replica")
+print(f"invariant ok: embeddings flip-class diversity = {copies}/{copies}")
 orphans = con.execute(f"""
     SELECT count(*) FROM read_parquet('{dst}/lineitem.parquet') l
     WHERE NOT EXISTS (SELECT 1 FROM read_parquet('{dst}/orders.parquet') o
