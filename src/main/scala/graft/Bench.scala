@@ -73,6 +73,11 @@ object Bench {
           graft.ops.IvfIndex.pqCodebooks(spark, sfDir).count()
           graft.ops.IvfIndex.pqCodes(spark, sfDir).count()
           graft.ops.IvfIndex.int8Codes(spark, sfDir).count()
+          // the LSH signature table is the same build-once/serve-many
+          // class; uncounted here it lands inside whichever LSH row runs
+          // first and cross-replica diffs misread it as structural
+          // (round 14's direct-vs-stacked check did exactly that)
+          graft.ops.Similarity.lshSignatureBase(spark, sfDir).count()
           (System.nanoTime() - tb) / 1e9
         } catch {
           case scala.util.control.NonFatal(e) =>

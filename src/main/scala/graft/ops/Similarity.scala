@@ -225,17 +225,30 @@ object Similarity {
     * ann: candidate generation is an equi-join on the bucket key (linear
     * shuffle) instead of a cross join; recall tunes with plane count and
     * multi-probe. May return fewer than k neighbors per query. */
-  def annLshTopK(spark: SparkSession, dir: String, k: Int = 5,
+  /** The materialized sign-bit signature table both LSH serving paths
+    * ([[annLshTopK]], [[annLshMultiProbeTopK]]) read — built once per
+    * data fingerprint like the IVF/PQ/int8 tables, and EXPOSED so a
+    * build/serve split (Bench's ANN prebuild) can pay it outside the
+    * per-query wall clock: charged to whichever LSH row runs first, a
+    * ~6 s 100× signature build masquerades as a per-query regression
+    * (exactly the misattribution round 14's direct-vs-stacked replica
+    * check tripped over before this split). */
+  def lshSignatureBase(spark: SparkSession, dir: String,
       numVectors: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val planes = lshPlanes(numVectors
       .orElse(graft.sources.ParquetStats.rowCount(spark, s"$dir/embeddings.parquet"))
       .getOrElse(embeddings(spark, dir).count()))
     // signatures served from the materialized index (built once per data
     // fingerprint); joining on (bucket_prefix, bucket) — the prefix is a
     // function of the bucket — lets DPP prune the prefix directories
-    val base = LshIndex.signatures(spark, dir, planes,
+    LshIndex.signatures(spark, dir, planes,
       d => withNorm(spark, d).withColumn("bucket", expr(signBitsExpr("vec", planes))))
+  }
+
+  def annLshTopK(spark: SparkSession, dir: String, k: Int = 5,
+      numVectors: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = lshSignatureBase(spark, dir, numVectors)
     val q = base.filter(annQueryFilter)
       .select(col("vec_id").as("query_id"), col("vec").as("a_vec"),
         col("nrm").as("na"), col("bucket"), col("bucket_prefix"))
@@ -290,8 +303,7 @@ object Similarity {
     val planes = lshPlanes(numVectors
       .orElse(graft.sources.ParquetStats.rowCount(spark, s"$dir/embeddings.parquet"))
       .getOrElse(embeddings(spark, dir).count()))
-    val base = LshIndex.signatures(spark, dir, planes,
-      d => withNorm(spark, d).withColumn("bucket", expr(signBitsExpr("vec", planes))))
+    val base = lshSignatureBase(spark, dir, numVectors)
     val flip =
       s"""CASE WHEN p = 0 THEN bucket
           ELSE concat(substring(bucket, 1, p - 1),

@@ -281,7 +281,11 @@ object Maintenance {
     * fingerprint form the cache key embeds); deletes everything else
     * older than `retentionMs` (retention, not immediate: a query
     * started against the old data version may still be serving from its
-    * entry). Returns deleted entry names. */
+    * entry). Returns deleted entry names. Catalog registrations of
+    * vacuumed BUCKETED trios (`graft_dq_trio_<lochash>_*`) are not
+    * touched: their names are derived from the deleted location, so no
+    * later call ever resolves them — harmless in the in-memory catalog;
+    * a persistent-metastore deployment drops them on the same cadence. */
   def vacuumFingerprintCache(spark: SparkSession, cacheRoot: String,
       liveFingerprints: Set[String], retentionMs: Long,
       nowMs: Long): Seq[String] = {

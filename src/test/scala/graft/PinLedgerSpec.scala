@@ -114,4 +114,42 @@ class PinLedgerSpec extends SparkSpec {
       spark.conf.unset(Stage.DirKey)
     }
   }
+
+  test("lease heartbeat: an app idle past the horizon (reading, not " +
+      "pinning) survives a non-force clearAll") {
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_stage_hb").toString
+    spark.conf.set(Stage.DirKey, scratch)
+    try {
+      import spark.implicits._
+      Stage.pin((1 to 10).toDF("v")).count()
+      val appDir = new java.io.File(scratch,
+        s"app-${spark.sparkContext.applicationId}")
+      val marker = new java.io.File(appDir, "_live")
+      assert(marker.exists())
+      // a full horizon passes with NO pins (the app only lazily reads):
+      // backdate the marker past the 24h default — the r13 exposure.
+      // Control first: with no heartbeat tick the sweep reclaims.
+      val stale = System.currentTimeMillis() - 48L * 3600 * 1000
+      assert(marker.setLastModified(stale))
+      Stage.clearAll(spark)
+      assert(!appDir.exists(),
+        "control: an aged marker with no heartbeat is reclaimed")
+      Stage.clear(spark) // reset this app's in-memory lease state
+      // same aging, but the heartbeat ticks before the sweep — the
+      // idle-reading app keeps looking alive
+      Stage.pin((1 to 10).toDF("v")).count()
+      assert(marker.exists())
+      assert(marker.setLastModified(stale))
+      Stage.heartbeatTick()
+      assert(marker.lastModified() > stale,
+        "the heartbeat must rewrite the aged marker")
+      Stage.clearAll(spark)
+      assert(appDir.exists(),
+        "a heartbeat-fresh subtree survives the non-force sweep")
+    } finally {
+      Stage.clear(spark)
+      spark.conf.unset(Stage.DirKey)
+    }
+  }
 }
