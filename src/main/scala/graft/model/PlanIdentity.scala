@@ -21,10 +21,23 @@ object PlanIdentity {
 
   /** md5 (truncated) over schema DDL + canonicalized analyzed plan of
     * each frame — exprIds are normalized by canonicalization, so the
-    * string is stable across JVM runs for unchanged code. */
+    * string is stable across JVM runs for unchanged code.
+    *
+    * Repartition hints are normalized OUT before hashing: operators like
+    * [[graft.ops.TextOps]]'s fan-out helper inject
+    * `Repartition(defaultParallelism)`, which embeds the HOST's core
+    * count in the plan string — semantics-neutral distribution hints
+    * must not make two machines sharing one persistent cache root
+    * compute different keys (the cross-JVM reuse the cache exists for
+    * would silently degrade to per-host rebuilds). */
   def planHash(frames: Seq[DataFrame]): String = {
-    val desc = frames.map(df => df.schema.toDDL + "|" +
-      df.queryExecution.analyzed.canonicalized.toString).mkString("‖")
+    val desc = frames.map { df =>
+      val normalized = df.queryExecution.analyzed.transformUp {
+        case r: org.apache.spark.sql.catalyst.plans.logical
+          .RepartitionOperation => r.child
+      }
+      df.schema.toDDL + "|" + normalized.canonicalized.toString
+    }.mkString("‖")
     java.security.MessageDigest.getInstance("MD5")
       .digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
   }

@@ -109,8 +109,17 @@ object Stage {
   val LeaseHoursKey = "spark.graft.stage.lease.hours"
   private val DefaultLeaseHours = 24
 
+  /** The configured lease horizon, defensively parsed: the lease is a
+    * SWEEP-SAFETY setting and must never break the pin hot path — a
+    * malformed value falls back to the default instead of throwing
+    * NumberFormatException out of every `pin`. `0` (or negative) is a
+    * legitimate operator intent — "markers never shield subtrees" — and
+    * is honored by [[clearAll]] (everything reads stale) and by
+    * [[ensureLease]] (no heartbeat is scheduled: there is nothing a
+    * marker could buy). */
   private def leaseHours(spark: SparkSession): Int =
-    spark.conf.getOption(LeaseHoursKey).map(_.toInt)
+    spark.conf.getOption(LeaseHoursKey)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
       .getOrElse(DefaultLeaseHours)
 
   /** App subtrees this JVM holds a lease on → the last marker-write
@@ -154,19 +163,36 @@ object Stage {
   /** Refresh one subtree's marker from its heartbeat registration;
     * deregisters when the owning session is gone or its context stopped.
     * Marker-write failures are swallowed — the heartbeat is a liveness
-    * hint and the next tick (or pin) retries. */
+    * hint and the next tick (or pin) retries.
+    *
+    * Two guards keep the heartbeat from RESURRECTING relinquished
+    * state: the marker is only written when the subtree still EXISTS
+    * (a force-swept or externally-deleted subtree has nothing to
+    * protect — recreating its marker would make the next sweep skip an
+    * empty orphan for a full horizon), and after the write the `leased`
+    * membership is re-checked so a tick racing [[clear]] deletes the
+    * marker it just wrote instead of violating clear's "subtree and
+    * marker are gone" postcondition. */
   private def refreshLease(sub: String): Unit = {
     val ref = heartbeatSessions.get(sub)
     val spark = if (ref == null) null else ref.get()
     if (spark == null || spark.sparkContext.isStopped) {
       heartbeatSessions.remove(sub)
+      heartbeatCadence.remove(sub)
       Option(heartbeatTasks.remove(sub)).foreach(_.cancel(false))
       ()
     } else if (leased.containsKey(sub)) {
       try {
-        writeMarker(spark, sub)
-        leased.put(sub, System.currentTimeMillis())
-        ()
+        val subPath = new org.apache.hadoop.fs.Path(sub)
+        val fs = subPath.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(subPath)) {
+          writeMarker(spark, sub)
+          if (leased.containsKey(sub))
+            leased.put(sub, System.currentTimeMillis())
+          else
+            fs.delete(new org.apache.hadoop.fs.Path(s"$sub/$LeaseName"), false)
+          ()
+        }
       } catch { case scala.util.control.NonFatal(_) => () }
     }
   }
@@ -178,11 +204,27 @@ object Stage {
     while (it.hasNext) refreshLease(it.next())
   }
 
+  /** Cadence each subtree's heartbeat was scheduled at — so a session
+    * that RECONFIGURES its lease horizon after the first pin reschedules
+    * instead of keeping a frozen too-slow task (an operator lowering
+    * `lease.hours` fleet-wide must not leave live idle-reading apps
+    * refreshing at the old cadence, exposed to the faster sweep). */
+  private val heartbeatCadence =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private def startHeartbeat(spark: SparkSession, sub: String,
       refreshMs: Long): Unit = {
+    if (refreshMs <= 0) return // zero horizon: markers shield nothing
+    val prev = heartbeatCadence.get(sub)
+    if (prev != null && prev != refreshMs) {
+      Option(heartbeatTasks.remove(sub)).foreach(_.cancel(false))
+      heartbeatCadence.remove(sub)
+      ()
+    }
     heartbeatTasks.computeIfAbsent(sub, _ => {
       heartbeatSessions.put(sub,
         new java.lang.ref.WeakReference[SparkSession](spark))
+      heartbeatCadence.put(sub, refreshMs)
       heartbeatExec.scheduleAtFixedRate(() => refreshLease(sub),
         refreshMs, refreshMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     })
@@ -439,6 +481,7 @@ object Stage {
       // subtree the app just relinquished
       leased.remove(sub)
       heartbeatSessions.remove(sub)
+      heartbeatCadence.remove(sub)
       Option(heartbeatTasks.remove(sub)).foreach(_.cancel(false))
       ()
     }

@@ -238,6 +238,15 @@ object IncrementalDedup {
       .groupBy("text_hash")
       .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
 
+  /** The seen-before gate: texts of the batch with no membership row —
+    * the join that decides WHICH texts get fingerprinted; extracted for
+    * [[steadyRecipeHash]] (an edit to the gate's semantics — e.g.
+    * re-basing it on the tombstone-filtered view — changes which texts
+    * enter the store and must move the cache key). */
+  private def ingestUnseen(newTexts: DataFrame,
+      members: DataFrame): DataFrame =
+    newTexts.join(members.select("text_hash"), Seq("text_hash"), "left_anti")
+
   /** Winnowing fingerprints of unseen texts — the one text-processing
     * pass of the ingest; extracted for [[steadyRecipeHash]]. */
   private def ingestFps(unseen: DataFrame): DataFrame =
@@ -253,8 +262,8 @@ object IncrementalDedup {
     // seen-before check touches only the index's key column (pruned scan);
     // RAW members, not the tombstone-filtered view — a text whose fps are
     // still physically present must not be re-fingerprinted (see [[members]])
-    val unseen = graft.model.Stage.pin(newTexts.join(
-      members(spark, root).select("text_hash"), Seq("text_hash"), "left_anti"))
+    val unseen = graft.model.Stage.pin(
+      ingestUnseen(newTexts, members(spark, root)))
     val committed = commitStaged(spark, root,
       s"${batchesRoot(root)}/batch=$batchId") { staging =>
       // the one text-processing pass of the ingest: winnow ONLY unseen
@@ -554,10 +563,12 @@ object IncrementalDedup {
 
   /** Version component of the steady-store cache key: the cache persists
     * across JVMs, so a change to the ingest recipe must invalidate
-    * stores built by old code. Semantic changes are covered by
-    * [[steadyRecipeHash]] (the analyzed-plan hash of the exact
-    * transforms ingest runs); the hand-bumped literal remains for
-    * changes the plans cannot see (directory layout, commit protocol,
+    * stores built by old code. PLAN-VISIBLE semantic changes are
+    * covered by [[steadyRecipeHash]] (the analyzed-plan hash of the
+    * exact transforms ingest runs — reps, new-texts, the seen-before
+    * gate, winnow fps, the replay-shard predicate); the hand-bumped
+    * literal remains for changes the plans cannot see (directory
+    * layout, commit protocol,
     * compaction fold rules). */
   private val SteadyVersion = s"s2m$ReplayMod"
 
@@ -577,9 +588,12 @@ object IncrementalDedup {
     if (got != null) return got
     val dummy = emptyOf(spark, "doc_id BIGINT, text STRING")
     val unseenShaped = emptyOf(spark, "text_hash STRING, doc_id BIGINT, text STRING")
+    val membersShaped = emptyOf(spark, "text_hash STRING, doc_id BIGINT")
     val shard = dummy.filter(pmod(col("doc_id"), lit(ReplayMod.toLong)) === 0L)
     val h = graft.model.PlanIdentity.planHash(Seq(
-      ingestReps(dummy), ingestNewTexts(dummy), ingestFps(unseenShaped), shard))
+      ingestReps(dummy), ingestNewTexts(dummy),
+      ingestUnseen(ingestNewTexts(dummy), membersShaped),
+      ingestFps(unseenShaped), shard))
     steadyRecipeHashMemo.compareAndSet(null, h)
     h
   }

@@ -234,16 +234,27 @@ object Similarity {
     * (exactly the misattribution round 14's direct-vs-stacked replica
     * check tripped over before this split). */
   def lshSignatureBase(spark: SparkSession, dir: String,
-      numVectors: Option[Long] = None): DataFrame = {
-    val planes = lshPlanes(numVectors
+      numVectors: Option[Long] = None): DataFrame =
+    lshSignatureBaseFor(spark, dir, resolvedLshPlanes(spark, dir, numVectors))
+
+  /** [[lshPlanes]] with N resolved from the caller / parquet footers /
+    * (documented last resort) a count — exposed to the serving paths so
+    * a row that also needs the plane count for its own expressions
+    * resolves it ONCE, not once per use (the footer read is metadata,
+    * but the stats-less fallback is a real job). */
+  private def resolvedLshPlanes(spark: SparkSession, dir: String,
+      numVectors: Option[Long]): Int =
+    lshPlanes(numVectors
       .orElse(graft.sources.ParquetStats.rowCount(spark, s"$dir/embeddings.parquet"))
       .getOrElse(embeddings(spark, dir).count()))
+
+  private def lshSignatureBaseFor(spark: SparkSession, dir: String,
+      planes: Int): DataFrame =
     // signatures served from the materialized index (built once per data
     // fingerprint); joining on (bucket_prefix, bucket) — the prefix is a
     // function of the bucket — lets DPP prune the prefix directories
     LshIndex.signatures(spark, dir, planes,
       d => withNorm(spark, d).withColumn("bucket", expr(signBitsExpr("vec", planes))))
-  }
 
   def annLshTopK(spark: SparkSession, dir: String, k: Int = 5,
       numVectors: Option[Long] = None): DataFrame = {
@@ -300,10 +311,8 @@ object Similarity {
   def annLshMultiProbeTopK(spark: SparkSession, dir: String, k: Int = 5,
       numVectors: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val planes = lshPlanes(numVectors
-      .orElse(graft.sources.ParquetStats.rowCount(spark, s"$dir/embeddings.parquet"))
-      .getOrElse(embeddings(spark, dir).count()))
-    val base = lshSignatureBase(spark, dir, numVectors)
+    val planes = resolvedLshPlanes(spark, dir, numVectors)
+    val base = lshSignatureBaseFor(spark, dir, planes)
     val flip =
       s"""CASE WHEN p = 0 THEN bucket
           ELSE concat(substring(bucket, 1, p - 1),

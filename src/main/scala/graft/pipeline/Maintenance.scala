@@ -283,9 +283,11 @@ object Maintenance {
     * started against the old data version may still be serving from its
     * entry). Returns deleted entry names. Catalog registrations of
     * vacuumed BUCKETED trios (`graft_dq_trio_<lochash>_*`) are not
-    * touched: their names are derived from the deleted location, so no
-    * later call ever resolves them — harmless in the in-memory catalog;
-    * a persistent-metastore deployment drops them on the same cadence. */
+    * touched: a rebuild at the same (deterministic) location reuses the
+    * registration — SilverStage refreshes the path's cached file
+    * listing on every serve, so a stale listing of vacuumed files is
+    * never served; a persistent-metastore deployment drops orphaned
+    * entries on the same cadence. */
   def vacuumFingerprintCache(spark: SparkSession, cacheRoot: String,
       liveFingerprints: Set[String], retentionMs: Long,
       nowMs: Long): Seq[String] = {

@@ -137,11 +137,28 @@ object SilverStage {
   def enabled(spark: SparkSession): Boolean =
     spark.conf.getOption(ConfKey).forall(_ != "false")
 
+  /** Layout token folded into the cache key: bucket COUNT and the
+    * bucket KEY COLUMNS. The key columns matter as much as the count —
+    * a future [[BucketKeys]] edit without a hand [[Version]] bump would
+    * otherwise re-declare old files (physically hashed by the OLD key)
+    * as clustered by the new one, and the exchange-free unique fold
+    * would silently trust a per-bucket grouping the files don't have. */
+  private def layoutToken(spark: SparkSession): String = {
+    val n = buckets(spark)
+    if (n <= 0) "b0"
+    else {
+      val keys = TableNames.map(BucketKeys).mkString(",")
+      val kh = java.security.MessageDigest.getInstance("MD5")
+        .digest(keys.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      s"b${n}k$kh"
+    }
+  }
+
   private[quality] def trioRoot(spark: SparkSession, dir: String): String = {
     val fp = IvfIndex.fingerprint(spark, dir, "customer.parquet").take(16) +
       IvfIndex.fingerprint(spark, dir, "orders.parquet").take(16)
     s"${cacheRoot(spark)}/trio_${Version}r${recipeHash(spark, dir)}" +
-      s"b${buckets(spark)}_$fp"
+      s"${layoutToken(spark)}_$fp"
   }
 
   /** The staged trio for `dir`'s raw tables, building it first if no
@@ -176,6 +193,14 @@ object SilverStage {
         s"USING PARQUET CLUSTERED BY ($key) SORTED BY ($key) " +
         s"INTO $n BUCKETS LOCATION '$loc'")
     }
+    // ALWAYS drop cached resolutions for this path before serving: the
+    // trio location is deterministic, so a vacuumed-then-rebuilt trio
+    // lands at the SAME root with fresh part-file names — a session
+    // that registered the table before the vacuum would otherwise serve
+    // a cached file listing of deleted files (FileNotFoundException on
+    // scan). Cache invalidation only; the re-listing it forces is the
+    // same metadata cost the first scan of any query pays.
+    spark.catalog.refreshByPath(loc)
     spark.table(tbl)
   }
 
