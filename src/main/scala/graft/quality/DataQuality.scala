@@ -178,10 +178,13 @@ object DataQuality {
       // build-once fingerprint-keyed stage instead ([[SilverStage]] —
       // same bottom-up one-evaluation structure, built once per corpus);
       // spark.graft.dq.silverstage=false restores the per-call pins
+      val staged: Map[String, DataFrame] =
+        if (SilverStage.enabled(spark)) SilverStage.tables(spark, dir)
+        else Map.empty
       val (sc, so, sp) =
-        if (SilverStage.enabled(spark)) {
-          val t = SilverStage.tables(spark, dir)
-          (t("silver_customers"), t("silver_orders"), t("silver_payments"))
+        if (staged.nonEmpty) {
+          (staged("silver_customers"), staged("silver_orders"),
+            staged("silver_payments"))
         } else {
           // per-call pins, bottom-up THROUGH the From-composition: each
           // layer's one evaluation reads the pinned layer below
@@ -203,17 +206,19 @@ object DataQuality {
         "silver_customers" -> sc,
         "silver_orders" -> so,
         "silver_payments" -> sp,
-        // gold stays LAZY over the pinned silvers by default: each gold
-        // table is read by only 1–2 branches, so deriving it is one
-        // cheap agg of a pinned input — pinning it too would pay a
-        // full-width materialization to save a single pruned re-agg.
-        // Measured BOTH ways, at sf0.1 AND at the 100× replica (SURVEY
-        // §21 A/B): lazy wins or ties at every point, so the default is
-        // not a guess; spark.graft.dq.pingold=true is the A/B lever (and
-        // the escape hatch for a deployment whose gold fan-out grows)
-        "gold_customer_summary" -> goldPin(graft.gold.Gold.customerSummaryFrom(sc, so, sp)),
-        "gold_order_metrics" -> goldPin(graft.gold.Gold.orderMetricsFrom(so)),
-        "gold_revenue_analysis" -> goldPin(graft.gold.Gold.revenueAnalysisFrom(so, sp)))
+        // gold: served from the build-once stage when goldstage is on
+        // (SilverStage — gold is dim-sized at rest but fact-sized to
+        // derive, so the lazy form re-paid the derivation inside every
+        // dq row); otherwise LAZY over the pinned/staged silvers (each
+        // gold table is read by only 1–2 branches — the pre-round-14
+        // adjudication against PER-CALL pins, kept as the fallback and
+        // A/B lever). spark.graft.dq.pingold=true pins the lazy form.
+        "gold_customer_summary" -> staged.getOrElse("gold_customer_summary",
+          goldPin(graft.gold.Gold.customerSummaryFrom(sc, so, sp))),
+        "gold_order_metrics" -> staged.getOrElse("gold_order_metrics",
+          goldPin(graft.gold.Gold.orderMetricsFrom(so))),
+        "gold_revenue_analysis" -> staged.getOrElse("gold_revenue_analysis",
+          goldPin(graft.gold.Gold.revenueAnalysisFrom(so, sp))))
     }
 
     // ---- footer fast-path: answer eligible checks from the parquet

@@ -137,6 +137,48 @@ object SilverStage {
   def enabled(spark: SparkSession): Boolean =
     spark.conf.getOption(ConfKey).forall(_ != "false")
 
+  /** Conf key: ALSO stage the three GOLD tables in the trio (`true`;
+    * default off = lazy gold over the staged silvers). Built and
+    * MEASURED both ways in round 14 (local[8], min-of-2, dq rows): at
+    * 100× the serve paths TIE (45.3 s staged vs 44.9 s lazy) while the
+    * staged build adds ~135 s cold — the gold aggregations group to
+    * dim-sized outputs (one row per customer/day/month), so their
+    * shuffles move only partial-agg rows and the lazy form's real cost
+    * is three extra pruned scans of already-staged silver, not the
+    * fact-sized work the table sizes suggest. Round-12's lazy-gold
+    * adjudication therefore survives even against build-once staging;
+    * lazy stays the default. The lever exists for deployments whose
+    * gold FAN-OUT grows (many dq evaluations or external gold
+    * consumers amortizing one 135 s build), and the A/B spec holds both
+    * paths value-identical. */
+  val GoldKey = "spark.graft.dq.goldstage"
+
+  def goldEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption(GoldKey).contains("true")
+
+  val GoldNames: Seq[String] = Seq(
+    "gold_customer_summary", "gold_order_metrics", "gold_revenue_analysis")
+
+  /** Code-identity hash of the gold recipes (composed lazily over the
+    * silver composition — any Gold/Silver expression change reaches it),
+    * folded into the cache key only when gold staging is on. */
+  private def goldRecipeHash(spark: SparkSession, dir: String): String =
+    goldHashes.computeIfAbsent(dir, _ => {
+      val sc = graft.silver.Silver.customersFrom(
+        graft.bronze.Bronze.customers(spark, dir))
+      val so = graft.silver.Silver.ordersFrom(
+        graft.bronze.Bronze.orders(spark, dir), sc)
+      val sp = graft.silver.Silver.paymentsFrom(
+        graft.bronze.Bronze.payments(spark, dir), so)
+      planHash(Seq(
+        graft.gold.Gold.customerSummaryFrom(sc, so, sp),
+        graft.gold.Gold.orderMetricsFrom(so),
+        graft.gold.Gold.revenueAnalysisFrom(so, sp)))
+    })
+
+  private val goldHashes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Layout token folded into the cache key: bucket COUNT and the
     * bucket KEY COLUMNS. The key columns matter as much as the count —
     * a future [[BucketKeys]] edit without a hand [[Version]] bump would
@@ -157,8 +199,10 @@ object SilverStage {
   private[quality] def trioRoot(spark: SparkSession, dir: String): String = {
     val fp = IvfIndex.fingerprint(spark, dir, "customer.parquet").take(16) +
       IvfIndex.fingerprint(spark, dir, "orders.parquet").take(16)
+    val gold =
+      if (goldEnabled(spark)) s"g${goldRecipeHash(spark, dir)}" else ""
     s"${cacheRoot(spark)}/trio_${Version}r${recipeHash(spark, dir)}" +
-      s"${layoutToken(spark)}_$fp"
+      s"$gold${layoutToken(spark)}_$fp"
   }
 
   /** The staged trio for `dir`'s raw tables, building it first if no
@@ -169,10 +213,16 @@ object SilverStage {
   def tables(spark: SparkSession, dir: String): Map[String, DataFrame] = {
     val root = ensure(spark, dir)
     val n = buckets(spark)
-    TableNames.map { name =>
+    val silver = TableNames.map { name =>
       name -> (if (n <= 0) spark.read.parquet(s"$root/$name")
                else bucketedTable(spark, s"$root/$name", name, n))
     }.toMap
+    // gold tables are dim-sized at rest: plain pruned scans, no buckets
+    val gold =
+      if (!goldEnabled(spark)) Map.empty[String, DataFrame]
+      else GoldNames.map(name =>
+        name -> spark.read.parquet(s"$root/$name")).toMap
+    silver ++ gold
   }
 
   /** The staged table at `loc` served THROUGH the session catalog so the
@@ -255,6 +305,18 @@ object SilverStage {
     val sp = graft.silver.Silver.paymentsFrom(
       graft.bronze.Bronze.payments(spark, dir), soStaged)
     writeStaged(spark, sp, s"$staging/silver_payments", "silver_payments")
+    if (goldEnabled(spark)) {
+      // gold derives from the STAGED silvers (read back) — each
+      // fact-sized aggregation runs exactly once per corpus, and every
+      // later dq row's gold branch is a scan of the dim-sized result
+      val spStaged = spark.read.parquet(s"$staging/silver_payments")
+      graft.gold.Gold.customerSummaryFrom(scStaged, soStaged, spStaged)
+        .write.parquet(s"$staging/gold_customer_summary")
+      graft.gold.Gold.orderMetricsFrom(soStaged)
+        .write.parquet(s"$staging/gold_order_metrics")
+      graft.gold.Gold.revenueAnalysisFrom(soStaged, spStaged)
+        .write.parquet(s"$staging/gold_revenue_analysis")
+    }
     fs.mkdirs(rootPath.getParent)
     if (IvfIndex.renameIfAbsent(fs,
         new org.apache.hadoop.fs.Path(staging), rootPath))

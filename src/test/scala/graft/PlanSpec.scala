@@ -497,7 +497,11 @@ class PlanSpec extends SparkSpec {
     // relationships anti-join runs bucket-aligned (two exchanges gone)
     // and the order_key/customer_key unique/distinct folds group on the
     // scans' own partitioning (two more) — the dedicated "dq bucketed
-    // trio" test pins the zero-exchange shapes directly.
+    // trio" test pins the zero-exchange shapes directly. (The optional
+    // gold staging lever, SilverStage.GoldKey, drops this to 26 by
+    // removing the gold-derivation aggs; measured a serve-path TIE at
+    // 100× against a ~135 s build, so lazy gold stays the default and
+    // the pinned count reflects it.)
     assert(counts == Map(
       "dq_summary" -> 29, "minhash_lsh" -> 15,
       "tpch_q2" -> 5, "corpus_clean" -> 26), counts.toString)

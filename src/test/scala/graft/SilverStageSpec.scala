@@ -48,6 +48,29 @@ class SilverStageSpec extends SparkSpec {
     } finally spark.conf.unset(SilverStage.RootKey)
   }
 
+  test("gold staging A/B: staged gold emits rows identical to the lazy " +
+      "derivation, and the key separates the two cache shapes") {
+    spark.conf.set(SilverStage.RootKey, java.nio.file.Files
+      .createTempDirectory("graft_dq_silver_g").toString)
+    spark.conf.set(SilverStage.GoldKey, "true")
+    try {
+      val rootOn = SilverStage.trioRoot(spark, Sf0001)
+      val withGold = summaryRows()
+      SilverStage.GoldNames.foreach(n =>
+        assert(SilverStage.tables(spark, Sf0001).contains(n),
+          s"goldstage on must serve $n from the stage"))
+      spark.conf.unset(SilverStage.GoldKey) // back to the lazy default
+      assert(SilverStage.trioRoot(spark, Sf0001) != rootOn,
+        "gold-staged and silver-only trios must not share a cache key")
+      assert(summaryRows() == withGold,
+        "lazy gold over the staged silvers must be value-identical " +
+          "to the staged gold")
+    } finally {
+      spark.conf.unset(SilverStage.GoldKey)
+      spark.conf.unset(SilverStage.RootKey)
+    }
+  }
+
   test("trio cache key folds the silver recipe's plan identity — a " +
       "recipe change misses the cache instead of serving stale rows") {
     import org.apache.spark.sql.functions.col
@@ -58,7 +81,7 @@ class SilverStageSpec extends SparkSpec {
     val sp = graft.silver.Silver.paymentsFrom(
       graft.bronze.Bronze.payments(spark, Sf0001), so)
     val real = graft.model.PlanIdentity.planHash(Seq(sc, so, sp))
-    assert(SilverStage.trioRoot(spark, Sf0001).contains(s"r${real}b"),
+    assert(SilverStage.trioRoot(spark, Sf0001).contains(s"r$real"),
       "the trio root must embed the hash of the ACTUAL composed silver " +
         "plans — that derivation is what makes any recipe edit move the key")
     assert(graft.model.PlanIdentity.planHash(Seq(sc, so, sp)) == real,
