@@ -118,9 +118,7 @@ object Stage {
     * [[ensureLease]] (no heartbeat is scheduled: there is nothing a
     * marker could buy). */
   private def leaseHours(spark: SparkSession): Int =
-    spark.conf.getOption(LeaseHoursKey)
-      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
-      .getOrElse(DefaultLeaseHours)
+    Conf.intLenient(spark, LeaseHoursKey, DefaultLeaseHours)
 
   /** App subtrees this JVM holds a lease on → the last marker-write
     * time. The marker is REFRESHED two ways: by any pin once it has aged
@@ -472,17 +470,22 @@ object Stage {
   def clear(spark: SparkSession): Unit = {
     scratchDir(spark).foreach { dir =>
       val sub = appSubtree(dir, spark.sparkContext.applicationId)
-      val p = new org.apache.hadoop.fs.Path(sub)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(p)) fs.delete(p, true)
-      // the subtree (and its lease marker) is gone; a later pin in this
-      // app must re-write the lease, not assume it survives — and the
-      // heartbeat must stop, or it would resurrect the marker of a
-      // subtree the app just relinquished
+      // relinquish the lease BEFORE deleting the subtree: a heartbeat
+      // tick that already passed its exists-check races the delete, and
+      // its writeMarker would otherwise recreate the subtree with a
+      // fresh marker while `leased` still names it — the post-write
+      // membership recheck only helps once the entry is gone. Removing
+      // the entry (and cancelling the task) first means any in-flight
+      // tick either fails the leased gate or deletes the marker it just
+      // wrote; worst case is an empty markerless directory, which the
+      // next sweep reclaims immediately.
       leased.remove(sub)
       heartbeatSessions.remove(sub)
       heartbeatCadence.remove(sub)
       Option(heartbeatTasks.remove(sub)).foreach(_.cancel(false))
+      val p = new org.apache.hadoop.fs.Path(sub)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
       ()
     }
     var path = localStages.poll()

@@ -247,6 +247,18 @@ object IncrementalDedup {
       members: DataFrame): DataFrame =
     newTexts.join(members.select("text_hash"), Seq("text_hash"), "left_anti")
 
+  /** The membership view the seen-before gate reads: RAW members,
+    * tombstones deliberately NOT applied (a text whose fingerprints are
+    * still physically present must not be re-fingerprinted — see
+    * [[members]]). Extracted WITH the tombstone frame in scope so
+    * [[steadyRecipeHash]] covers the choice itself: re-basing the gate
+    * on the tombstone-filtered view (applying the anti-join here) adds
+    * the join to the hashed plan and moves the cache key. Ingest must
+    * source the gate THROUGH this function — wiring a different view at
+    * the call site bypasses the hash and needs a [[SteadyVersion]] bump. */
+  private def gateMembers(members: DataFrame,
+      tombstones: Option[DataFrame]): DataFrame = members
+
   /** Winnowing fingerprints of unseen texts — the one text-processing
     * pass of the ingest; extracted for [[steadyRecipeHash]]. */
   private def ingestFps(unseen: DataFrame): DataFrame =
@@ -259,11 +271,12 @@ object IncrementalDedup {
     require(batchId > watermark(spark, root),
       s"batch $batchId is at or below the compaction watermark")
     val newTexts = ingestNewTexts(batch)
-    // seen-before check touches only the index's key column (pruned scan);
-    // RAW members, not the tombstone-filtered view — a text whose fps are
-    // still physically present must not be re-fingerprinted (see [[members]])
+    // seen-before check touches only the index's key column (pruned
+    // scan); the gate's view choice (raw members vs tombstone-filtered)
+    // lives in [[gateMembers]] so the recipe hash covers it
     val unseen = graft.model.Stage.pin(
-      ingestUnseen(newTexts, members(spark, root)))
+      ingestUnseen(newTexts,
+        gateMembers(members(spark, root), tombstones(spark, root))))
     val committed = commitStaged(spark, root,
       s"${batchesRoot(root)}/batch=$batchId") { staging =>
       // the one text-processing pass of the ingest: winnow ONLY unseen
@@ -574,12 +587,20 @@ object IncrementalDedup {
 
   /** Code-identity component of the steady-store key — [[graft.model
     * .PlanIdentity]] over the SAME extracted transforms [[ingest]]
-    * executes ([[ingestReps]]/[[ingestNewTexts]]/[[ingestFps]]) plus the
-    * replay-shard predicate, composed over an empty in-memory frame with
-    * the documents schema. Analysis-only; computed once per JVM (the
-    * canonical string is session-independent). A recipe edit without a
-    * [[SteadyVersion]] bump now misses the cache instead of serving a
-    * store ingested by old code. */
+    * executes ([[ingestReps]]/[[ingestNewTexts]]/[[ingestFps]]/
+    * [[gateMembers]]∘[[ingestUnseen]]) plus the replay-shard predicate,
+    * composed over empty shaped stand-ins. Analysis-only; computed once
+    * per JVM (the canonical string is session-independent). A recipe
+    * edit without a [[SteadyVersion]] bump now misses the cache instead
+    * of serving a store ingested by old code.
+    *
+    * Coverage is exactly the extracted compositions: an edit INSIDE any
+    * of them (including re-basing the seen-before gate on the
+    * tombstone-filtered view, which would add the anti-join to
+    * gateMembers' hashed plan) moves the key; an edit that REWIRES the
+    * ingest call sites around them, or changes what [[storeView]] reads
+    * (directory layout, generation rules), is plan-invisible here and
+    * still requires a [[SteadyVersion]] bump. */
   private lazy val steadyRecipeHashMemo =
     new java.util.concurrent.atomic.AtomicReference[String]()
 
@@ -589,10 +610,15 @@ object IncrementalDedup {
     val dummy = emptyOf(spark, "doc_id BIGINT, text STRING")
     val unseenShaped = emptyOf(spark, "text_hash STRING, doc_id BIGINT, text STRING")
     val membersShaped = emptyOf(spark, "text_hash STRING, doc_id BIGINT")
+    val tombShaped = emptyOf(spark, "doc_id BIGINT")
     val shard = dummy.filter(pmod(col("doc_id"), lit(ReplayMod.toLong)) === 0L)
+    // the gate is hashed THROUGH gateMembers with a tombstone stand-in
+    // present, so the raw-vs-filtered view choice itself is covered: if
+    // gateMembers ever applies the anti-join, the hashed plan gains it
     val h = graft.model.PlanIdentity.planHash(Seq(
       ingestReps(dummy), ingestNewTexts(dummy),
-      ingestUnseen(ingestNewTexts(dummy), membersShaped),
+      ingestUnseen(ingestNewTexts(dummy),
+        gateMembers(membersShaped, Some(tombShaped))),
       ingestFps(unseenShaped), shard))
     steadyRecipeHashMemo.compareAndSet(null, h)
     h

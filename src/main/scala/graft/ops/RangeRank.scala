@@ -84,16 +84,11 @@ object RangeRank {
   private val DefaultWindowBytes: Long = 32L << 20
 
   private def smallInput(df: DataFrame): Boolean = {
-    val threshold = df.sparkSession.conf.getOption(WindowBytesKey)
-      .map { raw =>
-        // name the conf key in the failure: a bare NumberFormatException
-        // from deep inside query construction is undiagnosable
-        try raw.trim.toLong
-        catch { case e: NumberFormatException =>
-          throw new IllegalArgumentException(
-            s"$WindowBytesKey must be a byte count (long), got '$raw'", e)
-        }
-      }.getOrElse(DefaultWindowBytes)
+    // fail-loud with the key named in the failure (graft.model.Conf):
+    // a bare NumberFormatException from deep inside query construction
+    // is undiagnosable
+    val threshold = graft.model.Conf.long(df.sparkSession,
+      WindowBytesKey, DefaultWindowBytes)
     threshold > 0 && {
       val leaves = df.queryExecution.optimizedPlan.collectLeaves()
       leaves.nonEmpty &&

@@ -122,7 +122,10 @@ object SilverStage {
   private val DefaultBuckets = 32
 
   def buckets(spark: SparkSession): Int =
-    spark.conf.getOption(BucketsKey).map(_.toInt).getOrElse(DefaultBuckets)
+    // fail-loud parse: a malformed count silently replaced by the
+    // default would change the physical layout (and the cache key)
+    // under the operator — see graft.model.Conf's policy split
+    graft.model.Conf.int(spark, BucketsKey, DefaultBuckets)
 
   /** Bucket key per trio table — the column the dq family probes.
     * payments clusters by its FK (order_key, serving the fact-fact
@@ -239,9 +242,14 @@ object SilverStage {
     val tbl = s"graft_dq_trio_${id}_$name"
     if (!spark.catalog.tableExists(tbl)) {
       val schema = spark.read.parquet(loc).schema.toDDL
+      // the location is conf-derived (cacheRoot): escape single quotes
+      // before interpolating into the DDL string literal, or a quote in
+      // the configured root breaks the statement (robustness, not
+      // security — the conf is operator-controlled)
+      val locSql = loc.replace("'", "\\'")
       spark.sql(s"CREATE TABLE IF NOT EXISTS `$tbl` ($schema) " +
         s"USING PARQUET CLUSTERED BY ($key) SORTED BY ($key) " +
-        s"INTO $n BUCKETS LOCATION '$loc'")
+        s"INTO $n BUCKETS LOCATION '$locSql'")
     }
     // ALWAYS drop cached resolutions for this path before serving: the
     // trio location is deterministic, so a vacuumed-then-rebuilt trio

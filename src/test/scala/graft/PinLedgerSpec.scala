@@ -152,4 +152,28 @@ class PinLedgerSpec extends SparkSpec {
       spark.conf.unset(Stage.DirKey)
     }
   }
+
+  test("clear relinquishes the lease FIRST: a heartbeat tick after " +
+      "clear cannot resurrect the subtree or its marker") {
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_stage_clr").toString
+    spark.conf.set(Stage.DirKey, scratch)
+    try {
+      import spark.implicits._
+      Stage.pin((1 to 10).toDF("v")).count()
+      val appDir = new java.io.File(scratch,
+        s"app-${spark.sparkContext.applicationId}")
+      assert(new java.io.File(appDir, "_live").exists())
+      Stage.clear(spark)
+      assert(!appDir.exists(), "clear deletes the app subtree")
+      // the tick a concurrent heartbeat would have run mid-clear: with
+      // the lease entry removed before the delete, it must be a no-op
+      Stage.heartbeatTick()
+      assert(!appDir.exists(),
+        "a post-clear tick must not recreate the relinquished subtree")
+    } finally {
+      Stage.clear(spark)
+      spark.conf.unset(Stage.DirKey)
+    }
+  }
 }

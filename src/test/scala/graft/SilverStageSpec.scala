@@ -108,4 +108,29 @@ class SilverStageSpec extends SparkSpec {
           s"$n must stay footer-answered through the staged trio"))
     } finally spark.conf.unset(SilverStage.RootKey)
   }
+
+  test("malformed bucket-count conf fails loud, naming the key " +
+      "(never a bare NumberFormatException, never a silent default)") {
+    spark.conf.set(SilverStage.BucketsKey, "thirty two")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SilverStage.buckets(spark)
+      }
+      assert(e.getMessage.contains(SilverStage.BucketsKey))
+      assert(e.getMessage.contains("thirty two"))
+    } finally spark.conf.unset(SilverStage.BucketsKey)
+  }
+
+  test("a cache root containing a quote character still serves the " +
+      "bucketed trio (DDL location escaping)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dq_quote_d'oh").toString
+    spark.conf.set(SilverStage.RootKey, root)
+    try {
+      assert(root.contains("'"))
+      val rows = summaryRows()
+      assert(rows.nonEmpty, "dq summary must evaluate through the " +
+        "quoted-root bucketed trio")
+    } finally spark.conf.unset(SilverStage.RootKey)
+  }
 }
