@@ -56,13 +56,21 @@ object IvfIndex {
     * persists across JVM runs, so a code change to the training recipe
     * must invalidate cached indexes built by the old code (otherwise a
     * stale index serves results that diverge from the oracle's SQL
-    * replay of the NEW recipe, with no visible cause). Derived from the
-    * constants that define training; bump the literal for recipe changes
-    * they don't capture (grid quantization, init rule, signature
-    * derivation). */
-  private[ops] def algoVersion: String =
+    * replay of the NEW recipe, with no visible cause). The training
+    * constants stay in the literal; the RECIPE itself — norm pass,
+    * sampling predicate, init rule, Lloyd step (grid quantization,
+    * tie-break), list build, the ivfK sizing rule, and the native
+    * expressions' internals — is covered by [[AnnIdentity.ivfRecipeHash]]
+    * (plan hashes over the extracted build derivations plus sentinel
+    * value fingerprints), so a one-expression recipe edit moves the key
+    * without a human remembering a bump. Bump the literal only for what
+    * neither can see: driver-side Lloyd mechanics (`localized`'s
+    * collect/sort), iteration semantics beyond the count, storage
+    * layout, commit protocol. */
+  private[ops] def algoVersion(spark: SparkSession): String =
     s"a2i${Similarity.IvfIters}t${Similarity.IvfTrainPerCentroid}" +
-      s"k${Similarity.IvfKMin}_${Similarity.IvfKMax}"
+      s"k${Similarity.IvfKMin}_${Similarity.IvfKMax}" +
+      s"r${AnnIdentity.ivfRecipeHash(spark)}"
 
   /** Content fingerprint of a source table (the embeddings by default —
     * other content-keyed caches pass their own table, e.g. [[Bpe]]'s
@@ -304,7 +312,7 @@ object IvfIndex {
       ledger: Option[String] = None): DataFrame = synchronized {
     val eff = effectiveDir(spark, dir, ledger)
     val sink = new ParquetSink(cacheRoot(spark))
-    val name = s"ivf_${algoVersion}_${fingerprint(spark, eff)}"
+    val name = s"ivf_${algoVersion(spark)}_${fingerprint(spark, eff)}"
     buildIfAbsent(spark, sink, name)(Similarity.ivfCentroids(spark, eff))
     sink.read(spark, layer, name)
   }
@@ -335,7 +343,7 @@ object IvfIndex {
       ledger: Option[String]): DataFrame = synchronized {
     val eff = effectiveDir(spark, dir, ledger)
     val sink = new ParquetSink(cacheRoot(spark))
-    val name = s"ivf_lists_${algoVersion}_${fingerprint(spark, eff)}"
+    val name = s"ivf_lists_${algoVersion(spark)}_${fingerprint(spark, eff)}"
     // repartition on the partition key so each list directory gets one
     // file instead of one-per-writing-task — without it a k-way
     // partitionBy from t tasks can write t×k small files (measured: the
@@ -350,10 +358,12 @@ object IvfIndex {
   }
 
   /** Version key for the PQ codebook cache — the PQ geometry constants
-    * plus the shared Lloyd-training discipline. */
-  private[ops] def pqAlgoVersion: String =
+    * in the literal; the slicing/training/encode RECIPE covered by
+    * [[AnnIdentity.pqRecipeHash]] (see [[algoVersion]]'s coverage note). */
+  private[ops] def pqAlgoVersion(spark: SparkSession): String =
     s"m${Similarity.PqSubspaces}k${Similarity.PqK}" +
-      s"i${Similarity.IvfIters}t${Similarity.IvfTrainPerCentroid}"
+      s"i${Similarity.IvfIters}t${Similarity.IvfTrainPerCentroid}" +
+      s"r${AnnIdentity.pqRecipeHash(spark)}"
 
   /** The trained PQ codebooks for `dir`'s embeddings — same train-once /
     * serve-many lifecycle as [[centroids]]: a 100 TB embedding store
@@ -369,7 +379,7 @@ object IvfIndex {
       ledger: Option[String] = None): DataFrame = synchronized {
     val eff = effectiveDir(spark, dir, ledger)
     val sink = new ParquetSink(cacheRoot(spark))
-    val name = s"pq_${pqAlgoVersion}_${fingerprint(spark, eff)}"
+    val name = s"pq_${pqAlgoVersion(spark)}_${fingerprint(spark, eff)}"
     buildIfAbsent(spark, sink, name)(Similarity.pqCodebooks(spark, eff))
     sink.read(spark, layer, name)
   }
@@ -379,11 +389,13 @@ object IvfIndex {
     * rest and re-quantizes NOTHING. */
   val codeBuilds = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Version of the int8 quantization recipe (scale = max|v|/127, round
-    * half-up codes, zero-vector scale 1.0) — bump on recipe changes so the
-    * persistent cache never serves codes built by older code. c2: codes
-    * carry their IVF list id at rest, partitioned by it. */
-  private val Int8Version = "c2"
+  /** Version of the int8 code table: the quantization RECIPE
+    * (scale = max|v|/127, round half-up codes, zero-vector scale 1.0,
+    * VecDotInt's accumulator) is covered by
+    * [[AnnIdentity.int8RecipeHash]]; the literal tracks the table SHAPE
+    * (c2: codes carry their IVF list id at rest, partitioned by it). */
+  private def int8Version(spark: SparkSession): String =
+    s"c2r${AnnIdentity.int8RecipeHash(spark)}"
 
   /** Version of the PQ code-table shape (c2 = ivf_centroid co-materialized
     * + partitioned) — orthogonal to [[pqAlgoVersion]], which tracks the
@@ -416,7 +428,7 @@ object IvfIndex {
     val led = resolveLedger(spark, dir, ledger)
     val eff = effectiveDir(spark, dir, ledger)
     val sink = new ParquetSink(cacheRoot(spark))
-    val name = s"int8_codes_${Int8Version}_${fingerprint(spark, eff)}"
+    val name = s"int8_codes_${int8Version(spark)}_${fingerprint(spark, eff)}"
     buildIfAbsent(spark, sink, name,
       TableLayout(partitionBy = Seq("ivf_centroid"))) {
       codeBuilds.incrementAndGet()
@@ -444,7 +456,8 @@ object IvfIndex {
     val led = resolveLedger(spark, dir, ledger)
     val eff = effectiveDir(spark, dir, ledger)
     val sink = new ParquetSink(cacheRoot(spark))
-    val name = s"pq_codes_${PqCodesVersion}_${pqAlgoVersion}_${fingerprint(spark, eff)}"
+    val name =
+      s"pq_codes_${PqCodesVersion}_${pqAlgoVersion(spark)}_${fingerprint(spark, eff)}"
     buildIfAbsent(spark, sink, name,
       TableLayout(partitionBy = Seq("ivf_centroid"))) {
       codeBuilds.incrementAndGet()

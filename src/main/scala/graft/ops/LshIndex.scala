@@ -45,10 +45,13 @@ object LshIndex {
     * from the pre-deletion row count by the callers — a recall
     * parameter, not a correctness input, and takedown volumes never move
     * log₂N. */
-  /** Version of the signature derivation (SignBits md5 coefficient
-    * scheme + prefix layout) — bumped on recipe changes so a persistent
-    * cache never serves signatures built by older code. */
-  private val SigVersion = "s1"
+  /** Version of the signature table: the DERIVATION (the signature
+    * expression, the prefix column, SignBits' md5 coefficient scheme and
+    * fold order) is covered by [[AnnIdentity.lshRecipeHash]] — a recipe
+    * edit moves the key without a hand bump; the literal tracks what the
+    * hash cannot see (directory layout, commit protocol). */
+  private def sigVersion(spark: SparkSession): String =
+    s"s1r${AnnIdentity.lshRecipeHash(spark)}"
 
   def signatures(spark: SparkSession, dir: String, planes: Int,
       build: String => DataFrame): DataFrame = synchronized {
@@ -56,7 +59,7 @@ object LshIndex {
     val eff = IvfIndex.effectiveDir(spark, dir)
     val sink = new ParquetSink(IvfIndex.cacheRoot(spark))
     val name =
-      s"lsh_sigs_${SigVersion}p${planes}_${IvfIndex.fingerprint(spark, eff)}"
+      s"lsh_sigs_${sigVersion(spark)}p${planes}_${IvfIndex.fingerprint(spark, eff)}"
     // one file per prefix directory (see IvfIndex.lists: a p-way
     // partitionBy from t tasks otherwise writes t×p small files);
     // build-if-absent races resolve via the UUID-staged rename

@@ -248,13 +248,20 @@ object Similarity {
       .orElse(graft.sources.ParquetStats.rowCount(spark, s"$dir/embeddings.parquet"))
       .getOrElse(embeddings(spark, dir).count()))
 
+  /** The signature derivation over an arbitrary `(vec_id, vec, nrm)`
+    * frame — extracted so [[AnnIdentity]] hashes the same composition
+    * the LSH index build executes. */
+  private[graft] def lshSignatureFrom(base: DataFrame,
+      planes: Int): DataFrame =
+    base.withColumn("bucket", expr(signBitsExpr("vec", planes)))
+
   private def lshSignatureBaseFor(spark: SparkSession, dir: String,
       planes: Int): DataFrame =
     // signatures served from the materialized index (built once per data
     // fingerprint); joining on (bucket_prefix, bucket) — the prefix is a
     // function of the bucket — lets DPP prune the prefix directories
     LshIndex.signatures(spark, dir, planes,
-      d => withNorm(spark, d).withColumn("bucket", expr(signBitsExpr("vec", planes))))
+      d => lshSignatureFrom(withNorm(spark, d), planes))
 
   def annLshTopK(spark: SparkSession, dir: String, k: Int = 5,
       numVectors: Option[Long] = None): DataFrame = {
@@ -467,6 +474,37 @@ object Similarity {
     * the clamp is the ONLY way this grows, and [[IvfKMax]]'s doc ties
     * that decision to the memory budget. Pinned by OpsSpec's
     * "kmeans at the k clamp" boundary spec. */
+  /** The k-means init rule — the k smallest train vec_ids as the seed
+    * centroids. Extracted so [[AnnIdentity]] hashes the SAME composition
+    * [[deterministicKmeans]] executes (a change to the init rule must
+    * move every trained-index cache key). */
+  private[graft] def kmeansInit(train: DataFrame, k: Int): DataFrame =
+    train.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("centroid_id"), col("vec").as("c_vec"),
+        col("nrm").as("c_nrm"))
+
+  /** One Lloyd mean-update step: assignment, grid-quantized component
+    * means, new centroid norms. Extracted for [[AnnIdentity]] — the grid
+    * constant, the assignment tie-break, and the mean arithmetic all
+    * live in this plan, so an edit to any of them reaches the
+    * code-identity hash of every trained-index cache key. */
+  private[graft] def lloydMeanUpdate(train: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val meanComp = (col("s").cast("double") / lit(1000000.0)) / col("n")
+    assignToCentroids(train, cents)
+      .join(train, Seq("vec_id"))
+      .select(col("centroid_id"), posexplode(col("vec")))
+      .toDF("centroid_id", "pos", "comp")
+      .groupBy("centroid_id", "pos")
+      .agg(sum(round(col("comp") * lit(1000000.0)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .groupBy("centroid_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), meanComp.as("m")))),
+        x => x.getField("m")).as("c_vec"))
+      .withColumn("c_nrm", expr("vec_dot(c_vec, c_vec)"))
+  }
+
   private[graft] def deterministicKmeans(spark: SparkSession, train: DataFrame,
       k: Int): DataFrame = {
     import spark.implicits._
@@ -475,24 +513,9 @@ object Similarity {
         .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1)
       spark.createDataset(rows).toDF("centroid_id", "c_vec", "c_nrm")
     }
-    var cents = localized(train.orderBy("vec_id").limit(k)
-      .select(col("vec_id").as("centroid_id"), col("vec").as("c_vec"),
-        col("nrm").as("c_nrm")))
-    for (_ <- 1 to IvfIters) {
-      val meanComp = (col("s").cast("double") / lit(1000000.0)) / col("n")
-      cents = localized(assignToCentroids(train, cents)
-        .join(train, Seq("vec_id"))
-        .select(col("centroid_id"), posexplode(col("vec")))
-        .toDF("centroid_id", "pos", "comp")
-        .groupBy("centroid_id", "pos")
-        .agg(sum(round(col("comp") * lit(1000000.0)).cast("long")).as("s"),
-          count(lit(1)).as("n"))
-        .groupBy("centroid_id")
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), meanComp.as("m")))),
-          x => x.getField("m")).as("c_vec"))
-        .withColumn("c_nrm", expr("vec_dot(c_vec, c_vec)")))
-    }
+    var cents = localized(kmeansInit(train, k))
+    for (_ <- 1 to IvfIters)
+      cents = localized(lloydMeanUpdate(train, cents))
     cents
   }
 
@@ -547,14 +570,21 @@ object Similarity {
     * same k sizing, hash-capped training sample, and deterministic Lloyd
     * loop as [[ivfCentroids]], so a rebuild from warehouse rows is
     * bit-identical to a fresh build from the source table. */
+  /** The u16-hash-capped training sample: every vector whose id hashes
+    * under the `cap / n` quantile (integer inequality, oracle-identical).
+    * Extracted for [[AnnIdentity]] — the sampling predicate decides which
+    * vectors train, so its shape is part of every trained cache key. */
+  private[graft] def trainSample(base: DataFrame, n: Long,
+      cap: Long): DataFrame =
+    base.filter(
+      expr(u16Expr("vec_id")).cast("long") * lit(n) < lit(65536L) * cap)
+
   private[graft] def retrainFrom(spark: SparkSession, base: DataFrame,
       n: Long): DataFrame = {
     IvfIndex.trainings.incrementAndGet()
     val k = ivfK(n)
-    val train = base.filter(
-      expr(u16Expr("vec_id")).cast("long") * lit(n) <
-        lit(65536L) * (IvfTrainPerCentroid.toLong * k))
-    deterministicKmeans(spark, train, k)
+    deterministicKmeans(spark,
+      trainSample(base, n, IvfTrainPerCentroid.toLong * k), k)
   }
 
   def annIvfTopK(spark: SparkSession, dir: String, k: Int = 5,
@@ -1353,7 +1383,13 @@ object Similarity {
     * Every column round-trips parquet exactly (double / int array /
     * bigint), so served codes are bit-identical to a fresh pass. */
   def int8Codes(spark: SparkSession, dir: String): DataFrame =
-    embeddings(spark, dir)
+    int8CodesFrom(embeddings(spark, dir))
+
+  /** The quantize pass over an arbitrary `(vec_id, vec)` frame —
+    * extracted so [[AnnIdentity]] hashes the SAME derivation the code
+    * build executes (scale rule, rounding, norm arithmetic). */
+  private[graft] def int8CodesFrom(emb: DataFrame): DataFrame =
+    emb
       .withColumn("max_abs", expr(
         "aggregate(vec, cast(0.0 as double), (a, x) -> greatest(a, abs(cast(x as double))))"))
       .withColumn("scale", expr(
@@ -1407,7 +1443,14 @@ object Similarity {
   val PqK = 16
 
   private def pqBase(spark: SparkSession, dir: String, s: Int): DataFrame =
-    embeddings(spark, dir)
+    pqSliceFrom(embeddings(spark, dir), s)
+
+  /** Subspace `s`'s slice of an arbitrary `(vec_id, vec)` frame — the PQ
+    * geometry, extracted so [[AnnIdentity]] hashes the slicing the
+    * codebook training and encode passes actually run ([[PqSubDim]] is a
+    * literal inside this plan). */
+  private[graft] def pqSliceFrom(emb: DataFrame, s: Int): DataFrame =
+    emb
       .withColumn("vec", expr(s"slice(vec, ${s * PqSubDim + 1}, $PqSubDim)"))
       .withColumn("nrm", expr(normExpr))
       .select("vec_id", "vec", "nrm")
@@ -1425,9 +1468,8 @@ object Similarity {
       .orElse(graft.sources.ParquetStats.rowCount(spark, s"$dir/embeddings.parquet"))
       .getOrElse(embeddings(spark, dir).count())
     (0 until PqSubspaces).map { s =>
-      val train = pqBase(spark, dir, s).filter(
-        expr(u16Expr("vec_id")).cast("long") * lit(n) <
-          lit(65536L) * (IvfTrainPerCentroid.toLong * PqK))
+      val train = trainSample(pqBase(spark, dir, s), n,
+        IvfTrainPerCentroid.toLong * PqK)
       deterministicKmeans(spark, train, PqK).withColumn("subspace", lit(s))
     }.reduce(_ unionByName _)
   }
