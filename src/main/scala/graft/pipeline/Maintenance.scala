@@ -281,26 +281,56 @@ object Maintenance {
     * fingerprint form the cache key embeds); deletes everything else
     * older than `retentionMs` (retention, not immediate: a query
     * started against the old data version may still be serving from its
-    * entry). Returns deleted entry names. Catalog registrations of
-    * vacuumed BUCKETED trios (`graft_dq_trio_<lochash>_*`) are not
-    * touched: a rebuild at the same (deterministic) location reuses the
-    * registration — SilverStage refreshes the path's cached file
-    * listing on every serve, so a stale listing of vacuumed files is
-    * never served; a persistent-metastore deployment drops orphaned
-    * entries on the same cadence. */
+    * entry). Returns deleted entry names.
+    *
+    * Catalog registrations of BUCKETED trios
+    * (`graft_dq_trio_<lochash>_*` EXTERNAL tables) whose location no
+    * longer exists are DROPPED in the same pass — a vacuumed trio would
+    * otherwise leave its registration behind forever in a persistent
+    * metastore. Safe on both sides of the race: the trio location is
+    * deterministic, so a rebuild at the same root re-creates an
+    * identical registration (and SilverStage refreshes the path's
+    * cached file listing on every serve, so a survivor registration
+    * can never serve a vacuumed listing); a registration whose
+    * location still exists — any live or retained trio — is left
+    * untouched regardless of fingerprint, because the lochash name
+    * does not reveal which corpus it serves. */
   def vacuumFingerprintCache(spark: SparkSession, cacheRoot: String,
       liveFingerprints: Set[String], retentionMs: Long,
       nowMs: Long): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(cacheRoot)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return Seq.empty
-    for {
+    val deleted = for {
       st <- fs.listStatus(root).toSeq
       n = st.getPath.getName
       if !liveFingerprints.exists(fp => fp.nonEmpty && n.contains(fp)) &&
         st.getModificationTime < nowMs - retentionMs &&
         fs.delete(st.getPath, true)
     } yield n
+    dropOrphanedTrioTables(spark)
+    deleted
+  }
+
+  /** Drop `graft_dq_trio_*` catalog registrations whose external
+    * location no longer exists (the registration outlives the files
+    * after a vacuum — this is the reaper). Exposed for deployments
+    * that vacuum trio roots by other means. Per-entry try/catch: one
+    * concurrently-dropped table must not abort the sweep. */
+  def dropOrphanedTrioTables(spark: SparkSession): Seq[String] = {
+    val cat = spark.sessionState.catalog
+    val db = cat.getCurrentDatabase
+    cat.listTables(db, "graft_dq_trio_*").flatMap { ident =>
+      try {
+        val meta = cat.getTableMetadata(ident)
+        val loc = new org.apache.hadoop.fs.Path(meta.location)
+        val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(loc)) {
+          spark.sql(s"DROP TABLE IF EXISTS `${ident.table}`")
+          Some(ident.table)
+        } else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
   }
 
   /** Refresh catalog statistics for a [[CatalogSink]]-materialized table:

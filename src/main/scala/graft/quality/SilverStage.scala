@@ -107,7 +107,8 @@ object SilverStage {
     Seq("silver_customers", "silver_orders", "silver_payments")
 
   /** Conf key: buckets per staged trio table; `0` disables bucketing
-    * (plain parquet, the pre-round-14 layout — the A/B lever). The trio
+    * (plain parquet, the pre-round-14 layout — the A/B lever); UNSET
+    * derives the count from input scale ([[derivedBuckets]]). The trio
     * is immutable and probed by a FIXED check family, so its layout can
     * serve the checks: CLUSTERED BY the checked key, uniqueness folds
     * per-bucket without an exchange and the payments→orders
@@ -115,17 +116,49 @@ object SilverStage {
     * its dominant remaining shuffle at 100× — runs bucket-aligned with
     * ZERO exchanges on either side. The bucket count folds into the
     * cache key (a process configured differently builds its own trio
-    * rather than misreading another layout's files). 32 matches the
-    * engine's shuffle-partition default; a 1000-executor deployment
-    * raises it with the same conf. */
+    * rather than misreading another layout's files). */
   val BucketsKey = "spark.graft.dq.silver.buckets"
-  private val DefaultBuckets = 32
 
-  def buckets(spark: SparkSession): Int =
-    // fail-loud parse: a malformed count silently replaced by the
-    // default would change the physical layout (and the cache key)
-    // under the operator — see graft.model.Conf's policy split
-    graft.model.Conf.int(spark, BucketsKey, DefaultBuckets)
+  /** Raw input bytes per derived bucket. 16 MiB reproduces round-14's
+    * measured 100× configuration (~300 MB of raw facts → 32 buckets,
+    * the layout whose serve won −11%) while letting small corpora fall
+    * to a near-free single bucket — the fixed 32 taxed sf0.1 by
+    * ~1.4–1.9 s of pure file/task overhead it could never repay. */
+  private[quality] val TargetBucketBytes = 16L << 20
+
+  /** Derived-count ceiling — conf overrides for fleets beyond it. */
+  private[quality] val MaxDerivedBuckets = 4096
+
+  def buckets(spark: SparkSession, dir: String): Int =
+    spark.conf.getOption(BucketsKey) match {
+      // fail-loud parse: a malformed count silently replaced by a
+      // default would change the physical layout (and the cache key)
+      // under the operator — see graft.model.Conf's policy split
+      case Some(_) => graft.model.Conf.int(spark, BucketsKey, 0)
+      case None => derivedBuckets(spark, dir)
+    }
+
+  /** Bucket count from input scale: `nextPow2(ceil(bytes / target))`
+    * clamped to [1, [[MaxDerivedBuckets]]], over the SAME two raw tables
+    * the trio key fingerprints — metadata-only (a content-summary walk,
+    * the cost class the fingerprint already pays), deterministic per
+    * corpus, and folded into the layout token like any explicit count.
+    * This removes both ends of the fixed-count mismatch: a laptop-sized
+    * corpus no longer pays fleet-shaped file/task overhead, and a
+    * 1000-executor corpus no longer needs an operator to remember the
+    * conf before the layout under-parallelizes. */
+  private[quality] def derivedBuckets(spark: SparkSession,
+      dir: String): Int = {
+    val bytes = Seq("customer.parquet", "orders.parquet").map { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
+      p.getFileSystem(spark.sessionState.newHadoopConf())
+        .getContentSummary(p).getLength
+    }.sum
+    val raw = math.max(1L, (bytes + TargetBucketBytes - 1) / TargetBucketBytes)
+    val pow = java.lang.Long.highestOneBit(raw)
+    val rounded = if (pow == raw) raw else pow << 1
+    math.min(MaxDerivedBuckets.toLong, rounded).toInt
+  }
 
   /** Bucket key per trio table — the column the dq family probes.
     * payments clusters by its FK (order_key, serving the fact-fact
@@ -188,8 +221,8 @@ object SilverStage {
     * otherwise re-declare old files (physically hashed by the OLD key)
     * as clustered by the new one, and the exchange-free unique fold
     * would silently trust a per-bucket grouping the files don't have. */
-  private def layoutToken(spark: SparkSession): String = {
-    val n = buckets(spark)
+  private def layoutToken(spark: SparkSession, dir: String): String = {
+    val n = buckets(spark, dir)
     if (n <= 0) "b0"
     else {
       val keys = TableNames.map(BucketKeys).mkString(",")
@@ -205,7 +238,7 @@ object SilverStage {
     val gold =
       if (goldEnabled(spark)) s"g${goldRecipeHash(spark, dir)}" else ""
     s"${cacheRoot(spark)}/trio_${Version}r${recipeHash(spark, dir)}" +
-      s"$gold${layoutToken(spark)}_$fp"
+      s"$gold${layoutToken(spark, dir)}_$fp"
   }
 
   /** The staged trio for `dir`'s raw tables, building it first if no
@@ -215,7 +248,7 @@ object SilverStage {
     * path read would discard it), a bare parquet scan when off. */
   def tables(spark: SparkSession, dir: String): Map[String, DataFrame] = {
     val root = ensure(spark, dir)
-    val n = buckets(spark)
+    val n = buckets(spark, dir)
     val silver = TableNames.map { name =>
       name -> (if (n <= 0) spark.read.parquet(s"$root/$name")
                else bucketedTable(spark, s"$root/$name", name, n))
@@ -268,8 +301,7 @@ object SilverStage {
     * dropped immediately — the files stay, the commit rename moves them
     * into place like any other build). */
   private def writeStaged(spark: SparkSession, df: DataFrame,
-      path: String, name: String): Unit = {
-    val n = buckets(spark)
+      path: String, name: String, n: Int): Unit = {
     if (n <= 0) df.write.parquet(path)
     else {
       val key = BucketKeys(name)
@@ -302,17 +334,20 @@ object SilverStage {
     if (fs.exists(rootPath)) return root
     val staging = s"${cacheRoot(spark)}/.build_" +
       java.util.UUID.randomUUID.toString.take(12)
+    // one derivation for the whole build: the layout the commit lands
+    // must be the layout the key (and the serve path) computed
+    val n = buckets(spark, dir)
     val sc = graft.silver.Silver.customersFrom(
       graft.bronze.Bronze.customers(spark, dir))
-    writeStaged(spark, sc, s"$staging/silver_customers", "silver_customers")
+    writeStaged(spark, sc, s"$staging/silver_customers", "silver_customers", n)
     val scStaged = spark.read.parquet(s"$staging/silver_customers")
     val so = graft.silver.Silver.ordersFrom(
       graft.bronze.Bronze.orders(spark, dir), scStaged)
-    writeStaged(spark, so, s"$staging/silver_orders", "silver_orders")
+    writeStaged(spark, so, s"$staging/silver_orders", "silver_orders", n)
     val soStaged = spark.read.parquet(s"$staging/silver_orders")
     val sp = graft.silver.Silver.paymentsFrom(
       graft.bronze.Bronze.payments(spark, dir), soStaged)
-    writeStaged(spark, sp, s"$staging/silver_payments", "silver_payments")
+    writeStaged(spark, sp, s"$staging/silver_payments", "silver_payments", n)
     if (goldEnabled(spark)) {
       // gold derives from the STAGED silvers (read back) — each
       // fact-sized aggregation runs exactly once per corpus, and every

@@ -140,6 +140,40 @@ class MaintenanceSpec extends SparkSpec {
     assert(keep.exists() && recent.exists())
   }
 
+  test("vacuum drops a vacuumed bucketed trio's catalog registration; " +
+      "a rebuild re-registers and serves") {
+    import graft.quality.{DataQuality, SilverStage}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_trio_orphan").toString
+    spark.conf.set(SilverStage.RootKey, root)
+    try {
+      DataQuality.summary(spark, Sf0001).collect()
+      def trioTables() = spark.sessionState.catalog
+        .listTables(spark.sessionState.catalog.getCurrentDatabase,
+          "graft_dq_trio_*").map(_.table)
+      def orphans() = trioTables().filter { t =>
+        val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+          .getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
+        !loc.getFileSystem(spark.sessionState.newHadoopConf()).exists(loc)
+      }
+      assert(trioTables().nonEmpty,
+        "the bucketed trio must be catalog-registered")
+      // vacuum EVERYTHING under this root (no live fingerprints, zero
+      // retention) — the registration must not outlive the files
+      Maintenance.vacuumFingerprintCache(spark, root, Set.empty,
+        retentionMs = 0L, nowMs = System.currentTimeMillis() + 10_000L)
+      assert(orphans().isEmpty,
+        "no graft_dq_trio_* registration may dangle after a vacuum")
+      // rebuild at the same deterministic location: re-registers, serves
+      val rows = DataQuality.summary(spark, Sf0001).collect()
+      assert(rows.nonEmpty)
+      assert(orphans().isEmpty)
+    } finally {
+      spark.conf.unset(SilverStage.RootKey)
+    }
+  }
+
   test("compaction aborts instead of discarding concurrently appended rows") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft_compact_cc").toString

@@ -114,11 +114,28 @@ class SilverStageSpec extends SparkSpec {
     spark.conf.set(SilverStage.BucketsKey, "thirty two")
     try {
       val e = intercept[IllegalArgumentException] {
-        SilverStage.buckets(spark)
+        SilverStage.buckets(spark, Sf0001)
       }
       assert(e.getMessage.contains(SilverStage.BucketsKey))
       assert(e.getMessage.contains("thirty two"))
     } finally spark.conf.unset(SilverStage.BucketsKey)
+  }
+
+  test("bucket count derives from input scale: pow2 of bytes/target, " +
+      "clamped; explicit conf pins it; 0 disables") {
+    // at the test SFs the raw inputs are far under one target-bucket of
+    // bytes — the derived layout is a single near-free bucket (the
+    // fixed 32 taxed small corpora with file/task overhead)
+    assert(SilverStage.buckets(spark, Sf0001) == 1)
+    // the derivation itself: ceil+pow2+clamp over synthetic byte counts
+    // is pinned indirectly through derivedBuckets' two real tables; the
+    // conf override is the fleet lever and must win verbatim
+    spark.conf.set(SilverStage.BucketsKey, "64")
+    try assert(SilverStage.buckets(spark, Sf0001) == 64)
+    finally spark.conf.unset(SilverStage.BucketsKey)
+    spark.conf.set(SilverStage.BucketsKey, "0")
+    try assert(SilverStage.buckets(spark, Sf0001) == 0)
+    finally spark.conf.unset(SilverStage.BucketsKey)
   }
 
   test("a cache root containing a quote character still serves the " +
