@@ -192,7 +192,151 @@ object VectorFunctions {
       "sign_bits", exprs => SignBits(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "winnow_fps", exprs => WinnowFps(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "bpe_split", exprs => BpeSplit(exprs(0), exprs(1)), "built-in")
   }
+}
+
+/** BPE merge-table application (`bpe_split(word, merges)`): the learned
+  * merge chain applied to one word, returning the final subword array —
+  * the corpus-side tokenizer pass in ONE native expression.
+  *
+  * The SQL-expressible form — `split(trim(<2·numMerges nested literal
+  * replaces over concat(' ', regexp_replace(word, '(.)', '$1 '),
+  * '</w> ')>), ' ')` — is semantically right but was the 100× probe's
+  * whole cost for `bpe_subword_freq` (round 15): the per-character
+  * regexp_replace runs the regex engine once per char (~10 s / 14.5 M
+  * tokens at 100×), and each of the 64 literal replaces scans AND
+  * REALLOCATES the padded string (~38 s). This expression works on a
+  * token array: the char split is one primitive loop, and each replace
+  * pass is a token-wise scan with two reused buffers — no intermediate
+  * strings at all.
+  *
+  * Semantics are EXACTLY the doubled literal-replace chain (pinned by
+  * OpsSpec's equivalence property test against the SQL form):
+  * `replace(s, ' a b ', ' m ')` on the space-padded symbol string
+  * matches only at token boundaries (symbols contain no spaces), scans
+  * the ORIGINAL string left-to-right non-overlapping, and each match
+  * CONSUMES the trailing separator — so the token after a replaced pair
+  * cannot start a following match in the same pass (it lost its leading
+  * space). The token-array pass replicates that skip: on a match emit
+  * `m`, copy the next token verbatim, and resume two tokens later. The
+  * doubled application is pass-over-the-output-of-pass, exactly like
+  * `replace(replace(...))` re-scanning the once-replaced string.
+  *
+  * `merges` is a foldable string literal `"a b m;a2 b2 m2;..."` — rank
+  * order, symbols are `[a-z]`/`</w>` concatenations, so ' ' and ';' are
+  * safe separators. */
+case class BpeSplit(word: Expression, mergesExpr: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = word
+  override def right: Expression = mergesExpr
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (word.dataType == StringType && mergesExpr.dataType == StringType &&
+        mergesExpr.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "bpe_split requires (string, foldable string merge table)")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_split"
+
+  @transient private lazy val merges: Array[Array[String]] =
+    mergesExpr.eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.split(';').filter(_.nonEmpty).map(_.split(' '))
+
+  /** Interned symbol table: every merge-table symbol (and `</w>`) gets a
+    * small int id so the hot loop compares INTS, not strings — a first
+    * string-token draft spent most of its time allocating a String per
+    * character and UTF8String per output token. Characters outside the
+    * table can never participate in a merge, so they are encoded as the
+    * (unique, always-negative) `-(char + 1)` and only decoded on output.
+    * Built once per (deserialized) instance; immutable thereafter, so
+    * concurrent tasks sharing the reference object race only on the
+    * synchronized lazy init. The id→UTF8String decode array means output
+    * tokens reuse one interned object per symbol, never re-encoding. */
+  @transient private lazy val interned: (Array[Array[Int]],
+      Array[org.apache.spark.unsafe.types.UTF8String], Array[Int], Int) = {
+    val syms = scala.collection.mutable.LinkedHashMap[String, Int]()
+    def id(s: String): Int =
+      syms.getOrElseUpdate(s, syms.size)
+    val endId = id("</w>")
+    val trip = merges.map(r => Array(id(r(0)), id(r(1)), id(r(2))))
+    val symbols = syms.keysIterator
+      .map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+    val charId = Array.fill(128)(Int.MinValue)
+    syms.foreach { case (s, i) =>
+      if (s.length == 1 && s.charAt(0) < 128) charId(s.charAt(0)) = i
+    }
+    (trip, symbols, charId, endId)
+  }
+
+  override def nullSafeEval(w: Any, m: Any): Any =
+    subwords(w.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  def subwords(w: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val (trip, symbols, charId, endId) = interned
+    val s = w.toString
+    // initial symbol sequence: one UTF-16 unit per symbol (the '(.)'
+    // regex form's unit) plus the end-of-word marker
+    val len = s.length
+    var toks = new Array[Int](len + 1)
+    var i = 0
+    while (i < len) {
+      val c = s.charAt(i)
+      toks(i) = if (c < 128 && charId(c) != Int.MinValue) charId(c)
+                else -(c + 1)
+      i += 1
+    }
+    toks(len) = endId
+    var n = len + 1
+    var buf = new Array[Int](n) // merges only ever shrink the count
+    var k = 0
+    while (k < trip.length) {
+      val a = trip(k)(0); val b = trip(k)(1); val m = trip(k)(2)
+      var pass = 0
+      while (pass < 2) {
+        var out = 0
+        var j = 0
+        while (j < n) {
+          if (j + 1 < n && toks(j) == a && toks(j + 1) == b) {
+            buf(out) = m; out += 1
+            // the match consumed the separator after `b`: the next token
+            // cannot begin a match this pass — copy it and skip past
+            if (j + 2 < n) { buf(out) = toks(j + 2); out += 1 }
+            j += 3
+          } else { buf(out) = toks(j); out += 1; j += 1 }
+        }
+        val t = toks; toks = buf; buf = t
+        n = out
+        pass += 1
+      }
+      k += 1
+    }
+    val arr = new Array[Any](n)
+    var o = 0
+    while (o < n) {
+      val id = toks(o)
+      arr(o) = if (id >= 0) symbols(id)
+        else org.apache.spark.unsafe.types.UTF8String
+          .fromString(String.valueOf((-id - 1).toChar))
+      o += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  /** Same reference-obj typed-call pattern as [[WinnowFps]]: keeps the
+    * token stream's hottest projection in whole-stage codegen. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bpeExpr", this, classOf[BpeSplit].getName)
+    nullSafeCodeGen(ctx, ev, (w, _) => s"${ev.value} = $self.subwords($w);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BpeSplit =
+    copy(word = newLeft, mergesExpr = newRight)
 }
 
 /** Winnowing fingerprint selection (`winnow_fps(text, k, w)`): md5 every

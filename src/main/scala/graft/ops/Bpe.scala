@@ -71,8 +71,8 @@ object Bpe {
     * marker, space-padded so every symbol occurrence — first, inner,
     * last — matches the same ` a b ` pattern. */
   private def dict0(spark: SparkSession, dir: String): DataFrame =
-    TextOps.documents(spark, dir)
-      .select(explode(split(col("text"), " ")).as("word"))
+    TextOps.explodeComputed(
+      TextOps.documents(spark, dir), split(col("text"), " "), "word")
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("word")).limit(VocabCap)
@@ -222,15 +222,29 @@ object Bpe {
   def subwordFreq(spark: SparkSession, dir: String,
       numMerges: Int = NumMerges): DataFrame = {
     val ms = trainLoop(spark, dir, numMerges)._1
-    val seq0 = "concat(' ', regexp_replace(word, '(.)', '$1 '), '</w> ')"
-    val applied = ms.foldLeft(seq0) { case (e, (_, a, b, m, _)) =>
-      s"replace(replace($e, ' $a $b ', ' $m '), ' $a $b ', ' $m ')"
-    }
-    TextOps.documents(spark, dir)
-      .select(explode(split(col("text"), " ")).as("word"))
+    // the native bpe_split expression IS the nested-replace chain (the
+    // equivalence is property-pinned in OpsSpec); the SQL form ran the
+    // regex engine per character and reallocated the padded string 64
+    // times per token — the whole cost of this row at the 100x probe
+    graft.functions.VectorFunctions.register(spark)
+    val enc = ms.map { case (_, a, b, m, _) => s"$a $b $m" }.mkString(";")
+    require(enc.matches("[a-z</>; ]*"),
+      s"merge symbols must stay SQL-literal-safe: $enc")
+    // segmentation is a pure function of the WORD: aggregate the token
+    // stream to (word, count) first — map-side partials collapse the
+    // duplicate-heavy stream before the shuffle — and segment each
+    // distinct word once, weighting its subwords by the count. At the
+    // 100× probe this turns 14.5 M bpe_split calls into ~50 k; at
+    // corpus scale it is the only sane tokenizer shape (10^13 tokens,
+    // 10^7 distinct words). Occurrence totals are unchanged by
+    // distributivity of counting.
+    val wordCounts = TextOps.explodeComputed(
+      TextOps.documents(spark, dir), split(col("text"), " "), "word")
       .filter(col("word").rlike("^[a-z]+$"))
-      .select(explode(split(trim(expr(applied)), " ")).as("subword"))
-      .groupBy("subword").agg(count(lit(1)).as("occurrences"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    TextOps.explodeComputed(wordCounts,
+      expr(s"bpe_split(word, '$enc')"), "subword")
+      .groupBy("subword").agg(sum(col("cnt")).as("occurrences"))
   }
 
   /** Oracle for [[subwordFreq]]: the merge-learning chain, then the same

@@ -59,9 +59,13 @@ object Decontam {
        END"""
 
   private def shingles(spark: SparkSession, dir: String): DataFrame =
-    TextOps.spread(TextOps.documents(spark, dir))
-      .withColumn("words", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(gramExpr)).as("sh"))
+    // explodeComputed: the inferred size-filter would double-evaluate
+    // the md5 gram transform at the scan
+    TextOps.explodeComputed(
+      TextOps.spread(TextOps.documents(spark, dir))
+        .withColumn("words", split(col("text"), " ")),
+      expr(gramExpr), "sh")
+      .select("doc_id", "sh")
       .distinct()
 
   /** Contaminated (corpus doc, benchmark doc) pairs with shared-gram count

@@ -58,9 +58,12 @@ object Dedup {
   val MaxShingleDocFrequency = 1000
 
   private def withShingles(spark: SparkSession, dir: String): DataFrame = {
-    val sh = distinctDocs(spark, dir)
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("sh", explode(expr(shingleExpr)))
+    // explodeComputed: the inferred size-filter would otherwise push the
+    // shingle transform below distinctDocs' aggregate to the raw scan
+    val sh = TextOps.explodeComputed(
+      distinctDocs(spark, dir)
+        .withColumn("words", split(col("text"), " ")),
+      expr(shingleExpr), "sh")
       .select("doc_id", "sh").distinct()
     val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDocFrequency)
@@ -733,9 +736,10 @@ object Dedup {
     * Docs with fewer than 3 words have no spans and no row, mirrored by
     * the oracle's inner join. */
   def spanProfile(spark: SparkSession, dir: String): DataFrame = {
-    val sh = distinctDocs(spark, dir)
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("sh", explode(expr(shingleExpr)))
+    val sh = TextOps.explodeComputed(
+      distinctDocs(spark, dir)
+        .withColumn("words", split(col("text"), " ")),
+      expr(shingleExpr), "sh")
       .select("doc_id", "sh").distinct()
     val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     sh.join(df, Seq("sh"))
@@ -766,9 +770,12 @@ object Dedup {
     * REMEDIATION half of exact-substring dedup ([[cutSpans]],
     * [[trimSpans]]). */
   private def spanOccurrences(spark: SparkSession, dir: String): DataFrame =
+    // posexplode_outer + value-null filter: same InferFiltersFromGenerate
+    // dodge as TextOps.explodeComputed, positioned form
     distinctDocs(spark, dir)
       .withColumn("words", split(col("text"), " "))
-      .select(col("doc_id"), posexplode(expr(shingleExpr)))
+      .select(col("doc_id"), posexplode_outer(expr(shingleExpr)))
+      .filter(col("col").isNotNull)
       .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("sh"))
 
   private val spanOccCte =

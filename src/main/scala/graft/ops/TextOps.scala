@@ -36,6 +36,33 @@ object TextOps {
     * already has at least as many partitions as cores, which is always
     * the case at warehouse scale; the repartition only ever fires on
     * boutique inputs where the shuffled bytes are trivial. */
+  /** Explode an EXPENSIVELY-COMPUTED array column without evaluating the
+    * computation twice — or worse, once per RAW row below an upstream
+    * dedup aggregate.
+    *
+    * A plain (inner) `explode(arr)` lets `InferFiltersFromGenerate`
+    * plant `size(arr) > 0 AND isnotnull(arr)` under the Generate, and
+    * predicate pushdown then substitutes the array EXPRESSION into that
+    * filter and drives it through every deterministic operator below —
+    * including aggregations whose grouping keys it references. Measured
+    * at the 100× probe (round 15): `dedup_winnow`'s fingerprint pass ran
+    * the whole winnow_fps computation at the RAW SCAN (500 k docs,
+    * 145 M grams) instead of over the 5 k distinct-text representatives
+    * the aggregate reduces to — 80 s of the row's 82 s — and
+    * `bpe_subword_freq` evaluated its 64-replace merge chain twice per
+    * token (+~35 s). The OUTER generate is exempt from the rule, and the
+    * null-compaction filter here references the GENERATOR OUTPUT, which
+    * pushdown cannot move below the Generate.
+    *
+    * Semantics are identical to inner explode whenever the array has no
+    * null ELEMENTS (every call site's arrays are built by
+    * split/transform/concat over non-null inputs): a null or empty array
+    * yields one null-valued row under the outer generate, which the
+    * filter drops — exactly the rows inner explode never emits. */
+  private[graft] def explodeComputed(df: DataFrame,
+      arr: org.apache.spark.sql.Column, out: String): DataFrame =
+    df.withColumn(out, explode_outer(arr)).filter(col(out).isNotNull)
+
   private[ops] def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     // <= par, not < par: getNumPartitions is the PRE-AQE number — a plan
@@ -543,8 +570,8 @@ object TextOps {
   /** One row per selected fingerprint — the joinable form two corpora
     * match on (MOSS-style overlap detection). */
   def winnowFingerprints(docs: DataFrame): DataFrame =
-    withFingerprints(docs)
-      .select(col("doc_id"), explode(col("fps")).as("fingerprint"))
+    explodeComputed(withFingerprints(docs), col("fps"), "fingerprint")
+      .select(col("doc_id"), col("fingerprint"))
 
   /** Driver row: per-document fingerprint digest. `fp_digest` is md5 over
     * the sorted fingerprint set, so the oracle hash compare proves EVERY

@@ -638,6 +638,38 @@ class OpsSpec extends SparkSpec {
     assert(total >= tokens.count(), "every token yields at least one subword")
   }
 
+  test("bpe_split === the doubled nested-replace SQL chain, on the real " +
+      "dictionary AND adversarial repeated-pair words") {
+    import graft.ops.Bpe
+    graft.functions.VectorFunctions.register(spark)
+    val ms = Bpe.merges(spark, Sf0001).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    val enc = ms.map { case (a, b, m) => s"$a $b $m" }.mkString(";")
+    val seq0 = "concat(' ', regexp_replace(word, '(.)', '$1 '), '</w> ')"
+    val chain = ms.foldLeft(seq0) { case (e, (a, b, m)) =>
+      s"replace(replace($e, ' $a $b ', ' $m '), ' $a $b ', ' $m ')"
+    }
+    // real dictionary words + adversarial shapes: odd/even chains of the
+    // SAME pair back-to-back exercise the consumed-separator skip (the
+    // non-obvious half of string-replace semantics), and single chars /
+    // the top merge symbols exercise boundary merges with </w>
+    val adversarial = Seq("a", "e", "ee", "eee", "eeee", "eeeee",
+      "eeeeee", "thethe", "ththth", "ererer", "erer", "ee" * 9,
+      "the" * 5, "ananan", "aaaaaaab")
+    import spark.implicits._
+    val dictWords = TextOps.documents(spark, Sf0001)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$")).distinct()
+    val words = dictWords.union(adversarial.toDF("word"))
+    val mismatches = words
+      .withColumn("native", expr(s"bpe_split(word, '$enc')"))
+      .withColumn("sql", split(trim(expr(chain)), " "))
+      .filter(not(col("native") === col("sql")))
+      .collect()
+    assert(mismatches.isEmpty,
+      s"bpe_split must match the replace chain: ${mismatches.take(5).toSeq}")
+  }
+
   test("bpe train memo: content-fingerprint keyed — corpus change invalidates") {
     import graft.ops.{Bpe, IvfIndex}
     val tmp = java.nio.file.Files.createTempDirectory("bpe_memo").toString

@@ -545,12 +545,15 @@ class PlanSpec extends SparkSpec {
       .groupBy("word").count()
       .orderBy(col("count").desc, col("word")).limit(300)
     assert(plan(dictPlan).contains("TakeOrderedAndProject"), plan(dictPlan))
-    // the corpus-scale apply is map-only ahead of ONE subword-count
-    // shuffle: merges bake into literal replaces (training ran driver-side
-    // before this plan exists), so the served plan is scan→project→
-    // explode→partial agg→exchange→final agg
+    // the corpus-scale apply is count-then-segment (round 15): ONE
+    // word-count shuffle whose map-side partials collapse the
+    // duplicate-heavy token stream to distinct words, then the native
+    // bpe_split over the (tiny) distinct-word set, then ONE subword-sum
+    // shuffle — two exchanges, both reduced-size; the segmentation
+    // itself runs ~|distinct words| times, not ~|tokens| times (at the
+    // 100x probe: 50k calls instead of 14.5M, the row went 68.9->4.5 s)
     val served = graft.ops.Bpe.subwordFreq(spark, Sf0001)
-    assert(shuffles(served) == 1, plan(served))
+    assert(shuffles(served) == 2, plan(served))
   }
 
   test("cc loop body: propagate is join+agg, shortcut is one self-join — pinned") {
