@@ -213,12 +213,13 @@ object Bpe {
     * FULL token stream (not just the dictionary) and count subword
     * occurrences — the subword frequency table a trained tokenizer
     * produces over its corpus (embedding-table sizing, UNK auditing,
-    * distribution drift). The learned merges are collected once (8 tiny
-    * rows — the broadcast-merge-table pattern) and baked into ONE
-    * codegen'd projection of 16 nested literal replaces, so the
-    * corpus-side pass is map-only ahead of the single subword-count
-    * shuffle; out-of-dictionary words still segment with the same
-    * merges, exactly like a served tokenizer. */
+    * distribution drift). The learned merges bake into ONE native
+    * codegen'd [[graft.functions.BpeSplit]] projection, and the stream
+    * aggregates to (word, count) FIRST so each distinct word segments
+    * once, its subwords weighted by the count — count-then-segment, the
+    * shape that holds at 10^13 tokens / 10^7 distinct words.
+    * Out-of-dictionary words still segment with the same merges,
+    * exactly like a served tokenizer. */
   def subwordFreq(spark: SparkSession, dir: String,
       numMerges: Int = NumMerges): DataFrame = {
     val ms = trainLoop(spark, dir, numMerges)._1
