@@ -219,13 +219,12 @@ object Curation {
         sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L))
           .as("n_tgt_t"))
       .withColumn("words", split(col("text"), " "))
-      .withColumn("grams", expr(
+      .transform(d => TextOps.explodeComputed(d, expr(
         """concat(words, IF(size(words) < 2, array(),
              transform(sequence(1, size(words) - 1),
                i -> concat(element_at(words, i), ' ',
-                           element_at(words, i + 1)))))"""))
-      .select(col("th"), col("n_docs_t"), col("n_tgt_t"),
-        explode(col("grams")).as("gram"))
+                           element_at(words, i + 1)))))"""), "gram"))
+      .select(col("th"), col("n_docs_t"), col("n_tgt_t"), col("gram"))
       .withColumn("bucket",
         (expr(TextOps.md5U16Expr("gram")) % DsirBuckets).cast("int"))
       .groupBy("th", "n_docs_t", "n_tgt_t", "bucket")

@@ -1003,8 +1003,8 @@ object TextOps {
   def tfidfTopK(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = documents(spark, dir)
-    val tokens = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tokens = explodeComputed(docs, split(col("text"), " "), "token")
+      .select("doc_id", "token")
       .filter(length(col("token")) > 0)
     val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
@@ -1250,13 +1250,15 @@ object TextOps {
     * doc-keyed aggregate. Stopword-pair heat is a hot JOIN key (AQE
     * splits it), not a fan-out. */
   def lmSurprisal(spark: SparkSession, dir: String): DataFrame = {
-    val occ = documents(spark, dir)
-      .withColumn("words", split(col("text"), " "))
-      .filter(size(col("words")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(words) - 1),
+    // explodeComputed: the inferred size-filter would double-evaluate
+    // the bigram-struct transform at the scan (see the helper's doc)
+    val occ = explodeComputed(
+      documents(spark, dir)
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 2),
+      expr("""transform(sequence(1, size(words) - 1),
              i -> struct(element_at(words, i) AS w1,
-                         element_at(words, i + 1) AS w2))""")).as("bg"))
+                         element_at(words, i + 1) AS w2))"""), "bg")
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val counts = occ.groupBy("w1", "w2")
       .agg(count(lit(1)).as("bigram_count"))
