@@ -40,7 +40,11 @@ object Probe {
       })
     new java.io.File(outDir).mkdirs()
 
-    // job-level breakdown: (description or callsite) -> total seconds
+    // job-level breakdown: (description or callsite) -> total seconds.
+    // Durations use the EVENT timestamps (SparkListenerJobStart.time /
+    // SparkListenerJobEnd.time), not wall clock at listener delivery —
+    // async listener-bus lag would otherwise fold into each job's time
+    // (r15 ADVICE).
     val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
     val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -51,11 +55,11 @@ object Probe {
           .getOrElse("")
         val nTasks = e.stageInfos.map(_.numTasks).sum
         jobStart.put(e.jobId, (s"[${e.stageInfos.size}st/${nTasks}t] " + desc,
-          System.nanoTime()))
+          e.time))
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         Option(jobStart.remove(e.jobId)).foreach { case (d, t0) =>
-          jobLog.add((d, (System.nanoTime() - t0) / 1e9))
+          jobLog.add((d, (e.time - t0) / 1e3))
         }
       }
     })
@@ -68,6 +72,38 @@ object Probe {
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
         }
       }
+    // Bench's build/serve split, mirrored (r15 ADVICE): the
+    // fingerprint-keyed caches (ANN index tables, steady takedown store,
+    // dq silver trio) are build-once/serve-many — without paying them
+    // here, rep 1 of an ann_/emb_/dq_/takedown_steady row at sfDir
+    // absorbs the one-time build, the exact misattribution Bench's split
+    // exists to kill.
+    if (names.exists(n => n.startsWith("ann_") || n.startsWith("emb_")))
+      try {
+        graft.ops.IvfIndex.centroids(spark, sfDir).count()
+        graft.ops.IvfIndex.lists(spark, sfDir).count()
+        graft.ops.IvfIndex.pqCodebooks(spark, sfDir).count()
+        graft.ops.IvfIndex.pqCodes(spark, sfDir).count()
+        graft.ops.IvfIndex.int8Codes(spark, sfDir).count()
+        graft.ops.Similarity.lshSignatureBase(spark, sfDir).count()
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"probe ann prebuild failed: $e") }
+    if (names.contains("takedown_steady"))
+      try graft.ops.IncrementalDedup.steadyStore(spark, sfDir)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"probe steady-store prebuild failed: $e") }
+    if (names.exists(_.startsWith("dq_")) &&
+        graft.quality.SilverStage.enabled(spark))
+      try { graft.quality.SilverStage.tables(spark, sfDir); () }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"probe dq prebuild failed: $e") }
+    // one untimed rep at sfDir so rep 1 below measures steady state, not
+    // sfDir-specific first-touch costs (codegen variants, file listing)
+    names.foreach { n =>
+      SparkEntry.queries.get(n).foreach { fn =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
+    }
 
     names.foreach { n =>
       val fn = SparkEntry.queries.getOrElse(n, sys.error(s"unknown query $n"))

@@ -38,7 +38,7 @@ object RawSources {
   /** Read one driver testdata table; timestamps normalized to NTZ so the
     * engine is insensitive to the parquet reader's TZ inference. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.sources.ParquetStats.read(spark, s"$dir/$name.parquet")
 
   private def ntz(c: Column): Column = c.cast("timestamp_ntz")
 

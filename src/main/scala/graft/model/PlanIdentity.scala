@@ -35,6 +35,10 @@ object PlanIdentity {
       val normalized = df.queryExecution.analyzed.transformUp {
         case r: org.apache.spark.sql.catalyst.plans.logical
           .RepartitionOperation => r.child
+        // REBALANCE hints (AQE-sized write coalescing, guide §6) are the
+        // same semantics-neutral distribution class
+        case r: org.apache.spark.sql.catalyst.plans.logical
+          .RebalancePartitions => r.child
       }
       df.schema.toDDL + "|" + normalized.canonicalized.toString
     }.mkString("‖")

@@ -426,6 +426,21 @@ object Stage {
     * needs ('checkpoint block not found'). A derived frame here is a
     * caller bug; root-only matching makes it a no-op instead of a
     * delayed crash. */
+  /** Release EVERY (non-[[retain]]ed) pinned block the frame's plan
+    * lazily references — for callers that have fully MATERIALIZED a
+    * derived frame (a further pin, a collect) and no longer need the
+    * inputs: e.g. connectedComponents pins the pair list, after which
+    * the LSH band pin feeding it is dead. Only call when nothing else
+    * still reads the referenced pins. */
+  def unpinAll(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD
+          if !retained.contains(l.rdd.id) =>
+        ledger.remove(l.rdd.id)
+        l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
   def unpin(df: DataFrame): Unit = {
     def strip(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
         : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = p match {

@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
 object Analytics {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.sources.ParquetStats.read(spark, s"$dir/$name.parquet")
 
   /** Fixed-point (1e-6) deterministic sum of an arbitrary double term. */
   private def sumFixed(c: Column): Column = sum(round(c * 1000000).cast("long")) / 1000000.0

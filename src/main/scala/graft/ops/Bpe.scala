@@ -97,40 +97,59 @@ object Bpe {
         (ms, graft.model.Stage.retain(dict))
       })
 
-  /** DRIVER-SYNCHRONIZATION BOUND: greedy BPE is inherently sequential —
-    * merge i+1's pair statistics depend on merge i having been applied —
-    * so this loop runs exactly `numMerges` driver-synchronized Spark jobs
-    * (32 at the default), each returning ONE argmax row to the driver.
-    * The per-job cost is bounded by the dictionary, not the corpus: the
-    * input is the [[VocabCap]]-row word-frequency table, localCheckpointed
-    * once up front so no iteration ever re-scans raw text, and the pair
-    * aggregation per job touches ≤ VocabCap × max_word_len symbol
-    * bigrams. At 100 TB the corpus scan happens once (dict0); the loop's
-    * wall time is numMerges × (scheduler latency + a sub-second job) and
-    * does not grow with data. Driver state: the merge list
-    * (numMerges × ~4 short strings) — bytes. */
+  /** DRIVER-SIDE LOOP, BOUNDED BY [[VocabCap]]: greedy BPE is inherently
+    * sequential — merge i+1's pair statistics depend on merge i having
+    * been applied — and its working set is the CAPPED word-frequency
+    * dictionary (≤ [[VocabCap]] rows by construction, REGARDLESS of
+    * corpus size). The corpus-sized work is exactly one Spark job (the
+    * dict0 word-count aggregate + top-VocabCap); the dictionary is then
+    * collected (≤ VocabCap short rows — the bounded-collect class of the
+    * k-means centroid localization) and the merge loop runs on the
+    * driver. This replaces the former 2·numMerges driver-SYNCHRONIZED
+    * tiny Spark jobs (64 at the default — pure scheduler latency, ~3 s
+    * of the row's 3.4 s at sf0.1, unchanged at any corpus scale since
+    * the per-job input was already dictionary-bounded).
+    *
+    * Bit-equivalence with the former Spark loop (pinned by the DuckDB
+    * oracles and BpeSpec): pair scores are exact Long sums; the argmax
+    * tie-break (score DESC, a, b) compares ASCII-only symbols, where
+    * Java's UTF-16 ordering equals Spark's UTF8 binary ordering; the
+    * merge application is the same literal, left-to-right,
+    * non-overlapping double `replace`; `split(" ", -1)` mirrors Spark's
+    * keep-empty split semantics (no empties occur — sequences stay
+    * single-spaced). */
   private def trainLoopUncached(spark: SparkSession, dir: String,
       numMerges: Int): (Seq[(Int, String, String, String, Long)], DataFrame) = {
     import spark.implicits._
-    var v = graft.model.Stage.pin(dict0(spark, dir))
+    var vocab = dict0(spark, dir).select("word", "freq", "seq")
+      .as[(String, Long, String)].collect()
     val out = Seq.newBuilder[(Int, String, String, String, Long)]
     for (i <- 1 to numMerges) {
-      val pairs = v
-        .withColumn("syms", split(trim(col("seq")), " "))
-        .select(col("freq"), explode(expr(
-          "transform(slice(syms, 1, size(syms) - 1)," +
-            " (x, i) -> struct(x AS a, syms[i + 1] AS b))")).as("p"))
-        .groupBy($"p.a".as("a"), $"p.b".as("b"))
-        .agg(sum("freq").as("score"))
-      val best = pairs.orderBy(col("score").desc, col("a"), col("b"))
-        .limit(1).as[(String, String, Long)].head()
-      val (a, b, score) = best
+      val scores = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (_, freq, seq) =>
+        val syms = seq.trim.split(" ", -1)
+        var j = 0
+        while (j < syms.length - 1) {
+          val k = (syms(j), syms(j + 1))
+          scores.update(k, scores.getOrElse(k, 0L) + freq)
+          j += 1
+        }
+      }
+      var best: ((String, String), Long) = null
+      scores.foreach { case (p, s) =>
+        if (best == null || s > best._2 ||
+            (s == best._2 && (p._1 < best._1._1 ||
+              (p._1 == best._1._1 && p._2 < best._1._2)))) best = (p, s)
+      }
+      val ((a, b), score) = best
       val m = a + b
       out += ((i, a, b, m, score))
-      v = v.withColumn("seq",
-        expr(s"replace(replace(seq, ' $a $b ', ' $m '), ' $a $b ', ' $m ')"))
+      vocab = vocab.map { case (w, f, s) =>
+        (w, f, s.replace(s" $a $b ", s" $m ").replace(s" $a $b ", s" $m "))
+      }
     }
-    (out.result(), v)
+    (out.result(),
+      spark.createDataset(vocab.toSeq).toDF("word", "freq", "seq"))
   }
 
   /** The learned merge table: `NumMerges` rows of

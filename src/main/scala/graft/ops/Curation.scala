@@ -23,7 +23,7 @@ import org.apache.spark.sql.expressions.Window
 object Curation {
 
   private def documents(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    graft.sources.ParquetStats.read(spark, s"$dir/documents.parquet")
 
   // ---------------------------------------------------------------- Gopher
 
@@ -218,6 +218,11 @@ object Curation {
         count(lit(1)).as("n_docs_t"),
         sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L))
           .as("n_tgt_t"))
+      // spread: AQE coalesces the distinct-text aggregate to 1–2
+      // partitions (few MB), serializing the CPU-bound gram explode +
+      // md5 hashing below it (measured: the hist pin ran as a 2-task job
+      // at 1.25 s of the row's 2.2 s, r16 probe)
+      .transform(TextOps.spread)
       .withColumn("words", split(col("text"), " "))
       .transform(d => TextOps.explodeComputed(d, expr(
         """concat(words, IF(size(words) < 2, array(),
@@ -234,9 +239,13 @@ object Curation {
     val docs = documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("th"))
     val hist = graft.model.Stage.pin(dsirHist(spark, dir))
-    val bucketCounts = hist.groupBy("bucket").agg(
-      sum(col("cnt") * col("n_tgt_t")).as("ct"),
-      sum(col("cnt") * col("n_docs_t")).as("cr"))
+    // pinned: ≤ DsirBuckets rows, but its subtree (a scan of the hist
+    // pin + aggregate) is otherwise re-run per broadcast it feeds
+    // (totals, weights) — three scans of the hist pin become one
+    val bucketCounts = graft.model.Stage.pin(
+      hist.groupBy("bucket").agg(
+        sum(col("cnt") * col("n_tgt_t")).as("ct"),
+        sum(col("cnt") * col("n_docs_t")).as("cr")))
     val totals = bucketCounts.agg(
       sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
     val weights = bucketCounts.crossJoin(broadcast(totals))

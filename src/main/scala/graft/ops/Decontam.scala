@@ -58,30 +58,62 @@ object Decontam {
          i -> md5(${(0 until GramWords).map(o => s"words[i + $o]").mkString(" || ' ' || ")}))
        END"""
 
-  private def shingles(spark: SparkSession, dir: String): DataFrame =
-    // explodeComputed: the inferred size-filter would double-evaluate
-    // the md5 gram transform at the scan
+  /** Distinct (doc, gram) pairs of one SIDE of the decontam check.
+    * The side's doc_id filter is applied at the SCAN (below the explode),
+    * and only the corpus side pays [[TextOps.spread]]'s parallelizing
+    * repartition: the benchmark side is a handful of documents whose
+    * derivations run as 1-task jobs several times per query (geometry
+    * count, bit collect, the build side of the joins) — repartitioning
+    * it made each of those a 33-task job of empty partitions (measured
+    * +1.7 s on decontam_bloom, r16 probe). Per-doc gram dedup is
+    * array_distinct INSIDE the row — doc_id is unique per row, so this
+    * equals a global `.distinct()` on (doc_id, sh) without its
+    * corpus-wide shuffle (guide §2.4: remove shuffles outright).
+    * explodeComputed: the inferred size-filter would double-evaluate
+    * the md5 gram transform at the scan. */
+  private def sideShingles(spark: SparkSession, dir: String,
+      bench: Boolean): DataFrame = {
+    val docs = TextOps.documents(spark, dir)
+    val side =
+      if (bench) docs.filter(col("doc_id") < BenchmarkDocs)
+      else TextOps.spread(docs.filter(col("doc_id") >= BenchmarkDocs))
     TextOps.explodeComputed(
-      TextOps.spread(TextOps.documents(spark, dir))
-        .withColumn("words", split(col("text"), " ")),
-      expr(gramExpr), "sh")
+      side.withColumn("words", split(col("text"), " ")),
+      array_distinct(expr(gramExpr)), "sh")
       .select("doc_id", "sh")
-      .distinct()
+  }
 
   /** Contaminated (corpus doc, benchmark doc) pairs with shared-gram count
     * and the fraction of the benchmark doc's grams found in the corpus
-    * doc (1.0 = the benchmark doc is fully contained). */
+    * doc (1.0 = the benchmark doc is fully contained).
+    *
+    * Scale shape (guide §3.2): only grams present in the (tiny, fixed)
+    * benchmark side can ever reach the output, so the corpus gram stream
+    * is SEMI-JOINED against the broadcast benchmark gram set BEFORE any
+    * shuffle — the corpus-side pass is map-only (scan → explode →
+    * broadcast hash probe), and everything wide downstream (the df
+    * cutoff, the pair aggregate) runs over the matching grams only.
+    * The df cutoff is exact under the pre-filter: for a gram in the
+    * benchmark set, EVERY corpus occurrence row survives the semi-join
+    * (the filter is on the gram alone), so its document frequency over
+    * the matched rows equals its global corpus df; grams outside the set
+    * cannot reach the output, so their cutoff verdict is irrelevant. */
   def overlap(spark: SparkSession, dir: String,
       minShared: Int = MinSharedGrams): DataFrame = {
-    val sh = shingles(spark, dir)
-    val corpus = sh.filter(col("doc_id") >= BenchmarkDocs)
-    // df cutoff measured on the corpus side only: the benchmark must never
-    // vote its own grams out of the index
-    val hot = corpus.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > MaxGramDocFrequency).select("sh")
-    val corpusKept = corpus.join(hot, Seq("sh"), "left_anti")
-    val bench = sh.filter(col("doc_id") < BenchmarkDocs)
+    import org.apache.spark.sql.expressions.Window
+    val bench = sideShingles(spark, dir, bench = true)
       .withColumnRenamed("doc_id", "bench_id")
+    val benchSh = bench.select("sh").distinct()
+    val matched = sideShingles(spark, dir, bench = false)
+      .join(broadcast(benchSh), Seq("sh"), "left_semi")
+    // df cutoff measured on the corpus side only: the benchmark must never
+    // vote its own grams out of the index. Counted with ONE window over
+    // the (already benchmark-bounded) matched rows instead of a second
+    // evaluation of the corpus gram subtree plus an anti-join.
+    val corpusKept = matched
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("df") <= MaxGramDocFrequency)
+      .drop("df")
     val benchSizes = bench.groupBy("bench_id").agg(count(lit(1)).as("bench_grams"))
     corpusKept.join(broadcast(bench), Seq("sh"))
       .groupBy("doc_id", "bench_id")
@@ -164,7 +196,7 @@ object Decontam {
     * the floor; lower still below it). */
   def bloomLoadFactor(spark: SparkSession, dir: String): Double = {
     val (m, setBits) = bloomGeometryOf(
-      shingles(spark, dir).filter(col("doc_id") < BenchmarkDocs))
+      sideShingles(spark, dir, bench = true))
     setBits.size.toDouble / m
   }
 
@@ -190,8 +222,7 @@ object Decontam {
     * count — derived, not configured, and replayed by the oracle. */
   def bloomScreen(spark: SparkSession, dir: String,
       minShared: Int = MinSharedGrams): DataFrame = {
-    val sh = shingles(spark, dir)
-    val bench = sh.filter(col("doc_id") < BenchmarkDocs)
+    val bench = sideShingles(spark, dir, bench = true)
     val (m, setBits) = bloomGeometryOf(bench)
     val bloom = typedLit((0 until m).map(setBits.contains))
     val benchSh = bench.select("sh").distinct()
@@ -200,7 +231,7 @@ object Decontam {
       .map(j => element_at(bloom,
         expr(bloomBitExpr("sh", j, duck = false, m.toString)) + 1))
       .reduce(_ && _)
-    sh.filter(col("doc_id") >= BenchmarkDocs)
+    sideShingles(spark, dir, bench = false)
       .join(broadcast(benchSh), Seq("sh"), "left")
       .withColumn("bloom_hit", hitCol.cast("long"))
       .groupBy("doc_id")

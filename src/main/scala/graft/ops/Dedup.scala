@@ -58,17 +58,55 @@ object Dedup {
   val MaxShingleDocFrequency = 1000
 
   private def withShingles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // explodeComputed: the inferred size-filter would otherwise push the
-    // shingle transform below distinctDocs' aggregate to the raw scan
+    // shingle transform below distinctDocs' aggregate to the raw scan.
+    // Per-doc shingle dedup is array_distinct INSIDE the row — doc_id is
+    // unique per representative row, so this equals the former global
+    // `.distinct()` on (doc_id, sh) without its corpus-wide shuffle
+    // (guide §2.4). The df cutoff rides ONE window on the one remaining
+    // sh-keyed shuffle instead of a second evaluation of the shingle
+    // subtree plus an anti-join, and the result is pinned: every
+    // consumer (sizes, both sides of the inverted-index self-join, the
+    // MinHash signatures) used to re-derive the distinct-docs aggregate
+    // and the explode per reference. The pin also PRESERVES the window's
+    // hash(sh) partitioning, so the pair self-join on `sh` downstream
+    // needs no further exchange.
     val sh = TextOps.explodeComputed(
-      distinctDocs(spark, dir)
+      TextOps.spread(distinctDocs(spark, dir))
         .withColumn("words", split(col("text"), " ")),
-      expr(shingleExpr), "sh")
-      .select("doc_id", "sh").distinct()
-    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > MaxShingleDocFrequency)
-      .select("sh")
-    sh.join(hot, Seq("sh"), "left_anti")
+      array_distinct(expr(shingleExpr)), "sh")
+      .select("doc_id", "sh")
+    graft.model.Stage.pin(
+      sh.withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+        .filter(col("df") <= MaxShingleDocFrequency)
+        .drop("df"))
+  }
+
+  /** All [[NumSeeds]] MinHash signatures in ONE grouped aggregate: the
+    * per-(doc, seed) explode used to fan the shingle stream out 9× and
+    * shuffle it twice (doc×seed partial mins, then the band fold); the 9
+    * `min(md5(seed:sh))` columns compute map-side over one pass of the
+    * pinned shingle table and shuffle 9 hashes per doc once. Band keys
+    * are then a per-row expression — `array_sort` over the band's
+    * (seed:mh) strings is exactly the former `collect_list` + sort, the
+    * strings and the binary sort order are identical. */
+  private def minhashBands(sh: DataFrame): DataFrame = {
+    val mins = (0 until NumSeeds).map(s =>
+      min(md5(concat(lit(s.toString), lit(":"), col("sh")))).as(s"mh$s"))
+    val sig = TextOps.spread(sh)
+      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until NumSeeds / BandSize).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", array_sort(array(
+          (b * BandSize until (b + 1) * BandSize).map(s =>
+            concat(lit(s.toString), lit(":"), col(s"mh$s"))): _*))))
+          .as("band_key"))
+    }
+    graft.model.Stage.pin(
+      sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"),
+          col("bb.band_key").as("band_key")))
   }
 
   private def shingleCte =
@@ -239,15 +277,19 @@ object Dedup {
     * with the number of shared bands. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = withShingles(spark, dir)
-    val sig = sh
-      .withColumn("seed", explode(expr(s"sequence(0, ${NumSeeds - 1})")))
-      .groupBy("doc_id", "seed")
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh")))).as("mh"))
-    val bands = sig
-      .withColumn("band", expr(s"seed div $BandSize"))
-      .groupBy("doc_id", "band")
-      .agg(md5(concat_ws(",",
-        array_sort(collect_list(concat(col("seed").cast("string"), lit(":"), col("mh")))))).as("band_key"))
+    val out = minhashLshFrom(sh)
+    // the band table is pinned (materialized) by minhashLshFrom; the
+    // shingle pin is fully consumed — release it so it does not park in
+    // executor storage past this query (the round-12 leak class)
+    graft.model.Stage.unpin(sh)
+    out
+  }
+
+  /** [[minhashLsh]] over an explicit (pinned) shingle table — extracted so
+    * consumers that also need the shingle table ([[lshEval]]) share ONE
+    * evaluation instead of re-deriving it per reference. */
+  private def minhashLshFrom(sh: DataFrame): DataFrame = {
+    val bands = minhashBands(sh)
     bands.as("a").join(bands.as("b"), Seq("band", "band_key"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -326,8 +368,20 @@ object Dedup {
   val MaxCcRounds = 50
 
   /** Rounds the most recent [[connectedComponents]] call took to converge
-    * — test-visible hook pinning the O(log d) bound. */
+    * — test-visible hook pinning the O(log d) bound (0 = the driver-side
+    * union-find gate answered; no distributed rounds ran). */
   val lastCcRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Adaptive driver-side union-find gate for [[connectedComponents]]:
+    * when the materialized pair list has at most this many edges, the
+    * components are computed by one bounded collect + union-find instead
+    * of the iterative label-propagation loop — identical min-label
+    * output, zero per-round jobs. 1M edges ≈ tens of MB on the driver
+    * (the bounded-collect class the repo already accepts for k-means
+    * centroids and Bloom positions). 0 disables the gate (PlanSpec-style
+    * shape pinning; DedupSpec uses it to exercise the loop). */
+  val DriverEdgesKey = "spark.graft.cc.driver.edges"
+  val DriverEdgesDefault = 1000000L
 
   /** Connected components over an undirected pair list `(doc_a, doc_b)`:
     * one row per node with `cluster_id` = the smallest node id in its
@@ -416,6 +470,56 @@ object Dedup {
     // checkpoint makes both directions (and the initial labels) two cheap
     // scans of one materialized table instead of two LSH executions
     val ab = ckpt(pairs.toDF("doc_a", "doc_b"))
+    // the pair list is materialized; any pins its subplan read (the LSH
+    // band table) are dead from here
+    graft.model.Stage.unpinAll(pairs)
+    // Measured adaptive gate (the RangeRank.WindowBytesKey discipline):
+    // a near-dup pair graph is DUPLICATE-volume-sized, and below the
+    // threshold the O(log d) distributed loop is pure constant factor —
+    // ~3 jobs × rounds of 1–2 tasks each (measured: 15+ sequential jobs,
+    // ~1.8 s over a 25-pair graph at sf0.1). Union-find over the
+    // collected edge list computes the identical min-label components
+    // (DedupSpec pins parity against the loop) with ZERO iterative jobs;
+    // the driver holds ≤ gate edges — the same bounded-collect class as
+    // the k-means centroid localization. Above the gate (any genuinely
+    // large graph) the pointer-doubling loop runs unchanged; 0 disables
+    // the gate.
+    val gate = graft.model.Conf.long(spark, DriverEdgesKey, DriverEdgesDefault)
+    val nEdges = if (gate > 0) ab.count() else Long.MaxValue
+    if (nEdges <= gate &&
+        ab.schema.fields.forall(f => f.dataType ==
+            org.apache.spark.sql.types.LongType || f.dataType ==
+            org.apache.spark.sql.types.IntegerType)) {
+      import spark.implicits._
+      val nodeType = ab.schema.fields.head.dataType
+      val es = ab.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .as[(Long, Long)].collect()
+      graft.model.Stage.unpin(ab)
+      lastCcRounds.set(0)
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+      // second pass: the component label is the MIN member id — roots are
+      // unioned toward the smaller id above, so find(x) already IS the min
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      parent.keySet.forEach(n => out += ((n, find(n))))
+      val sizes = out.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+      return spark.createDataset(out.toSeq.map { case (n, c) =>
+          (n, c, sizes(c)) })
+        .toDF("doc_id", "cluster_id", "cluster_size")
+        .select(col("doc_id").cast(nodeType), col("cluster_id").cast(nodeType),
+          col("cluster_size"))
+    }
     val edges = ab.union(ab.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
     var labels = ckpt(edges.select(col("src").as("node")).distinct()
@@ -517,6 +621,8 @@ object Dedup {
       iters: Int = PagerankIters,
       damping: Double = PagerankDamping): DataFrame = {
     val ab = graft.model.Stage.pin(pairs.toDF("doc_a", "doc_b"))
+    // pair list materialized — upstream pins (the LSH band table) are dead
+    graft.model.Stage.unpinAll(pairs)
     val edges = ab.union(ab.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
     val deg = graft.model.Stage.pin(
@@ -611,8 +717,8 @@ object Dedup {
     * counts, bit-stable cross-engine. */
   def lshEval(spark: SparkSession, dir: String,
       threshold: Double = 0.2): DataFrame = {
-    val pairs = minhashLsh(spark, dir)
     val sh = withShingles(spark, dir)
+    val pairs = minhashLshFrom(sh)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = pairs.select("doc_a", "doc_b")
       .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))

@@ -30,7 +30,7 @@ object Events {
     // configuration asks for).
     if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val raw = graft.sources.ParquetStats.read(spark, s"$dir/events.parquet")
     // Adapt to the physical type: under nanosAsLong a TIMESTAMP(NANOS)
     // column arrives as BIGINT nanoseconds (→ truncate to micros exactly
     // like DuckDB); a micro/milli-precision file arrives as a real

@@ -279,7 +279,12 @@ object IncrementalDedup {
         gateMembers(members(spark, root), tombstones(spark, root))))
     val committed = commitStaged(spark, root,
       s"${batchesRoot(root)}/batch=$batchId") { staging =>
-      // the one text-processing pass of the ingest: winnow ONLY unseen
+      // the one text-processing pass of the ingest: winnow ONLY unseen.
+      // (An AQE REBALANCE on these writes was measured in r16 and
+      // REVERTED: the extra shuffle cost each replay row +1.2–1.3 s at
+      // sf0.1, and at shard scale the task-count files are already
+      // shard_bytes/parallelism-sized — the small-files win never
+      // materializes where the hint's shuffle is paid.)
       ingestFps(unseen).write.parquet(s"$staging/fps")
       ingestReps(batch).write.parquet(s"$staging/reps")
     }

@@ -57,7 +57,7 @@ object RangeJoin {
       explode(sequence(floor(datediff(col("lo"), epoch) / 7),
         floor(datediff(col("hi"), epoch) / 7))))
     // probe side: one bucket per row, no explosion
-    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val orders = graft.sources.ParquetStats.read(spark, s"$dir/orders.parquet")
       .withColumn("o_date", col("o_orderdate").cast("timestamp_ntz").cast("date"))
       .withColumn("wk", floor(datediff(col("o_date"), epoch) / 7))
     orders.join(broadcast(buckets), Seq("wk"))

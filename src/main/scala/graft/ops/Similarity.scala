@@ -32,7 +32,7 @@ object Similarity {
     // `transform(embedding, cast)` pre-pass was an interpreted HOF —
     // CodegenFallback, one converted copy of every vector per row — in
     // front of otherwise fully codegen'd stages.
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    graft.sources.ParquetStats.read(spark, s"$dir/embeddings.parquet")
       .withColumn("vec", col("embedding"))
   }
 

@@ -27,7 +27,7 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "et", "est"))
 
   def documents(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    graft.sources.ParquetStats.read(spark, s"$dir/documents.parquet")
 
   /** Fan a NARROW scan out to the session's parallelism before a
     * CPU-bound per-row map (gram hashing, signature computation): a small
@@ -1057,23 +1057,40 @@ object TextOps {
     * production decoders serve the same table from a key-value store. */
   def lmGreedyDecode(spark: SparkSession, dir: String,
       steps: Int = LmDecodeSteps): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
     val nxt = graft.model.Stage.pin(
       bigramLm(spark, dir).filter(col("next_rank") === 1)
         .select(col("w1"), col("w2")))
-    val seed = graft.model.Stage.pin(documents(spark, dir)
+    // Greedy decoding is inherently sequential, and every step moves
+    // exactly ONE row (the argmax successor) — so the chain is driven
+    // from the driver as `steps` 1-row lookups against the pinned
+    // successor table (the BPE-argmax collect precedent), instead of the
+    // former union-of-chained-joins plan whose O(steps²) join tree cost
+    // ~2.3 s of pure driver plan optimization per run at 10 steps (wall
+    // 2.97 s vs 0.66 s of actual job time, r16 probe). Output rows,
+    // types, and the stop-on-missing-successor semantics are identical:
+    // a word with no successor row ended the old chain with empty joins
+    // from that step on.
+    val seed = documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(1)
-      .select(lit(0).as("step"), col("w").as("word")))
-    (1 to steps).foldLeft(seed) { (acc, i) =>
-      val prev = acc.filter(col("step") === i - 1)
-        .select(col("word").as("w1"))
-      acc.union(
-        prev.join(broadcast(nxt), Seq("w1"))
-          .select(lit(i).as("step"), col("w2").as("word")))
+      .select(col("w")).as[String].head()
+    val path = scala.collection.mutable.ArrayBuffer((0, seed))
+    var cur = seed
+    var i = 1
+    var halted = false
+    while (i <= steps && !halted) {
+      val nx = nxt.filter(col("w1") === cur).select(col("w2"))
+        .as[String].collect()
+      if (nx.isEmpty) halted = true
+      else { cur = nx.head; path += ((i, cur)) }
+      i += 1
     }
+    // the decode path is on the driver; the successor-table pin is dead
+    graft.model.Stage.unpin(nxt)
+    spark.createDataset(path.toSeq).toDF("step", "word")
   }
 
   def lmGreedyDecodeOracle(steps: Int = LmDecodeSteps): String = {

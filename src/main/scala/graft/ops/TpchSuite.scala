@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
 object TpchSuite {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.sources.ParquetStats.read(spark, s"$dir/$name.parquet")
 
   private def sumFixed(c: Column): Column = sum(round(c * 1000000).cast("long")) / 1000000.0
   private val sumFixedSql = (x: String) =>

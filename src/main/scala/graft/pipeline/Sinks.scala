@@ -153,6 +153,13 @@ final class ParquetSink(warehouseDir: String) extends TableSink {
     val staging = new org.apache.hadoop.fs.Path(path(layer, s"_staging_$name"))
     val backup = new org.apache.hadoop.fs.Path(path(layer, s"_backup_$name"))
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    // NO implicit REBALANCE here (measured and reverted in r16): the
+    // sink is a LAYOUT-PRESERVING primitive — zOrderCompact's clustered
+    // ranges and callers' deliberate repartitioning must survive the
+    // write verbatim; an AQE rebalance redistributes rows and destroys
+    // exactly the file-range clustering such callers arranged. Output
+    // file sizing is the caller's call (guide §6), made where the
+    // intended layout is known.
     val w = df.write.mode("overwrite")
     val wp = if (layout.partitionBy.nonEmpty) w.partitionBy(layout.partitionBy: _*) else w
     wp.parquet(staging.toString)

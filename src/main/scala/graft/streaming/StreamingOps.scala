@@ -70,6 +70,55 @@ object StreamingOps {
     reader.parquet(s"$dir").withColumn("ts", ts)
   }
 
+  /** Conf key pinning the stateful-shuffle partition count for the
+    * bounded parity drains (0 or unset = derive from input bytes). */
+  val StatePartitionsKey = "spark.graft.streaming.shuffle.partitions"
+
+  /** Bytes of input per stateful partition the derivation targets. */
+  val StatePartitionBytes: Long = 32L << 20
+
+  /** Run `body` (build + drain of ONE streaming query) with
+    * `spark.sql.shuffle.partitions` — which fixes the number of state
+    * store instances a stateful streaming operator creates — derived
+    * from the INPUT SIZE instead of inherited from the batch session.
+    *
+    * Why (guide §2.2/§1.2, measured r16 probe): every stateful operator
+    * materializes one state store PER shuffle partition PER micro-batch
+    * — provider init, delta file, commit — a fixed per-partition cost
+    * that dominates small batches. At 32 session partitions the
+    * stream-stream interval join paid ~70 ms/task × 32 partitions × 2
+    * micro-batches ≈ 4.5 s of the row's 5.7 s on a 2 MB input. The
+    * partition count is made SCALE-ADAPTIVE — ceil(bytes /
+    * [[StatePartitionBytes]]), clamped to [1, session partitions] — so
+    * a 100 TB/day feed still fans out to the session's full width while
+    * a bounded parity drain stops paying two orders of magnitude more
+    * state-store overhead than its data needs. [[StatePartitionsKey]]
+    * pins the count explicitly for a fleet (state partition count is a
+    * checkpoint-stable choice an operator sizes deliberately); these
+    * drains run on fresh checkpoints every call, so no restart
+    * compatibility concern applies here. The session conf is restored
+    * after the drain — batch queries planned later are unaffected. */
+  private def withStatePartitions[A](spark: SparkSession, dir: String,
+      glob: String)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val pinned = graft.model.Conf.long(spark, StatePartitionsKey, 0L)
+    val n =
+      if (pinned > 0) pinned
+      else {
+        val bytes =
+          try {
+            val p = new org.apache.hadoop.fs.Path(s"$dir/$glob")
+            val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+            if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+          } catch { case scala.util.control.NonFatal(_) => 0L }
+        math.max(1L, math.min(prev.toLong,
+          (bytes + StatePartitionBytes - 1) / StatePartitionBytes))
+      }
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** 10-minute tumbling windows per event_type with a 1-hour watermark. */
   def windowedCounts(events: DataFrame): DataFrame =
     events
@@ -282,7 +331,8 @@ object StreamingOps {
     * DuckDB oracle. Complete output mode because at drain time append
     * would hold back every window newer than the final watermark;
     * `countDistinct` is omitted (not streamable without a rewrite). */
-  def windowedParity(spark: SparkSession, dir: String): DataFrame = {
+  def windowedParity(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark, dir, "events.parquet") {
     val agg = readEventsStream(spark, dir, glob = Some("events.parquet"))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
@@ -316,7 +366,8 @@ object StreamingOps {
     * re-emits (and retains) every window ever seen; Append evicts a
     * window's state the moment it is finalized, so state size tracks the
     * watermark horizon, not the stream's lifetime. */
-  def windowedParityAppend(spark: SparkSession, dir: String): DataFrame = {
+  def windowedParityAppend(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark, dir, "events.parquet") {
     val agg = readEventsStream(spark, dir, glob = Some("events.parquet"))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
@@ -356,7 +407,8 @@ object StreamingOps {
     * `setTimeoutTimestamp` uses) is strictly below the final watermark
     * (`max_event_us div 1000 − delay_ms` — state times out when the
     * watermark moves strictly past it). */
-  def sessionsParity(spark: SparkSession, dir: String): DataFrame = {
+  def sessionsParity(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark, dir, "events.parquet") {
     import spark.implicits._
     val ev = readEventsStream(spark, dir, glob = Some("events.parquet"))
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
@@ -419,7 +471,8 @@ object StreamingOps {
     * mirror: dedup state EMITS on first sight and is only retained (not
     * withheld) until the watermark passes, so nothing is held back at
     * drain. */
-  def dedupParity(spark: SparkSession, dir: String): DataFrame = {
+  def dedupParity(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark, dir, "events.parquet") {
     val doubled = readEventsStream(spark, dir, glob = Some("events.parquet"))
       .withColumn("copy", explode(array(lit(0), lit(1))))
       .drop("copy")
@@ -445,7 +498,8 @@ object StreamingOps {
     * batch twin's SQL unchanged. The watermarks still matter at scale:
     * they are what lets Spark EVICT click-side state older than
     * watermark − window instead of retaining every click forever. */
-  def attributionParity(spark: SparkSession, dir: String): DataFrame = {
+  def attributionParity(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark, dir, "events.parquet") {
     val out = attributionStream(
       readEventsStream(spark, dir, glob = Some("events.parquet")))
       .select(col("purchase_id"), col("click_id"), col("user_id"),
@@ -498,7 +552,8 @@ object StreamingOps {
     * [[sessionsParityOracle]] pins for state timeouts; purchases the
     * watermark never reaches stay withheld, and the oracle computes
     * the cutoff too. */
-  def attributionOuterParity(spark: SparkSession, dir: String): DataFrame = {
+  def attributionOuterParity(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark, dir, "events.parquet") {
     val out = attributionStreamOuter(
       readEventsStream(spark, dir, glob = Some("events.parquet")))
       .select(col("purchase_id"), col("click_id"), col("user_id"),

@@ -14,8 +14,29 @@ class DedupSpec extends SparkSpec {
     (0 until n).map(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
   }
 
+  /** Force the distributed label-propagation loop: these tests pin ITS
+    * behavior (round counts, maxRounds guard, checkpoint backends); the
+    * driver-side union-find gate would otherwise answer first. */
+  private def withLoop[A](body: => A): A = {
+    spark.conf.set(Dedup.DriverEdgesKey, "0")
+    try body finally spark.conf.unset(Dedup.DriverEdgesKey)
+  }
+
+  test("driver-side union-find gate matches the distributed loop exactly") {
+    import spark.implicits._
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L), (5L, 21L))
+      .toDF("doc_a", "doc_b")
+    val gated = Dedup.connectedComponents(spark, pairs)
+      .collect().map(_.toSeq).toSet
+    assert(Dedup.lastCcRounds.get == 0, "gate path must not run loop rounds")
+    val looped = withLoop(Dedup.connectedComponents(spark, pairs))
+      .collect().map(_.toSeq).toSet
+    assert(Dedup.lastCcRounds.get > 0, "loop path must have run rounds")
+    assert(gated == looped)
+  }
+
   test("chain component (diameter 100) converges in O(log d) rounds, not O(d)") {
-    val cc = Dedup.connectedComponents(spark, chain(100)).collect()
+    val cc = withLoop(Dedup.connectedComponents(spark, chain(100))).collect()
     assert(cc.length == 101)
     assert(cc.forall(_.getLong(1) == 0L), "every node labels to the component min")
     assert(cc.forall(_.getLong(2) == 101L), "one component of size 101")
@@ -28,7 +49,7 @@ class DedupSpec extends SparkSpec {
   test("two components stay separate; labels are the component minima") {
     import spark.implicits._
     val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
-    val cc = Dedup.connectedComponents(spark, pairs)
+    val cc = withLoop(Dedup.connectedComponents(spark, pairs))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(cc == Map(
       10L -> (10L, 3L), 11L -> (10L, 3L), 12L -> (10L, 3L),
@@ -37,7 +58,8 @@ class DedupSpec extends SparkSpec {
 
   test("maxRounds guard fails fast with a clear error instead of looping") {
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(spark, chain(100), maxRounds = 2).count()
+      withLoop(Dedup.connectedComponents(spark, chain(100), maxRounds = 2)
+        .count())
     }
     assert(e.getMessage.contains("did not converge within 2 rounds"))
   }
@@ -45,10 +67,10 @@ class DedupSpec extends SparkSpec {
   test("reliable-checkpoint mode produces identical clusters") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
     try {
-      val reliable = Dedup.connectedComponents(spark, chain(50),
-        checkpointDir = Some(dir)).collect().map(_.toSeq).toSet
-      val local = Dedup.connectedComponents(spark, chain(50))
-        .collect().map(_.toSeq).toSet
+      val reliable = withLoop(Dedup.connectedComponents(spark, chain(50),
+        checkpointDir = Some(dir)).collect().map(_.toSeq).toSet)
+      val local = withLoop(Dedup.connectedComponents(spark, chain(50))
+        .collect().map(_.toSeq).toSet)
       assert(reliable == local)
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())

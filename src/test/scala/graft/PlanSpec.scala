@@ -507,9 +507,21 @@ class PlanSpec extends SparkSpec {
     // a trio scan (the gold-derivation groupings re-keying off the
     // bucket column) collapses onto the scan's own single partition.
     // The multi-bucket fleet shape (32) keeps its own pinned test below.
+    // Round 16: minhash_lsh 15 → 1 — the shingle table is derived once
+    // (per-row array_distinct replaces the global distinct shuffle, the
+    // df cutoff rides one window on the single sh-keyed exchange, and
+    // the frame is PINNED), and all 9 MinHash signatures collapse into
+    // ONE grouped aggregate with per-row band keys (the former
+    // seed-explode + two groupBys + self-join re-derived the whole
+    // subtree per reference). The one remaining exchange is the pair
+    // aggregate; the band self-join reads the pinned bands table, whose
+    // materialized partitioning both sides share. corpus_clean 26 → 6
+    // for the same reason (its ngramJaccard constituent rode the same
+    // shingle subtree). Pins are plan LEAVES here, so the count reflects
+    // what actually re-executes.
     assert(counts == Map(
-      "dq_summary" -> 26, "minhash_lsh" -> 15,
-      "tpch_q2" -> 5, "corpus_clean" -> 26), counts.toString)
+      "dq_summary" -> 26, "minhash_lsh" -> 1,
+      "tpch_q2" -> 5, "corpus_clean" -> 6), counts.toString)
   }
 
   test("mixture: corpus-side pass is broadcast-join map-only, no sort-merge join") {
